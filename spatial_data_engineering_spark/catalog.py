@@ -1,0 +1,49 @@
+"""Table registry over the driver-provided parquet testdata.
+
+Tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings — one parquet file each under an sf directory.
+
+Parquet scans are the engine's base relation: self-describing schema,
+column pruning and predicate/row-group pushdown for free.  At 100 TB the
+same call reads a partitioned directory tree; nothing here assumes a single
+file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which the Spark reader
+        # rejects ([PARQUET_TYPE_ILLEGAL]).  Read it as long nanos via the
+        # legacy conf (session-settable, so this works under any harness
+        # session too) and truncate to microseconds with exact integer
+        # division — double division would lose sub-µs bits at 1.7e18 ns.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register each table as a temp view so SQL-form operators can run.
+
+    Mirrors the reference's CREATE OR REPLACE VIEW usage
+    (query/view_linked_data.sql:1-2) — views are virtual, inlined by
+    Catalyst exactly as Postgres inlines them (SURVEY.md §4).
+    """
+    for name in tables:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

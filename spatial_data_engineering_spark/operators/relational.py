@@ -1,0 +1,615 @@
+"""Relational core — SURVEY.md §2 operators C1-C10, D1, E2-E10, F1-F5.
+
+Every operator here is a built-in Catalyst primitive (SURVEY.md §4: "What
+needs NO custom work").  Each query is written DataFrame-first so Catalyst
+gets the declarative plan: filters and projections push into the parquet
+scan, small dimension sides broadcast, aggregations get map-side partials.
+
+Reference parity notes cite file:line of /root/reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import load
+from .common import davg, dsum, sql_davg, sql_dsum
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# --------------------------------------------------------------------------
+# q01 — pricing summary (TPC-H Q1 shape).
+# Operators: C1 projection/alias, C4 temporal range predicate
+# (load_report.py:69-73 semantics), E4 sum, E2 avg, E6 count.
+# Scale: groupBy on 2 low-cardinality keys -> map-side partial agg, tiny
+# shuffle; the l_shipdate filter is pushed to the parquet row groups.
+# --------------------------------------------------------------------------
+@query(
+    "q01_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           {sql_dsum('l_extendedprice', 'sum_base_price')},
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {sql_davg('l_quantity', 'avg_qty')},
+           {sql_davg('l_extendedprice', 'avg_price')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q02 — ILIKE substring filter (C3; load_report.py:474
+# `keterangan ILIKE '%mangrove%'`) + grouped rollup of the survivors.
+# --------------------------------------------------------------------------
+@query(
+    "q02_ilike_filter",
+    f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'sum_totalprice')}
+    FROM orders
+    WHERE o_orderpriority ILIKE '%urgent%'
+    GROUP BY o_orderstatus
+    """,
+)
+def q02_ilike_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderpriority").ilike("%urgent%"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             dsum("o_totalprice", "sum_totalprice"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q03 — inner equi-join enrich (D1; view_linked_data.sql:11-13 is a 31x1
+# fact⨝dim join).  nation and region are broadcast — the dim sides are far
+# under autoBroadcastJoinThreshold, so no shuffle of the fact side at all.
+# --------------------------------------------------------------------------
+@query(
+    "q03_join_enrich",
+    f"""
+    SELECT r_name,
+           COUNT(*) AS n_customers,
+           {sql_dsum('c_acctbal', 'sum_acctbal')},
+           {sql_davg('c_acctbal', 'avg_acctbal')}
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q03_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"),
+             dsum("c_acctbal", "sum_acctbal"),
+             davg("c_acctbal", "avg_acctbal"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q04/q05 — semi / anti join (SURVEY §2 D: "include in engine surface").
+# left_semi == EXISTS, left_anti == NOT EXISTS; both avoid materializing
+# the join output — at scale the orders side is aggregated to keys first
+# by Catalyst.
+# --------------------------------------------------------------------------
+@query(
+    "q04_semi_join",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q04_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "q05_anti_join",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q05_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q06 — calendar-month tumbling window (F2; load_report.py:67-88's monthly
+# loop collapses to ONE grouped aggregation — SURVEY §3.2 "Spark shape").
+# True calendar months via date_trunc, not the reference's day-28/30
+# truncation bug (load_report.py:70,131; SURVEY C4 note).
+# --------------------------------------------------------------------------
+@query(
+    "q06_monthly_revenue",
+    f"""
+    SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+           COUNT(*) AS n_items,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q06_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy(F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum(disc_price, "revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q07 — dense month spine incl. empty months (F3; load_report.py:140-143
+# emits explicit None for scene-less months).  sequence+explode generates
+# the spine; LEFT JOIN preserves the gaps as nulls.
+# --------------------------------------------------------------------------
+@query(
+    "q07_month_spine",
+    """
+    WITH spine AS (
+        SELECT strftime(m, '%Y-%m') AS month
+        FROM (SELECT unnest(generate_series(DATE '1994-01-01', DATE '2002-12-01',
+                                            INTERVAL 1 MONTH)) AS m)
+    ),
+    monthly AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT spine.month AS month, monthly.n_orders AS n_orders
+    FROM spine LEFT JOIN monthly ON spine.month = monthly.month
+    """,
+)
+def q07_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    spine = spark.sql(
+        "SELECT date_format(m, 'yyyy-MM') AS month FROM "
+        "(SELECT explode(sequence(to_date('1994-01-01'), to_date('2002-12-01'), "
+        "interval 1 month)) AS m)"
+    )
+    monthly = (
+        o.groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return spine.join(monthly, "month", "left").select("month", "n_orders")
+
+
+# --------------------------------------------------------------------------
+# q08 — the reference's variance->argmax->CASE tail (E5 var_samp
+# load_report.py:396, E7 argmax :414, C10 thresholds :420-426) on monthly
+# aggregates (F2).  Coefficient of variation is the dimensionless analogue
+# of the reference's NDVI variance; thresholds 0.5/0.2 mirror :420-426.
+# --------------------------------------------------------------------------
+@query(
+    "q08_var_argmax",
+    f"""
+    WITH monthly AS (
+        SELECT o_orderpriority,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               {sql_dsum('o_totalprice', 'mrev')}
+        FROM orders GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT o_orderpriority,
+               ROUND(stddev_samp(mrev) / avg(mrev), 6) AS cv
+        FROM monthly GROUP BY 1
+    )
+    SELECT o_orderpriority, cv,
+           CASE WHEN cv > 0.5 THEN 'High variability across months'
+                WHEN cv > 0.2 THEN 'Moderate variability across months'
+                ELSE 'Low variance observed across months' END AS inference
+    FROM stats
+    ORDER BY cv DESC, o_orderpriority
+    LIMIT 1
+    """,
+)
+def q08_var_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            "o_orderpriority",
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"),
+        ).agg(dsum("o_totalprice", "mrev"))
+    )
+    stats = monthly.groupBy("o_orderpriority").agg(
+        F.round(F.stddev_samp("mrev") / F.avg("mrev"), 6).alias("cv")
+    )
+    return (
+        stats.withColumn(
+            "inference",
+            F.when(F.col("cv") > 0.5, F.lit("High variability across months"))
+            .when(F.col("cv") > 0.2, F.lit("Moderate variability across months"))
+            .otherwise(F.lit("Low variance observed across months")),
+        )
+        .orderBy(F.desc("cv"), F.asc("o_orderpriority"))
+        .limit(1)
+        .select("o_orderpriority", "cv", "inference")
+    )
+
+
+# --------------------------------------------------------------------------
+# q09 — fixed-width histogram binning (E8; r:63-65 `cut(..., by=20,
+# right=FALSE)`): left-closed bins via floor division.
+# --------------------------------------------------------------------------
+@query(
+    "q09_histogram",
+    """
+    SELECT CAST(FLOOR(o_totalprice / 20000) AS INTEGER) AS bin,
+           COUNT(*) AS frequency
+    FROM orders GROUP BY 1
+    """,
+)
+def q09_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 20000).cast("int").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("frequency"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q10 — sequential row-ID (F1; load_data.py:70-79 `range(1, len+1)`).
+# Deterministic variant: row_number over a declared sort key (the survey's
+# "deterministic alternative") — the reference's current-row-order variant
+# is order-dependent and unreproducible at scale.
+# --------------------------------------------------------------------------
+@query(
+    "q10_row_number",
+    """
+    SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS id, o_orderkey
+    FROM orders WHERE o_orderkey <= 500
+    """,
+)
+def q10_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    w = W.orderBy("o_orderkey")
+    return o.select(F.row_number().over(w).alias("id"), "o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# q11 — top-K per group (F5 argmax generalized; guide "Top-K per group").
+# --------------------------------------------------------------------------
+@query(
+    "q11_topk_per_group",
+    """
+    SELECT c_nationkey, rk, c_custkey, c_acctbal FROM (
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rk
+        FROM customer
+    ) WHERE rk <= 3
+    """,
+)
+def q11_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_nationkey", "rk", "c_custkey", "c_acctbal")
+    )
+
+
+# --------------------------------------------------------------------------
+# q12 — pivot long->wide (F4; load_report.py:99-106 builds per-category
+# wide series for plotting).  Explicit pivot values keep the plan static.
+# --------------------------------------------------------------------------
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@query(
+    "q12_pivot",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error
+    FROM events GROUP BY 1
+    """,
+)
+def q12_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    piv = (
+        e.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot yields null for absent combos; the oracle's COUNT FILTER yields 0
+    return piv.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )
+
+
+# --------------------------------------------------------------------------
+# q13 — relational set ops (SURVEY §2 F "Not present ... all built-in"):
+# symmetric difference of two customer key sets via UNION / INTERSECT /
+# EXCEPT.  NB: distinct from E1's *geometric* ST_Union (survey warns not to
+# conflate).
+# --------------------------------------------------------------------------
+@query(
+    "q13_setops",
+    """
+    WITH a AS (SELECT c_custkey FROM customer WHERE c_acctbal > 7500),
+         b AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+               WHERE o_orderpriority = '1-URGENT')
+    (SELECT c_custkey FROM a UNION SELECT c_custkey FROM b)
+    EXCEPT
+    (SELECT c_custkey FROM a INTERSECT SELECT c_custkey FROM b)
+    """,
+)
+def q13_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_acctbal") > 7500).select("c_custkey")
+    b = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+         .select(F.col("o_custkey").alias("c_custkey")).distinct())
+    return a.union(b).distinct().subtract(a.intersect(b))
+
+
+# --------------------------------------------------------------------------
+# q14 — ROLLUP grouping sets (SURVEY §2 E "Not present ... built-in when
+# the driver suite needs them").
+# --------------------------------------------------------------------------
+@query(
+    "q14_rollup",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'sum_totalprice')}
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q14_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "sum_totalprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# q15 — exact distinct aggregation (count-distinct; SURVEY §2 E note).
+# --------------------------------------------------------------------------
+@query(
+    "q15_count_distinct",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(*) AS n_items
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q15_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q16 — min/max extent accumulation (E9; load_report.py:322-326 folds
+# total_bounds with min/max — the ST_Extent-style envelope aggregate).
+# --------------------------------------------------------------------------
+@query(
+    "q16_extent",
+    """
+    SELECT strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_shipdate,
+           strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_shipdate,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty
+    FROM lineitem
+    """,
+)
+def q16_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("min_shipdate"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("max_shipdate"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q17 — CASE/threshold derivation (C10; load_report.py:419-426).
+# --------------------------------------------------------------------------
+@query(
+    "q17_case_thresholds",
+    f"""
+    WITH s AS (
+        SELECT event_type, {sql_davg('value', 'avg_value')}
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, avg_value,
+           CASE WHEN avg_value > 100 THEN 'high'
+                WHEN avg_value > 50 THEN 'moderate'
+                ELSE 'low' END AS tier
+    FROM s
+    """,
+)
+def q17_case_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    s = e.groupBy("event_type").agg(davg("value", "avg_value"))
+    return s.withColumn(
+        "tier",
+        F.when(F.col("avg_value") > 100, "high")
+        .when(F.col("avg_value") > 50, "moderate")
+        .otherwise("low"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q18 — sessionization (guide "Common OLAP patterns"): lag-gap + cumulative
+# sum assigns session ids; exact integer epoch-microsecond math keeps both
+# engines bit-identical.
+# --------------------------------------------------------------------------
+@query(
+    "q18_sessionization",
+    """
+    WITH flagged AS (
+        SELECT user_id,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id)
+                         > 1800000000 OR
+                         LAG(epoch_us(ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions
+    FROM flagged GROUP BY user_id
+    """,
+)
+def q18_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").cast("bigint").alias("n_sessions")
+    )
+
+
+# --------------------------------------------------------------------------
+# q19 — tumbling time window via F.window (batch form of the Structured
+# Streaming operator; SURVEY §7 phase 5 parity).
+# --------------------------------------------------------------------------
+@query(
+    "q19_hourly_window",
+    f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM events GROUP BY 1
+    """,
+)
+def q19_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q20 — scalar-subquery predicate: customers above the global mean balance.
+# The global mean is computed exactly (decimal) so the threshold compare
+# cannot flip between engines; the single-row aggregate is broadcast.
+# --------------------------------------------------------------------------
+@query(
+    "q20_above_avg",
+    """
+    SELECT c_nationkey, COUNT(*) AS n_rich
+    FROM customer
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+                              / COUNT(*) FROM customer)
+    GROUP BY c_nationkey
+    """,
+)
+def q20_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    avg_df = c.agg(davg("c_acctbal", "avg_bal"))
+    return (
+        c.join(F.broadcast(avg_df))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_rich"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q21 — semi-structured extraction from the events.props JSON string via
+# regexp (C7-adjacent validation surface; regex keeps DuckDB parity without
+# relying on a JSON extension).
+# --------------------------------------------------------------------------
+@query(
+    "q21_props_extract",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q21_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.sum(k).cast("bigint").alias("sum_k"), F.count(F.lit(1)).alias("n")
+    )
