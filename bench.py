@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract, BASELINE.md).
+
+Runs the engine's query inventory at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with the ``noop`` sink so the full plan executes
+(scan -> shuffle -> agg) without sink overhead or driver-side collection.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from spatial_data_engineering_spark.session import build_session
+    from spatial_data_engineering_spark.queries_registry import all_queries
+
+    spark = build_session(app_name="bench")
+
+    # JVM/codegen warmup on a trivial scan so q1 doesn't pay startup cost.
+    try:
+        spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    except Exception as exc:
+        # still emit the one-line contract even if the data dir is wrong
+        print(json.dumps({
+            "metric": "query_suite_total", "value": -1.0, "unit": "sec",
+            "queries": {}, "sf": sf,
+            "failures": {"_warmup": f"{type(exc).__name__}: {exc}"[:200]},
+        }))
+        spark.stop()
+        return
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name, fn in sorted(all_queries().items()):
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # a failed query must not hide the rest
+            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "query_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
