@@ -1,0 +1,208 @@
+"""Similarity search over the embedding column (array<float>).
+
+North-star surface (BASELINE.json): brute-force cosine top-k as the exact
+baseline, and an LSH-bucketed variant as the 100 TB scale path.
+
+Determinism: the dot product is an explicit LEFT FOLD in index order with
+per-element DOUBLE casts — Spark's ``aggregate(zip_with(...))`` and
+DuckDB's ``list_reduce(list_transform(...))`` then produce bit-identical
+doubles, so cosine scores, thresholds and rank orders agree exactly with
+the oracle (no rounding tolerance needed).
+
+Scale shape: brute-force is a broadcast of the (small) query set against a
+partitioned scan of the corpus — O(n_queries * n_corpus) FLOPs but zero
+shuffle of the corpus; top-k folds into a per-partition partial
+(window rank after a groupBy-free pipeline).  The SRP-LSH variant buckets
+both sides on a 16-bit signed-random-projection signature, so candidate
+generation is an equi-join on the bucket key; hyperplanes are derived
+arithmetically (no stored model) and identically in the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import load
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# dot(a, b) as a strict left fold in index order, double math throughout.
+def _dot_spark(a: str, b: str) -> str:
+    return (f"aggregate(zip_with({a}, {b},"
+            f" (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (f"list_reduce(list_transform(generate_series(1, len({a})),"
+            f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)),"
+            f" (x, y) -> x + y)")
+
+
+def _norm_spark(a: str) -> str:
+    return f"sqrt({_dot_spark(a, a)})"
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt({_dot_sql(a, a)})"
+
+
+# --------------------------------------------------------------------------
+# q49 — brute-force cosine top-k: query set = vec_id < 10, k = 3.
+# The exact ANN baseline; ties broken by vec_id for determinism.
+# --------------------------------------------------------------------------
+_ORACLE_Q49 = f"""
+    WITH q AS (SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm
+               FROM embeddings),
+         scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {_dot_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine
+            FROM q JOIN c ON q.vec_id <> c.vec_id
+         )
+    SELECT query_id, neighbor_id, rk, ROUND(cosine, 6) AS cosine
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= 3
+"""
+
+
+@query("q49_cosine_topk", _ORACLE_Q49)
+def q49_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    withn = e.select(
+        "vec_id", "embedding", F.expr(_norm_spark("embedding")).alias("nrm")
+    )
+    q = withn.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = (
+        # broadcast the small query side; the corpus never shuffles
+        withn.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (F.expr(_dot_spark("q_emb", "embedding"))
+             / (F.col("q_nrm") * F.col("nrm"))).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "neighbor_id", "rk", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q50 — embedding near-dup pairs: all pairs with cosine >= 0.35 (the
+# synthetic embeddings are near-orthogonal — max pairwise cosine ~0.51 —
+# so 0.35 selects the genuine outlier pairs).  The threshold compares
+# bit-identical doubles, so no boundary instability.
+# --------------------------------------------------------------------------
+_ORACLE_Q50 = f"""
+    WITH e AS (SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm
+               FROM embeddings)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6)
+               AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= 0.35
+"""
+
+
+@query("q50_embedding_neardup", _ORACLE_Q50)
+def q50_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    withn = e.select(
+        "vec_id", "embedding", F.expr(_norm_spark("embedding")).alias("nrm")
+    )
+    a = withn.select(F.col("vec_id").alias("a_id"),
+                     F.col("embedding").alias("a_emb"), F.col("nrm").alias("a_nrm"))
+    b = withn.select(F.col("vec_id").alias("b_id"),
+                     F.col("embedding").alias("b_emb"), F.col("nrm").alias("b_nrm"))
+    cos = (F.expr(_dot_spark("a_emb", "b_emb")) / (F.col("a_nrm") * F.col("b_nrm")))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .filter(cos >= 0.35)
+        .select("a_id", "b_id", F.round(cos, 6).alias("cosine"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q51 — SRP-LSH bucketed similarity (the scale path): 12-bit
+# signed-random-projection signature; pairs sharing a bucket are verified
+# with exact cosine.  Hyperplane weights are derived arithmetically
+# (w[p][d] = ((p*73856093 + d*19349663) % 2003) - 1001), so the oracle
+# reproduces the buckets exactly.  At 100 TB candidates come from an
+# equi-join on the 12-bit key instead of an n^2 cross join.
+# --------------------------------------------------------------------------
+_N_PLANES = 12
+
+
+def _plane_dot(engine: str, emb: str, p: int) -> str:
+    w = f"(((({p} * 73856093) + i * 19349663) % 2003) - 1001)"
+    if engine == "spark":
+        return (f"aggregate(zip_with(sequence(1, size({emb})), {emb},"
+                f" (i, x) -> CAST({w} AS DOUBLE) * CAST(x AS DOUBLE)),"
+                f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    return (f"list_reduce(list_transform(generate_series(1, len({emb})),"
+            f" i -> CAST({w} AS DOUBLE) * CAST({emb}[i] AS DOUBLE)),"
+            f" (x, y) -> x + y)")
+
+
+def _bucket(engine: str, emb: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {_plane_dot(engine, emb, p)} > 0 THEN {2 ** p} ELSE 0 END)"
+        for p in range(_N_PLANES)
+    )
+
+
+_ORACLE_Q51 = f"""
+    WITH sig AS (
+        SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm,
+               CAST({_bucket('duckdb', 'embedding')} AS BIGINT) AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket AS bucket,
+           ROUND({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6)
+               AS cosine
+    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+"""
+
+
+@query("q51_srp_lsh_buckets", _ORACLE_Q51)
+def q51_srp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    sig = e.select(
+        "vec_id", "embedding",
+        F.expr(_norm_spark("embedding")).alias("nrm"),
+        F.expr(f"CAST({_bucket('spark', 'embedding')} AS BIGINT)").alias("bucket"),
+    )
+    a = sig.select(F.col("vec_id").alias("a_id"), F.col("bucket"),
+                   F.col("embedding").alias("a_emb"), F.col("nrm").alias("a_nrm"))
+    b = sig.select(F.col("vec_id").alias("b_id"), F.col("bucket").alias("b_bucket"),
+                   F.col("embedding").alias("b_emb"), F.col("nrm").alias("b_nrm"))
+    cos = (F.expr(_dot_spark("a_emb", "b_emb")) / (F.col("a_nrm") * F.col("b_nrm")))
+    return (
+        a.join(b, (F.col("bucket") == F.col("b_bucket"))
+               & (F.col("a_id") < F.col("b_id")))
+        .select("a_id", "b_id", "bucket", F.round(cos, 6).alias("cosine"))
+    )

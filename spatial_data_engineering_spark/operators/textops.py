@@ -1,0 +1,286 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+North-star surface (BASELINE.json): language-ID, quality scoring, token
+counting, document fingerprinting — all as single-pass vectorized column
+expressions (JVM-side, whole-stage codegen; no Python in the hot path).
+
+Determinism notes: every score is integer/ratio arithmetic or md5 over
+strings, so the DuckDB oracle reproduces results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from .common import davg, sql_davg
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# Tokenization used across all text operators: plain space split.  The
+# documents fixture is space-separated ASCII; a BPE-ish regex tokenizer for
+# real corpora lives in token_count below.
+_TOKENS = "split(text, ' ')"
+
+
+# --------------------------------------------------------------------------
+# q40 — per-language corpus quality statistics: doc counts, length moments,
+# mean tokens/doc, type-token ratio, punctuation density.  One scan, one
+# small shuffle on lang.
+# --------------------------------------------------------------------------
+@query(
+    "q40_text_stats",
+    f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           {sql_davg('n_chars', 'avg_chars')},
+           {sql_davg("len(string_split(text, ' '))", 'avg_tokens')},
+           {sql_davg("len(list_distinct(string_split(text, ' ')))", 'avg_distinct_tokens')},
+           {sql_davg("(length(text) - length(replace(replace(text, '.', ''), ',', ''))) * 1.0"
+                     " / greatest(length(text), 1)", 'punct_ratio')}
+    FROM documents GROUP BY lang
+    """,
+)
+def q40_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.expr(_TOKENS)
+    punct = (
+        (F.length("text")
+         - F.length(F.regexp_replace(F.regexp_replace("text", r"\.", ""), ",", "")))
+        * 1.0 / F.greatest(F.length("text"), F.lit(1))
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg("n_chars", "avg_chars"),
+        davg(F.size(toks).cast("double"), "avg_tokens"),
+        davg(F.size(F.array_distinct(toks)).cast("double"), "avg_distinct_tokens"),
+        davg(punct, "punct_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q41 — token counting: whitespace tokens plus a BPE-ish sub-word estimate
+# (4 chars/token heuristic), and corpus-level distinct-token counts per
+# source via explode (the UDTF-shaped path).  At 100 TB the explode feeds a
+# partial-agg so only (source, token) pairs shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "q41_token_count",
+    f"""
+    WITH per_doc AS (
+        SELECT source,
+               len(string_split(text, ' ')) AS n_ws,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
+        FROM documents
+    ),
+    vocab AS (
+        SELECT source, COUNT(DISTINCT t) AS n_distinct_tokens
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)
+        GROUP BY source
+    )
+    SELECT p.source AS source,
+           CAST(SUM(n_ws) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_bpe_est) AS BIGINT) AS total_bpe_est,
+           MAX(v.n_distinct_tokens) AS n_distinct_tokens
+    FROM per_doc p JOIN vocab v ON p.source = v.source
+    GROUP BY p.source
+    """,
+)
+def q41_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.expr(_TOKENS)
+    per_doc = d.select(
+        "source",
+        F.size(toks).alias("n_ws"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("n_bpe_est"),
+    )
+    vocab = (
+        d.select("source", F.explode(toks).alias("t"))
+        .groupBy("source")
+        .agg(F.countDistinct("t").alias("n_distinct_tokens"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(F.sum("n_ws").cast("bigint").alias("total_tokens"),
+             F.sum("n_bpe_est").cast("bigint").alias("total_bpe_est"))
+        .join(vocab, "source")
+        .select("source", "total_tokens", "total_bpe_est", "n_distinct_tokens")
+    )
+
+
+# --------------------------------------------------------------------------
+# q42 — language identification via marker-token scoring (n-gram heuristic
+# class; real models would be a pandas_udf — the scoring plumbing is what
+# the engine provides).  Scores are token-set intersections, argmax via
+# greatest + CASE; confusion matrix (actual x predicted) is the output.
+# --------------------------------------------------------------------------
+_MARKERS = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "das", "und"),
+    "fr": ("le", "la", "les", "et"),
+    "es": ("el", "los", "las", "y"),
+}
+
+
+def _score_sql(lang: str) -> str:
+    lits = ", ".join(f"'{w}'" for w in _MARKERS[lang])
+    return (f"len(list_filter(list_distinct(string_split(text, ' ')),"
+            f" t -> t IN ({lits})))")
+
+
+def _score_spark(lang: str):
+    lits = ", ".join(f"'{w}'" for w in _MARKERS[lang])
+    return F.expr(
+        f"size(filter(array_distinct(split(text, ' ')), t -> t IN ({lits})))"
+    )
+
+
+@query(
+    "q42_lang_id",
+    f"""
+    WITH scored AS (
+        SELECT lang,
+               {_score_sql('en')} AS s_en, {_score_sql('de')} AS s_de,
+               {_score_sql('fr')} AS s_fr, {_score_sql('es')} AS s_es
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang,
+               CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                    WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+                    WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+                    WHEN s_fr >= s_es THEN 'fr'
+                    ELSE 'es' END AS pred_lang
+        FROM scored
+    )
+    SELECT lang, pred_lang, COUNT(*) AS n_docs
+    FROM pred GROUP BY lang, pred_lang
+    """,
+)
+def q42_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "lang",
+        _score_spark("en").alias("s_en"), _score_spark("de").alias("s_de"),
+        _score_spark("fr").alias("s_fr"), _score_spark("es").alias("s_es"),
+    )
+    pred = scored.select(
+        "lang",
+        F.when(F.greatest("s_en", "s_de", "s_fr", "s_es") == 0, "und")
+        .when(F.col("s_en") >= F.greatest("s_de", "s_fr", "s_es"), "en")
+        .when(F.col("s_de") >= F.greatest("s_fr", "s_es"), "de")
+        .when(F.col("s_fr") >= F.col("s_es"), "fr")
+        .otherwise("es")
+        .alias("pred_lang"),
+    )
+    return pred.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# --------------------------------------------------------------------------
+# q43 — document fingerprinting: rolling-window minimum hash over char
+# 8-grams (Rabin-Karp/winnowing-lite; md5 as the portable rolling hash).
+# The fingerprint is robust to local edits — the standard near-dup
+# prefilter for crawl corpora.
+# --------------------------------------------------------------------------
+@query(
+    "q43_fingerprint",
+    """
+    SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc_id
+    FROM (
+        SELECT doc_id,
+               list_min(list_transform(
+                   generate_series(1, greatest(length(text) - 7, 1)),
+                   i -> md5(substr(text, CAST(i AS INTEGER), 8)))) AS fp
+        FROM documents
+    ) GROUP BY fp
+    """,
+)
+def q43_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    fp = F.expr(
+        "array_min(transform(sequence(1, greatest(length(text) - 7, 1)),"
+        " i -> md5(substring(text, i, 8))))"
+    )
+    return (
+        d.select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q44 — quality scoring: composite per-doc quality from length, punctuation
+# density, stopword ratio and repetition (distinct/total tokens), bucketed
+# into keep/review/drop tiers — the standard pretraining filter shape.
+# --------------------------------------------------------------------------
+_STOPWORDS = "'the', 'a', 'of', 'and', 'to', 'in'"
+
+
+@query(
+    "q44_quality_score",
+    f"""
+    WITH feats AS (
+        SELECT doc_id,
+               length(text) AS n,
+               len(string_split(text, ' ')) AS nt,
+               len(list_distinct(string_split(text, ' '))) AS ndt,
+               len(list_filter(string_split(text, ' '),
+                               t -> t IN ({_STOPWORDS}))) AS nstop
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               ROUND(  0.25 * least(n / 400.0, 1.0)
+                     + 0.25 * least(nstop * 4.0 / nt, 1.0)
+                     + 0.50 * (ndt * 1.0 / nt), 6) AS quality
+        FROM feats
+    )
+    SELECT CASE WHEN quality > 0.6 THEN 'keep'
+                WHEN quality > 0.4 THEN 'review'
+                ELSE 'drop' END AS tier,
+           COUNT(*) AS n_docs,
+           ROUND(MIN(quality), 6) AS min_q,
+           ROUND(MAX(quality), 6) AS max_q
+    FROM scored GROUP BY 1
+    """,
+)
+def q44_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    feats = d.select(
+        "doc_id",
+        F.length("text").alias("n"),
+        F.expr(f"size({_TOKENS})").alias("nt"),
+        F.expr(f"size(array_distinct({_TOKENS}))").alias("ndt"),
+        F.expr(f"size(filter({_TOKENS}, t -> t IN ({_STOPWORDS})))").alias("nstop"),
+    )
+    quality = F.round(
+        0.25 * F.least(F.col("n") / 400.0, F.lit(1.0))
+        + 0.25 * F.least(F.col("nstop") * 4.0 / F.col("nt"), F.lit(1.0))
+        + 0.50 * (F.col("ndt") * 1.0 / F.col("nt")),
+        6,
+    )
+    scored = feats.select("doc_id", quality.alias("quality"))
+    return (
+        scored.withColumn(
+            "tier",
+            F.when(F.col("quality") > 0.6, "keep")
+            .when(F.col("quality") > 0.4, "review")
+            .otherwise("drop"),
+        )
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.round(F.min("quality"), 6).alias("min_q"),
+             F.round(F.max("quality"), 6).alias("max_q"))
+    )
