@@ -1,0 +1,205 @@
+"""ST_* function surface as Arrow-vectorized pandas UDFs over WKB.
+
+Covers the reference's scalar spatial surface (SURVEY.md §2 G1-G9):
+constructors, codecs, area/centroid/envelope, type dispatch, CRS
+transform, containment/intersection predicates, plus the grid-cell
+bucketing UDF that powers the partitioned spatial join (§4).
+
+All UDFs receive/return Arrow batches (pandas Series); per-row work is the
+WKB codec + the pure-Python predicates in ``geometry``.  ``register_all``
+exposes every function into Spark SQL (spark.udf.register) so SQL-form
+queries can use them, mirroring how PostGIS exposes ST_ into SQL.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import crs as _crs
+from . import geometry as G
+
+
+def _map(series: pd.Series, fn):
+    return series.map(lambda v: None if v is None else fn(v))
+
+
+# ----------------------------------------------------------- constructors
+
+@F.pandas_udf(T.BinaryType())
+def st_point(x: pd.Series, y: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if xi is None or yi is None
+         else G.wkb_dumps(("Point", (float(xi), float(yi))))
+         for xi, yi in zip(x, y)]
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def st_geomfromtext(wkt: pd.Series) -> pd.Series:
+    return _map(wkt, lambda s: G.wkb_dumps(G.wkt_loads(s)))
+
+
+@F.pandas_udf(T.BinaryType())
+def st_makebox(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series,
+               ymax: pd.Series) -> pd.Series:
+    return pd.Series(
+        [G.wkb_dumps(G.make_box(float(a), float(b), float(c), float(d)))
+         for a, b, c, d in zip(xmin, ymin, xmax, ymax)]
+    )
+
+
+# ----------------------------------------------------------------- codecs
+
+@F.pandas_udf(T.StringType())
+def st_astext(wkb: pd.Series) -> pd.Series:
+    return _map(wkb, lambda b: G.wkt_dumps(G.wkb_loads(bytes(b))))
+
+
+@F.pandas_udf(T.StringType())
+def st_geometrytype(wkb: pd.Series) -> pd.Series:
+    # geometry-subtype dispatch (load_report.py:51-57)
+    return _map(wkb, lambda b: G.geom_type(G.wkb_loads(bytes(b))))
+
+
+# ------------------------------------------------------------ measurement
+
+@F.pandas_udf(T.DoubleType())
+def st_area(wkb: pd.Series) -> pd.Series:
+    return _map(wkb, lambda b: G.area(G.wkb_loads(bytes(b))))
+
+
+@F.pandas_udf(T.BinaryType())
+def st_centroid(wkb: pd.Series) -> pd.Series:
+    return _map(
+        wkb,
+        lambda b: G.wkb_dumps(("Point", G.centroid(G.wkb_loads(bytes(b))))),
+    )
+
+
+_BOUNDS_T = T.StructType([
+    T.StructField("xmin", T.DoubleType()), T.StructField("ymin", T.DoubleType()),
+    T.StructField("xmax", T.DoubleType()), T.StructField("ymax", T.DoubleType()),
+])
+
+
+@F.pandas_udf(_BOUNDS_T)
+def st_envelope(wkb: pd.Series) -> pd.DataFrame:
+    rows = []
+    for b in wkb:
+        if b is None:
+            rows.append((None, None, None, None))
+        else:
+            rows.append(G.bounds(G.wkb_loads(bytes(b))))
+    return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])
+
+
+@F.pandas_udf(T.DoubleType())
+def st_x(wkb: pd.Series) -> pd.Series:
+    return _map(wkb, lambda b: G.wkb_loads(bytes(b))[1][0])
+
+
+@F.pandas_udf(T.DoubleType())
+def st_y(wkb: pd.Series) -> pd.Series:
+    return _map(wkb, lambda b: G.wkb_loads(bytes(b))[1][1])
+
+
+# -------------------------------------------------------------- transform
+
+@F.pandas_udf(T.BinaryType())
+def st_transform(wkb: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
+    """Reproject geometry coordinates (G1; pyproj-free — see crs module).
+
+    src/dst are EPSG int columns (pass F.lit for constants); vectorization
+    is per-ring numpy, batched by Arrow.
+    """
+    out = []
+    for b, s, d in zip(wkb, src, dst):
+        if b is None:
+            out.append(None)
+            continue
+        out.append(G.wkb_dumps(_transform_geom(G.wkb_loads(bytes(b)), int(s), int(d))))
+    return pd.Series(out)
+
+
+def _transform_geom(geom, src: int, dst: int):
+    kind, body = geom
+    if kind == "Point":
+        x, y = _crs.transform_xy([body[0]], [body[1]], src, dst)
+        return ("Point", (float(x[0]), float(y[0])))
+    if kind == "Polygon":
+        return ("Polygon", _transform_rings(body, src, dst))
+    return ("MultiPolygon", [_transform_rings(r, src, dst) for r in body])
+
+
+def _transform_rings(rings, src: int, dst: int):
+    out = []
+    for ring in rings:
+        xs = [p[0] for p in ring]
+        ys = [p[1] for p in ring]
+        tx, ty = _crs.transform_xy(xs, ys, src, dst)
+        out.append(list(zip(tx.tolist(), ty.tolist())))
+    return out
+
+
+# -------------------------------------------------------------- predicates
+
+@F.pandas_udf(T.BooleanType())
+def st_contains(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if x is None or y is None
+         else G.contains(G.wkb_loads(bytes(x)), G.wkb_loads(bytes(y)))
+         for x, y in zip(a, b)]
+    )
+
+
+@F.pandas_udf(T.BooleanType())
+def st_intersects(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if x is None or y is None
+         else G.intersects(G.wkb_loads(bytes(x)), G.wkb_loads(bytes(y)))
+         for x, y in zip(a, b)]
+    )
+
+
+# ------------------------------------------------- grid bucketing (join) --
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def st_grid_cells(wkb: pd.Series, cell: pd.Series) -> pd.Series:
+    """Grid-cell ids ("ix_iy") whose cell intersects the geometry's bbox —
+    the §4 custom physical strategy: equi-join on these ids replaces the
+    n^2 cross join; an exact predicate refines the candidates."""
+    out = []
+    for b, c in zip(wkb, cell):
+        if b is None:
+            out.append(None)
+            continue
+        bb = G.bounds(G.wkb_loads(bytes(b)))
+        out.append([f"{ix}_{iy}" for ix, iy in G.grid_cells(bb, float(c))])
+    return pd.Series(out)
+
+
+_ALL = {
+    "ST_Point": st_point,
+    "ST_GeomFromText": st_geomfromtext,
+    "ST_MakeBox": st_makebox,
+    "ST_AsText": st_astext,
+    "ST_GeometryType": st_geometrytype,
+    "ST_Area": st_area,
+    "ST_Centroid": st_centroid,
+    "ST_Envelope": st_envelope,
+    "ST_X": st_x,
+    "ST_Y": st_y,
+    "ST_Transform": st_transform,
+    "ST_Contains": st_contains,
+    "ST_Intersects": st_intersects,
+    "ST_GridCells": st_grid_cells,
+}
+
+
+def register_all(spark: SparkSession) -> None:
+    """Expose every ST_ function to Spark SQL (PostGIS-style)."""
+    for name, udf in _ALL.items():
+        spark.udf.register(name, udf)

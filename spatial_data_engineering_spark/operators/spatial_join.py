@@ -1,0 +1,98 @@
+"""Grid-bucketed spatial join + geometric-union UDAF — the two genuinely
+custom operators (SURVEY.md §4 "custom vs built-in summary").
+
+``grid_spatial_join`` implements D2/D3 (zonal-stats join, intersection
+join): each side emits the grid cells its bbox overlaps, candidates come
+from an **equi-join on the cell id** (shuffle-friendly, uniform md5-free
+integer-grid keys), duplicate candidate pairs from multi-cell spans are
+dropped before the exact predicate refine (ST_Contains / ST_Intersects
+pandas UDF) runs — so the expensive Python predicate only sees each
+candidate once.
+
+Scale notes (100 TB): cell size trades shuffle fan-out (small cells -> more
+duplicate candidates) against refine selectivity (big cells -> more false
+candidates).  Skew from one huge polygon overlapping many cells is bounded
+by the explode (its candidates spread across many cell-partitions — the
+opposite of key skew).  Points land in exactly one cell, so the dedupe is
+a no-op for point-in-polygon workloads and Catalyst's AQE handles residual
+imbalance.
+
+``union_agg`` implements E1 (ST_Union aggregate, load_report.py:472) as a
+grouped-map: commutative/associative dissolve, so partial-then-final tree
+aggregation is legal; at reference scale groups are small and a single
+grouped map suffices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import geometry as G
+from ..functions.st_funcs import st_contains, st_grid_cells, st_intersects
+
+
+def grid_spatial_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_keys: list[str],
+    right_keys: list[str],
+    predicate: str = "intersects",
+    cell: float = 10.0,
+    left_geom: str = "geom",
+    right_geom: str = "geom",
+) -> DataFrame:
+    """Inner spatial join: rows of ``left`` x ``right`` where
+    predicate(right_geom, left_geom) holds ("contains": right contains
+    left — the cells-in-polygon zonal shape).
+
+    left_keys/right_keys must uniquely identify rows on their side; they
+    key the candidate dedupe.  All non-conflicting columns survive.
+    """
+    lg, rg = f"__lg", f"__rg"
+    l = left.withColumnRenamed(left_geom, lg)
+    r = right.withColumnRenamed(right_geom, rg)
+    l = l.withColumn("__cell", F.explode(st_grid_cells(F.col(lg), F.lit(cell))))
+    r = r.withColumn("__cell", F.explode(st_grid_cells(F.col(rg), F.lit(cell))))
+
+    cand = l.join(r, "__cell").drop("__cell")
+    # one candidate per key pair before the (expensive) exact refine
+    cand = cand.dropDuplicates(left_keys + right_keys)
+
+    if predicate == "contains":
+        keep = st_contains(F.col(rg), F.col(lg))
+    elif predicate == "intersects":
+        keep = st_intersects(F.col(rg), F.col(lg))
+    else:
+        raise ValueError(f"unknown predicate {predicate!r}")
+    out = cand.filter(keep)
+    return (out.withColumnRenamed(lg, left_geom)
+            if left_geom == right_geom
+            else out.withColumnRenamed(lg, left_geom).withColumnRenamed(rg, right_geom))
+
+
+def union_agg(df: DataFrame, group_cols: list[str], geom_col: str = "geom",
+              out_col: str = "geom") -> DataFrame:
+    """GROUP BY group_cols with geometric union of geom_col (E1).
+
+    applyInPandas grouped-map: per group, decode WKB -> dissolve ->
+    re-encode.  Dissolve is the documented collection-union (disjoint
+    shells exact; see geometry.union).
+    """
+    import pandas as pd
+
+    keep = [f.name for f in df.schema.fields if f.name in group_cols]
+    schema_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.schema.fields if f.name in group_cols
+    )
+    out_schema = f"{schema_fields}, `{out_col}` binary"
+
+    def dissolve(pdf: pd.DataFrame) -> pd.DataFrame:
+        geoms = [G.wkb_loads(bytes(b)) for b in pdf[geom_col] if b is not None]
+        u = G.union(geoms)
+        row = {c: [pdf[c].iloc[0]] for c in keep}
+        row[out_col] = [None if u is None else G.wkb_dumps(u)]
+        return pd.DataFrame(row)
+
+    return df.groupBy(*group_cols).applyInPandas(dissolve, schema=out_schema)

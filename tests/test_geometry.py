@@ -1,0 +1,124 @@
+"""Unit + property tests for the geometry kernel and CRS transforms
+(SURVEY.md §5.3: area >= 0; union idempotent; transform round-trip)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from spatial_data_engineering_spark.functions import crs
+from spatial_data_engineering_spark.functions import geometry as G
+
+coord = st.floats(min_value=-1000, max_value=1000,
+                  allow_nan=False, allow_infinity=False)
+
+
+def test_wkb_roundtrip_all_types():
+    box = G.make_box(0, 0, 10, 5)
+    mp = ("MultiPolygon", [box[1], G.make_box(20, 20, 21, 21)[1]])
+    pt = ("Point", (1.5, -2.5))
+    for g in (box, mp, pt):
+        assert G.wkb_loads(G.wkb_dumps(g)) == g
+
+
+def test_wkt_roundtrip():
+    mp = ("MultiPolygon",
+          [G.make_box(0, 0, 10, 5)[1], G.make_box(20, 20, 21, 21)[1]])
+    assert G.wkt_loads(G.wkt_dumps(mp)) == mp
+    assert G.wkt_loads("POINT (3 4)") == ("Point", (3.0, 4.0))
+
+
+def test_area_with_hole_and_multipolygon():
+    holed = ("Polygon", [G.make_box(0, 0, 10, 5)[1][0],
+                         [(2, 1), (2, 2), (3, 2), (3, 1), (2, 1)]])
+    assert abs(G.area(holed) - 49.0) < 1e-12
+    mp = ("MultiPolygon",
+          [G.make_box(0, 0, 1, 1)[1], G.make_box(5, 5, 7, 8)[1]])
+    assert abs(G.area(mp) - 7.0) < 1e-12
+
+
+def test_point_in_polygon_boundary_and_hole():
+    box = G.make_box(0, 0, 10, 5)
+    assert G.point_in_polygon(0, 0, box)          # corner
+    assert G.point_in_polygon(5, 0, box)          # edge
+    assert not G.point_in_polygon(10.01, 2, box)
+    holed = ("Polygon", [box[1][0], [(2, 1), (2, 2), (3, 2), (3, 1), (2, 1)]])
+    assert not G.point_in_polygon(2.5, 1.5, holed)
+
+
+def test_intersects_contains():
+    box = G.make_box(0, 0, 10, 5)
+    assert G.intersects(box, G.make_box(9, 4, 12, 6))
+    assert not G.intersects(box, G.make_box(10.1, 0, 12, 5))
+    assert G.contains(box, G.make_box(1, 1, 2, 2))
+    assert not G.contains(box, G.make_box(9, 4, 12, 6))
+    tri = ("Polygon", [[(20, 0), (30, 0), (25, 8), (20, 0)]])
+    assert G.intersects(tri, G.make_box(24, 1, 26, 2))
+
+
+def test_union_disjoint_exact_and_union_area_overlap():
+    a, b = G.make_box(0, 0, 1, 1), G.make_box(5, 5, 6, 6)
+    u = G.union([a, b])
+    assert u[0] == "MultiPolygon" and abs(G.area(u) - 2.0) < 1e-12
+    # idempotent-ish: union of one geometry is itself
+    assert G.union([a]) == a
+    # overlapping convex shells: inclusion-exclusion area
+    c = G.make_box(0.5, 0, 1.5, 1)
+    assert abs(G.union_area([a, c]) - 1.5) < 1e-9
+
+
+@settings(max_examples=60, deadline=None)
+@given(x0=coord, y0=coord,
+       w=st.floats(min_value=0.01, max_value=500, allow_nan=False),
+       h=st.floats(min_value=0.01, max_value=500, allow_nan=False))
+def test_box_area_property(x0, y0, w, h):
+    box = G.make_box(x0, y0, x0 + w, y0 + h)
+    assert abs(G.area(box) - w * h) <= 1e-9 * max(1.0, w * h)
+    assert G.area(box) >= 0
+    cx, cy = G.centroid(box)
+    assert abs(cx - (x0 + w / 2)) < 1e-6 and abs(cy - (y0 + h / 2)) < 1e-6
+    assert G.wkb_loads(G.wkb_dumps(box)) == box
+
+
+@settings(max_examples=60, deadline=None)
+@given(lon=st.floats(min_value=114.1, max_value=119.9),
+       lat=st.floats(min_value=-9.9, max_value=-0.1))
+def test_utm_roundtrip_property(lon, lat):
+    x, y = crs.lonlat_to_utm(np.array([lon]), np.array([lat]), 32750)
+    lon2, lat2 = crs.utm_to_lonlat(x, y, 32750)
+    assert abs(lon2[0] - lon) < 1e-9
+    assert abs(lat2[0] - lat) < 1e-9
+
+
+def test_utm_anchors():
+    # central meridian, equator: false easting / false northing exactly
+    x, y = crs.lonlat_to_utm(np.array([117.0]), np.array([0.0]), 32750)
+    assert abs(x[0] - 500_000.0) < 1e-6
+    assert abs(y[0] - 10_000_000.0) < 1e-6
+    # northern-zone variant
+    x, y = crs.lonlat_to_utm(np.array([-177.0]), np.array([0.0]), 32601)
+    assert abs(x[0] - 500_000.0) < 1e-6 and abs(y[0]) < 1e-6
+
+
+def test_webmercator_anchor():
+    x, y = crs.lonlat_to_webmerc(np.array([1.0]), np.array([0.0]))
+    assert abs(x[0] - 111319.49079327358) < 1e-6 and abs(y[0]) < 1e-9
+    # scale distortion at Balikpapan latitude is ~1/cos(lat): area factor
+    # ~1.0005 (G3 fidelity note in SURVEY.md)
+    lat = -1.2
+    factor = 1.0 / math.cos(math.radians(lat))
+    assert 1.0001 < factor**2 < 1.001
+
+
+def test_exterior_coords_and_type_dispatch():
+    mp = ("MultiPolygon",
+          [G.make_box(0, 0, 1, 1)[1], G.make_box(2, 2, 3, 3)[1]])
+    coords = G.exterior_coords(mp)
+    assert len(coords) == 2 and len(coords[0]) == 5
+    assert G.geom_type(mp) == "MultiPolygon"
+    with pytest.raises(ValueError):
+        # Point has no exterior ring — mirrors convert_geom_to_gee's raise
+        G.exterior_coords(("Point", (0.0, 0.0)))
