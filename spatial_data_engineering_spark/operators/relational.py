@@ -597,6 +597,163 @@ def q20_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # regexp (C7-adjacent validation surface; regex keeps DuckDB parity without
 # relying on a JSON extension).
 # --------------------------------------------------------------------------
+# --------------------------------------------------------------------------
+# q22 — CUBE grouping sets (all four groupings in one pass).
+# --------------------------------------------------------------------------
+@query(
+    "q22_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q22_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+# --------------------------------------------------------------------------
+# q23 — unpivot wide->long (stack; inverse of F4's pivot).  Expressed as
+# UNION ALL in the oracle — the portable relational identity.
+# --------------------------------------------------------------------------
+@query(
+    "q23_unpivot",
+    f"""
+    WITH wide AS (
+        SELECT l_returnflag,
+               {sql_dsum('l_quantity', 'qty')},
+               {sql_dsum('l_extendedprice', 'price')}
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'qty' AS metric, qty AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'price' AS metric, price AS value FROM wide
+    """,
+)
+def q23_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity", "qty"), dsum("l_extendedprice", "price")
+    )
+    return wide.selectExpr(
+        "l_returnflag",
+        "stack(2, 'qty', qty, 'price', price) AS (metric, value)",
+    )
+
+
+# --------------------------------------------------------------------------
+# q24 — IN-subquery predicate (decorrelated to a semi join by Catalyst).
+# --------------------------------------------------------------------------
+@query(
+    "q24_in_subquery",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+    GROUP BY o_orderpriority
+    """,
+)
+def q24_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    rich = c.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    return (
+        o.join(rich, o.o_custkey == rich.c_custkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q25 — analytic window functions (lag/lead/rank/moving frame; SURVEY §2 F
+# "Not present ... all built-in").  Frame order is pinned by (nation,
+# custkey) so the running sum accumulates identically in both engines.
+# --------------------------------------------------------------------------
+@query(
+    "q25_window_analytics",
+    """
+    SELECT c_nationkey, c_custkey, c_acctbal,
+           LAG(c_acctbal) OVER w AS prev_bal,
+           LEAD(c_acctbal) OVER w AS next_bal,
+           RANK() OVER (PARTITION BY c_nationkey
+                        ORDER BY c_acctbal DESC, c_custkey) AS bal_rank,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6)))
+                OVER (PARTITION BY c_nationkey ORDER BY c_custkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_bal
+    FROM customer
+    WHERE c_custkey <= 300
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey)
+    """,
+)
+def q25_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    w = W.partitionBy("c_nationkey").orderBy("c_custkey")
+    wr = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_nationkey", "c_custkey", "c_acctbal",
+        F.lag("c_acctbal").over(w).alias("prev_bal"),
+        F.lead("c_acctbal").over(w).alias("next_bal"),
+        F.rank().over(wr).alias("bal_rank"),
+        F.sum(F.col("c_acctbal").cast("decimal(30,6)"))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double").alias("running_bal"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q26 — exact median per group (E3 median-composite parity; survey notes
+# exact `median` preferred over percentile_approx for the oracle).
+# --------------------------------------------------------------------------
+@query(
+    "q26_median",
+    """
+    SELECT l_returnflag,
+           MEDIAN(l_quantity) AS med_qty,
+           MEDIAN(l_extendedprice) AS med_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q26_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("med_qty"),
+        F.median("l_extendedprice").alias("med_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q27 — first/limit sampling (E10; load_report.py:146 `landsat.first()`).
+# --------------------------------------------------------------------------
+@query(
+    "q27_first_limit",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders ORDER BY o_orderkey LIMIT 5
+    """,
+)
+def q27_first_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (o.orderBy("o_orderkey").limit(5)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+
+
+# --------------------------------------------------------------------------
+# q28 — approximate distinct profiling (HLL).  Sketches differ between
+# engines by design -> no oracle; the driver records the rows-only check.
+# The companion exact counts are oracle-checked in q15.
+# --------------------------------------------------------------------------
+@query("q28_approx_distinct")
+def q28_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
+    )
+
+
 @query(
     "q21_props_extract",
     """

@@ -1,0 +1,61 @@
+"""Sources & sinks (SURVEY.md §2 A/B).
+
+Parquet is the engine's native format (A4/A5 raster-as-table scans are
+plain parquet scans with partition pruning).  This package adds the
+reference's remaining ingest/egress surfaces: CSV (A2), GeoPackage (A1),
+JDBC (A3, stubbed — no driver jar in the container), replace-write tables
+(B1/B2), schema DDL (B3), views (B5) and the CSV report sink (B6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def scan_csv(spark: SparkSession, path: str,
+             schema: T.StructType | None = None, **options) -> DataFrame:
+    """A2 (load_data.py:60-68): headered CSV scan; explicit schema
+    preferred over inference for determinism (SURVEY.md §1.3)."""
+    reader = spark.read.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def scan_jdbc(spark: SparkSession, url: str, query: str, **options) -> DataFrame:
+    """A3 (load_report.py:35-42): JDBC scan with query pushdown.
+
+    Requires the vendor driver jar on the Spark classpath; the test
+    container has none, so this surface is exercised only for its error
+    contract.
+    """
+    reader = (spark.read.format("jdbc")
+              .option("url", url).option("query", query))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def create_schema_if_not_exists(spark: SparkSession, name: str) -> None:
+    """B3 (load_data.py:22-30)."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")
+
+
+def create_or_replace_view(spark: SparkSession, name: str, sql: str) -> None:
+    """B5 (query/view_linked_data.sql:1-2)."""
+    spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sql}")
+
+
+def write_table_replace(df: DataFrame, table: str) -> None:
+    """B1/B2 (load_data.py:82-106 `if_exists='replace'`)."""
+    df.write.mode("overwrite").saveAsTable(table)
+
+
+def write_csv_report(df: DataFrame, path: str) -> None:
+    """B6 (load_report.py:447-448): single-file metric/value report."""
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)

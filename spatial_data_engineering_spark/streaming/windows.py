@@ -1,0 +1,111 @@
+"""Streaming window operators over the events stream.
+
+Batch/stream parity is the design rule: every transformation here is a
+function DataFrame -> DataFrame that works identically on a batch frame
+and a ``readStream`` frame — the streaming tests assert the memory-sink
+results equal the batch results on the same rows.
+
+Watermarks bound state (late data beyond the watermark is dropped); on a
+real cluster the event-time shuffle partitions by (window, key), and
+``dropDuplicatesWithinWatermark`` keeps the dedup state finite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, events_dir: str,
+                       max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over normalized events parquet.
+
+    (The raw testdata events.parquet is TIMESTAMP(NANOS); callers
+    pre-normalize via catalog.load + write, or point at any parquet dir
+    with EVENTS_SCHEMA.)
+    """
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_dir)
+    )
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Tumbling event-time window: count + sum per (window, event_type)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type", "n_events", "sum_value")
+    )
+
+
+def sliding_activity(events: DataFrame, window: str = "1 hour",
+                     slide: str = "30 minutes",
+                     watermark: str = "2 hours") -> DataFrame:
+    """Sliding window per user: overlapping windows, activity counts."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "n_events")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Event-time session windows (gap-based; the streaming analogue of the
+    batch lag-cumsum sessionization in relational.q18)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "user_id", "n_events", "sum_value")
+    )
+
+
+def dedup_within_watermark(events: DataFrame,
+                           watermark: str = "2 hours") -> DataFrame:
+    """Stateful streaming dedup by event_id with bounded state."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_completion(stream_df: DataFrame, query_name: str,
+                      output_mode: str = "append") -> DataFrame:
+    """Drive a (bounded file-source) streaming frame to completion through
+    the memory sink and return the materialized result as a batch frame.
+
+    For windowed aggregations use output_mode="complete": in append mode a
+    window only emits once the watermark passes it, and with a bounded
+    source the watermark never passes the trailing windows — the classic
+    missing-last-window gotcha.
+    """
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory").queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -1,0 +1,99 @@
+"""Streaming tests: batch/stream parity on the same rows (SURVEY.md §7
+phase 4 "Batch/stream parity tests on the same frames")."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Normalized events parquet split into several files so the file
+    stream sees multiple micro-batches."""
+    from spatial_data_engineering_spark.catalog import load
+
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    load(spark, SF_SMOKE, "events").repartition(4).write.mode(
+        "overwrite").parquet(out)
+    return out
+
+
+def _batch_events(spark, events_dir):
+    return spark.read.parquet(events_dir)
+
+
+def test_tumbling_counts_parity(spark, events_dir):
+    from spatial_data_engineering_spark.streaming.windows import (
+        read_events_stream, run_to_completion, tumbling_counts)
+
+    stream = read_events_stream(spark, events_dir)
+    got = run_to_completion(
+        tumbling_counts(stream), "t_tumbling", output_mode="complete"
+    ).toPandas()
+    exp = tumbling_counts(_batch_events(spark, events_dir)).toPandas()
+
+    key = ["window_start", "event_type"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    exp_s = exp.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(exp_s)
+    assert (got_s["n_events"].values == exp_s["n_events"].values).all()
+    assert abs(got_s["sum_value"].values - exp_s["sum_value"].values).max() < 1e-6
+
+
+def test_session_windows_stream_runs(spark, events_dir):
+    from spatial_data_engineering_spark.streaming.windows import (
+        read_events_stream, run_to_completion, session_windows)
+
+    # The 4 micro-batch files are hash-split, not time-ordered: with a
+    # small watermark most of batches 2-4 would be (correctly) dropped as
+    # late.  A watermark wider than the data span isolates the parity
+    # check from late-data policy.
+    stream = read_events_stream(spark, events_dir)
+    got = run_to_completion(
+        session_windows(stream, watermark="60 days"), "t_sessions",
+        output_mode="complete",
+    ).toPandas()
+    assert len(got) > 0
+    # sessions are disjoint per user and each holds >= 1 event
+    assert (got["n_events"] >= 1).all()
+    assert (got["session_end"] > got["session_start"]).all()
+    # session semantics parity with the batch analogue: total events match
+    total = _batch_events(spark, events_dir).count()
+    assert int(got["n_events"].sum()) == total
+
+
+def test_dedup_within_watermark(spark, events_dir):
+    from spatial_data_engineering_spark.streaming.windows import (
+        dedup_within_watermark, read_events_stream, run_to_completion)
+
+    # wide watermark: hash-split batches are unordered in event time (see
+    # session test note) — dedup must see every row as on-time
+    stream = read_events_stream(spark, events_dir)
+    got = run_to_completion(
+        dedup_within_watermark(stream, watermark="60 days"), "t_dedup")
+    n = got.count()
+    n_distinct = (_batch_events(spark, events_dir)
+                  .select("event_id").distinct().count())
+    assert n == n_distinct
+
+
+def test_stateful_running_totals(spark, events_dir):
+    from spatial_data_engineering_spark.streaming.stateful import (
+        running_user_totals)
+    from spatial_data_engineering_spark.streaming.windows import (
+        read_events_stream, run_to_completion)
+
+    stream = read_events_stream(spark, events_dir)
+    got = run_to_completion(running_user_totals(stream), "t_state",
+                            output_mode="update").toPandas()
+    # last update per user must equal the batch totals
+    last = (got.groupby("user_id").last())
+    batch = (_batch_events(spark, events_dir).groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+             .toPandas().set_index("user_id"))
+    for uid, row in batch.iterrows():
+        assert int(last.loc[uid, "total_events"]) == int(row["n"])
+        assert abs(float(last.loc[uid, "total_value"]) - float(row["v"])) < 1e-6
