@@ -754,6 +754,99 @@ def q28_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q29 — as-of join (Spark lacks a native one; guide "Common OLAP
+# patterns").  For each event, the user's most recent 'signup' at or
+# before it.  Implementation: union both sides tagged, one window pass
+# with last-non-null carry-forward — no join at all, scales as a single
+# sort per user partition.  The oracle states the same semantics as a
+# join+max (fine at oracle scale, quadratic at 100 TB — which is why the
+# engine uses the window form).
+# --------------------------------------------------------------------------
+@query(
+    "q29_asof_join",
+    """
+    WITH s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup')
+    SELECT e.event_id,
+           CAST(max(epoch_us(s.ts)) AS BIGINT) AS last_signup_us
+    FROM events e LEFT JOIN s
+      ON s.user_id = e.user_id AND s.ts <= e.ts
+    GROUP BY e.event_id
+    """,
+)
+def q29_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("s_ts")
+    )
+    tagged = (
+        e.select("user_id", "ts", "event_id",
+                 F.lit(None).cast("timestamp").alias("s_ts"),
+                 F.lit(1).alias("is_event"))
+        .unionByName(
+            signups.select("user_id", F.col("s_ts").alias("ts"),
+                           F.lit(None).cast("long").alias("event_id"),
+                           "s_ts", F.lit(0).alias("is_event")))
+    )
+    # signup sorts before event at equal ts -> "at or before" semantics
+    w = (W.partitionBy("user_id").orderBy("ts", "is_event")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    carried = tagged.withColumn(
+        "last_signup", F.last("s_ts", ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter(F.col("is_event") == 1)
+        .select("event_id", F.unix_micros("last_signup").alias("last_signup_us"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q30 — interval/range self-join via bucketing (guide: "bucketize the
+# range key + equi-join on bucket + filter" — the 1-D analogue of the
+# grid spatial join).  Counts same-user event pairs within 60 seconds.
+# Each event lands in one 60s bucket and probes bucket b and b+1, so the
+# join is two equi-joins instead of a per-user cross join.
+# --------------------------------------------------------------------------
+@query(
+    "q30_range_join",
+    """
+    SELECT a.user_id AS user_id, COUNT(*) AS n_close_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
+    GROUP BY a.user_id
+    """,
+)
+def q30_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    bucketed = e.withColumn("bucket", F.expr("us div 60000000"))
+    # probe replicates each row into buckets {b-1, b, b+1}: the id-order
+    # pair constraint (a_id < b_id) is independent of time order, so the
+    # probe must cover neighbors on BOTH sides; distinct() dedupes pairs
+    # found via multiple buckets
+    probe = bucketed.unionByName(
+        bucketed.withColumn("bucket", F.col("bucket") + 1)
+    ).unionByName(
+        bucketed.withColumn("bucket", F.col("bucket") - 1)
+    )
+    a = bucketed.select(F.col("user_id").alias("u"), F.col("event_id").alias("a_id"),
+                        F.col("us").alias("a_us"), "bucket")
+    b = probe.select(F.col("user_id").alias("u2"), F.col("event_id").alias("b_id"),
+                     F.col("us").alias("b_us"), F.col("bucket").alias("b2"))
+    pairs = (
+        a.join(b, (F.col("u") == F.col("u2")) & (F.col("bucket") == F.col("b2")))
+        .filter((F.col("a_id") < F.col("b_id"))
+                & (F.abs(F.col("a_us") - F.col("b_us")) <= 60_000_000))
+        .select("u", "a_id", "b_id").distinct()
+    )
+    return pairs.groupBy(F.col("u").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_close_pairs")
+    )
+
+
 @query(
     "q21_props_extract",
     """

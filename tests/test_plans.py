@@ -1,0 +1,75 @@
+"""Physical-plan invariants (SURVEY.md §4): pushdown, pruning, broadcast.
+
+These pin the *plan shape*, not timings — a regression that silently turns
+a broadcast join into a shuffle join or un-pushes a filter is a scale bug
+long before it is a local slowdown.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from .conftest import SF_ORACLE
+
+
+def _plan(spark, name: str) -> str:
+    from spatial_data_engineering_spark.queries_registry import all_queries
+
+    df = all_queries()[name](spark, SF_ORACLE)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_q01_filter_pushdown_and_column_pruning(spark):
+    plan = _plan(spark, "q01_pricing_summary")
+    # temporal predicate reaches the parquet scan (C4 -> row-group skip)
+    assert "LessThanOrEqual(l_shipdate" in plan
+    # scan reads only the 6 needed columns of 11 (ColumnPruning)
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    assert "l_quantity" in read and "l_shipdate" in read
+
+
+def test_q03_dimension_broadcast(spark):
+    plan = _plan(spark, "q03_join_enrich")
+    # nation and region broadcast; the customer fact side never shuffles
+    # for the join
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q06_column_pruning(spark):
+    plan = _plan(spark, "q06_monthly_revenue")
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    # exactly the 3 needed columns
+    assert ("l_extendedprice" in read and "l_discount" in read
+            and "l_shipdate" in read)
+    assert "l_quantity" not in read and "l_returnflag" not in read
+
+
+def test_q60_spatial_join_is_hash_join_on_cell(spark):
+    plan = _plan(spark, "q60_point_in_polygon")
+    # grid-bucketed spatial join = equi-join on the cell id, broadcast
+    # because the polygon side is small; never a cartesian product
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q49_broadcasts_query_side(spark):
+    plan = _plan(spark, "q49_cosine_topk")
+    # non-equi self join: acceptable ONLY as broadcast NLJ with the tiny
+    # query side as build side
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q47_band_join_no_cartesian(spark):
+    plan = _plan(spark, "q47_minhash_lsh")
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", ["q04_semi_join", "q05_anti_join"])
+def test_semi_anti_never_materialize(spark, name):
+    plan = _plan(spark, name)
+    assert ("LeftSemi" in plan) or ("LeftAnti" in plan)
