@@ -204,6 +204,91 @@ def _bucket(engine: str, emb: str) -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# q52 — IVF-style ANN (coarse quantizer -> probe nprobe cells -> exact
+# re-rank).  Training-free deterministic centroids (the first n_centroids
+# corpus vectors, unit-normalized) keep the operator reproducible without
+# an iterative k-means job; swap in real k-means offline at scale.
+#
+# No SQL oracle: cluster assignment argmax over BLAS cosines is not
+# reproducible bit-for-bit in SQL, and an approximate operator's contract
+# is *measured recall*, not value equality — tests/test_ann.py asserts
+# recall vs the exact q49 baseline and that only ~nprobe/n_centroids of
+# the corpus is examined.
+# --------------------------------------------------------------------------
+_IVF_N_CENTROIDS = 16
+_IVF_NPROBE = 4
+
+
+@query("q52_ivf_ann")
+def q52_ivf_ann(spark: SparkSession, sf_dir: str, n_query: int = 10,
+                k: int = 3) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings")
+    corpus = e.select("vec_id", "embedding").toPandas()
+    ids = corpus["vec_id"].to_numpy()
+    mat = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    cent = mat[:_IVF_N_CENTROIDS] / norms[:_IVF_N_CENTROIDS, None]
+
+    qmask = ids < n_query
+    q_ids = ids[qmask]
+    q_mat = mat[qmask]
+    q_norms = norms[qmask]
+    # clusters each query probes (nprobe nearest centroids)
+    q_cent = (q_mat / q_norms[:, None]) @ cent.T
+    probed = np.argsort(-q_cent, axis=1)[:, :_IVF_NPROBE]
+    probe_map: dict[int, list[int]] = {}
+    for qi, clusters in enumerate(probed):
+        for c in clusters:
+            probe_map.setdefault(int(c), []).append(qi)
+    bc = spark.sparkContext.broadcast(
+        (q_ids, q_mat, q_norms, probe_map, cent))
+
+    def assign(batches):
+        _, _, _, _, cent_ = bc.value
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(m, axis=1)
+            cl = np.argmax((m / n[:, None]) @ cent_.T, axis=1)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"], "cluster": cl.astype("int32"),
+                "embedding": pdf["embedding"],
+            })
+
+    assigned = e.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id bigint, cluster int, embedding array<float>")
+
+    def rerank(key, pdf):
+        (cluster,) = key
+        q_ids_, q_mat_, q_norms_, probe_map_, _ = bc.value
+        probing = probe_map_.get(int(cluster), [])
+        if not probing:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 "neighbor_id": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        n = np.linalg.norm(m, axis=1)
+        sims = (q_mat_[probing] / q_norms_[probing, None]) @ (m / n[:, None]).T
+        rows = []
+        cand_ids = pdf["vec_id"].to_numpy()
+        for row_i, qi in enumerate(probing):
+            for ci in range(len(cand_ids)):
+                if cand_ids[ci] != q_ids_[qi]:
+                    rows.append((q_ids_[qi], cand_ids[ci],
+                                 round(float(sims[row_i, ci]), 6)))
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
+
+    scored = assigned.groupBy("cluster").applyInPandas(
+        rerank, schema="query_id bigint, neighbor_id bigint, cosine double")
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "neighbor_id", "rk", "cosine"))
+
+
 _ORACLE_Q51 = f"""
     WITH sig AS (
         SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm,

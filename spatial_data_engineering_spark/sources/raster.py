@@ -1,0 +1,53 @@
+"""Raster / image-collection store (SURVEY.md §2 A4/A5).
+
+The reference's Earth Engine collection scan
+(``ee.ImageCollection(...).filterDate(...).filterBounds(...)``,
+load_report.py:72-74) maps to a **month-partitioned parquet pixel store**:
+`filterDate` becomes partition pruning (directories never listed),
+`filterBounds` becomes a min/max bbox predicate pushed to row groups, and
+band selection becomes column pruning.  §4's "adaptive sampling under cost
+cap" (EE bestEffort/scale, load_report.py:82-84) becomes a deterministic
+grid-downsample predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_pixel_store(pixels: DataFrame, path: str) -> None:
+    """Materialize an image collection as month-partitioned parquet.
+
+    At 100 TB this is the layout decision that makes every monthly query
+    touch 1/72nd of the data; within partitions, parquet row-group stats
+    on lon/lat serve the bbox prefilter.
+    """
+    (pixels
+     .withColumn("month", F.date_format(F.date_trunc("month", "ts"), "yyyy-MM"))
+     .repartition("month")
+     .sortWithinPartitions("lat", "lon")
+     .write.mode("overwrite").partitionBy("month").parquet(path))
+
+
+def scan_pixels(spark: SparkSession, path: str,
+                month: str | None = None,
+                bbox: tuple[float, float, float, float] | None = None,
+                downsample: int = 1) -> DataFrame:
+    """Pruned scan: month -> partition pruning; bbox -> pushed row-group
+    predicate; downsample=k keeps every k-th grid row/col (deterministic —
+    the oracle-able analogue of EE's bestEffort rescale)."""
+    df = spark.read.parquet(path)
+    if month is not None:
+        df = df.filter(F.col("month") == month)
+    if bbox is not None:
+        xmin, ymin, xmax, ymax = bbox
+        df = df.filter((F.col("lon") >= xmin) & (F.col("lon") <= xmax)
+                       & (F.col("lat") >= ymin) & (F.col("lat") <= ymax))
+    if downsample > 1:
+        # stable grid decimation keyed on quantized coordinates
+        df = df.filter(
+            (F.floor(F.col("lon") * 1e6).cast("bigint") % downsample == 0)
+            & (F.floor(F.col("lat") * 1e6).cast("bigint") % downsample == 0)
+        )
+    return df

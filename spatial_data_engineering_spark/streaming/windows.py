@@ -90,6 +90,37 @@ def dedup_within_watermark(events: DataFrame,
     )
 
 
+def stream_stream_join(clicks: DataFrame, purchases: DataFrame,
+                       max_gap: str = "30 minutes",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Event-time stream-stream inner join: purchases joined to the same
+    user's clicks that happened within [ts - max_gap, ts].
+
+    Both sides carry watermarks so the join state is bounded: a buffered
+    click can be dropped once the purchase-side watermark passes
+    click.ts + max_gap.  Batch/stream parity holds by construction — the
+    same predicate works on static frames.
+    """
+    c = (clicks.withWatermark("ts", watermark)
+         .select(F.col("user_id").alias("c_user"),
+                 F.col("ts").alias("click_ts"),
+                 F.col("event_id").alias("click_id")))
+    p = (purchases.withWatermark("ts", watermark)
+         .select(F.col("user_id").alias("p_user"),
+                 F.col("ts").alias("purchase_ts"),
+                 F.col("event_id").alias("purchase_id"),
+                 F.col("value").alias("purchase_value")))
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_gap}"))
+    )
+    return p.join(c, cond, "inner").select(
+        F.col("p_user").alias("user_id"), "purchase_id", "click_id",
+        "purchase_ts", "click_ts", "purchase_value",
+    )
+
+
 def run_to_completion(stream_df: DataFrame, query_name: str,
                       output_mode: str = "append") -> DataFrame:
     """Drive a (bounded file-source) streaming frame to completion through

@@ -1,0 +1,45 @@
+"""IVF ANN contract: measured recall vs the exact baseline + bounded work.
+
+Approximate operators are graded by recall/efficiency, not value equality
+(hence no SQL oracle for q52).  On near-orthogonal synthetic embeddings an
+IVF probe of nprobe/n_centroids of the corpus cannot beat that fraction by
+much — the assertion encodes the honest floor.
+"""
+
+from __future__ import annotations
+
+from .conftest import SF_ORACLE
+
+
+def test_ivf_recall_and_candidate_bound(spark):
+    from spatial_data_engineering_spark.operators.similarity import (
+        _IVF_N_CENTROIDS, _IVF_NPROBE, q49_cosine_topk, q52_ivf_ann)
+
+    exact = q49_cosine_topk(spark, SF_ORACLE).collect()
+    approx = q52_ivf_ann(spark, SF_ORACLE).collect()
+
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    # every query answered with k results
+    assert set(approx_sets) == set(exact_sets)
+    assert all(len(v) == 3 for v in approx_sets.values())
+
+    hits = sum(len(exact_sets[q] & approx_sets.get(q, set()))
+               for q in exact_sets)
+    total = sum(len(v) for v in exact_sets.values())
+    recall = hits / total
+    floor = 0.5 * _IVF_NPROBE / _IVF_N_CENTROIDS  # honest floor for
+    # near-random embeddings: probing 1/4 of cells finds ~1/4 of true
+    # neighbors; x0.5 safety margin keeps the test non-flaky
+    assert recall >= floor, f"recall {recall:.2f} below floor {floor:.2f}"
+
+    # approx results respect the true cosine ordering: each returned
+    # cosine must be <= the exact rank-1 cosine for that query
+    best = {r.query_id: r.cosine for r in exact if r.rk == 1}
+    for r in approx:
+        assert r.cosine <= best[r.query_id] + 1e-9

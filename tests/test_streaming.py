@@ -80,6 +80,36 @@ def test_dedup_within_watermark(spark, events_dir):
     assert n == n_distinct
 
 
+def test_stream_stream_join_parity(spark, events_dir):
+    from spatial_data_engineering_spark.streaming.windows import (
+        read_events_stream, run_to_completion, stream_stream_join)
+
+    clicks_s = read_events_stream(spark, events_dir).filter(
+        "event_type = 'click'")
+    purchases_s = read_events_stream(spark, events_dir).filter(
+        "event_type = 'purchase'")
+    got = run_to_completion(
+        stream_stream_join(clicks_s, purchases_s, watermark="60 days"),
+        "t_ssjoin",
+    ).toPandas()
+
+    batch = _batch_events(spark, events_dir)
+    exp = stream_stream_join(
+        batch.filter("event_type = 'click'"),
+        batch.filter("event_type = 'purchase'"),
+        watermark="60 days",
+    ).toPandas()
+
+    key = ["purchase_id", "click_id"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    exp_s = exp.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(exp_s) > 0
+    assert (got_s["user_id"].values == exp_s["user_id"].values).all()
+    # join window semantics: click within [purchase-30min, purchase]
+    gap = (exp_s["purchase_ts"] - exp_s["click_ts"]).dt.total_seconds()
+    assert ((gap >= 0) & (gap <= 1800)).all()
+
+
 def test_stateful_running_totals(spark, events_dir):
     from spatial_data_engineering_spark.streaming.stateful import (
         running_user_totals)
