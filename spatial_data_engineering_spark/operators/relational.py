@@ -847,6 +847,44 @@ def q30_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q31 — sliding event-time window in batch (F.window with slide; the batch
+# twin of streaming sliding_activity).  Each event lands in
+# size/slide = 2 windows; the oracle reproduces Spark's epoch-aligned
+# window arithmetic with integer math.
+# --------------------------------------------------------------------------
+@query(
+    "q31_sliding_window",
+    f"""
+    WITH expanded AS (
+        SELECT event_type, value,
+               ((epoch_us(ts) // 1800000000) - j) * 1800000000 AS start_us,
+               epoch_us(ts) AS us
+        FROM events, unnest([0, 1]) AS t(j)
+    )
+    SELECT strftime(make_timestamp(start_us), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM expanded
+    WHERE us >= start_us AND us < start_us + 3600000000 AND start_us >= 0
+    GROUP BY start_us, event_type
+    """,
+)
+def q31_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
 @query(
     "q21_props_extract",
     """

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..catalog import load
+from .common import davg, sql_davg
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -201,6 +202,40 @@ def _bucket(engine: str, emb: str) -> str:
     return " + ".join(
         f"(CASE WHEN {_plane_dot(engine, emb, p)} > 0 THEN {2 ** p} ELSE 0 END)"
         for p in range(_N_PLANES)
+    )
+
+
+# --------------------------------------------------------------------------
+# q53 — element-wise vector aggregation: per-label embedding centroid.
+# posexplode -> per-(label, position) exact-decimal mean -> long form.
+# Long form keeps the oracle hash on scalar columns; at scale this is the
+# centroid-update step of distributed k-means (map-side partial sums of
+# 64 dims per label — tiny shuffle).
+# --------------------------------------------------------------------------
+@query(
+    "q53_embedding_centroids",
+    f"""
+    SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+           -- widen float->DOUBLE before the decimal accumulation: Spark
+           -- casts FLOAT to decimal via its shortest string repr, DuckDB
+           -- via the exact binary value.  Scale 6 (the engine-wide davg
+           -- helper) is deliberately coarse: float32s are dyadics, and at
+           -- finer scales their exact expansions can tie at .5 exactly,
+           -- where the engines' decimal rounding modes disagree.
+           {sql_davg('CAST(embedding[i] AS DOUBLE)', 'avg_val')},
+           COUNT(*) AS n_vectors
+    FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    GROUP BY label, i
+    """,
+)
+def q53_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    )
+    return exploded.groupBy("label", "pos").agg(
+        davg(F.col("x").cast("double"), "avg_val"),
+        F.count(F.lit(1)).alias("n_vectors"),
     )
 
 
