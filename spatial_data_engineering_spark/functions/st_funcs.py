@@ -181,6 +181,17 @@ def st_grid_cells(wkb: pd.Series, cell: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+@F.pandas_udf(T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType()))))
+def st_exterior_coords(wkb: pd.Series) -> pd.Series:
+    """Exterior-ring coordinate lists (G7; convert_geom_to_gee
+    load_report.py:52-55): one ring per polygon part, [[x, y], ...].
+    Raises for non-polygonal input exactly like the reference (:56-57)."""
+    return _map(
+        wkb,
+        lambda b: G.exterior_coords(G.wkb_loads(bytes(b))),
+    )
+
+
 _ALL = {
     "ST_Point": st_point,
     "ST_GeomFromText": st_geomfromtext,
@@ -196,6 +207,7 @@ _ALL = {
     "ST_Contains": st_contains,
     "ST_Intersects": st_intersects,
     "ST_GridCells": st_grid_cells,
+    "ST_ExteriorCoords": st_exterior_coords,
 }
 
 

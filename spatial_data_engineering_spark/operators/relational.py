@@ -885,6 +885,55 @@ def q31_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q32 — session_window in batch (the built-in gap-session operator; the
+# streaming twin lives in streaming/windows.session_windows).  Oracle uses
+# the lag-gap island method.  Semantics note: Spark starts a NEW session
+# when gap >= threshold (an event at exactly prev_ts + gap falls outside
+# [prev, prev+gap)), so the oracle's island rule is `>=`, unlike q18's
+# documented `>` sessionization.
+# --------------------------------------------------------------------------
+@query(
+    "q32_session_window",
+    f"""
+    WITH flagged AS (
+        SELECT user_id, value, event_id, epoch_us(ts) AS us,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= 1800000000 OR
+                         LAG(epoch_us(ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sess AS (
+        SELECT *, SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(us) AS BIGINT) AS session_start_us,
+           CAST(MAX(us) + 1800000000 AS BIGINT) AS session_end_us,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q32_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events", "sum_value",
+        )
+    )
+
+
 @query(
     "q21_props_extract",
     """
