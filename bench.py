@@ -34,9 +34,17 @@ def main() -> None:
 
     spark = build_session(app_name="bench")
 
-    # JVM/codegen warmup on a trivial scan so q1 doesn't pay startup cost.
+    # JVM/codegen warmup so the first measured query doesn't pay startup
+    # cost: a scan plus a small decimal-aggregate exercises the parquet
+    # reader, whole-stage codegen and the hash-agg path.
     try:
+        from pyspark.sql import functions as F
+
         spark.read.parquet(f"{sf_dir}/region.parquet").count()
+        (spark.read.parquet(f"{sf_dir}/nation.parquet")
+         .groupBy("n_regionkey")
+         .agg(F.sum(F.col("n_nationkey").cast("decimal(30,6)")))
+         .write.mode("overwrite").format("noop").save())
     except Exception as exc:
         # still emit the one-line contract even if the data dir is wrong
         print(json.dumps({

@@ -221,6 +221,43 @@ def q47_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q54 — materialized dedup: the actual "keep" output a pipeline consumes.
+# Each doc joins its token-sort fingerprint cluster (q46); only the
+# cluster's min doc_id survives.  Output is the kept corpus metadata —
+# at 100 TB this is one hash groupBy + one semi join, no text shuffle
+# beyond the fingerprint.
+# --------------------------------------------------------------------------
+_FP_SQL = ("md5(array_to_string(list_sort(list_distinct("
+           "string_split(text, ' '))), ' '))")
+
+
+@query(
+    "q54_dedup_materialize",
+    f"""
+    WITH fp AS (
+        SELECT doc_id, lang, source, n_chars, {_FP_SQL} AS h
+        FROM documents
+    ),
+    keepers AS (
+        SELECT h, MIN(doc_id) AS keeper FROM fp GROUP BY h
+    )
+    SELECT f.doc_id AS doc_id, f.lang AS lang, f.source AS source,
+           f.n_chars AS n_chars
+    FROM fp f JOIN keepers k ON f.h = k.h AND f.doc_id = k.keeper
+    """,
+)
+def q54_dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " "))
+    fp = d.select("doc_id", "lang", "source", "n_chars", h.alias("h"))
+    keepers = fp.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    return (
+        fp.join(keepers, (fp.h == keepers.h) & (fp.doc_id == keepers.keeper))
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+# --------------------------------------------------------------------------
 # q48 — SimHash bucketing: 16-bit signature from per-token md5 bit votes.
 # Tokens explode to (doc_id, token); 16 bit-sums aggregate per doc; docs
 # sharing a signature are duplicate candidates (hamming-0 buckets).
