@@ -70,10 +70,17 @@ def wkb_loads(buf: bytes):
 def _parse_geom(buf: bytes, off: int):
     little = buf[off] == 1
     fmt = "<" if little else ">"
-    code = struct.unpack_from(fmt + "I", buf, off + 1)[0] & 0xFF
+    code = struct.unpack_from(fmt + "I", buf, off + 1)[0]
     off += 5
+    # Full-code lookup, no flag masking: EWKB (SRID/Z/M flag bits set) and
+    # corrupt input must fail loudly — masking with 0xFF silently accepted
+    # EWKB and then read the SRID as a ring count, allocating gigabytes.
     kind = _TYPE_BY_CODE.get(code)
     if kind is None:
+        if code & 0xE0000000 or code >= 1000:
+            raise ValueError(
+                f"unsupported WKB variant (code 0x{code:08x}); EWKB/Z/M "
+                "geometries are not part of the engine's convention")
         raise ValueError(f"unsupported WKB geometry code {code}")
     if kind == "Point":
         x, y = struct.unpack_from(fmt + "dd", buf, off)
@@ -83,6 +90,8 @@ def _parse_geom(buf: bytes, off: int):
         return ("Polygon", rings), off
     n = struct.unpack_from(fmt + "I", buf, off)[0]
     off += 4
+    if n > (len(buf) - off) // 9:  # each member needs >= 9 bytes
+        raise ValueError(f"corrupt WKB: {n} MultiPolygon members exceed buffer")
     polys = []
     for _ in range(n):
         (k2, rings), off = _parse_geom(buf, off)
@@ -95,10 +104,14 @@ def _parse_geom(buf: bytes, off: int):
 def _parse_rings(buf: bytes, off: int, fmt: str):
     n_rings = struct.unpack_from(fmt + "I", buf, off)[0]
     off += 4
+    if n_rings > (len(buf) - off) // 4:
+        raise ValueError(f"corrupt WKB: {n_rings} rings exceed buffer")
     rings = []
     for _ in range(n_rings):
         n_pts = struct.unpack_from(fmt + "I", buf, off)[0]
         off += 4
+        if 16 * n_pts > len(buf) - off:
+            raise ValueError(f"corrupt WKB: {n_pts} points exceed buffer")
         coords = struct.unpack_from(fmt + "d" * (2 * n_pts), buf, off)
         off += 16 * n_pts
         rings.append(list(zip(coords[0::2], coords[1::2])))
@@ -254,10 +267,15 @@ def centroid(geom):
                 a += cross
                 cx += (x1 + x2) * cross
                 cy += (y1 + y2) * cross
-            sign = 1.0 if i == 0 else -1.0
-            sa += sign * a
-            sx += sign * cx
-            sy += sign * cy
+            # normalize stored winding: shells contribute +|a|, holes
+            # -|a|, with cx/cy flipped consistently — index-only sign
+            # flipping ADDED standard CW-wound holes instead of
+            # subtracting them
+            want = 1.0 if i == 0 else -1.0
+            flip = want if a >= 0 else -want
+            sa += flip * a
+            sx += flip * cx
+            sy += flip * cy
     if sa == 0:  # degenerate: fall back to vertex mean of first shell
         ring = next(_iter_polys(geom))[0]
         return (sum(p[0] for p in ring) / len(ring),
@@ -372,15 +390,50 @@ def intersects(ga, gb) -> bool:
     return False
 
 
+def _seg_cross_strict(p1, p2, p3, p4) -> bool:
+    """True iff the OPEN segments properly cross (touching endpoints and
+    collinear overlap do not count — boundary contact is allowed for
+    containment)."""
+    def orient(a, b, c):
+        v = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        if abs(v) < 1e-12:
+            return 0
+        return 1 if v > 0 else -1
+
+    o1, o2 = orient(p1, p2, p3), orient(p1, p2, p4)
+    o3, o4 = orient(p3, p4, p1), orient(p3, p4, p2)
+    return o1 * o2 < 0 and o3 * o4 < 0
+
+
 def contains(ga, gb) -> bool:
-    """ga contains gb.  Point targets: boundary counts as contained.
-    Polygon targets: all vertices inside + no edge crossings (sufficient
-    for the convex/rectangular geometries the engine's refine step sees)."""
+    """ga contains gb (boundary contact allowed).
+
+    Point targets: boundary counts as contained.  Polygonal targets:
+    (1) every shell vertex of gb inside ga, (2) no proper crossing between
+    the boundaries, (3) no hole of ga strictly inside gb (a hole's region
+    is outside ga).  Exact for simple polygons whose boundaries don't
+    cross; holes-within-holes nesting beyond one level is out of scope of
+    the engine's geometry convention.
+    """
     if gb[0] == "Point":
         return point_in_polygon(gb[1][0], gb[1][1], ga)
     for rings in _iter_polys(gb):
         for x, y in rings[0]:
             if not point_in_polygon(x, y, ga):
+                return False
+    segs_a = list(_segments([r for rings in _iter_polys(ga) for r in rings]))
+    for sb in _segments([rings[0] for rings in _iter_polys(gb)]):
+        for sa in segs_a:
+            if _seg_cross_strict(sb[0], sb[1], sa[0], sa[1]):
+                return False
+    # a hole of ga strictly inside gb leaves part of gb outside ga; probe
+    # the hole's vertex mean (interior for convex holes — a hole VERTEX
+    # lies on ga's boundary, which our pip counts as inside ga)
+    for rings in _iter_polys(ga):
+        for hole in rings[1:]:
+            hx = sum(p[0] for p in hole) / len(hole)
+            hy = sum(p[1] for p in hole) / len(hole)
+            if point_in_polygon(hx, hy, gb) and not point_in_polygon(hx, hy, ga):
                 return False
     return True
 

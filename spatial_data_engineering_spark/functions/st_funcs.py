@@ -46,7 +46,9 @@ def st_geomfromtext(wkt: pd.Series) -> pd.Series:
 def st_makebox(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series,
                ymax: pd.Series) -> pd.Series:
     return pd.Series(
-        [G.wkb_dumps(G.make_box(float(a), float(b), float(c), float(d)))
+        [None if a is None or b is None or c is None or d is None
+         or a != a or b != b or c != c or d != d  # NaN guard
+         else G.wkb_dumps(G.make_box(float(a), float(b), float(c), float(d)))
          for a, b, c, d in zip(xmin, ymin, xmax, ymax)]
     )
 
@@ -96,14 +98,23 @@ def st_envelope(wkb: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])
 
 
+def _point_coord(b: bytes, idx: int) -> float:
+    g = G.wkb_loads(bytes(b))
+    if g[0] != "Point":
+        # subtype policy (module docstring): clean error, not an opaque
+        # Arrow cast failure on a ring structure
+        raise ValueError(f"ST_X/ST_Y require Point geometry, got {g[0]}")
+    return g[1][idx]
+
+
 @F.pandas_udf(T.DoubleType())
 def st_x(wkb: pd.Series) -> pd.Series:
-    return _map(wkb, lambda b: G.wkb_loads(bytes(b))[1][0])
+    return _map(wkb, lambda b: _point_coord(b, 0))
 
 
 @F.pandas_udf(T.DoubleType())
 def st_y(wkb: pd.Series) -> pd.Series:
-    return _map(wkb, lambda b: G.wkb_loads(bytes(b))[1][1])
+    return _map(wkb, lambda b: _point_coord(b, 1))
 
 
 # -------------------------------------------------------------- transform
@@ -117,7 +128,7 @@ def st_transform(wkb: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
     """
     out = []
     for b, s, d in zip(wkb, src, dst):
-        if b is None:
+        if b is None or s is None or d is None:
             out.append(None)
             continue
         out.append(G.wkb_dumps(_transform_geom(G.wkb_loads(bytes(b)), int(s), int(d))))

@@ -37,8 +37,13 @@ def davg(expr: Column | str, alias: str) -> Column:
     return (F.sum(c.cast(DEC)).cast("double") / F.count(c)).alias(alias)
 
 
+def sql_dsum_expr(expr: str) -> str:
+    """Alias-free order-independent SUM expression (for composition)."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE)"
+
+
 def sql_dsum(expr: str, alias: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE) AS {alias}"
+    return f"{sql_dsum_expr(expr)} AS {alias}"
 
 
 def sql_davg(expr: str, alias: str) -> str:

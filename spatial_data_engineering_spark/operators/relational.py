@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..catalog import load
-from .common import davg, dsum, sql_davg, sql_dsum
+from .common import davg, dsum, sql_davg, sql_dsum, sql_dsum_expr
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -247,8 +247,17 @@ def q07_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY 1, 2
     ),
     stats AS (
+        -- order-independent sample stddev/mean: exact decimal sums of x
+        -- and x^2, closed-form variance in double — stddev_samp/avg over
+        -- raw doubles would accumulate in engine-specific order
         SELECT o_orderpriority,
-               ROUND(stddev_samp(mrev) / avg(mrev), 6) AS cv
+               ROUND(
+                 sqrt(greatest({sql_dsum_expr('mrev * mrev')}
+                               - {sql_dsum_expr('mrev')}
+                                 * {sql_dsum_expr('mrev')} / COUNT(*), 0)
+                      / (COUNT(*) - 1))
+                 / ({sql_dsum_expr('mrev')} / COUNT(*)),
+                 6) AS cv
         FROM monthly GROUP BY 1
     )
     SELECT o_orderpriority, cv,
@@ -268,9 +277,15 @@ def q08_var_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"),
         ).agg(dsum("o_totalprice", "mrev"))
     )
-    stats = monthly.groupBy("o_orderpriority").agg(
-        F.round(F.stddev_samp("mrev") / F.avg("mrev"), 6).alias("cv")
+    # mirror the oracle's closed-form, order-independent cv (see SQL note)
+    ds = lambda c: F.sum(c.cast("decimal(30,6)")).cast("double")  # noqa: E731
+    n = F.count(F.lit(1))
+    s1 = ds(F.col("mrev"))
+    s2 = ds(F.col("mrev") * F.col("mrev"))
+    cv = F.round(
+        F.sqrt(F.greatest(s2 - s1 * s1 / n, F.lit(0)) / (n - 1)) / (s1 / n), 6
     )
+    stats = monthly.groupBy("o_orderpriority").agg(cv.alias("cv"))
     return (
         stats.withColumn(
             "inference",

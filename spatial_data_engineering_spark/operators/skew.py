@@ -21,8 +21,14 @@ def salted_join(left: DataFrame, right: DataFrame, key: str,
 
     left is the large/skewed side (salt assigned pseudo-randomly but
     deterministically from a row hash); right is replicated n_salt times.
-    Result equals ``left.join(right, key, how)`` row-for-row.
+    Result equals ``left.join(right, key, how)`` row-for-row for join
+    types where unmatched RIGHT rows don't survive — right/full outer
+    would emit one null-extended row per salt replica and are rejected.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the replicated "
+            "right side would duplicate unmatched right rows n_salt times")
     salted_l = left.withColumn(
         "__salt", F.pmod(F.xxhash64(*left.columns), F.lit(n_salt))
     )

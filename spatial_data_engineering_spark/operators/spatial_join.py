@@ -47,7 +47,9 @@ def grid_spatial_join(
     left — the cells-in-polygon zonal shape).
 
     left_keys/right_keys must uniquely identify rows on their side; they
-    key the candidate dedupe.  All non-conflicting columns survive.
+    key the candidate dedupe.  All non-conflicting columns survive; when
+    both sides use the same geometry column name, the left geometry keeps
+    the name and the right geometry comes back as ``{right_geom}_right``.
     """
     lg, rg = f"__lg", f"__rg"
     l = left.withColumnRenamed(left_geom, lg)
@@ -65,10 +67,10 @@ def grid_spatial_join(
         keep = st_intersects(F.col(rg), F.col(lg))
     else:
         raise ValueError(f"unknown predicate {predicate!r}")
-    out = cand.filter(keep)
-    return (out.withColumnRenamed(lg, left_geom)
-            if left_geom == right_geom
-            else out.withColumnRenamed(lg, left_geom).withColumnRenamed(rg, right_geom))
+    out = cand.filter(keep).withColumnRenamed(lg, left_geom)
+    right_out = (f"{right_geom}_right" if left_geom == right_geom
+                 else right_geom)
+    return out.withColumnRenamed(rg, right_out)
 
 
 def union_agg(df: DataFrame, group_cols: list[str], geom_col: str = "geom",

@@ -113,6 +113,43 @@ def test_webmercator_anchor():
     assert 1.0001 < factor**2 < 1.001
 
 
+def test_contains_rejects_boundary_crossings_and_hole_coverage():
+    # U-shaped polygon: a bar whose vertices sit in the arms but whose
+    # edges cross the notch is NOT contained (review finding: vertex-only
+    # check returned True)
+    u = ("Polygon", [[(0, 0), (10, 0), (10, 10), (7, 10), (7, 3),
+                      (3, 3), (3, 10), (0, 10), (0, 0)]])
+    bar = ("Polygon", [[(1, 5), (9, 5), (9, 6), (1, 6), (1, 5)]])
+    assert not G.contains(u, bar)
+    # a polygon covering a hole of the container is NOT contained
+    holed = ("Polygon", [G.make_box(0, 0, 10, 10)[1][0],
+                         [(4, 4), (4, 6), (6, 6), (6, 4), (4, 4)]])
+    assert not G.contains(holed, G.make_box(3, 3, 7, 7))
+    # boundary contact is still allowed
+    assert G.contains(G.make_box(0, 0, 10, 10), G.make_box(0, 0, 3, 3))
+
+
+def test_centroid_hole_winding_independent():
+    shell = [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]
+    ccw_hole = [(1, 1), (3, 1), (3, 3), (1, 3), (1, 1)]
+    cw_hole = ccw_hole[::-1]
+    for hole in (ccw_hole, cw_hole):
+        c = G.centroid(("Polygon", [shell, hole]))
+        assert abs(c[0] - 5.125) < 1e-9 and abs(c[1] - 5.125) < 1e-9
+
+
+def test_wkb_rejects_ewkb_and_corrupt_counts():
+    import struct
+
+    ewkb = (b"\x01" + struct.pack("<I", 0x20000003)
+            + struct.pack("<i", 4326) + b"\x00" * 64)
+    with pytest.raises(ValueError, match="EWKB"):
+        G.wkb_loads(ewkb)
+    bad = b"\x01" + struct.pack("<I", 3) + struct.pack("<I", 4_000_000_000)
+    with pytest.raises(ValueError, match="corrupt WKB"):
+        G.wkb_loads(bad)
+
+
 def test_exterior_coords_and_type_dispatch():
     mp = ("MultiPolygon",
           [G.make_box(0, 0, 1, 1)[1], G.make_box(2, 2, 3, 3)[1]])

@@ -1,0 +1,69 @@
+"""Property test: the grid-bucketed spatial join equals the brute-force
+cross join + predicate, for random rectangles and points, across cell
+sizes.  This is the invariant that makes the §4 physical strategy safe to
+tune — cell size must never change results."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spatial_data_engineering_spark.functions import geometry as G
+from spatial_data_engineering_spark.functions.st_funcs import (
+    st_contains, st_intersects)
+from spatial_data_engineering_spark.operators.spatial_join import (
+    grid_spatial_join)
+
+
+def _random_frames(spark, seed: int, n_pts=300, n_boxes=25):
+    rng = np.random.RandomState(seed)
+    pts = [(int(i), float(x), float(y)) for i, (x, y) in enumerate(
+        zip(rng.uniform(0, 100, n_pts), rng.uniform(0, 100, n_pts)))]
+    boxes = []
+    for j in range(n_boxes):
+        x0, y0 = rng.uniform(0, 90, 2)
+        w, h = rng.uniform(1, 25, 2)
+        boxes.append((int(j), float(x0), float(y0), float(x0 + w), float(y0 + h)))
+    pts_df = spark.createDataFrame(pts, ["pt_id", "x", "y"])
+    box_df = spark.createDataFrame(boxes, ["box_id", "x0", "y0", "x1", "y1"])
+    from spatial_data_engineering_spark.functions.st_funcs import (
+        st_makebox, st_point)
+
+    pts_df = pts_df.withColumn("geom", st_point("x", "y"))
+    box_df = box_df.withColumn("geom", st_makebox("x0", "y0", "x1", "y1"))
+    return pts_df, box_df
+
+
+@pytest.mark.parametrize("seed,cell", [(0, 5.0), (1, 13.0), (2, 40.0)])
+def test_grid_join_equals_bruteforce(spark, seed, cell):
+    pts, boxes = _random_frames(spark, seed)
+
+    got = (grid_spatial_join(pts, boxes, ["pt_id"], ["box_id"],
+                             predicate="contains", cell=cell)
+           .select("pt_id", "box_id"))
+
+    brute = (pts.crossJoin(boxes.select("box_id",
+                                        F.col("geom").alias("bgeom")))
+             .filter(st_contains(F.col("bgeom"), F.col("geom")))
+             .select("pt_id", "box_id"))
+
+    g = {(r.pt_id, r.box_id) for r in got.collect()}
+    b = {(r.pt_id, r.box_id) for r in brute.collect()}
+    assert g == b and len(b) > 0
+
+
+def test_grid_join_polygons_intersects_equals_bruteforce(spark):
+    _, boxes_a = _random_frames(spark, 7, n_pts=1, n_boxes=20)
+    _, boxes_b = _random_frames(spark, 8, n_pts=1, n_boxes=20)
+    a = boxes_a.select(F.col("box_id").alias("a_id"), "geom")
+    b = boxes_b.select(F.col("box_id").alias("b_id"), "geom")
+
+    got = (grid_spatial_join(a, b, ["a_id"], ["b_id"],
+                             predicate="intersects", cell=10.0)
+           .select("a_id", "b_id"))
+    brute = (a.crossJoin(b.select("b_id", F.col("geom").alias("g2")))
+             .filter(st_intersects(F.col("g2"), F.col("geom")))
+             .select("a_id", "b_id"))
+    assert ({(r.a_id, r.b_id) for r in got.collect()}
+            == {(r.a_id, r.b_id) for r in brute.collect()})
