@@ -1,0 +1,185 @@
+"""Iterative algorithms over DataFrames: distributed k-means and
+connected-components (the BASELINE.json "iterative algorithms" class —
+genuinely non-SQL-expressible, so these ship rows-only driver checks plus
+behavioral pytest contracts).
+
+Both follow the canonical Spark iterative shape: a small driver loop over
+fully-distributed steps, state carried in DataFrames/broadcasts, nothing
+per-row on the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Distributed Lloyd k-means over the embedding column.
+#
+# Assignment: broadcast centroid matrix, one BLAS matmul per Arrow batch
+# (mapInPandas) — no shuffle.  Update: per-(cluster, dim) partial sums via
+# posexplode + groupBy — one small shuffle of k*dim partial aggregates per
+# iteration.  Deterministic: init = first k corpus vectors, exact argmin
+# ties broken by lowest cluster id.
+# --------------------------------------------------------------------------
+def kmeans_fit(spark: SparkSession, vectors: DataFrame, k: int = 8,
+               max_iter: int = 5, id_col: str = "vec_id",
+               vec_col: str = "embedding"):
+    """Returns (assignments DataFrame [id, cluster], centroids ndarray,
+    inertia history list)."""
+    import pandas as pd
+
+    first = (vectors.orderBy(id_col).limit(k)
+             .select(vec_col).toPandas()[vec_col])
+    centroids = np.stack(first.to_numpy()).astype(np.float64)
+    inertia_hist: list[float] = []
+
+    for _ in range(max_iter):
+        bc = spark.sparkContext.broadcast(centroids)
+
+        def assign(batches):
+            cent = bc.value
+            for pdf in batches:
+                m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                # squared euclidean via ||x||^2 - 2xC^T + ||c||^2
+                d2 = (
+                    (m * m).sum(axis=1)[:, None]
+                    - 2.0 * (m @ cent.T)
+                    + (cent * cent).sum(axis=1)[None, :]
+                )
+                cl = np.argmin(d2, axis=1)
+                yield pd.DataFrame({
+                    "id": pdf[id_col],
+                    "cluster": cl.astype("int32"),
+                    "dist2": d2[np.arange(len(cl)), cl],
+                    vec_col: pdf[vec_col],
+                })
+
+        assigned = vectors.select(id_col, vec_col).mapInPandas(
+            assign,
+            schema=f"id bigint, cluster int, dist2 double, {vec_col} array<float>",
+        )
+        assigned = assigned.persist()
+        inertia = assigned.agg(F.sum("dist2")).collect()[0][0]
+        inertia_hist.append(float(inertia))
+
+        # centroid update: tiny shuffle of (cluster, dim) partials
+        upd = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        new_centroids = centroids.copy()
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in upd:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        for c, dims in by_cluster.items():
+            for p, m in dims.items():
+                new_centroids[c, p] = m
+        assigned.unpersist()
+        if np.allclose(new_centroids, centroids, atol=1e-12):
+            centroids = new_centroids
+            break
+        centroids = new_centroids
+
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def final_assign(batches):
+        import pandas as pd
+
+        cent = bc.value
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = ((m * m).sum(axis=1)[:, None] - 2.0 * (m @ cent.T)
+                  + (cent * cent).sum(axis=1)[None, :])
+            yield pd.DataFrame({
+                "id": pdf[id_col],
+                "cluster": np.argmin(d2, axis=1).astype("int32"),
+            })
+
+    assignments = vectors.select(id_col, vec_col).mapInPandas(
+        final_assign, schema="id bigint, cluster int")
+    return assignments, centroids, inertia_hist
+
+
+@query("q55_kmeans")
+def q55_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster sizes from a deterministic 5-iteration k-means (k=8)."""
+    e = load(spark, sf_dir, "embeddings")
+    assignments, _, _ = kmeans_fit(spark, e, k=8, max_iter=5)
+    return (assignments.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n_vectors"),
+                 F.min("id").alias("min_vec_id")))
+
+
+# --------------------------------------------------------------------------
+# Connected components via iterative min-label propagation ("large-star"
+# simplification): the transitive closure of near-dup pairs — the cluster
+# ids a dedup pipeline actually keys on (pair lists alone under-merge:
+# a~b, b~c must collapse to one cluster even when a!~c).
+# Each iteration: label[v] = min(label[v], min over neighbors) — a
+# groupBy-min shuffle; converges in O(diameter) iterations.
+# --------------------------------------------------------------------------
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """edges: (a, b) undirected.  Returns (node, component) with component
+    = min node id in the component."""
+    sym = (edges.selectExpr("a AS src", "b AS dst")
+           .unionByName(edges.selectExpr("b AS src", "a AS dst")))
+    labels = (sym.select(F.col("src").alias("node")).distinct()
+              .withColumn("component", F.col("node")))
+    for _ in range(max_iter):
+        neigh_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src").agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels.node == neigh_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("component"),
+                        F.coalesce(F.col("nmin"), F.col("component")))
+                .alias("component"),
+            )
+        )
+        new_labels = new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@query("q56_dedup_components")
+def q56_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clusters over the MinHash near-dup pairs (q47):
+    component id, cluster size, keeper doc."""
+    from .dedup import q47_minhash_lsh
+
+    pairs = q47_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
+    edges = pairs.selectExpr("a_id AS a", "b_id AS b")
+    comp = connected_components(edges)
+    return (comp.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("node").alias("keeper_doc_id")))

@@ -18,7 +18,8 @@ def _modules():
     mods = [relational]
     # Optional modules appear as they are built; keep imports independent so
     # one broken module never takes down the whole registry.
-    for name in ("dedup", "similarity", "textops", "zonal", "multimodal"):
+    for name in ("dedup", "similarity", "textops", "zonal", "multimodal",
+                 "clustering"):
         try:
             mod = __import__(
                 f"{__package__}.operators.{name}", fromlist=[name]

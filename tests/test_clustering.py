@@ -1,0 +1,73 @@
+"""Behavioral contracts for the iterative operators (no SQL oracle —
+convergence and closure properties are the spec)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_ORACLE, SF_SMOKE
+
+
+def test_kmeans_inertia_monotone_and_partition(spark):
+    from spatial_data_engineering_spark.catalog import load
+    from spatial_data_engineering_spark.operators.clustering import kmeans_fit
+
+    e = load(spark, SF_ORACLE, "embeddings")
+    assignments, centroids, hist = kmeans_fit(spark, e, k=8, max_iter=5)
+
+    # Lloyd's algorithm never increases inertia
+    assert all(b <= a + 1e-6 for a, b in zip(hist, hist[1:])), hist
+    # every vector assigned to exactly one cluster; all ids covered
+    n = e.count()
+    assert assignments.count() == n
+    assert assignments.select("id").distinct().count() == n
+    assert centroids.shape == (8, 64)
+    # deterministic: second run identical
+    a2, _, hist2 = kmeans_fit(spark, e, k=8, max_iter=5)
+    assert hist2 == hist
+    d1 = {r.id: r.cluster for r in assignments.collect()}
+    d2 = {r.id: r.cluster for r in a2.collect()}
+    assert d1 == d2
+
+
+def test_connected_components_closure(spark):
+    from spatial_data_engineering_spark.operators.clustering import (
+        connected_components)
+
+    # two chains + one isolate-pair: a~b~c, d~e, f~g~h~i
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        ["a", "b"])
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == comp[21] == comp[22] == comp[23] == 20
+
+
+def test_dedup_components_vs_pairs(spark):
+    from spatial_data_engineering_spark.operators.clustering import (
+        q56_dedup_components)
+    from spatial_data_engineering_spark.operators.dedup import q47_minhash_lsh
+
+    pairs = q47_minhash_lsh(spark, SF_ORACLE).select("a_id", "b_id").collect()
+    comps = q56_dedup_components(spark, SF_ORACLE).collect()
+
+    # union-find reference closure computed driver-side
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r.a_id), find(r.b_id)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    sizes: dict = {}
+    for node in list(parent):
+        sizes[find(node)] = sizes.get(find(node), 0) + 1
+
+    got = {r.component: r.n_docs for r in comps}
+    assert got == sizes and sum(sizes.values()) > 0
