@@ -140,10 +140,16 @@ def q55_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """edges: (a, b) undirected.  Returns (node, component) with component
     = min node id in the component."""
+    # Persist the edge set: without this every iteration re-executes the
+    # whole upstream lineage (for q56 that's the full MinHash-LSH DAG —
+    # measured 38s vs ~5s).  localCheckpoint each round truncates the
+    # otherwise-exponential iterative lineage.
     sym = (edges.selectExpr("a AS src", "b AS dst")
-           .unionByName(edges.selectExpr("b AS src", "a AS dst")))
+           .unionByName(edges.selectExpr("b AS src", "a AS dst"))
+           .persist())
     labels = (sym.select(F.col("src").alias("node")).distinct()
-              .withColumn("component", F.col("node")))
+              .withColumn("component", F.col("node"))
+              .localCheckpoint(eager=True))
     for _ in range(max_iter):
         neigh_min = (
             sym.join(labels, sym.dst == labels.node)
@@ -157,8 +163,8 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                         F.coalesce(F.col("nmin"), F.col("component")))
                 .alias("component"),
             )
+            .localCheckpoint(eager=True)
         )
-        new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -168,6 +174,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    sym.unpersist()
     return labels
 
 
