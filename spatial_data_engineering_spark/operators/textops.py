@@ -221,6 +221,40 @@ def q43_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q57 — text normalization (cleaning pass before dedup/tokenization):
+# lowercase, strip punctuation, collapse whitespace; fingerprint the
+# normalized form.  NB the oracle passes 'g' to regexp_replace — DuckDB
+# replaces only the first match by default, Spark replaces all.
+# --------------------------------------------------------------------------
+@query(
+    "q57_normalize_text",
+    """
+    WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text),
+                    '[.,!?;:]', '', 'g'), '\\s+', ' ', 'g')) AS ntext
+        FROM documents
+    )
+    SELECT CAST(length(ntext) AS BIGINT) % 10 AS len_mod,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(ntext)) AS n_distinct
+    FROM norm GROUP BY 1
+    """,
+)
+def q57_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ntext = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower("text"), "[.,!?;:]", ""), r"\s+", " "))
+    norm = d.select("doc_id", ntext.alias("ntext"))
+    return norm.groupBy(
+        (F.length("ntext").cast("bigint") % 10).alias("len_mod")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("ntext")).alias("n_distinct"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q44 — quality scoring: composite per-doc quality from length, punctuation
 # density, stopword ratio and repetition (distinct/total tokens), bucketed
 # into keep/review/drop tiers — the standard pretraining filter shape.

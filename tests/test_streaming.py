@@ -110,6 +110,67 @@ def test_stream_stream_join_parity(spark, events_dir):
     assert ((gap >= 0) & (gap <= 1800)).all()
 
 
+def test_late_data_dropped_from_windowed_agg(spark, tmp_path):
+    """A row arriving after the watermark passed its window is excluded
+    from the windowed aggregation (append mode).  Two files with ordered
+    mtimes force two micro-batches; the watermark from batch 1 (12:04 -
+    1h = 11:04) makes batch 2's 10:30 event late.
+
+    (Observed while building this: dropDuplicatesWithinWatermark does NOT
+    filter late rows — its watermark only bounds dedup state — so the
+    drop semantics must be asserted on an aggregation, not the dedup.)
+    """
+    import time as _time
+
+    import pandas as pd
+
+    from spatial_data_engineering_spark.streaming.windows import (
+        read_events_stream, run_to_completion, tumbling_counts)
+
+    d = str(tmp_path / "late_events")
+    import os
+
+    os.makedirs(d)
+    base = pd.Timestamp("2024-01-10 12:00:00")
+
+    def mk(ids, ts_list):
+        return pd.DataFrame({
+            "event_id": ids,
+            "ts": pd.Series(ts_list).astype("datetime64[us]"),
+            "user_id": [1] * len(ids), "event_type": ["click"] * len(ids),
+            "value": [1.0] * len(ids), "props": ["{}"] * len(ids),
+        })
+
+    # batch 0: four on-time events at 12:0x + one at 10:00 (on time here).
+    # The watermark computed at END of batch 0 (12:03 - 1h = 11:03) only
+    # FILTERS input from the batch after next — Spark applies the
+    # previous batch's watermark, so a propagation batch is needed.
+    mk([0, 1, 2, 3, 10],
+       [base + pd.Timedelta(minutes=i) for i in range(4)]
+       + [base - pd.Timedelta(hours=2)]).to_parquet(
+        f"{d}/a.parquet", index=False)
+    _time.sleep(1.2)  # file source orders batches by modification time
+    # batch 1: on-time event; watermark 11:03 now in force for batch 2,
+    # and window [10:00, 11:00) is evicted+emitted with count 1
+    mk([4], [base + pd.Timedelta(minutes=6)]).to_parquet(
+        f"{d}/b.parquet", index=False)
+    _time.sleep(1.2)
+    # batch 2: event at 10:30 — late beyond the in-force watermark
+    mk([11], [base - pd.Timedelta(minutes=90)]).to_parquet(
+        f"{d}/c.parquet", index=False)
+
+    stream = read_events_stream(spark, d, max_files_per_trigger=1)
+    got = run_to_completion(
+        tumbling_counts(stream, window="1 hour", watermark="1 hour"),
+        "t_late", output_mode="append",
+    ).toPandas()
+
+    w10 = got[got.window_start == pd.Timestamp("2024-01-10 10:00:00")]
+    # exactly one emission of the 10:00 window, WITHOUT the late event
+    assert len(w10) == 1
+    assert int(w10.iloc[0].n_events) == 1
+
+
 def test_stateful_running_totals(spark, events_dir):
     from spatial_data_engineering_spark.streaming.stateful import (
         running_user_totals)
