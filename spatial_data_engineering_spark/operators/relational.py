@@ -949,6 +949,32 @@ def q32_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q33 — exact quantiles (generalizes q26's median; both engines use the
+# standard (n-1)*p linear interpolation on the sorted values, so results
+# are bit-identical).
+# --------------------------------------------------------------------------
+@query(
+    "q33_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.50) AS p50,
+           quantile_cont(l_extendedprice, 0.75) AS p75,
+           quantile_cont(l_extendedprice, 0.95) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q33_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("p25"),
+        F.percentile("l_extendedprice", F.lit(0.50)).alias("p50"),
+        F.percentile("l_extendedprice", F.lit(0.75)).alias("p75"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+    )
+
+
 @query(
     "q21_props_extract",
     """

@@ -255,6 +255,39 @@ def q57_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q58 — edit-distance near-dup (Levenshtein on 40-char prefixes; both
+# engines implement the classic integer DP).  The prefix cap bounds the
+# O(m*n) cost; at scale this runs as a verify stage after LSH candidate
+# generation, exactly like q47's Jaccard verify.
+# --------------------------------------------------------------------------
+@query(
+    "q58_edit_distance",
+    """
+    WITH p AS (
+        SELECT doc_id, substr(text, 1, 40) AS pre
+        FROM documents WHERE doc_id < 120
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           levenshtein(a.pre, b.pre) AS dist
+    FROM p a JOIN p b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.pre, b.pre) <= 20
+    """,
+)
+def q58_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    p = (d.filter(F.col("doc_id") < 120)
+         .select("doc_id", F.substring("text", 1, 40).alias("pre")))
+    a = p.select(F.col("doc_id").alias("a_id"), F.col("pre").alias("a_pre"))
+    b = p.select(F.col("doc_id").alias("b_id"), F.col("pre").alias("b_pre"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id",
+                F.levenshtein("a_pre", "b_pre").alias("dist"))
+        .filter(F.col("dist") <= 20)
+    )
+
+
+# --------------------------------------------------------------------------
 # q44 — quality scoring: composite per-doc quality from length, punctuation
 # density, stopword ratio and repetition (distinct/total tokens), bucketed
 # into keep/review/drop tiers — the standard pretraining filter shape.
