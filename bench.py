@@ -26,8 +26,11 @@ if REPO not in sys.path:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([\d.]+)", sf_dir)
-    sf = float(m.group(1).rstrip(".")) if m else None
+    try:
+        m = re.search(r"sf([\d.]+)", sf_dir)
+        sf = float(m.group(1).rstrip(".")) if m else None
+    except ValueError:
+        sf = None  # e.g. "sf." — never crash before the JSON contract
 
     from spatial_data_engineering_spark.session import build_session
     from spatial_data_engineering_spark.queries_registry import all_queries

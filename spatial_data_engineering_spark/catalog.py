@@ -30,6 +30,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # legacy conf (session-settable, so this works under any harness
         # session too) and truncate to microseconds with exact integer
         # division — double division would lose sub-µs bits at 1.7e18 ns.
+        # DELIBERATE SESSION-WIDE POLICY: the conf stays set for the
+        # session's lifetime (restoring it would break this frame's own
+        # lazy scan at execution time); any later nanos-parquet read in
+        # the same session therefore yields LongType instead of failing —
+        # normalize it the same way this function does.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if isinstance(df.schema["ts"].dataType, T.LongType):

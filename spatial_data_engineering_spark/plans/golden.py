@@ -93,52 +93,47 @@ def golden_report(spark: SparkSession, fixture_dir: str,
         davg("ndvi_px", "ndvi")
     )
 
-    # --- dense month spine: empty months stay as explicit nulls (F3) -----
-    spine = spark.sql(
-        "SELECT date_format(m, 'yyyy-MM') AS month FROM (SELECT explode("
-        "sequence(to_date('2018-01-01'), to_date('2023-12-01'), "
-        "interval 1 month)) AS m)"
-    )
-    cats = dissolved.select("keterangan")
-    dense = (
-        cats.crossJoin(spine)
-        .join(monthly, ["keterangan", "month"], "left")
-    )
-
     # --- variance -> argmax -> CASE (E5, E7, C10) ------------------------
-    stats = dense.groupBy("keterangan").agg(F.var_samp("ndvi").alias("variance"))
-    top = (
+    # No dense month spine here: var_samp skips nulls exactly like the
+    # reference's pandas .var over None-padded months (load_report.py:393
+    # drops them), so a spine would be dead computation — the F3
+    # empty-month semantics are exercised by relational.q07 and the
+    # monthly frame consumers.
+    stats = monthly.groupBy("keterangan").agg(F.var_samp("ndvi").alias("variance"))
+
+    # collect the tiny top/area results ONCE (unionByName branches over
+    # `top` would re-run the sort/limit and the spatial pipeline prefix
+    # per report row — exchange reuse only covers shuffled subtrees)
+    top_rows = (
         stats.filter(F.col("variance").isNotNull())
         .orderBy(F.desc("variance"), F.asc("keterangan"))
         .limit(1)
-        .withColumn(
-            "inference",
-            F.when(F.col("variance") > 0.5,
-                   "High variance observed, indicating significant changes "
-                   "in vegetation health across months.")
-            .when(F.col("variance") > 0.2,
-                  "Moderate variance observed, indicating some fluctuations "
-                  "in vegetation health across months.")
-            .otherwise("Low variance observed, indicating stable vegetation "
-                       "health across months."),
-        )
+        .collect()
     )
+    area_rows = area_ha.collect()
 
     # --- Metric/Value report (results/summary_report.csv shape) ----------
-    return (
-        area_ha.select(
-            F.lit("Total Mangrove Area (Ha)").alias("Metric"),
-            F.format_number(F.col("total_ha"), 2).alias("Value"))
-        .unionByName(spark.createDataFrame(
-            [("Report Generated By", "spatial_data_engineering_spark")],
-            ["Metric", "Value"]))
-        .unionByName(top.select(
-            F.lit("Area with Highest Variation").alias("Metric"),
-            F.col("keterangan").alias("Value")))
-        .unionByName(top.select(
-            F.lit("Variance").alias("Metric"),
-            F.col("variance").cast("string").alias("Value")))
-        .unionByName(top.select(
-            F.lit("Inference").alias("Metric"),
-            F.col("inference").alias("Value")))
-    )
+    total_ha = area_rows[0]["total_ha"] if area_rows else None
+    rows = [
+        ("Total Mangrove Area (Ha)",
+         None if total_ha is None else f"{total_ha:,.2f}"),
+        ("Report Generated By", "spatial_data_engineering_spark"),
+    ]
+    if top_rows:
+        t = top_rows[0]
+        inference = (
+            "High variance observed, indicating significant changes in "
+            "vegetation health across months."
+            if t["variance"] > 0.5 else
+            "Moderate variance observed, indicating some fluctuations in "
+            "vegetation health across months."
+            if t["variance"] > 0.2 else
+            "Low variance observed, indicating stable vegetation health "
+            "across months."
+        )
+        rows += [
+            ("Area with Highest Variation", t["keterangan"]),
+            ("Variance", str(t["variance"])),
+            ("Inference", inference),
+        ]
+    return spark.createDataFrame(rows, ["Metric", "Value"])

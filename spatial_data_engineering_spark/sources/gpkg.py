@@ -45,10 +45,13 @@ def gpb_srs_id(blob: bytes) -> int:
 
 
 def list_feature_tables(gpkg_path: str) -> list[str]:
-    with sqlite3.connect(gpkg_path) as con:
+    con = sqlite3.connect(gpkg_path)
+    try:  # sqlite3's context manager commits but does NOT close
         rows = con.execute(
             "SELECT table_name FROM gpkg_contents WHERE data_type='features'"
         ).fetchall()
+    finally:
+        con.close()
     return [r[0] for r in rows]
 
 
@@ -59,22 +62,37 @@ def ingest_gpkg(spark: SparkSession, gpkg_path: str, table: str,
 
     Validates CRS presence like load_data.py:51-57 (abort if undefined).
     """
-    with sqlite3.connect(gpkg_path) as con:
-        geom_col, srs_id = con.execute(
+    con = sqlite3.connect(gpkg_path)
+    try:  # sqlite3's context manager commits but does NOT close
+        row = con.execute(
             "SELECT column_name, srs_id FROM gpkg_geometry_columns "
             "WHERE table_name = ?", (table,)
         ).fetchone()
+        if row is None:
+            raise ValueError(
+                f"table {table!r} is not a registered feature table; "
+                f"known feature tables: {list_feature_tables(gpkg_path)}")
+        geom_col, srs_id = row
         if srs_id is None or srs_id in (0, -1):
             raise ValueError(
                 f"CRS is not defined for {table!r} — aborting load "
                 "(load_data.py:51-57 semantics)"
             )
         pdf = pd.read_sql_query(f'SELECT * FROM "{table}"', con)
+    finally:
+        con.close()
 
     wkbs = []
-    for blob in pdf[geom_col]:
-        wkb = parse_gpb(bytes(blob))
-        G.wkb_loads(wkb)  # validate subtype (Polygon/MultiPolygon/Point)
+    for i, blob in enumerate(pdf[geom_col]):
+        if blob is None:  # NULL geometry is legal per the GPKG spec
+            wkbs.append(None)
+            continue
+        try:
+            wkb = parse_gpb(bytes(blob))
+            G.wkb_loads(wkb)  # validate subtype (Polygon/MultiPolygon/Point)
+        except ValueError as exc:
+            raise ValueError(
+                f"invalid geometry in {table!r} row {i}: {exc}") from exc
         wkbs.append(wkb)
     pdf = pdf.drop(columns=[geom_col])
     pdf[geom_out] = wkbs

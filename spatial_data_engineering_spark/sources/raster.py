@@ -45,9 +45,13 @@ def scan_pixels(spark: SparkSession, path: str,
         df = df.filter((F.col("lon") >= xmin) & (F.col("lon") <= xmax)
                        & (F.col("lat") >= ymin) & (F.col("lat") <= ymax))
     if downsample > 1:
-        # stable grid decimation keyed on quantized coordinates
+        # deterministic 1-in-k^2 spatial sample keyed on a coordinate
+        # hash: alignment-free (a modulus on quantized coordinates is
+        # grid-alignment-dependent — it can keep everything or nothing
+        # when the grid spacing divides the quantum) and repeatable
+        # across runs, unlike EE's bestEffort
         df = df.filter(
-            (F.floor(F.col("lon") * 1e6).cast("bigint") % downsample == 0)
-            & (F.floor(F.col("lat") * 1e6).cast("bigint") % downsample == 0)
+            F.pmod(F.xxhash64(F.col("lon"), F.col("lat")),
+                   F.lit(downsample * downsample)) == 0
         )
     return df
