@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Scale-stress probe: run the custom physical strategies 20-100x beyond
+bench scale on synthetic data (generated with Spark `range`, never
+collected to the driver) and print one JSON line of timings.
+
+This is the local stand-in for the 1000-executor question: does the grid
+spatial join stay an equi-join with bounded candidates, does LSH candidate
+generation stay sub-quadratic, at data sizes where an O(n^2) or
+driver-side formulation would already be intractable?
+
+Usage: python scripts/stress_scale.py [n_points] [n_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    n_points = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+
+    from pyspark.sql import functions as F
+
+    from spatial_data_engineering_spark.operators.dedup import (
+        _SHINGLES_SPARK, _band_keys, _hex_fold, _sig_aggs)
+    from spatial_data_engineering_spark.operators.spatial_join import (
+        grid_spatial_join)
+    from spatial_data_engineering_spark.functions.st_funcs import (
+        st_makebox, st_point)
+    from spatial_data_engineering_spark.session import build_session
+
+    spark = build_session(app_name="stress_scale")
+    out: dict = {"n_points": n_points, "n_docs": n_docs}
+
+    # ---- spatial join at n_points x 25 polygons -------------------------
+    pts = (spark.range(n_points)
+           .select(F.col("id").alias("pt_id"),
+                   st_point(((F.col("id") * 37) % 100000) / 1000.0 + 0.0005,
+                            ((F.col("id") * 61) % 100000) / 1000.0 + 0.0005)
+                   .alias("geom")))
+    boxes = (spark.range(25)
+             .select(F.col("id").alias("box_id"),
+                     st_makebox((F.col("id") % 5) * 20.0,
+                                F.floor(F.col("id") / 5) * 20.0,
+                                (F.col("id") % 5) * 20.0 + 20.0,
+                                F.floor(F.col("id") / 5) * 20.0 + 20.0)
+                     .alias("geom")))
+    t0 = time.perf_counter()
+    joined = grid_spatial_join(pts, boxes, ["pt_id"], ["box_id"],
+                               predicate="contains", cell=10.0)
+    n_matched = joined.count()
+    out["spatial_join_sec"] = round(time.perf_counter() - t0, 2)
+    out["spatial_join_matched"] = n_matched
+
+    # ---- MinHash LSH at n_docs ------------------------------------------
+    # synthetic corpus: per-GROUP word sequences (5 docs per group share a
+    # base sequence + an id suffix -> genuine near-dup groups), different
+    # groups get different sequences.  A single shared template would make
+    # every band collide globally (~n^2/2 candidates — the exact
+    # pathological case the char-shingle design exists to avoid, but no
+    # shingle scheme survives a corpus of 50k identical documents).
+    words = ("the fast key order sort table scan merge part window small "
+             "hash join query row data slow filter customer line batch "
+             "value agg group stream column vector").split()
+    # word choice must be pseudorandom per (group, position): any linear
+    # congruential scheme makes groups phase-shifted rotations of one
+    # cyclic sequence, whose char shingles still collide globally
+    arr = "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+    terms = ", ".join(
+        f"element_at({arr}, pmod(hash(id DIV 5, {i}), {len(words)}) + 1)"
+        for i in range(40)
+    )
+    docs = (spark.range(n_docs)
+            .select(F.col("id").alias("doc_id"),
+                    F.expr(f"concat(concat_ws(' ', {terms}), ' v', "
+                           f"CAST(id AS STRING))").alias("text")))
+    docs = docs.persist()
+    docs.count()
+
+    t0 = time.perf_counter()
+    sh = docs.select("doc_id", F.expr(_SHINGLES_SPARK.format(col="text")).alias("tl"))
+    hx = (sh.select("doc_id", F.explode("tl").alias("t"))
+          .select("doc_id", F.expr(_hex_fold("spark", "md5(t)")).alias("h")))
+    sig = hx.groupBy("doc_id").agg(*[F.expr(e) for e in _sig_aggs("spark")])
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.expr(f"array({', '.join(_band_keys('spark'))})")).alias("band"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("a_id"),
+                    F.col("b.doc_id").alias("b_id")).distinct())
+    n_cand = cand.count()
+    out["lsh_sec"] = round(time.perf_counter() - t0, 2)
+    out["lsh_candidates"] = n_cand
+    out["lsh_candidate_fraction_of_n2"] = round(
+        n_cand / (n_docs * (n_docs - 1) / 2), 8)
+
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
