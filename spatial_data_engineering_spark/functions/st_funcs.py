@@ -21,6 +21,25 @@ from pyspark.sql import types as T
 from . import crs as _crs
 from . import geometry as G
 
+# Join refines evaluate predicates over candidate pairs where one side is
+# a handful of distinct polygons repeated across millions of rows — cache
+# the decode by WKB bytes (immutable), so each distinct geometry parses
+# once per executor instead of once per row.
+from functools import lru_cache
+
+
+@lru_cache(maxsize=65536)
+def _loads_lru(b: bytes):
+    return G.wkb_loads(b)
+
+
+def _loads_cached(b: bytes):
+    # points (21-byte WKB) are cheaper to decode than to cache — millions
+    # of distinct points would just thrash the LRU; polygons benefit
+    if len(b) <= 64:
+        return G.wkb_loads(b)
+    return _loads_lru(b)
+
 
 def _map(series: pd.Series, fn):
     return series.map(lambda v: None if v is None else fn(v))
@@ -161,7 +180,7 @@ def _transform_rings(rings, src: int, dst: int):
 def st_contains(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(
         [None if x is None or y is None
-         else G.contains(G.wkb_loads(bytes(x)), G.wkb_loads(bytes(y)))
+         else G.contains(_loads_cached(bytes(x)), _loads_cached(bytes(y)))
          for x, y in zip(a, b)]
     )
 
@@ -170,7 +189,7 @@ def st_contains(a: pd.Series, b: pd.Series) -> pd.Series:
 def st_intersects(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(
         [None if x is None or y is None
-         else G.intersects(G.wkb_loads(bytes(x)), G.wkb_loads(bytes(y)))
+         else G.intersects(_loads_cached(bytes(x)), _loads_cached(bytes(y)))
          for x, y in zip(a, b)]
     )
 
