@@ -975,6 +975,139 @@ def q33_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q34 — approximate quantiles (sketch class; like q28 the sketch is
+# engine-specific -> rows-only driver check, accuracy asserted against the
+# exact q33 in tests/test_approx.py).
+# --------------------------------------------------------------------------
+@query("q34_approx_quantiles")
+def q34_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("ap50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("ap95"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q35 — ranking-function family: ntile / percent_rank / cume_dist /
+# dense_rank (beyond q25's rank/lag/lead).  Ties broken by custkey in the
+# window order so both engines rank identically.
+# --------------------------------------------------------------------------
+@query(
+    "q35_rank_functions",
+    """
+    SELECT c_custkey, c_nationkey,
+           NTILE(4) OVER w AS quartile,
+           DENSE_RANK() OVER w AS drank,
+           ROUND(PERCENT_RANK() OVER w, 6) AS prank,
+           ROUND(CUME_DIST() OVER w, 6) AS cdist
+    FROM customer
+    WHERE c_custkey <= 200
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def q35_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey", "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.dense_rank().over(w).alias("drank"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q36 — full outer join: nations with customer counts AND order-priority
+# counts, keeping unmatched keys from both sides as nulls.
+# --------------------------------------------------------------------------
+@query(
+    "q36_full_outer",
+    """
+    WITH cust AS (
+        SELECT c_nationkey AS k, COUNT(*) AS n_customers
+        FROM customer WHERE c_acctbal > 9900 GROUP BY 1
+    ),
+    supp AS (
+        SELECT s_nationkey AS k, COUNT(*) AS n_suppliers
+        FROM supplier WHERE s_acctbal > 9900 GROUP BY 1
+    )
+    SELECT COALESCE(cust.k, supp.k) AS nationkey, n_customers, n_suppliers
+    FROM cust FULL OUTER JOIN supp ON cust.k = supp.k
+    """,
+)
+def q36_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    cust = (c.filter(F.col("c_acctbal") > 9900)
+            .groupBy(F.col("c_nationkey").alias("k"))
+            .agg(F.count(F.lit(1)).alias("n_customers")))
+    supp = (s.filter(F.col("s_acctbal") > 9900)
+            .groupBy(F.col("s_nationkey").alias("k2"))
+            .agg(F.count(F.lit(1)).alias("n_suppliers")))
+    return (
+        cust.join(supp, cust.k == supp.k2, "full_outer")
+        .select(F.coalesce("k", "k2").alias("nationkey"),
+                "n_customers", "n_suppliers")
+    )
+
+
+# --------------------------------------------------------------------------
+# q37 — ordered array aggregation (collect_list/array_agg), emitted as a
+# joined string so the hash compares scalars.
+# --------------------------------------------------------------------------
+@query(
+    "q37_array_agg",
+    """
+    SELECT l_returnflag,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',')
+               AS statuses,
+           array_to_string(list_sort(list(DISTINCT CAST(l_linenumber AS VARCHAR))), ',')
+               AS linenumbers
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q37_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",")
+        .alias("statuses"),
+        F.array_join(
+            F.array_sort(F.collect_set(F.col("l_linenumber").cast("string"))),
+            ",").alias("linenumbers"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q38 — data profiling: per-column null and distinct counts in one pass —
+# the standard pre-ingest audit for a training-data pipeline.
+# --------------------------------------------------------------------------
+@query(
+    "q38_profile",
+    """
+    SELECT COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_custkey) AS null_custkey,
+           COUNT(DISTINCT o_custkey) AS d_custkey,
+           COUNT(DISTINCT o_orderstatus) AS d_status,
+           COUNT(DISTINCT o_orderpriority) AS d_priority,
+           COUNT(DISTINCT strftime(o_orderdate, '%Y')) AS d_years
+    FROM orders
+    """,
+)
+def q38_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("null_custkey"),
+        F.countDistinct("o_custkey").alias("d_custkey"),
+        F.countDistinct("o_orderstatus").alias("d_status"),
+        F.countDistinct("o_orderpriority").alias("d_priority"),
+        F.countDistinct(F.date_format("o_orderdate", "yyyy")).alias("d_years"),
+    )
+
+
 @query(
     "q21_props_extract",
     """

@@ -121,6 +121,27 @@ def stream_stream_join(clicks: DataFrame, purchases: DataFrame,
     )
 
 
+def write_stream_idempotent(stream_df: DataFrame, out_dir: str,
+                            checkpoint_dir: str) -> None:
+    """Exactly-once file sink via foreachBatch (guide: "For exactly-once
+    sinks: foreachBatch").
+
+    Each micro-batch writes to a batch-id-named subdirectory with
+    overwrite mode: a replayed batch (after failure/restart) rewrites the
+    same directory instead of duplicating rows — idempotence is the
+    user-side half of exactly-once; the checkpoint is Spark's half.
+    Runs to completion (availableNow).
+    """
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    q = (stream_df.writeStream.foreachBatch(write_batch)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
 def run_to_completion(stream_df: DataFrame, query_name: str,
                       output_mode: str = "append") -> DataFrame:
     """Drive a (bounded file-source) streaming frame to completion through

@@ -171,6 +171,30 @@ def test_late_data_dropped_from_windowed_agg(spark, tmp_path):
     assert int(w10.iloc[0].n_events) == 1
 
 
+def test_foreachbatch_idempotent_sink(spark, events_dir, tmp_path):
+    from spatial_data_engineering_spark.streaming.windows import (
+        read_events_stream, write_stream_idempotent)
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_events_stream(spark, events_dir).filter(
+        "event_type = 'purchase'")
+    write_stream_idempotent(stream, out, ckpt)
+
+    sunk = spark.read.parquet(out)
+    expected = _batch_events(spark, events_dir).filter(
+        "event_type = 'purchase'")
+    assert sunk.count() == expected.count()
+    assert (sunk.select("event_id").distinct().count()
+            == expected.select("event_id").distinct().count())
+
+    # resume with the SAME checkpoint and no new data: nothing duplicates
+    write_stream_idempotent(
+        read_events_stream(spark, events_dir).filter(
+            "event_type = 'purchase'"), out, ckpt)
+    assert spark.read.parquet(out).count() == expected.count()
+
+
 def test_stateful_running_totals(spark, events_dir):
     from spatial_data_engineering_spark.streaming.stateful import (
         running_user_totals)
