@@ -1108,6 +1108,96 @@ def q38_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q39 — six-table join chain (TPC-H Q5 shape): local-supplier revenue per
+# nation within one region and date range.  The deep-join demonstrator:
+# Catalyst broadcast-plans region/nation/supplier, AQE re-plans the big
+# orders⨝lineitem side.
+# --------------------------------------------------------------------------
+@query(
+    "q39_local_supplier_revenue",
+    f"""
+    SELECT n_name,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+           COUNT(*) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = (SELECT min(r_name) FROM region)
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q39_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    first_region = r.agg(F.min("r_name").alias("rn"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(first_region), F.col("r_name") == F.col("rn"))
+        .filter((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+        .groupBy("n_name")
+        .agg(dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q63 — calendar/date function surface: add_months, last_day, datediff,
+# dayofweek, quarter — each rendered to strings/ints both engines agree on.
+# --------------------------------------------------------------------------
+@query(
+    "q63_date_functions",
+    """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           strftime(date_trunc('month', o_orderdate) + INTERVAL 3 MONTH,
+                    '%Y-%m') AS month_plus3,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           CAST(date_diff('day', DATE '1995-01-01',
+                          CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_epoch95,
+           CAST(isodow(o_orderdate) AS INTEGER) AS iso_dow,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           COUNT(*) AS n
+    FROM orders
+    WHERE o_orderkey <= 2000
+    GROUP BY 1, 2, 3, 4, 5, 6
+    """,
+)
+def q63_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return (
+        o.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
+            .alias("month"),
+            F.date_format(F.add_months(F.date_trunc("month", "o_orderdate"), 3),
+                          "yyyy-MM").alias("month_plus3"),
+            F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd")
+            .alias("month_end"),
+            F.datediff(F.col("o_orderdate").cast("date"),
+                       F.lit("1995-01-01").cast("date"))
+            .cast("bigint").alias("days_since_epoch95"),
+            # Spark dayofweek: 1=Sunday..7=Saturday; ISO dow = 1=Monday..7=Sunday
+            (((F.dayofweek("o_orderdate") + 5) % 7) + 1).cast("int")
+            .alias("iso_dow"),
+            F.quarter("o_orderdate").cast("int").alias("qtr"),
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 @query(
     "q21_props_extract",
     """
