@@ -1198,6 +1198,43 @@ def q63_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q64 — bag-semantics set ops (EXCEPT ALL / INTERSECT ALL): duplicates
+# count, unlike q13's distinct set ops.  Shapes: per-order line counts
+# treated as multisets of (partkey) across two date halves.
+# --------------------------------------------------------------------------
+@query(
+    "q64_bag_set_ops",
+    """
+    WITH early AS (SELECT l_partkey FROM lineitem
+                   WHERE l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                     AND l_orderkey <= 3000),
+         late  AS (SELECT l_partkey FROM lineitem
+                   WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                     AND l_orderkey <= 3000)
+    SELECT 'except_all' AS op, l_partkey, COUNT(*) AS n FROM
+        (SELECT l_partkey FROM early EXCEPT ALL SELECT l_partkey FROM late)
+    GROUP BY 2
+    UNION ALL
+    SELECT 'intersect_all' AS op, l_partkey, COUNT(*) AS n FROM
+        (SELECT l_partkey FROM early INTERSECT ALL SELECT l_partkey FROM late)
+    GROUP BY 2
+    """,
+)
+def q64_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 3000)
+    cut = F.lit("1997-01-01").cast("timestamp")
+    early = li.filter(F.col("l_shipdate") < cut).select("l_partkey")
+    late = li.filter(F.col("l_shipdate") >= cut).select("l_partkey")
+    ex = (early.exceptAll(late).groupBy("l_partkey")
+          .agg(F.count(F.lit(1)).alias("n"))
+          .select(F.lit("except_all").alias("op"), "l_partkey", "n"))
+    inter = (early.intersectAll(late).groupBy("l_partkey")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .select(F.lit("intersect_all").alias("op"), "l_partkey", "n"))
+    return ex.unionByName(inter)
+
+
 @query(
     "q21_props_extract",
     """
