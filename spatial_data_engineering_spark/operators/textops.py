@@ -288,6 +288,90 @@ def q58_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q65 — blocklist/safety filtering: drop documents containing any term
+# from a (broadcast) blocklist; report kept/removed per lang.  At scale
+# the blocklist is a broadcast variable and the match is a token-set
+# intersection — no join, no shuffle before the final rollup.
+# --------------------------------------------------------------------------
+_BLOCKLIST = "'slow', 'error', 'drop'"
+
+
+@query(
+    "q65_blocklist_filter",
+    f"""
+    WITH flagged AS (
+        SELECT lang,
+               len(list_filter(list_distinct(string_split(text, ' ')),
+                               t -> t IN ({_BLOCKLIST}))) > 0 AS blocked
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) FILTER (WHERE NOT blocked) AS n_kept,
+           COUNT(*) FILTER (WHERE blocked) AS n_removed
+    FROM flagged GROUP BY lang
+    """,
+)
+def q65_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    blocked = F.expr(
+        f"size(filter(array_distinct(split(text, ' ')),"
+        f" t -> t IN ({_BLOCKLIST}))) > 0"
+    )
+    return (
+        d.select("lang", blocked.alias("blocked"))
+        .groupBy("lang")
+        .agg(F.count(F.when(~F.col("blocked"), 1)).alias("n_kept"),
+             F.count(F.when(F.col("blocked"), 1)).alias("n_removed"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q66 — repetition/boilerplate detection: the most frequent word and its
+# share of the document; high shares flag templated/spammy text (the
+# complement of q44's distinct-token ratio).  One explode + two grouped
+# aggregations, both map-side-combinable.
+# --------------------------------------------------------------------------
+@query(
+    "q66_repetition",
+    """
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+        FROM documents
+    ),
+    freq AS (
+        SELECT doc_id, lang, t, COUNT(*) AS c
+        FROM tok GROUP BY doc_id, lang, t
+    ),
+    per_doc AS (
+        SELECT doc_id, lang, MAX(c) AS max_rep,
+               CAST(SUM(c) AS BIGINT) AS n_tokens
+        FROM freq GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           COUNT(*) FILTER (WHERE max_rep * 1.0 / n_tokens > 0.2)
+               AS n_boilerplate,
+           COUNT(*) AS n_docs,
+           CAST(MAX(max_rep) AS BIGINT) AS worst_repetition
+    FROM per_doc GROUP BY lang
+    """,
+)
+def q66_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("t"))
+    freq = tok.groupBy("doc_id", "lang", "t").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = freq.groupBy("doc_id", "lang").agg(
+        F.max("c").alias("max_rep"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.when(F.col("max_rep") * 1.0 / F.col("n_tokens") > 0.2, 1))
+        .alias("n_boilerplate"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("max_rep").cast("bigint").alias("worst_repetition"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q44 — quality scoring: composite per-doc quality from length, punctuation
 # density, stopword ratio and repetition (distinct/total tokens), bucketed
 # into keep/review/drop tiers — the standard pretraining filter shape.
