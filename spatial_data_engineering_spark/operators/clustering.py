@@ -50,40 +50,44 @@ def kmeans_fit(spark: SparkSession, vectors: DataFrame, k: int = 8,
     centroids = np.stack(first.to_numpy()).astype(np.float64)
     inertia_hist: list[float] = []
 
-    for _ in range(max_iter):
-        bc = spark.sparkContext.broadcast(centroids)
-
+    def make_assign(bc, with_dist: bool):
+        # one shared closure: the d2 formula and argmin tie-break must
+        # never diverge between the training and final assignment passes
         def assign(batches):
             cent = bc.value
             for pdf in batches:
                 m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
                 # squared euclidean via ||x||^2 - 2xC^T + ||c||^2
-                d2 = (
-                    (m * m).sum(axis=1)[:, None]
-                    - 2.0 * (m @ cent.T)
-                    + (cent * cent).sum(axis=1)[None, :]
-                )
+                d2 = ((m * m).sum(axis=1)[:, None] - 2.0 * (m @ cent.T)
+                      + (cent * cent).sum(axis=1)[None, :])
                 cl = np.argmin(d2, axis=1)
-                yield pd.DataFrame({
-                    "id": pdf[id_col],
-                    "cluster": cl.astype("int32"),
-                    "dist2": d2[np.arange(len(cl)), cl],
-                    vec_col: pdf[vec_col],
-                })
+                out = {"id": pdf[id_col], "cluster": cl.astype("int32")}
+                if with_dist:
+                    out["dist2"] = d2[np.arange(len(cl)), cl]
+                    out[vec_col] = pdf[vec_col]
+                yield pd.DataFrame(out)
+        return assign
 
+    for _ in range(max_iter):
+        bc = spark.sparkContext.broadcast(centroids)
         assigned = vectors.select(id_col, vec_col).mapInPandas(
-            assign,
+            make_assign(bc, with_dist=True),
             schema=f"id bigint, cluster int, dist2 double, {vec_col} array<float>",
         )
         assigned = assigned.persist()
-        inertia = assigned.agg(F.sum("dist2")).collect()[0][0]
+        # order-independent reductions (common.py contract): decimal-exact
+        # sums so inertia and centroids are identical across partitionings
+        inertia = assigned.agg(
+            F.sum(F.col("dist2").cast("decimal(30,6)")).cast("double")
+        ).collect()[0][0]
         inertia_hist.append(float(inertia))
 
         # centroid update: tiny shuffle of (cluster, dim) partials
         upd = (
             assigned.select("cluster", F.posexplode(vec_col).alias("pos", "x"))
             .groupBy("cluster", "pos")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .agg((F.sum(F.col("x").cast("double").cast("decimal(30,10)"))
+                  .cast("double") / F.count(F.lit(1))).alias("m"))
             .collect()
         )
         new_centroids = centroids.copy()
@@ -94,28 +98,14 @@ def kmeans_fit(spark: SparkSession, vectors: DataFrame, k: int = 8,
             for p, m in dims.items():
                 new_centroids[c, p] = m
         assigned.unpersist()
-        if np.allclose(new_centroids, centroids, atol=1e-12):
+        if np.allclose(new_centroids, centroids, rtol=0.0, atol=1e-12):
             centroids = new_centroids
             break
         centroids = new_centroids
 
     bc = spark.sparkContext.broadcast(centroids)
-
-    def final_assign(batches):
-        import pandas as pd
-
-        cent = bc.value
-        for pdf in batches:
-            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            d2 = ((m * m).sum(axis=1)[:, None] - 2.0 * (m @ cent.T)
-                  + (cent * cent).sum(axis=1)[None, :])
-            yield pd.DataFrame({
-                "id": pdf[id_col],
-                "cluster": np.argmin(d2, axis=1).astype("int32"),
-            })
-
     assignments = vectors.select(id_col, vec_col).mapInPandas(
-        final_assign, schema="id bigint, cluster int")
+        make_assign(bc, with_dist=False), schema="id bigint, cluster int")
     return assignments, centroids, inertia_hist
 
 
@@ -174,6 +164,15 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # loop exhausted without a fixpoint: labels are under-merged
+        # (propagation moves the min label one hop per iteration, so a
+        # component with diameter > max_iter is still split) — this must
+        # never be returned silently as a "result"
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations — graph diameter exceeds max_iter; raise max_iter")
     sym.unpersist()
     return labels
 

@@ -67,9 +67,10 @@ def _norm_sql(a: str) -> str:
 # --------------------------------------------------------------------------
 _ORACLE_Q49 = f"""
     WITH q AS (SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm
-               FROM embeddings WHERE vec_id < 10),
+               FROM embeddings WHERE vec_id < 10
+                 AND {_norm_sql('embedding')} > 0),
          c AS (SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm
-               FROM embeddings),
+               FROM embeddings WHERE {_norm_sql('embedding')} > 0),
          scored AS (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    {_dot_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine
@@ -86,9 +87,12 @@ _ORACLE_Q49 = f"""
 @query("q49_cosine_topk", _ORACLE_Q49)
 def q49_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
+    # zero-norm vectors make cosine 0/0 = NaN, whose comparison semantics
+    # differ between numpy/Spark and DuckDB's total float order — exclude
+    # them identically on both sides (the oracle filters nrm > 0 too)
     withn = e.select(
         "vec_id", "embedding", F.expr(_norm_spark("embedding")).alias("nrm")
-    )
+    ).filter(F.col("nrm") > 0)
     q = withn.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -120,7 +124,7 @@ def q49_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _ORACLE_Q50 = f"""
     WITH e AS (SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm
-               FROM embeddings)
+               FROM embeddings WHERE {_norm_sql('embedding')} > 0)
     SELECT a.vec_id AS a_id, b.vec_id AS b_id,
            ROUND({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6)
                AS cosine
@@ -154,6 +158,10 @@ def q50_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mat = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
     ids = corpus["vec_id"].to_numpy()
     norms = np.sqrt((mat * mat).sum(axis=1))
+    # exclude zero-norm vectors identically to the oracle's nrm > 0 filter
+    # (cosine would be NaN, whose comparisons differ across engines)
+    keep0 = norms > 0
+    ids, mat, norms = ids[keep0], mat[keep0], norms[keep0]
     bc = spark.sparkContext.broadcast((ids, mat, norms))
 
     def block(batches):
@@ -162,6 +170,10 @@ def q50_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             a_ids = pdf["vec_id"].to_numpy()
             a_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+            amask = a_norms > 0
+            a_ids, a_mat, a_norms = a_ids[amask], a_mat[amask], a_norms[amask]
+            if len(a_ids) == 0:
+                continue
             sims = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
             ai, bi = np.where(sims >= 0.35)
             keep = a_ids[ai] < b_ids[bi]
@@ -188,7 +200,12 @@ _N_PLANES = 12
 
 
 def _plane_dot(engine: str, emb: str, p: int) -> str:
-    w = f"(((({p} * 73856093) + i * 19349663) % 2003) - 1001)"
+    # i is cast to BIGINT before the multiply: Spark's sequence() yields
+    # array<int>, and p*73856093 + i*19349663 exceeds INT32_MAX from
+    # dim 69 (ANSI overflow error); DuckDB's generate_series is already
+    # BIGINT, so without the cast the engines would also disagree
+    w = (f"(((({p} * CAST(73856093 AS BIGINT))"
+         f" + CAST(i AS BIGINT) * CAST(19349663 AS BIGINT)) % 2003) - 1001)")
     if engine == "spark":
         return (f"aggregate(zip_with(sequence(1, size({emb})), {emb},"
                 f" (i, x) -> CAST({w} AS DOUBLE) * CAST(x AS DOUBLE)),"
@@ -328,7 +345,7 @@ _ORACLE_Q51 = f"""
     WITH sig AS (
         SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm,
                CAST({_bucket('duckdb', 'embedding')} AS BIGINT) AS bucket
-        FROM embeddings
+        FROM embeddings WHERE {_norm_sql('embedding')} > 0
     )
     SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket AS bucket,
            ROUND({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6)
@@ -344,7 +361,7 @@ def q51_srp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding",
         F.expr(_norm_spark("embedding")).alias("nrm"),
         F.expr(f"CAST({_bucket('spark', 'embedding')} AS BIGINT)").alias("bucket"),
-    )
+    ).filter(F.col("nrm") > 0)  # zero-norm -> NaN cosine; see q49/q50 note
     a = sig.select(F.col("vec_id").alias("a_id"), F.col("bucket"),
                    F.col("embedding").alias("a_emb"), F.col("nrm").alias("a_nrm"))
     b = sig.select(F.col("vec_id").alias("b_id"), F.col("bucket").alias("b_bucket"),

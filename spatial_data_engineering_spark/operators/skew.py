@@ -25,10 +25,15 @@ def salted_join(left: DataFrame, right: DataFrame, key: str,
     types where unmatched RIGHT rows don't survive — right/full outer
     would emit one null-extended row per salt replica and are rejected.
     """
-    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+    normalized = how.lower().replace("_", "")
+    if normalized not in ("inner", "left", "leftouter", "semi", "leftsemi",
+                          "anti", "leftanti"):
         raise ValueError(
             f"salted_join does not support how={how!r}: the replicated "
             "right side would duplicate unmatched right rows n_salt times")
+    if "__salt" in left.columns or "__salt" in right.columns:
+        raise ValueError("salted_join: inputs must not contain a column "
+                         "named '__salt'")
     salted_l = left.withColumn(
         "__salt", F.pmod(F.xxhash64(*left.columns), F.lit(n_salt))
     )

@@ -13,21 +13,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _modules():
-    from .operators import relational
+    # Imports are deliberately LOUD: a broken module must fail the whole
+    # registry, not silently shrink the inventory — the parity gate
+    # parametrizes over whatever this returns, so a swallowed ImportError
+    # would turn missing queries into a false-green run.
+    from .operators import (clustering, dedup, multimodal, relational,
+                            similarity, textops, zonal)
 
-    mods = [relational]
-    # Optional modules appear as they are built; keep imports independent so
-    # one broken module never takes down the whole registry.
-    for name in ("dedup", "similarity", "textops", "zonal", "multimodal",
-                 "clustering"):
-        try:
-            mod = __import__(
-                f"{__package__}.operators.{name}", fromlist=[name]
-            )
-            mods.append(mod)
-        except ImportError:
-            pass
-    return mods
+    return [relational, dedup, similarity, textops, zonal, multimodal,
+            clustering]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -43,5 +37,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def all_oracles() -> dict[str, str]:
     out: dict = {}
     for mod in _modules():
-        out.update(mod.ORACLES)
+        for name, sql in mod.ORACLES.items():
+            if name in out:
+                raise ValueError(f"duplicate oracle name {name!r}")
+            out[name] = sql
     return out
