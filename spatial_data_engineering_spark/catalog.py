@@ -38,7 +38,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # floor division (pmod keeps the remainder non-negative): `div`
+            # alone truncates toward zero, which would round pre-1970
+            # nanos UP one microsecond, diverging from DuckDB's epoch floor.
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000")))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -339,7 +339,7 @@ def q10_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q11 — top-K per group (F5 argmax generalized; guide "Top-K per group").
+# q11 — top-K per group (F5 argmax generalized).
 # --------------------------------------------------------------------------
 @query(
     "q11_topk_per_group",
@@ -520,9 +520,8 @@ def q17_case_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q18 — sessionization (guide "Common OLAP patterns"): lag-gap + cumulative
-# sum assigns session ids; exact integer epoch-microsecond math keeps both
-# engines bit-identical.
+# q18 — sessionization: lag-gap + cumulative sum assigns session ids;
+# exact integer epoch-microsecond math keeps both engines bit-identical.
 # --------------------------------------------------------------------------
 @query(
     "q18_sessionization",
@@ -770,8 +769,8 @@ def q28_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q29 — as-of join (Spark lacks a native one; guide "Common OLAP
-# patterns").  For each event, the user's most recent 'signup' at or
+# q29 — as-of join (Spark lacks a native one).  For each event, the
+# user's most recent 'signup' at or
 # before it.  Implementation: union both sides tagged, one window pass
 # with last-non-null carry-forward — no join at all, scales as a single
 # sort per user partition.  The oracle states the same semantics as a
@@ -816,7 +815,7 @@ def q29_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q30 — interval/range self-join via bucketing (guide: "bucketize the
+# q30 — interval/range self-join via bucketing ("bucketize the
 # range key + equi-join on bucket + filter" — the 1-D analogue of the
 # grid spatial join).  Counts same-user event pairs within 60 seconds.
 # Each event lands in one 60s bucket and probes bucket b and b+1, so the

@@ -4,7 +4,7 @@ Defaults are tuned for the driver's local[32] harness but the settings are
 the ones that matter on a real cluster too: AQE (runtime re-planning, skew
 join splitting, partition coalescing), Arrow for every pandas-UDF boundary,
 UTC session time zone (parity with the DuckDB oracle, whose timestamps are
-UTC-naive — see /opt guide "Pitfalls").
+UTC-naive).
 """
 
 from __future__ import annotations

@@ -32,6 +32,11 @@ def parse_gpb(blob: bytes) -> bytes:
     if blob[:2] != b"GP":
         raise ValueError("not a GeoPackage Binary blob (magic != 'GP')")
     flags = blob[3]
+    if flags & 0x20:
+        # ExtendedGeoPackageBinary: the payload is an extension format, not
+        # WKB — fail loudly rather than hand it to wkb_loads (same policy as
+        # EWKB in geometry._parse_geom).
+        raise ValueError("ExtendedGeoPackageBinary (flags bit 0x20) not supported")
     envelope_code = (flags >> 1) & 0x07
     if envelope_code not in _ENVELOPE_DOUBLES:
         raise ValueError(f"invalid GPB envelope indicator {envelope_code}")

@@ -35,8 +35,10 @@ def scan_pixels(spark: SparkSession, path: str,
                 bbox: tuple[float, float, float, float] | None = None,
                 downsample: int = 1) -> DataFrame:
     """Pruned scan: month -> partition pruning; bbox -> pushed row-group
-    predicate; downsample=k keeps every k-th grid row/col (deterministic —
-    the oracle-able analogue of EE's bestEffort rescale)."""
+    predicate; downsample=k keeps a deterministic 1-in-k^2 hash sample of
+    cells (pmod(xxhash64(lon,lat), k^2)==0 — spatially irregular, NOT a
+    regular grid decimation; the oracle-able analogue of EE's bestEffort
+    rescale)."""
     df = spark.read.parquet(path)
     if month is not None:
         df = df.filter(F.col("month") == month)

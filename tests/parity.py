@@ -34,7 +34,7 @@ def _canon_value(v):
         return None
     if isinstance(v, float):
         if math.isnan(v):
-            return None
+            return "NaN"  # distinct from None so NULL-vs-NaN divergences fail
         return float(v)
     if isinstance(v, (bool,)):
         return bool(v)
@@ -50,7 +50,7 @@ def _canon_value(v):
         if isinstance(v, np.integer):
             return float(v)
         if isinstance(v, np.floating):
-            return None if math.isnan(float(v)) else float(v)
+            return "NaN" if math.isnan(float(v)) else float(v)
         if isinstance(v, np.ndarray):
             return tuple(_canon_value(x) for x in v.tolist())
         if isinstance(v, np.bool_):
