@@ -133,59 +133,87 @@ _ORACLE_Q50 = f"""
 """
 
 
+# Rows per similarity block: one block-pair group holds at most 2 blocks
+# (2 * 8192 * dim doubles ~ 8 MB at dim=64) regardless of corpus size.
+_Q50_BLOCK_ROWS = 8192
+
+
 @query("q50_embedding_neardup", _ORACLE_Q50)
 def q50_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs near-dup via broadcast + BLAS, not a pairwise cross join.
+    """All-pairs near-dup as a distributed block-pair matmul.
 
-    Physical strategy: broadcast the (small) corpus matrix to every
-    executor, stream the partitioned corpus through mapInPandas, and
-    compute each batch's similarity block as one numpy matmul — thousands
-    of times fewer instruction dispatches than an interpreted 64-element
-    fold per pair (measured 18s -> <1s at sf0.1).  a_id < b_id dedupes
-    pairs; round(6) absorbs the ~1e-13 BLAS-vs-fold reassociation delta
-    relative to the oracle's exact left fold (the threshold compare is
-    ~1e9 ULPs away from the boundary — no flake risk in practice).
+    Physical strategy: hash-assign every vector to one of B blocks
+    (B = ceil(n / 8192)), replicate each row to the B block-pair groups
+    its block participates in, and compute each (block_i, block_j) group's
+    similarity tile as one numpy matmul inside applyInPandas.  Every
+    unordered row pair meets in exactly one group (the pair of its two
+    blocks), so `a_id < b_id` yields each candidate once.
 
-    Scale ceiling: the broadcast side must fit in executor memory (like
-    any broadcast join).  Beyond that, q51's SRP-LSH bucketing is the
-    scale path; this operator is the exact baseline.
+    Scale shape: work is the operator's inherent O(n^2) FLOPs, but memory
+    per task is bounded by two 8192-row blocks and NOTHING is collected on
+    the driver or broadcast whole — the previous design materialized the
+    full corpus driver-side, which dies at 100 TB.  Shuffle volume is
+    n * B rows (the square-root-replication standard for distributed
+    all-pairs).  q51's SRP-LSH bucketing remains the sub-quadratic scale
+    path; this operator is the exact baseline.
+
+    BLAS note: round(6) absorbs the ~1e-13 BLAS-vs-fold reassociation
+    delta relative to the oracle's exact left fold (the 0.35 threshold sits
+    ~1e9 ULPs from any score — no boundary flake in practice).
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
-    e = load(spark, sf_dir, "embeddings")
-    corpus = e.select("vec_id", "embedding").toPandas()
-    mat = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
-    ids = corpus["vec_id"].to_numpy()
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    # exclude zero-norm vectors identically to the oracle's nrm > 0 filter
-    # (cosine would be NaN, whose comparisons differ across engines)
-    keep0 = norms > 0
-    ids, mat, norms = ids[keep0], mat[keep0], norms[keep0]
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = e.count()  # one cheap distributed count to size the block grid
+    n_blocks = max(1, math.ceil(n / _Q50_BLOCK_ROWS))
 
-    def block(batches):
-        b_ids, b_mat, b_norms = bc.value
-        for pdf in batches:
-            a_ids = pdf["vec_id"].to_numpy()
-            a_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
-            amask = a_norms > 0
-            a_ids, a_mat, a_norms = a_ids[amask], a_mat[amask], a_norms[amask]
-            if len(a_ids) == 0:
-                continue
-            sims = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
-            ai, bi = np.where(sims >= 0.35)
-            keep = a_ids[ai] < b_ids[bi]
-            yield pd.DataFrame({
-                "a_id": a_ids[ai[keep]],
-                "b_id": b_ids[bi[keep]],
-                "cosine": np.round(sims[ai[keep], bi[keep]], 6),
-            })
+    blocked = e.withColumn(
+        "blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int"))
+    # replicate: block b joins pair-groups {(min(b,o), max(b,o)) | o < B}
+    pairs = F.expr(
+        f"transform(sequence(0, {n_blocks - 1}),"
+        f" o -> struct(least(blk, o) AS i, greatest(blk, o) AS j))")
+    rep = (blocked.withColumn("p", F.explode(pairs))
+           .select("vec_id", "embedding", "blk",
+                   F.col("p.i").alias("bi"), F.col("p.j").alias("bj")))
 
-    return e.select("vec_id", "embedding").mapInPandas(
-        block, schema="a_id bigint, b_id bigint, cosine double"
-    )
+    def tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = key
+        empty = pd.DataFrame({"a_id": pd.Series([], dtype="int64"),
+                              "b_id": pd.Series([], dtype="int64"),
+                              "cosine": pd.Series([], dtype="float64")})
+
+        def side(mask):
+            ids = pdf["vec_id"].to_numpy()[mask]
+            if len(ids) == 0:
+                return ids, None, None
+            m = np.stack(pdf["embedding"].to_numpy()[mask]).astype(np.float64)
+            nrm = np.sqrt((m * m).sum(axis=1))
+            keep = nrm > 0  # zero-norm -> NaN cosine; oracle filters nrm > 0
+            return ids[keep], m[keep], nrm[keep]
+
+        blk = pdf["blk"].to_numpy()
+        a_ids, a_mat, a_nrm = side(blk == bi)
+        if bi == bj:
+            b_ids, b_mat, b_nrm = a_ids, a_mat, a_nrm
+        else:
+            b_ids, b_mat, b_nrm = side(blk == bj)
+        if len(a_ids) == 0 or len(b_ids) == 0:
+            return empty
+        sims = (a_mat @ b_mat.T) / np.outer(a_nrm, b_nrm)
+        ai, bix = np.where(sims >= 0.35)
+        keep = a_ids[ai] < b_ids[bix]
+        return pd.DataFrame({
+            "a_id": a_ids[ai[keep]],
+            "b_id": b_ids[bix[keep]],
+            "cosine": np.round(sims[ai[keep], bix[keep]], 6),
+        })
+
+    return rep.groupBy("bi", "bj").applyInPandas(
+        tile, schema="a_id bigint, b_id bigint, cosine double")
 
 
 # --------------------------------------------------------------------------
@@ -258,9 +286,10 @@ def q53_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q52 — IVF-style ANN (coarse quantizer -> probe nprobe cells -> exact
-# re-rank).  Training-free deterministic centroids (the first n_centroids
-# corpus vectors, unit-normalized) keep the operator reproducible without
-# an iterative k-means job; swap in real k-means offline at scale.
+# re-rank).  Training-free deterministic centroids (the n_centroids
+# lowest-vec_id non-zero vectors, unit-normalized) keep the operator
+# reproducible without an iterative k-means job; swap in real k-means
+# (operators/clustering.py) offline at scale.
 #
 # No SQL oracle: cluster assignment argmax over BLAS cosines is not
 # reproducible bit-for-bit in SQL, and an approximate operator's contract
@@ -279,16 +308,23 @@ def q52_ivf_ann(spark: SparkSession, sf_dir: str, n_query: int = 10,
     import pandas as pd
 
     e = load(spark, sf_dir, "embeddings")
-    corpus = e.select("vec_id", "embedding").toPandas()
-    ids = corpus["vec_id"].to_numpy()
-    mat = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    cent = mat[:_IVF_N_CENTROIDS] / norms[:_IVF_N_CENTROIDS, None]
+    # The ONLY driver-side materialization is bounded: n_centroids + n_query
+    # rows (k x dim floats), never the corpus — the corpus is touched
+    # exclusively by executor-side mapInPandas/applyInPandas below.
+    cent_rows = (
+        e.select("vec_id", "embedding")
+        .filter(F.expr(_norm_spark("embedding")) > 0)
+        .orderBy("vec_id").limit(_IVF_N_CENTROIDS).collect())
+    cmat = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                     for r in cent_rows])
+    cent = cmat / np.linalg.norm(cmat, axis=1)[:, None]
 
-    qmask = ids < n_query
-    q_ids = ids[qmask]
-    q_mat = mat[qmask]
-    q_norms = norms[qmask]
+    q_rows = (e.select("vec_id", "embedding")
+              .filter(F.col("vec_id") < n_query).orderBy("vec_id").collect())
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                      for r in q_rows])
+    q_norms = np.linalg.norm(q_mat, axis=1)
     # clusters each query probes (nprobe nearest centroids)
     q_cent = (q_mat / q_norms[:, None]) @ cent.T
     probed = np.argsort(-q_cent, axis=1)[:, :_IVF_NPROBE]
