@@ -321,10 +321,58 @@ def q09_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q10 — sequential row-ID (F1; load_data.py:70-79 `range(1, len+1)`).
-# Deterministic variant: row_number over a declared sort key (the survey's
+# Deterministic variant: global rank over a declared sort key (the survey's
 # "deterministic alternative") — the reference's current-row-order variant
 # is order-dependent and unreproducible at scale.
+#
+# Physical strategy (the scalable one): a naive
+# `row_number().over(Window.orderBy(key))` collapses the table onto a
+# single partition.  Instead: range-repartition on the key (parallel
+# sampled exchange), sort within partitions, count rows per partition
+# (tiny P-row collect), broadcast the cumulative offsets, and enumerate
+# inside mapInPandas with TaskContext.partitionId() — the same two-pass
+# scheme as RDD zipWithIndex, but staying in DataFrame/Arrow land.  The
+# persist() pins the range partitioning so the count job and the
+# enumeration job see identical partition ids.
 # --------------------------------------------------------------------------
+def sequential_row_id(df: DataFrame, key: str, out_col: str = "id",
+                      nparts: int | None = None) -> DataFrame:
+    import pandas as pd
+    from pyspark import TaskContext
+    from pyspark.storagelevel import StorageLevel
+
+    spark = df.sparkSession
+    if nparts is None:
+        nparts = spark.sparkContext.defaultParallelism
+    part = (df.repartitionByRange(nparts, F.col(key).asc())
+            .sortWithinPartitions(F.col(key).asc())
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    counts = {r["pid"]: r["n"] for r in
+              part.select(F.spark_partition_id().alias("pid"))
+              .groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):  # ascending pid == ascending key range
+        offsets[pid] = acc
+        acc += counts[pid]
+    bc = spark.sparkContext.broadcast(offsets)
+
+    out_fields = f"`{out_col}` bigint, " + ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+
+    def number(batches):
+        base = bc.value.get(TaskContext.get().partitionId(), 0)
+        seen = 0
+        for pdf in batches:
+            ids = pd.Series(range(base + seen + 1, base + seen + 1 + len(pdf)),
+                            dtype="int64")
+            seen += len(pdf)
+            pdf = pdf.copy()
+            pdf.insert(0, out_col, ids)
+            yield pdf
+
+    return part.mapInPandas(number, schema=out_fields)
+
+
 @query(
     "q10_row_number",
     """
@@ -333,9 +381,9 @@ def q09_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q10_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
-    w = W.orderBy("o_orderkey")
-    return o.select(F.row_number().over(w).alias("id"), "o_orderkey")
+    o = (load(spark, sf_dir, "orders")
+         .filter(F.col("o_orderkey") <= 500).select("o_orderkey"))
+    return sequential_row_id(o, "o_orderkey")
 
 
 # --------------------------------------------------------------------------

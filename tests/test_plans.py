@@ -73,3 +73,11 @@ def test_q47_band_join_no_cartesian(spark):
 def test_semi_anti_never_materialize(spark, name):
     plan = _plan(spark, name)
     assert ("LeftSemi" in plan) or ("LeftAnti" in plan)
+
+
+def test_q10_row_id_no_single_partition_exchange(spark):
+    # F1 at scale: the two-pass partition-offset row id must not collapse
+    # the table onto one partition the way a global window would
+    plan = _plan(spark, "q10_row_number")
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan
