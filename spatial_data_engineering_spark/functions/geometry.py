@@ -441,12 +441,17 @@ def contains(ga, gb) -> bool:
 def union(geoms):
     """Geometric dissolve (ST_Union aggregate form, load_report.py:472).
 
-    Disjoint inputs (the reference's and fixtures' case) dissolve to an
-    exact MultiPolygon of all shells.  Overlapping interiors are NOT
-    re-noded — the result keeps both shells; ``union_area`` computes the
-    correct area for convex overlaps via pairwise inclusion-exclusion.
-    A full polygon-clipping union (Vatti/Martinez) is out of scope for the
-    fixtures' disjoint data; documented divergence.
+    Pairwise-bbox-disjoint inputs (the reference's and fixtures' common
+    case) dissolve to an exact MultiPolygon of all parts — no arrangement
+    needed.  Anything else goes through the exact planar-subdivision union
+    (``_union_exact``): boundaries are re-noded at every crossing, shared
+    and overlapping edges are merged, and enclosed voids become holes —
+    PostGIS ST_Union semantics for Polygon/MultiPolygon input.
+
+    Output (for >1 input part) is canonicalized — parts/holes sorted,
+    rings rotated to their minimum vertex, shells CCW / holes CW — so the
+    result is independent of input order.  That makes the aggregate safe
+    for two-phase (partial-then-final) execution in ``union_agg``.
     """
     polys = []
     for g in geoms:
@@ -458,7 +463,348 @@ def union(geoms):
         return None
     if len(polys) == 1:
         return ("Polygon", polys[0])
-    return ("MultiPolygon", polys)
+    if _bboxes_pairwise_disjoint(polys):
+        return _canonical_parts([_normalize_winding(p) for p in polys])
+    return _union_exact(polys)
+
+
+# ------------------------------------------------------- exact union core --
+#
+# Standard planar-subdivision boolean union (the textbook arrangement
+# approach, same family as Margalit-Knott / Weiler-Atherton generalized to
+# N inputs):
+#   1. split every boundary segment at every intersection with any other
+#      segment (bbox sweep prune; collinear overlaps split at projected
+#      endpoints), snapping vertices on an eps grid;
+#   2. classify each unique undirected sub-edge by which side(s) the union
+#      interior covers: a polygon that owns the edge covers the side its
+#      winding points to (interior-on-left after normalization); any other
+#      polygon covers both sides iff the (boundary-free) midpoint lies
+#      inside it.  Edges with interior on exactly one side form the union
+#      boundary, oriented interior-on-left;
+#   3. stitch directed edges into rings with the sharpest-left-turn rule
+#      (traces each face even at degree>2 pinch vertices), drop collinear
+#      vertices introduced by noding, classify shells (CCW) vs holes (CW)
+#      by signed area, and assign each hole to the smallest containing
+#      shell.
+#
+# Pure Python on purpose: runs inside the union_agg pandas UDAF per group;
+# cost is O(S^2) worst-case on segment count per *group partial*, bounded
+# in practice by the bbox sweep and by union_agg's two-phase partials.
+
+
+def _normalize_winding(rings):
+    """Close rings and orient shell CCW / holes CW (interior on left)."""
+    out = []
+    for i, ring in enumerate(rings):
+        r = list(ring)
+        if r[0] != r[-1]:
+            r.append(r[0])
+        a = _ring_area(r)
+        if a != 0 and (a > 0) != (i == 0):
+            r = r[::-1]
+        out.append(r)
+    return out
+
+
+def _bboxes_pairwise_disjoint(polys) -> bool:
+    boxes = []
+    for rings in polys:
+        xs = [p[0] for p in rings[0]]
+        ys = [p[1] for p in rings[0]]
+        boxes.append((min(xs), min(ys), max(xs), max(ys)))
+    boxes.sort()
+    for i, (_, iymin, ixmax, iymax) in enumerate(boxes):
+        for j in range(i + 1, len(boxes)):
+            if boxes[j][0] > ixmax:
+                break
+            if not (boxes[j][3] < iymin or boxes[j][1] > iymax):
+                return False
+    return True
+
+
+class _Snapper:
+    """Eps-grid vertex merger keeping the first-seen representative; the
+    3x3 neighborhood probe catches near-equal points straddling a cell."""
+
+    def __init__(self, eps: float):
+        self.eps = eps
+        self._grid: dict = {}
+
+    def __call__(self, p):
+        eps = self.eps
+        kx, ky = round(p[0] / eps), round(p[1] / eps)
+        for dx in (0, -1, 1):
+            for dy in (0, -1, 1):
+                q = self._grid.get((kx + dx, ky + dy))
+                if (q is not None and abs(q[0] - p[0]) <= eps
+                        and abs(q[1] - p[1]) <= eps):
+                    return q
+        self._grid[(kx, ky)] = p
+        return p
+
+
+def _seg_pair_splits(sa, sb, ta: set, tb: set, eps: float) -> None:
+    """Record split parameters where segments sa/sb intersect (proper
+    crossings, endpoint touches, collinear overlaps)."""
+    (p1, p2, _), (p3, p4, _) = sa, sb
+    d1 = (p2[0] - p1[0], p2[1] - p1[1])
+    d2 = (p4[0] - p3[0], p4[1] - p3[1])
+    l1 = math.hypot(*d1)
+    l2 = math.hypot(*d2)
+    if l1 == 0 or l2 == 0:
+        return
+    denom = d1[0] * d2[1] - d1[1] * d2[0]
+    if abs(denom) > 1e-12 * l1 * l2:
+        wx, wy = p3[0] - p1[0], p3[1] - p1[1]
+        t = (wx * d2[1] - wy * d2[0]) / denom
+        u = (wx * d1[1] - wy * d1[0]) / denom
+        if (-eps / l1 <= t <= 1 + eps / l1
+                and -eps / l2 <= u <= 1 + eps / l2):
+            ta.add(min(1.0, max(0.0, t)))
+            tb.add(min(1.0, max(0.0, u)))
+        return
+    # parallel: collinear iff p3 sits within eps of line(p1, p2)
+    if abs((p3[0] - p1[0]) * d1[1] - (p3[1] - p1[1]) * d1[0]) / l1 > eps:
+        return
+    for (px, py), tset, base, d, ln in (
+            (p3, ta, p1, d1, l1), (p4, ta, p1, d1, l1),
+            (p1, tb, p3, d2, l2), (p2, tb, p3, d2, l2)):
+        t = ((px - base[0]) * d[0] + (py - base[1]) * d[1]) / (ln * ln)
+        if 0.0 < t < 1.0:
+            tset.add(t)
+
+
+def _split_all(segs, eps: float):
+    """Split parameters per segment; candidate pairs pruned by a sort-by-
+    xmin bbox sweep (O(S log S + K pairs) instead of all S^2)."""
+    n = len(segs)
+    boxes = []
+    for p, q, _ in segs:
+        boxes.append((min(p[0], q[0]), min(p[1], q[1]),
+                      max(p[0], q[0]), max(p[1], q[1])))
+    order = sorted(range(n), key=lambda i: boxes[i][0])
+    ts: list[set] = [set() for _ in range(n)]
+    for a_pos, i in enumerate(order):
+        bi = boxes[i]
+        for b_pos in range(a_pos + 1, n):
+            j = order[b_pos]
+            bj = boxes[j]
+            if bj[0] > bi[2] + eps:
+                break
+            if bj[1] > bi[3] + eps or bj[3] < bi[1] - eps:
+                continue
+            _seg_pair_splits(segs[i], segs[j], ts[i], ts[j], eps)
+    return ts
+
+
+def _union_exact(polys):
+    # local frame: translation hygiene, same reason as _ring_area
+    ox, oy = polys[0][0][0]
+    tpolys = [
+        [[(x - ox, y - oy) for x, y in ring] for ring in rings]
+        for rings in (_normalize_winding(p) for p in polys)
+    ]
+    span = 1.0
+    for rings in tpolys:
+        for ring in rings:
+            for x, y in ring:
+                span = max(span, abs(x), abs(y))
+    eps = span * 1e-9
+
+    segs = []  # directed (p, q, poly_idx), interior on left
+    for pi, rings in enumerate(tpolys):
+        for ring in rings:
+            for k in range(len(ring) - 1):
+                if ring[k] != ring[k + 1]:
+                    segs.append((ring[k], ring[k + 1], pi))
+
+    ts = _split_all(segs, eps)
+    snap = _Snapper(eps)
+    # undirected sub-edge -> {poly_idx: net direction along key order}
+    edges: dict = {}
+    for i, (p, q, pi) in enumerate(segs):
+        pts = []
+        for t in sorted(ts[i] | {0.0, 1.0}):
+            pts.append(snap((p[0] + t * (q[0] - p[0]),
+                             p[1] + t * (q[1] - p[1]))))
+        for a, b in zip(pts, pts[1:]):
+            if a == b:
+                continue
+            key, dirn = ((a, b), 1) if a <= b else ((b, a), -1)
+            per = edges.setdefault(key, {})
+            per[pi] = per.get(pi, 0) + dirn
+
+    pgeoms = [("Polygon", rings) for rings in tpolys]
+    pboxes = [bounds(g) for g in pgeoms]
+    probe_off = 64 * eps  # clear of snap noise, tiny vs features
+
+    kept = []  # directed edges with union interior on the LEFT
+    for (u, v), per_poly in edges.items():
+        mx, my = (u[0] + v[0]) / 2.0, (u[1] + v[1]) / 2.0
+        left = right = False
+        for pi, g in enumerate(pgeoms):
+            if left and right:
+                break
+            net = per_poly.get(pi)
+            if net == 1:
+                left = True
+            elif net == -1:
+                right = True
+            elif net is not None:
+                # degenerate (shell+hole sharing an edge, doubled edge):
+                # settle by probing just off each side
+                dx, dy = v[0] - u[0], v[1] - u[1]
+                ln = math.hypot(dx, dy)
+                nx, ny = -dy / ln, dx / ln
+                if point_in_polygon(mx + nx * probe_off,
+                                    my + ny * probe_off, g):
+                    left = True
+                if point_in_polygon(mx - nx * probe_off,
+                                    my - ny * probe_off, g):
+                    right = True
+            else:
+                # not on this polygon's boundary: midpoint decides both
+                # sides (edges were noded, so mid cannot sit on g's rim)
+                bb = pboxes[pi]
+                if (bb[0] - eps <= mx <= bb[2] + eps
+                        and bb[1] - eps <= my <= bb[3] + eps
+                        and point_in_polygon(mx, my, g)):
+                    left = right = True
+        if left != right:
+            kept.append((u, v) if left else (v, u))
+
+    rings_out = _stitch_rings(kept)
+
+    shells, holes = [], []
+    for ring in rings_out:
+        ring = _drop_collinear(ring, eps)
+        if ring is None:
+            continue
+        a = _ring_area(ring)
+        if abs(a) <= eps * eps:
+            continue
+        (shells if a > 0 else holes).append(ring)
+    if not shells:
+        raise ValueError("union produced no area: degenerate input")
+
+    # holes attach to the smallest shell containing an interior probe
+    assigned: list[list] = [[s] for s in shells]
+    order = sorted(range(len(shells)),
+                   key=lambda i: abs(_ring_area(shells[i])))
+    for hole in holes:
+        hx, hy = _ring_interior_point(hole)
+        for i in order:
+            if point_in_polygon(hx, hy, ("Polygon", [shells[i]])):
+                assigned[i].append(hole)
+                break
+        else:
+            raise ValueError("union hole outside every shell")
+
+    back = [
+        [[(x + ox, y + oy) for x, y in ring] for ring in rings]
+        for rings in assigned
+    ]
+    return _canonical_parts(back)
+
+
+def _stitch_rings(kept):
+    """Assemble directed interior-on-left edges into closed rings.  At
+    each vertex take the sharpest LEFT turn — the rule that keeps the
+    traced face on the left through degree>2 pinch vertices."""
+    out_edges: dict = {}
+    for u, v in kept:
+        out_edges.setdefault(u, []).append(v)
+    unused = set(kept)
+    rings = []
+    for e0 in kept:
+        if e0 not in unused:
+            continue
+        unused.discard(e0)
+        ring = [e0[0], e0[1]]
+        cur = e0
+        while True:
+            u, v = cur
+            din = math.atan2(v[1] - u[1], v[0] - u[0])
+            best, best_cw = None, None
+            for w in out_edges.get(v, ()):
+                nxt = (v, w)
+                if nxt != e0 and nxt not in unused:
+                    continue
+                th = math.atan2(w[1] - v[1], w[0] - v[0])
+                cw = (din + math.pi - th) % (2.0 * math.pi)
+                if best is None or cw < best_cw:
+                    best, best_cw = nxt, cw
+            if best is None:
+                raise ValueError("union boundary did not close")
+            if best == e0:
+                break
+            unused.discard(best)
+            ring.append(best[1])
+            cur = best
+        rings.append(ring)
+    return rings
+
+
+def _drop_collinear(ring, eps: float):
+    """Remove noding artifacts: vertices within eps of the line through
+    their neighbors.  Returns a closed ring or None if degenerate."""
+    pts = ring[:-1] if ring[0] == ring[-1] else list(ring)
+    changed = True
+    while changed and len(pts) >= 3:
+        changed = False
+        out = []
+        n = len(pts)
+        for i in range(n):
+            a, b, c = pts[i - 1], pts[i], pts[(i + 1) % n]
+            lac = math.hypot(c[0] - a[0], c[1] - a[1])
+            cross = ((c[0] - a[0]) * (b[1] - a[1])
+                     - (c[1] - a[1]) * (b[0] - a[0]))
+            if lac > 0 and abs(cross) / lac <= eps:
+                changed = True
+                continue
+            out.append(b)
+        pts = out
+    if len(pts) < 3:
+        return None
+    return pts + [pts[0]]
+
+
+def _ring_interior_point(ring):
+    """A point strictly inside a simple ring: centroid of the ear at the
+    lowest-leftmost (necessarily convex) vertex, verified; falls back to
+    the vertex mean."""
+    pts = ring[:-1] if ring[0] == ring[-1] else list(ring)
+    i = min(range(len(pts)), key=lambda k: pts[k])
+    a, b, c = pts[i - 1], pts[i], pts[(i + 1) % len(pts)]
+    for cand in (((a[0] + b[0] + c[0]) / 3.0, (a[1] + b[1] + c[1]) / 3.0),
+                 (sum(p[0] for p in pts) / len(pts),
+                  sum(p[1] for p in pts) / len(pts))):
+        if _point_in_ring(cand[0], cand[1], pts + [pts[0]]) == 1:
+            return cand
+    return b
+
+
+def _canonical_parts(parts):
+    """Canonical Polygon/MultiPolygon from [[shell, hole...], ...]: rings
+    rotated to their minimum vertex, holes sorted within a part, parts
+    sorted by shell key — input-order independence for the aggregate."""
+    canon = []
+    for rings in parts:
+        shell = _rotate_min(rings[0])
+        hs = sorted((_rotate_min(h) for h in rings[1:]), key=lambda r: r[0])
+        canon.append([shell] + hs)
+    canon.sort(key=lambda rings: rings[0][0])
+    if len(canon) == 1:
+        return ("Polygon", canon[0])
+    return ("MultiPolygon", canon)
+
+
+def _rotate_min(ring):
+    pts = ring[:-1] if ring[0] == ring[-1] else list(ring)
+    i = min(range(len(pts)), key=lambda k: pts[k])
+    pts = pts[i:] + pts[:i]
+    return pts + [pts[0]]
 
 
 def geom_type(geom) -> str:
@@ -473,64 +819,11 @@ def exterior_coords(geom):
     return [[list(pt) for pt in rings[0]] for rings in _iter_polys(geom)]
 
 
-# convex clip for union_area's inclusion-exclusion
-def _clip_convex(subject, clip_ring):
-    """Sutherland-Hodgman: clip subject ring by convex clip ring (CCW)."""
-    def inside(p, a, b):
-        return (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0]) >= -1e-12
-
-    def line_int(a, b, p, q):
-        a1 = b[1] - a[1]
-        b1 = a[0] - b[0]
-        c1 = a1 * a[0] + b1 * a[1]
-        a2 = q[1] - p[1]
-        b2 = p[0] - q[0]
-        c2 = a2 * p[0] + b2 * p[1]
-        det = a1 * b2 - a2 * b1
-        if abs(det) < 1e-18:
-            return p
-        return ((b2 * c1 - b1 * c2) / det, (a1 * c2 - a2 * c1) / det)
-
-    out = list(subject)
-    cr = list(clip_ring)
-    if cr[0] == cr[-1]:
-        cr = cr[:-1]
-    if _ring_area(cr + [cr[0]]) < 0:
-        cr = cr[::-1]
-    for i in range(len(cr)):
-        a, b = cr[i], cr[(i + 1) % len(cr)]
-        if not out:
-            return []
-        inp = out
-        out = []
-        for j in range(len(inp)):
-            p, q = inp[j], inp[(j + 1) % len(inp)]
-            pin, qin = inside(p, a, b), inside(q, a, b)
-            if pin:
-                out.append(p)
-                if not qin:
-                    out.append(line_int(p, q, a, b))
-            elif qin:
-                out.append(line_int(p, q, a, b))
-    return out
-
-
 def union_area(geoms) -> float:
-    """Area of the union for convex shells: inclusion-exclusion to pairwise
-    order (exact when no point lies in 3+ shells, true for the fixtures)."""
-    shells = []
-    for g in geoms:
-        if g is None:
-            continue
-        for rings in _iter_polys(g):
-            shells.append(rings[0])
-    total = sum(abs(_ring_area(s)) for s in shells)
-    for i in range(len(shells)):
-        for j in range(i + 1, len(shells)):
-            clipped = _clip_convex(shells[i], shells[j])
-            if len(clipped) >= 3:
-                total -= abs(_ring_area(clipped + [clipped[0]]))
-    return total
+    """Area of the dissolved union (exact for arbitrary overlaps — the
+    pre-r2 convex inclusion-exclusion limitation is gone)."""
+    u = union(geoms)
+    return 0.0 if u is None else area(u)
 
 
 def make_box(xmin, ymin, xmax, ymax):

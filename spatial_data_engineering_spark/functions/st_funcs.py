@@ -85,6 +85,15 @@ def st_geometrytype(wkb: pd.Series) -> pd.Series:
     return _map(wkb, lambda b: G.geom_type(G.wkb_loads(bytes(b))))
 
 
+@F.pandas_udf(T.IntegerType())
+def st_num_geometries(wkb: pd.Series) -> pd.Series:
+    """PostGIS ST_NumGeometries: parts of a MultiPolygon, 1 otherwise."""
+    def n(b: bytes) -> int:
+        g = G.wkb_loads(bytes(b))
+        return len(g[1]) if g[0] == "MultiPolygon" else 1
+    return _map(wkb, n)
+
+
 # ------------------------------------------------------------ measurement
 
 @F.pandas_udf(T.DoubleType())

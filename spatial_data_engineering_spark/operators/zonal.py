@@ -24,7 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.st_funcs import st_area, st_makebox, st_point
+from ..functions.st_funcs import (st_area, st_makebox, st_num_geometries,
+                                  st_point)
 from .common import davg, sql_davg
 from .spatial_join import grid_spatial_join, union_agg
 
@@ -190,4 +191,62 @@ def q62_dissolve_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(counts, "n_regionkey")
         .select("n_regionkey", "area_ha", "n_parts")
+    )
+
+
+# --------------------------------------------------------------------------
+# q67 — OVERLAPPING dissolve (the E1 case q62's disjoint data cannot
+# reach): per-nation rectangles form per-region chains along x with a
+# shared y-band, so boundaries genuinely overlap/touch and the union must
+# re-node them.  Union area and part count have a closed form the oracle
+# computes with classic gaps-and-islands interval merging — a hard check
+# on the planar-subdivision union (area AND topology), not just rows.
+# --------------------------------------------------------------------------
+@query(
+    "q67_overlap_dissolve",
+    """
+    WITH rects AS (
+        SELECT n_regionkey,
+               CAST((n_nationkey * 17) % 40 AS DOUBLE) AS x0,
+               CAST((n_nationkey * 17) % 40 + 25 AS DOUBLE) AS x1
+        FROM nation
+    ),
+    ord AS (
+        SELECT n_regionkey, x0, x1,
+               MAX(x1) OVER (PARTITION BY n_regionkey ORDER BY x0, x1
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS prev_max
+        FROM rects
+    ),
+    grp AS (
+        SELECT n_regionkey, x0, x1,
+               SUM(CASE WHEN prev_max IS NULL OR x0 > prev_max
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY n_regionkey ORDER BY x0, x1) AS island
+        FROM ord
+    ),
+    islands AS (
+        SELECT n_regionkey, island, MAX(x1) - MIN(x0) AS len
+        FROM grp GROUP BY n_regionkey, island
+    )
+    SELECT n_regionkey,
+           CAST(SUM(len) * (n_regionkey + 5) AS DOUBLE) AS union_area,
+           COUNT(*) AS n_islands
+    FROM islands GROUP BY n_regionkey
+    """,
+)
+def q67_overlap_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    x0 = ((F.col("n_nationkey") * 17) % 40).cast("double")
+    y0 = F.col("n_regionkey") * 100.0
+    h = F.col("n_regionkey").cast("double") + 5.0
+    rects = n.select(
+        "n_regionkey",
+        st_makebox(x0, y0, x0 + 25.0, y0 + h).alias("geom"),
+    )
+    dissolved = union_agg(rects, ["n_regionkey"], geom_col="geom")
+    return dissolved.select(
+        "n_regionkey",
+        st_area(F.col("geom")).alias("union_area"),
+        st_num_geometries(F.col("geom")).cast("long").alias("n_islands"),
     )

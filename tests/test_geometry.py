@@ -159,3 +159,131 @@ def test_exterior_coords_and_type_dispatch():
     with pytest.raises(ValueError):
         # Point has no exterior ring — mirrors convert_geom_to_gee's raise
         G.exterior_coords(("Point", (0.0, 0.0)))
+
+
+# ------------------------------------------------------------ exact union --
+
+def _perms(items):
+    import itertools
+    return list(itertools.permutations(items))
+
+
+def test_union_overlap_renodes():
+    a, c = G.make_box(0, 0, 1, 1), G.make_box(0.5, 0, 1.5, 1)
+    u = G.union([a, c])
+    assert u[0] == "Polygon"
+    assert abs(G.area(u) - 1.5) < 1e-9
+    # re-noded boundary: no vertex strictly inside the union
+    for x, y in u[1][0]:
+        assert x in (0.0, 1.5) or y in (0.0, 1.0)
+
+
+def test_union_chain_and_order_independence():
+    boxes = [G.make_box(i * 0.6, 0, i * 0.6 + 1, 1) for i in range(4)]
+    expect = 0.6 * 3 + 1.0  # merged x-extent * height
+    results = {G.wkb_dumps(G.union(list(p))) for p in _perms(boxes)}
+    assert len(results) == 1  # canonical => order independent
+    u = G.union(boxes)
+    assert abs(G.area(u) - expect) < 1e-9
+
+
+def test_union_frame_creates_hole():
+    frame = [
+        G.make_box(0, 0, 10, 1), G.make_box(0, 9, 10, 10),
+        G.make_box(0, 0, 1, 10), G.make_box(9, 0, 10, 10),
+    ]
+    u = G.union(frame)
+    assert u[0] == "Polygon" and len(u[1]) == 2  # shell + hole
+    assert abs(G.area(u) - (100 - 64)) < 1e-9
+    assert not G.point_in_polygon(5, 5, u)
+    assert G.point_in_polygon(0.5, 5, u)
+
+
+def test_union_contained_absorbed_and_shared_edge():
+    u = G.union([G.make_box(0, 0, 10, 10), G.make_box(2, 2, 5, 5)])
+    assert u[0] == "Polygon" and abs(G.area(u) - 100) < 1e-9
+    # shared edge merges into one rectangle
+    u2 = G.union([G.make_box(0, 0, 1, 1), G.make_box(1, 0, 2, 1)])
+    assert u2[0] == "Polygon" and abs(G.area(u2) - 2.0) < 1e-9
+    assert len(u2[1][0]) == 5  # collinear mid-edge vertices dropped
+
+
+def test_union_corner_touch_stays_multipolygon():
+    u = G.union([G.make_box(0, 0, 1, 1), G.make_box(1, 1, 2, 2)])
+    assert abs(G.area(u) - 2.0) < 1e-9
+    assert u[0] == "MultiPolygon" and len(u[1]) == 2
+
+
+def test_union_inscribed_diamond():
+    # unit-square corners all on the diamond boundary: containment with
+    # full boundary contact
+    diamond = ("Polygon", [[(1, -1), (3, 1), (1, 3), (-1, 1), (1, -1)]])
+    u = G.union([G.make_box(0, 0, 2, 2), diamond])
+    assert abs(G.area(u) - 8.0) < 1e-9
+
+
+def test_union_triangle_square_overlap():
+    tri = ("Polygon", [[(0, 0), (4, 0), (0, 4), (0, 0)]])
+    sq = G.make_box(1, 1, 5, 5)
+    u = G.union([tri, sq])
+    assert abs(G.area(u) - (8 + 16 - 2)) < 1e-9
+
+
+def test_union_associative_partials():
+    boxes = [G.make_box(0, 0, 3, 3), G.make_box(2, 2, 5, 5),
+             G.make_box(4, 0, 6, 3), G.make_box(-1, -1, 1, 1)]
+    whole = G.union(boxes)
+    p1 = G.union(boxes[:2])
+    p2 = G.union(boxes[2:])
+    two_phase = G.union([p1, p2])
+    assert G.wkb_dumps(two_phase) == G.wkb_dumps(whole)
+
+
+def _rect_union_area_reference(rects):
+    """Exact union area of axis-aligned rects via x-strip decomposition."""
+    xs = sorted({r[0] for r in rects} | {r[2] for r in rects})
+    total = 0.0
+    for x0, x1 in zip(xs, xs[1:]):
+        mid = (x0 + x1) / 2
+        ivs = sorted((r[1], r[3]) for r in rects if r[0] <= mid <= r[2])
+        merged_len, cur_lo, cur_hi = 0.0, None, None
+        for lo, hi in ivs:
+            if cur_hi is None or lo > cur_hi:
+                if cur_hi is not None:
+                    merged_len += cur_hi - cur_lo
+                cur_lo, cur_hi = lo, hi
+            else:
+                cur_hi = max(cur_hi, hi)
+        if cur_hi is not None:
+            merged_len += cur_hi - cur_lo
+        total += merged_len * (x1 - x0)
+    return total
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12),
+              st.integers(1, 8), st.integers(1, 8)),
+    min_size=2, max_size=7))
+def test_union_area_property_vs_strip_reference(specs):
+    rects = [(x, y, x + w, y + h) for x, y, w, h in specs]
+    geoms = [G.make_box(*r) for r in rects]
+    expect = _rect_union_area_reference(rects)
+    got = G.union_area(geoms)
+    assert abs(got - expect) <= 1e-6 * max(1.0, expect)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12),
+              st.integers(1, 8), st.integers(1, 8)),
+    min_size=2, max_size=6))
+def test_union_area_utm_scale_coords(specs):
+    # UTM-magnitude coordinates (~1e7): eps/snap handling must not
+    # collapse or split meter-scale features
+    X, Y = 4_500_000.0, 9_800_000.0
+    rects = [(x + X, y + Y, x + X + w, y + Y + h) for x, y, w, h in specs]
+    geoms = [G.make_box(*r) for r in rects]
+    expect = _rect_union_area_reference([(x - X, y - Y, a - X, b - Y)
+                                         for x, y, a, b in rects])
+    assert abs(G.union_area(geoms) - expect) <= 1e-5 * max(1.0, expect)
