@@ -17,10 +17,13 @@ opposite of key skew).  Points land in exactly one cell, so the dedupe is
 a no-op for point-in-polygon workloads and Catalyst's AQE handles residual
 imbalance.
 
-``union_agg`` implements E1 (ST_Union aggregate, load_report.py:472) as a
-grouped-map: commutative/associative dissolve, so partial-then-final tree
-aggregation is legal; at reference scale groups are small and a single
-grouped map suffices.
+``union_agg`` implements E1 (ST_Union aggregate, load_report.py:472) in
+two phases, exactly like a built-in aggregate with a map-side combiner:
+a mapInPandas partial dissolve per Arrow batch (no shuffle of raw
+geometries — only one merged geometry per group per batch crosses the
+wire), then a grouped-map final dissolve.  geometry.union is canonical
+and associative, so the partial/final split cannot change the result;
+no single pandas group ever materializes a whole 100 TB group's rows.
 """
 
 from __future__ import annotations
@@ -77,9 +80,11 @@ def union_agg(df: DataFrame, group_cols: list[str], geom_col: str = "geom",
               out_col: str = "geom") -> DataFrame:
     """GROUP BY group_cols with geometric union of geom_col (E1).
 
-    applyInPandas grouped-map: per group, decode WKB -> dissolve ->
-    re-encode.  Dissolve is the documented collection-union (disjoint
-    shells exact; see geometry.union).
+    Two-phase tree aggregation (legal because geometry.union is
+    associative and canonical): phase 1 dissolves each group's rows
+    WITHIN each Arrow batch via mapInPandas — the map-side combine, so
+    only one partial geometry per (group, batch) is shuffled; phase 2 is
+    the grouped-map final dissolve over those partials.
     """
     import pandas as pd
 
@@ -90,11 +95,25 @@ def union_agg(df: DataFrame, group_cols: list[str], geom_col: str = "geom",
     )
     out_schema = f"{schema_fields}, `{out_col}` binary"
 
-    def dissolve(pdf: pd.DataFrame) -> pd.DataFrame:
-        geoms = [G.wkb_loads(bytes(b)) for b in pdf[geom_col] if b is not None]
+    def _dissolve_rows(pdf: pd.DataFrame, in_col: str) -> pd.DataFrame:
+        geoms = [G.wkb_loads(bytes(b)) for b in pdf[in_col] if b is not None]
         u = G.union(geoms)
         row = {c: [pdf[c].iloc[0]] for c in keep}
         row[out_col] = [None if u is None else G.wkb_dumps(u)]
         return pd.DataFrame(row)
 
-    return df.groupBy(*group_cols).applyInPandas(dissolve, schema=out_schema)
+    def partial(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            parts = [_dissolve_rows(grp, geom_col)
+                     for _, grp in pdf.groupby(keep, dropna=False, sort=False)]
+            yield pd.concat(parts, ignore_index=True)
+
+    partials = df.select(*keep, geom_col).mapInPandas(partial,
+                                                      schema=out_schema)
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _dissolve_rows(pdf, out_col)
+
+    return partials.groupBy(*group_cols).applyInPandas(final, schema=out_schema)

@@ -81,3 +81,13 @@ def test_q10_row_id_no_single_partition_exchange(spark):
     plan = _plan(spark, "q10_row_number")
     assert "SinglePartition" not in plan
     assert "rangepartitioning" in plan
+
+
+def test_q62_union_agg_two_phase(spark):
+    # E1 at scale: partial dissolve per Arrow batch (MapInPandas combiner)
+    # before the shuffle, final grouped dissolve after — raw geometries
+    # never shuffle, and no pandas group sees a whole group's rows
+    plan = _plan(spark, "q62_dissolve_area")
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.index("MapInPandas") > plan.index("FlatMapGroupsInPandas")
