@@ -996,10 +996,30 @@ def q32_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouped_percentiles(df: DataFrame, group_cols: list[str], value_col: str,
+                        probs: list[float], names: list[str],
+                        exact: bool = False,
+                        accuracy: int = 10000) -> DataFrame:
+    """Grouped quantiles with an exact/approximate toggle.
+
+    exact=False (the 100 TB default): ``percentile_approx`` — Spark's
+    Greenwald-Khanna sketch, bounded memory per group regardless of group
+    size, mergeable map-side partials; relative rank error <= 1/accuracy.
+    exact=True: ``percentile`` — bit-exact ((n-1)*p interpolation,
+    matching DuckDB quantile_cont) but it buffers each group's values in
+    executor memory, so reserve it for oracle parity and small groups.
+    """
+    fn = ((lambda p: F.percentile(value_col, F.lit(p))) if exact
+          else (lambda p: F.percentile_approx(value_col, p, accuracy)))
+    return df.groupBy(*group_cols).agg(
+        *[fn(p).alias(n) for p, n in zip(probs, names)])
+
+
 # --------------------------------------------------------------------------
 # q33 — exact quantiles (generalizes q26's median; both engines use the
 # standard (n-1)*p linear interpolation on the sorted values, so results
-# are bit-identical).
+# are bit-identical).  exact=True is what makes the oracle hash-match;
+# the operator's default is the sketch path — see grouped_percentiles.
 # --------------------------------------------------------------------------
 @query(
     "q33_percentiles",
@@ -1014,12 +1034,9 @@ def q32_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q33_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.25)).alias("p25"),
-        F.percentile("l_extendedprice", F.lit(0.50)).alias("p50"),
-        F.percentile("l_extendedprice", F.lit(0.75)).alias("p75"),
-        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
-    )
+    return grouped_percentiles(
+        li, ["l_returnflag"], "l_extendedprice",
+        [0.25, 0.50, 0.75, 0.95], ["p25", "p50", "p75", "p95"], exact=True)
 
 
 # --------------------------------------------------------------------------
@@ -1030,10 +1047,9 @@ def q33_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q34_approx_quantiles")
 def q34_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("ap50"),
-        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("ap95"),
-    )
+    return grouped_percentiles(
+        li, ["l_returnflag"], "l_extendedprice",
+        [0.5, 0.95], ["ap50", "ap95"], exact=False)
 
 
 # --------------------------------------------------------------------------

@@ -13,9 +13,12 @@ def test_approx_quantiles_within_bound(spark):
     exact = {r.l_returnflag: r for r in q33_percentiles(spark, SF_ORACLE).collect()}
     approx = {r.l_returnflag: r for r in q34_approx_quantiles(spark, SF_ORACLE).collect()}
     assert set(exact) == set(approx)
+    # GK sketch at accuracy=10000: rank error <= 1e-4, well under 1% in
+    # value space for this distribution — the grouped_percentiles default
+    # path is a faithful stand-in for the exact toggle
     for k in exact:
-        assert abs(approx[k].ap50 - exact[k].p50) / exact[k].p50 < 0.02
-        assert abs(approx[k].ap95 - exact[k].p95) / exact[k].p95 < 0.02
+        assert abs(approx[k].ap50 - exact[k].p50) / exact[k].p50 < 0.01
+        assert abs(approx[k].ap95 - exact[k].p95) / exact[k].p95 < 0.01
 
 
 def test_approx_count_distinct_within_bound(spark):
