@@ -408,3 +408,64 @@ def q51_srp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("a_id") < F.col("b_id")))
         .select("a_id", "b_id", "bucket", F.round(cos, 6).alias("cosine"))
     )
+
+
+# --------------------------------------------------------------------------
+# q69 — int8 symmetric embedding quantization: the storage/serving
+# compression step of an embedding pipeline (scale = max|x|, q_i =
+# round(127 * x_i / scale) clamped to int8 range by construction).  All
+# math is per-row array expressions in doubles — identical IEEE ops in
+# both engines, so the oracle matches exactly with no tolerance; the
+# digest columns (sum/min/max of the quantized vector) make the check a
+# value check on every dimension without shipping arrays to the compare.
+# --------------------------------------------------------------------------
+@query(
+    "q69_embedding_quantize",
+    """
+    WITH scaled AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) AS scale,
+               embedding
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, scale,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / scale)
+                             AS BIGINT)) AS qv
+        FROM scaled WHERE scale > 0
+    )
+    SELECT vec_id, scale,
+           CAST(list_sum(qv) AS BIGINT) AS sum_q,
+           CAST(list_min(qv) AS BIGINT) AS min_q,
+           CAST(list_max(qv) AS BIGINT) AS max_q,
+           CAST(len(qv) AS INTEGER) AS n_dims
+    FROM q
+    """,
+)
+def q69_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    scaled = e.select(
+        "vec_id", "embedding",
+        F.array_max(
+            F.transform("embedding", lambda x: F.abs(x.cast("double")))
+        ).alias("scale"),
+    ).filter(F.col("scale") > 0)
+    # materialize qv once (HOF lambdas are not CSE'd across projections)
+    qv = scaled.select(
+        "vec_id", "scale",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 127.0 / F.col("scale"))
+            .cast("long"),
+        ).alias("qv"),
+    )
+    return qv.select(
+        "vec_id", "scale",
+        F.aggregate("qv", F.lit(0).cast("long"), lambda a, v: a + v)
+        .alias("sum_q"),
+        F.array_min("qv").alias("min_q"),
+        F.array_max("qv").alias("max_q"),
+        F.size("qv").alias("n_dims"),
+    )

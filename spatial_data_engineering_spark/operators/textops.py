@@ -435,3 +435,60 @@ def q44_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.min("quality"), 6).alias("min_q"),
              F.round(F.max("quality"), 6).alias("max_q"))
     )
+
+
+# --------------------------------------------------------------------------
+# q68 — sliding-window document chunking: the step that turns cleaned
+# documents into fixed-size training examples (64-token chunks, stride 48
+# => 16-token overlap).  Pure built-in array ops — split/filter once,
+# sequence+explode for starts, slice+array_join per chunk — all JVM-side;
+# chunking is a flatMap, no shuffle at all.  Oracle mirrors it with
+# unnest(range(...)) + 1-based list slicing.
+# --------------------------------------------------------------------------
+_CHUNK_W, _CHUNK_S = 64, 48
+
+
+@query(
+    "q68_chunk_documents",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, t,
+               unnest(range(1, len(t) + 1, {_CHUNK_S})) AS start
+        FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id,
+           CAST((start - 1) / {_CHUNK_S} AS INTEGER) AS chunk_id,
+           array_to_string(
+               t[start:least(start + {_CHUNK_W} - 1, len(t))], ' ')
+               AS chunk_text,
+           CAST(least({_CHUNK_W}, len(t) - start + 1) AS BIGINT) AS n_tokens
+    FROM starts
+    """,
+)
+def q68_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split("text", r"\s+"), lambda x: x != F.lit("")).alias("t"),
+    ).filter(F.size("t") > 0)
+    starts = toks.select(
+        "doc_id", "t",
+        F.explode(
+            F.sequence(F.lit(0), F.size("t") - 1, F.lit(_CHUNK_S))
+        ).alias("start"),
+    )
+    return starts.select(
+        "doc_id",
+        (F.col("start") / _CHUNK_S).cast("int").alias("chunk_id"),
+        F.array_join(
+            F.slice("t", F.col("start") + 1, F.lit(_CHUNK_W)), " "
+        ).alias("chunk_text"),
+        F.least(F.lit(_CHUNK_W), F.size("t") - F.col("start"))
+        .cast("long").alias("n_tokens"),
+    )

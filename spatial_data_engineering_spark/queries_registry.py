@@ -38,7 +38,8 @@ _PRIORITY = [
     # text analysis
     "q40_text_stats", "q41_token_count", "q42_lang_id", "q43_fingerprint",
     "q44_quality_score", "q57_normalize_text", "q58_edit_distance",
-    "q65_blocklist_filter", "q66_repetition",
+    "q65_blocklist_filter", "q66_repetition", "q68_chunk_documents",
+    "q69_embedding_quantize",
     # similarity / multimodal previously past the window
     "q51_srp_lsh_buckets", "q70_multimodal_meta",
     # dedup family
@@ -54,11 +55,11 @@ _PRIORITY = [
     "q15_count_distinct", "q16_extent", "q17_case_thresholds",
     "q18_sessionization", "q19_hourly_window", "q20_above_avg",
     "q26_median", "q29_asof_join", "q30_range_join", "q31_sliding_window",
-    "q32_session_window", "q33_percentiles",
+    "q33_percentiles",
     # ---- 50-entry window boundary (oracled variants below are each covered
     # by an in-window sibling of the same operator class; all passed r1 —
-    # q63's date-function class did too, so it yields its slot to q67) ----
-    "q63_date_functions",
+    # q32/q63 passed too and yield their slots to the new q67/q68/q69) ----
+    "q32_session_window", "q63_date_functions",
     "q21_props_extract", "q22_cube", "q23_unpivot", "q24_in_subquery",
     "q25_window_analytics", "q27_first_limit", "q35_rank_functions",
     "q36_full_outer", "q37_array_agg", "q38_profile",
