@@ -287,3 +287,80 @@ def test_union_area_utm_scale_coords(specs):
     expect = _rect_union_area_reference([(x - X, y - Y, a - X, b - Y)
                                          for x, y, a, b in rects])
     assert abs(G.union_area(geoms) - expect) <= 1e-5 * max(1.0, expect)
+
+
+def _sh_clip(subject, clip_ring):
+    """Sutherland-Hodgman convex clip — an independent algorithm family
+    used only as a TEST reference for pairwise convex intersection."""
+    def inside(p, a, b):
+        return ((b[0] - a[0]) * (p[1] - a[1])
+                - (b[1] - a[1]) * (p[0] - a[0])) >= -1e-12
+
+    def line_int(a, b, p, q):
+        a1, b1 = b[1] - a[1], a[0] - b[0]
+        c1 = a1 * a[0] + b1 * a[1]
+        a2, b2 = q[1] - p[1], p[0] - q[0]
+        c2 = a2 * p[0] + b2 * p[1]
+        det = a1 * b2 - a2 * b1
+        return ((b2 * c1 - b1 * c2) / det, (a1 * c2 - a2 * c1) / det)
+
+    out = [p for p in subject[:-1]] if subject[0] == subject[-1] else list(subject)
+    cr = clip_ring[:-1] if clip_ring[0] == clip_ring[-1] else list(clip_ring)
+    if G._ring_area(cr + [cr[0]]) < 0:
+        cr = cr[::-1]
+    for i in range(len(cr)):
+        a, b = cr[i], cr[(i + 1) % len(cr)]
+        if not out:
+            return []
+        inp, out = out, []
+        for j in range(len(inp)):
+            p, q = inp[j], inp[(j + 1) % len(inp)]
+            pin, qin = inside(p, a, b), inside(q, a, b)
+            if pin:
+                out.append(p)
+                if not qin:
+                    out.append(line_int(p, q, a, b))
+            elif qin:
+                out.append(line_int(p, q, a, b))
+    return out
+
+
+def _convex_hull(pts):
+    pts = sorted(set(pts))
+    if len(pts) < 3:
+        return None
+
+    def half(points):
+        h = []
+        for p in points:
+            while len(h) >= 2 and (
+                (h[-1][0] - h[-2][0]) * (p[1] - h[-2][1])
+                - (h[-1][1] - h[-2][1]) * (p[0] - h[-2][0])) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lower, upper = half(pts), half(pts[::-1])
+    ring = lower[:-1] + upper[:-1]
+    return ring + [ring[0]] if len(ring) >= 3 else None
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.integers(-20, 20), st.integers(-20, 20)),
+                min_size=3, max_size=8),
+       st.lists(st.tuples(st.integers(-20, 20), st.integers(-20, 20)),
+                min_size=3, max_size=8),
+       st.tuples(st.integers(-10, 10), st.integers(-10, 10)))
+def test_union_convex_pair_vs_inclusion_exclusion(pa, pb, shift):
+    # arbitrary-orientation convex pairs: union area must equal
+    # A + B - intersection(A, B) computed by an independent algorithm
+    ra = _convex_hull(pa)
+    rb = _convex_hull([(x + shift[0], y + shift[1]) for x, y in pb])
+    if ra is None or rb is None:
+        return
+    A, B = ("Polygon", [ra]), ("Polygon", [rb])
+    clipped = _sh_clip(ra, rb)
+    inter = abs(G._ring_area(clipped + [clipped[0]])) if len(clipped) >= 3 else 0.0
+    expect = G.area(A) + G.area(B) - inter
+    got = G.union_area([A, B])
+    assert abs(got - expect) <= 1e-6 * max(1.0, expect)
