@@ -1,4 +1,4 @@
-"""Skew mitigation utilities (guide "Partitioning & shuffle": salt the hot
+"""Skew mitigation utilities (salt the hot
 key; SURVEY.md §4 spill/skew row).
 
 AQE's skew-join splitting handles most cases automatically

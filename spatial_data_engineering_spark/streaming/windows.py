@@ -123,8 +123,7 @@ def stream_stream_join(clicks: DataFrame, purchases: DataFrame,
 
 def write_stream_idempotent(stream_df: DataFrame, out_dir: str,
                             checkpoint_dir: str) -> None:
-    """Exactly-once file sink via foreachBatch (guide: "For exactly-once
-    sinks: foreachBatch").
+    """Exactly-once file sink via foreachBatch.
 
     Each micro-batch writes to a batch-id-named subdirectory with
     overwrite mode: a replayed batch (after failure/restart) rewrites the

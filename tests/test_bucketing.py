@@ -1,4 +1,4 @@
-"""Bucketed-table co-located join (guide "Partitioning & shuffle"):
+"""Bucketed-table co-located join:
 pre-bucketing both sides on the join key removes the shuffle entirely —
 the 100 TB answer for repeated joins on the same key."""
 
