@@ -104,6 +104,37 @@ def main() -> None:
     out["lsh_candidate_fraction_of_n2"] = round(
         n_cand / (n_docs * (n_docs - 1) / 2), 8)
 
+    # ---- exact-union dissolve at n_rects --------------------------------
+    # overlapping chains with a closed form: group g holds 100 rects
+    # [i*6, i*6+10] x [g*20, g*20+5] -> every group dissolves to ONE part
+    # of area (99*6 + 10) * 5 = 3020.  Exercises the planar-subdivision
+    # union + the mapInPandas combiner on every group (all overlap).
+    n_rects = int(sys.argv[3]) if len(sys.argv) > 3 else 200_000
+    n_groups = n_rects // 100
+    rects = (spark.range(n_rects)
+             .select((F.col("id") % n_groups).alias("grp"),
+                     st_makebox(
+                         (F.col("id") / n_groups).cast("long") * 6.0,
+                         (F.col("id") % n_groups) * 20.0,
+                         (F.col("id") / n_groups).cast("long") * 6.0 + 10.0,
+                         (F.col("id") % n_groups) * 20.0 + 5.0)
+                     .alias("geom")))
+    t0 = time.perf_counter()
+    from spatial_data_engineering_spark.functions.st_funcs import (
+        st_area, st_num_geometries)
+    from spatial_data_engineering_spark.operators.spatial_join import union_agg
+    dissolved = union_agg(rects, ["grp"], geom_col="geom")
+    agg = dissolved.select(
+        F.sum(st_area("geom")).alias("total_area"),
+        F.sum(st_num_geometries("geom").cast("long")).alias("total_parts"),
+        F.count(F.lit(1)).alias("n_groups_out")).collect()[0]
+    out["union_sec"] = round(time.perf_counter() - t0, 2)
+    out["union_n_rects"] = n_rects
+    out["union_area_exact"] = (abs(agg["total_area"] - n_groups * 3020.0)
+                               < 1e-6 * n_groups)
+    out["union_one_part_per_group"] = (
+        agg["total_parts"] == n_groups == agg["n_groups_out"])
+
     print(json.dumps(out))
     spark.stop()
 

@@ -463,6 +463,12 @@ def union(geoms):
         return None
     if len(polys) == 1:
         return ("Polygon", polys[0])
+    # canonical input order first: every later step (translation origin,
+    # snap representatives, edge iteration) then depends only on the input
+    # SET, so same-membership unions are byte-identical in any row order.
+    # (Partials with different membership re-node at slightly different
+    # coordinates — across groupings only area/topology are guaranteed.)
+    polys.sort()
     if _bboxes_pairwise_disjoint(polys):
         return _canonical_parts([_normalize_winding(p) for p in polys])
     return _union_exact(polys)

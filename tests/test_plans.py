@@ -91,3 +91,11 @@ def test_q62_union_agg_two_phase(spark):
     assert "MapInPandas" in plan
     assert "FlatMapGroupsInPandas" in plan
     assert plan.index("MapInPandas") > plan.index("FlatMapGroupsInPandas")
+
+
+def test_q68_chunking_is_pure_flatmap(spark):
+    # chunking must stay a shuffle-free flatMap: split -> explode starts
+    # -> slice, all within one stage
+    plan = _plan(spark, "q68_chunk_documents")
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode

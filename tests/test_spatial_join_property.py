@@ -67,3 +67,40 @@ def test_grid_join_polygons_intersects_equals_bruteforce(spark):
              .select("a_id", "b_id"))
     assert ({(r.a_id, r.b_id) for r in got.collect()}
             == {(r.a_id, r.b_id) for r in brute.collect()})
+
+
+def test_union_agg_partitioning_invariant(spark):
+    """Two-phase dissolve must be byte-identical however the input rows
+    are partitioned (the canonical union makes partials order-free)."""
+    from pyspark.sql import functions as F
+
+    from spatial_data_engineering_spark.functions.st_funcs import st_makebox
+    from spatial_data_engineering_spark.operators.spatial_join import union_agg
+
+    base = (spark.range(300)
+            .select((F.col("id") % 3).alias("grp"),
+                    st_makebox((F.col("id") / 3).cast("long") * 0.6,
+                               (F.col("id") % 3) * 10.0,
+                               (F.col("id") / 3).cast("long") * 0.6 + 1.0,
+                               (F.col("id") % 3) * 10.0 + 1.0).alias("geom")))
+
+    def run(df):
+        rows = union_agg(df, ["grp"], geom_col="geom").collect()
+        return {r["grp"]: bytes(r["geom"]) for r in rows}
+
+    # same partial membership, different row order -> byte-identical
+    # (union sorts its input set canonically)
+    a = run(base.repartition(1))
+    a2 = run(base.orderBy(F.desc("id")).repartition(1))
+    assert a == a2
+    assert set(a) == {0, 1, 2}
+
+    # different partial membership re-nodes at float-noise-different
+    # coordinates: across partitionings the guarantee is area + topology
+    from spatial_data_engineering_spark.functions import geometry as G
+    for other in (run(base.repartition(13, "grp")),
+                  run(base.orderBy(F.desc("id")).repartition(7))):
+        for grp, wkb in other.items():
+            ga, gb = G.wkb_loads(a[grp]), G.wkb_loads(wkb)
+            assert ga[0] == gb[0]  # same Polygon/MultiPolygon structure
+            assert abs(G.area(ga) - G.area(gb)) < 1e-9
