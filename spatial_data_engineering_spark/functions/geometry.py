@@ -531,7 +531,11 @@ def _bboxes_pairwise_disjoint(polys) -> bool:
 
 class _Snapper:
     """Eps-grid vertex merger keeping the first-seen representative; the
-    3x3 neighborhood probe catches near-equal points straddling a cell."""
+    3x3 neighborhood probe catches near-equal points straddling a cell.
+    Cells hold ALL registered far-apart points (never evict): two vertices
+    can share a cell at > eps distance, and evicting the first would make
+    a later recomputation of the same crossing snap to a different
+    representative — unclosed rings downstream."""
 
     def __init__(self, eps: float):
         self.eps = eps
@@ -542,11 +546,10 @@ class _Snapper:
         kx, ky = round(p[0] / eps), round(p[1] / eps)
         for dx in (0, -1, 1):
             for dy in (0, -1, 1):
-                q = self._grid.get((kx + dx, ky + dy))
-                if (q is not None and abs(q[0] - p[0]) <= eps
-                        and abs(q[1] - p[1]) <= eps):
-                    return q
-        self._grid[(kx, ky)] = p
+                for q in self._grid.get((kx + dx, ky + dy), ()):
+                    if abs(q[0] - p[0]) <= eps and abs(q[1] - p[1]) <= eps:
+                        return q
+        self._grid.setdefault((kx, ky), []).append(p)
         return p
 
 
@@ -692,7 +695,17 @@ def _union_exact(polys):
             continue
         (shells if a > 0 else holes).append(ring)
     if not shells:
-        raise ValueError("union produced no area: degenerate input")
+        # all-degenerate input (zero-area slivers, point-extent boxes)
+        # dissolves to its canonical collection — a data quirk must not
+        # abort the executor task.  Non-trivial input area reaching this
+        # branch means the stitcher lost rings: stay loud for that.
+        inp_area = sum(abs(_ring_area(rings[0])) for rings in tpolys)
+        if inp_area > 1e3 * eps * eps:
+            raise ValueError("union produced no area from non-degenerate "
+                             "input: stitching bug")
+        return _canonical_parts(
+            [[[(x + ox, y + oy) for x, y in ring] for ring in rings]
+             for rings in tpolys])
 
     # holes attach to the smallest shell containing an interior probe
     assigned: list[list] = [[s] for s in shells]

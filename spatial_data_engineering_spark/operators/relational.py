@@ -332,21 +332,22 @@ def q09_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (tiny P-row collect), broadcast the cumulative offsets, and enumerate
 # inside mapInPandas with TaskContext.partitionId() — the same two-pass
 # scheme as RDD zipWithIndex, but staying in DataFrame/Arrow land.  The
-# persist() pins the range partitioning so the count job and the
-# enumeration job see identical partition ids.
+# localCheckpoint pins the range partitioning so the count job and the
+# enumeration job see identical partition ids, and (unlike persist) its
+# storage is released when the plan is garbage-collected instead of
+# pinning a full table copy in executor cache for the session lifetime.
 # --------------------------------------------------------------------------
 def sequential_row_id(df: DataFrame, key: str, out_col: str = "id",
                       nparts: int | None = None) -> DataFrame:
     import pandas as pd
     from pyspark import TaskContext
-    from pyspark.storagelevel import StorageLevel
 
     spark = df.sparkSession
     if nparts is None:
         nparts = spark.sparkContext.defaultParallelism
     part = (df.repartitionByRange(nparts, F.col(key).asc())
             .sortWithinPartitions(F.col(key).asc())
-            .persist(StorageLevel.MEMORY_AND_DISK))
+            .localCheckpoint(eager=True))
     counts = {r["pid"]: r["n"] for r in
               part.select(F.spark_partition_id().alias("pid"))
               .groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()}

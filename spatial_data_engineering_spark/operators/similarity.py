@@ -205,11 +205,21 @@ def q50_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             return empty
         sims = (a_mat @ b_mat.T) / np.outer(a_nrm, b_nrm)
         ai, bix = np.where(sims >= 0.35)
-        keep = a_ids[ai] < b_ids[bix]
+        if bi == bj:
+            # within-block tile sees each unordered pair twice (+ self)
+            keep = a_ids[ai] < b_ids[bix]
+            ai, bix = ai[keep], bix[keep]
+            lo, hi = a_ids[ai], b_ids[bix]
+        else:
+            # cross-block tile sees each unordered pair exactly ONCE, in
+            # whichever orientation the hash put it — order the ids, never
+            # filter (an a_id < b_id filter here silently drops the pairs
+            # whose bi-side id is the larger one)
+            lo = np.minimum(a_ids[ai], b_ids[bix])
+            hi = np.maximum(a_ids[ai], b_ids[bix])
         return pd.DataFrame({
-            "a_id": a_ids[ai[keep]],
-            "b_id": b_ids[bix[keep]],
-            "cosine": np.round(sims[ai[keep], bix[keep]], 6),
+            "a_id": lo, "b_id": hi,
+            "cosine": np.round(sims[ai, bix], 6),
         })
 
     return rep.groupBy("bi", "bj").applyInPandas(

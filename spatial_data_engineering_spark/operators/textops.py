@@ -453,8 +453,7 @@ _CHUNK_W, _CHUNK_S = 64, 48
     rf"""
     WITH toks AS (
         SELECT doc_id,
-               list_filter(regexp_split_to_array(text, '\s+'),
-                           x -> x <> '') AS t
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
         FROM documents
     ),
     starts AS (
@@ -472,10 +471,13 @@ _CHUNK_W, _CHUNK_S = 64, 48
     """,
 )
 def q68_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # module-standard plain-space tokenization (textops convention): Java's
+    # \s and DuckDB/RE2's \s disagree on \x0B, so a regex class here would
+    # be a latent cross-engine divergence
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
-        F.filter(F.split("text", r"\s+"), lambda x: x != F.lit("")).alias("t"),
+        F.filter(F.split("text", " ", -1), lambda x: x != F.lit("")).alias("t"),
     ).filter(F.size("t") > 0)
     starts = toks.select(
         "doc_id", "t",

@@ -43,3 +43,21 @@ def test_ivf_recall_and_candidate_bound(spark):
     best = {r.query_id: r.cosine for r in exact if r.rk == 1}
     for r in approx:
         assert r.cosine <= best[r.query_id] + 1e-9
+
+
+def test_q50_multi_block_equals_single_block(spark, monkeypatch):
+    """The block-pair matmul must return the same pair set whether the
+    corpus fits one block or is hash-split across many (regression: the
+    cross-block tile used to drop pairs whose lower id hashed into the
+    higher block)."""
+    from spatial_data_engineering_spark.operators import similarity as S
+
+    def run():
+        rows = S.q50_embedding_neardup(spark, SF_ORACLE).collect()
+        return {(r["a_id"], r["b_id"]): r["cosine"] for r in rows}
+
+    single = run()  # 500 rows < 8192 -> one block
+    monkeypatch.setattr(S, "_Q50_BLOCK_ROWS", 64)  # -> 8 blocks
+    multi = run()
+    assert multi == single
+    assert len(single) > 0

@@ -364,3 +364,14 @@ def test_union_convex_pair_vs_inclusion_exclusion(pa, pb, shift):
     expect = G.area(A) + G.area(B) - inter
     got = G.union_area([A, B])
     assert abs(got - expect) <= 1e-6 * max(1.0, expect)
+
+
+def test_union_all_degenerate_input_returns_collection():
+    # zero-area (point-extent) boxes with overlapping bboxes must not
+    # abort — the dissolve returns a zero-area collection
+    a = G.make_box(3, 3, 3, 3)
+    b = G.make_box(3, 2, 3, 5)
+    u = G.union([a, b])
+    assert u is not None
+    assert G.area(u) == 0.0
+    assert G.union_area([a, b]) == 0.0

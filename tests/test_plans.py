@@ -77,10 +77,19 @@ def test_semi_anti_never_materialize(spark, name):
 
 def test_q10_row_id_no_single_partition_exchange(spark):
     # F1 at scale: the two-pass partition-offset row id must not collapse
-    # the table onto one partition the way a global window would
-    plan = _plan(spark, "q10_row_number")
+    # the table onto one partition the way a global window would.  The
+    # eager localCheckpoint truncates the explained lineage (the range
+    # exchange runs at construction), so pin the property itself: output
+    # stays spread across partitions and is enumerated by MapInPandas.
+    from spatial_data_engineering_spark.queries_registry import all_queries
+
+    df = all_queries()["q10_row_number"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
     assert "SinglePartition" not in plan
-    assert "rangepartitioning" in plan
+    assert "MapInPandas" in plan
+    assert df.rdd.getNumPartitions() > 1
 
 
 def test_q62_union_agg_two_phase(spark):
