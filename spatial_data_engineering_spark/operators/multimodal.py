@@ -118,3 +118,96 @@ def q70_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg(F.col("height").cast("double"), "avg_height"),
         F.max("n_frames").cast("int").alias("max_frames"),
     )
+
+
+# --------------------------------------------------------------------------
+# q71 — frame sampling + resize: the 1-to-N half of the multimodal
+# surface (video payload -> every stride-th frame as its own row, with
+# aspect-preserving resize dims for a 224-box model input).  The frame
+# extractor is the same stub pattern as decode_image_batch: real codec
+# raises, the deterministic fake is arithmetic in payload length and
+# frame index, so the oracle verifies the full 1-to-N plumbing row by
+# row.  Scale shape: pure mapInPandas flatMap, no shuffle; output rows
+# are bounded by n_frames/stride per asset.
+# --------------------------------------------------------------------------
+FRAME_SCHEMA = ("doc_id bigint, frame_idx int, frame_checksum bigint, "
+                "resized_w int, resized_h int")
+_FRAME_STRIDE = 5
+_RESIZE_BOX = 224
+
+
+def sample_frames_batch(pdf: pd.DataFrame, stride: int = _FRAME_STRIDE,
+                        real: bool = False) -> pd.DataFrame:
+    """Extract every stride-th frame of each payload with resize dims.
+
+    real=True is the ffmpeg integration point; not available here.
+    """
+    if real:
+        raise NotImplementedError(
+            "real frame extraction requires ffmpeg; not present in this "
+            "container — deterministic fake used instead")
+    n = pdf["payload"].map(len).astype("int64")
+    meta = pd.DataFrame({
+        "doc_id": pdf["doc_id"].astype("int64"),
+        "n_bytes": n,
+        "n_frames": (n % 30 + 1).astype("int64"),
+        "width": (n % 640 + 16).astype("int64"),
+        "height": ((n * 7) % 480 + 16).astype("int64"),
+    })
+    out = []
+    for r in meta.itertuples(index=False):
+        for fi in range(0, r.n_frames, stride):
+            if r.width >= r.height:
+                rw, rh = _RESIZE_BOX, (r.height * _RESIZE_BOX) // r.width
+            else:
+                rw, rh = (r.width * _RESIZE_BOX) // r.height, _RESIZE_BOX
+            out.append((r.doc_id, fi,
+                        (r.n_bytes * 131 + fi * 17) % 1000003, rw, rh))
+    return pd.DataFrame(out, columns=["doc_id", "frame_idx",
+                                      "frame_checksum", "resized_w",
+                                      "resized_h"])
+
+
+def sample_frames(df: DataFrame) -> DataFrame:
+    """mapInPandas 1-to-N frame sampler: (doc_id, payload binary) ->
+    one row per sampled frame."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield sample_frames_batch(pdf)
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+@query(
+    "q71_frame_sample",
+    f"""
+    WITH meta AS (
+        SELECT doc_id,
+               length(text) AS n_bytes,
+               length(text) % 30 + 1 AS n_frames,
+               length(text) % 640 + 16 AS width,
+               (length(text) * 7) % 480 + 16 AS height
+        FROM documents
+    ),
+    frames AS (
+        SELECT doc_id, n_bytes, width, height,
+               CAST(unnest(range(0, n_frames, {_FRAME_STRIDE})) AS INTEGER)
+                   AS frame_idx
+        FROM meta
+    )
+    SELECT doc_id, frame_idx,
+           (n_bytes * 131 + frame_idx * 17) % 1000003 AS frame_checksum,
+           CAST(CASE WHEN width >= height THEN {_RESIZE_BOX}
+                     ELSE (width * {_RESIZE_BOX}) // height END
+                AS INTEGER) AS resized_w,
+           CAST(CASE WHEN width >= height
+                     THEN (height * {_RESIZE_BOX}) // width
+                     ELSE {_RESIZE_BOX} END AS INTEGER) AS resized_h
+    FROM frames
+    """,
+)
+def q71_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return sample_frames(payloads)

@@ -41,7 +41,7 @@ _PRIORITY = [
     "q65_blocklist_filter", "q66_repetition", "q68_chunk_documents",
     "q69_embedding_quantize",
     # similarity / multimodal previously past the window
-    "q51_srp_lsh_buckets", "q70_multimodal_meta",
+    "q51_srp_lsh_buckets", "q70_multimodal_meta", "q71_frame_sample",
     # dedup family
     "q45_dedup_exact", "q46_dedup_tokensort", "q47_minhash_lsh",
     "q48_simhash", "q54_dedup_materialize",
@@ -54,12 +54,12 @@ _PRIORITY = [
     "q11_topk_per_group", "q12_pivot", "q13_setops", "q14_rollup",
     "q15_count_distinct", "q16_extent", "q17_case_thresholds",
     "q18_sessionization", "q19_hourly_window", "q20_above_avg",
-    "q26_median", "q29_asof_join", "q30_range_join", "q31_sliding_window",
+    "q26_median", "q29_asof_join", "q30_range_join",
     "q33_percentiles",
     # ---- 50-entry window boundary (oracled variants below are each covered
     # by an in-window sibling of the same operator class; all passed r1 —
-    # q32/q63 passed too and yield their slots to the new q67/q68/q69) ----
-    "q32_session_window", "q63_date_functions",
+    # q31/q32/q63 passed too and yield their slots to q67-q69/q71) ----
+    "q31_sliding_window", "q32_session_window", "q63_date_functions",
     "q21_props_extract", "q22_cube", "q23_unpivot", "q24_in_subquery",
     "q25_window_analytics", "q27_first_limit", "q35_rank_functions",
     "q36_full_outer", "q37_array_agg", "q38_profile",
