@@ -1315,3 +1315,68 @@ def q21_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.sum(k).cast("bigint").alias("sum_k"), F.count(F.lit(1)).alias("n")
     )
+
+
+# --------------------------------------------------------------------------
+# q72 — hierarchical time rollup (hypertable continuous-aggregate shape):
+# aggregate raw events ONCE at hour grain, then derive day and month by
+# re-aggregating the hour partials — the coarser grains cost O(#hours)
+# rows, not O(#events), which is the whole point at 100 TB.  Intermediate
+# sums stay DECIMAL so sum-of-sums is exact and equals the oracle's
+# direct-per-grain computation regardless of the rollup path.
+# --------------------------------------------------------------------------
+@query(
+    "q72_hierarchical_rollup",
+    """
+    WITH hourly AS (
+        SELECT strftime(ts, '%Y-%m-%d %H') AS bucket,
+               COUNT(*) AS n_events,
+               SUM(CAST(value AS DECIMAL(30,6))) AS sv
+        FROM events GROUP BY 1
+    ),
+    daily AS (
+        -- CAST: DuckDB's SUM(BIGINT) widens to HUGEINT, which would
+        -- break the driver's schema/dtype compare against Spark's long
+        SELECT substr(bucket, 1, 10) AS bucket,
+               CAST(SUM(n_events) AS BIGINT) AS n_events, SUM(sv) AS sv
+        FROM hourly GROUP BY 1
+    ),
+    monthly AS (
+        SELECT substr(bucket, 1, 7) AS bucket,
+               CAST(SUM(n_events) AS BIGINT) AS n_events, SUM(sv) AS sv
+        FROM daily GROUP BY 1
+    )
+    SELECT 'hour' AS grain, bucket, n_events,
+           CAST(sv AS DOUBLE) AS sum_value FROM hourly
+    UNION ALL
+    SELECT 'day', bucket, n_events, CAST(sv AS DOUBLE) FROM daily
+    UNION ALL
+    SELECT 'month', bucket, n_events, CAST(sv AS DOUBLE) FROM monthly
+    """,
+)
+def q72_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .common import DEC
+
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.date_format("ts", "yyyy-MM-dd HH").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast(DEC)).alias("sv"))
+    )
+    daily = (
+        hourly.groupBy(F.substring("bucket", 1, 10).alias("bucket"))
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
+    )
+    monthly = (
+        daily.groupBy(F.substring("bucket", 1, 7).alias("bucket"))
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
+    )
+
+    def grain(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("grain"), "bucket", "n_events",
+            F.col("sv").cast("double").alias("sum_value"))
+
+    return (grain(hourly, "hour")
+            .unionByName(grain(daily, "day"))
+            .unionByName(grain(monthly, "month")))

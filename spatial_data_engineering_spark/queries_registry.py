@@ -54,12 +54,13 @@ _PRIORITY = [
     "q11_topk_per_group", "q12_pivot", "q13_setops", "q14_rollup",
     "q15_count_distinct", "q16_extent", "q17_case_thresholds",
     "q18_sessionization", "q19_hourly_window", "q20_above_avg",
-    "q26_median", "q29_asof_join", "q30_range_join",
-    "q33_percentiles",
+    "q26_median", "q29_asof_join",
+    "q33_percentiles", "q72_hierarchical_rollup",
     # ---- 50-entry window boundary (oracled variants below are each covered
     # by an in-window sibling of the same operator class; all passed r1 —
-    # q31/q32/q63 passed too and yield their slots to q67-q69/q71) ----
-    "q31_sliding_window", "q32_session_window", "q63_date_functions",
+    # q30/q31/q32/q63 passed too and yield their slots to q67-q72) ----
+    "q30_range_join", "q31_sliding_window", "q32_session_window",
+    "q63_date_functions",
     "q21_props_extract", "q22_cube", "q23_unpivot", "q24_in_subquery",
     "q25_window_analytics", "q27_first_limit", "q35_rank_functions",
     "q36_full_outer", "q37_array_agg", "q38_profile",
