@@ -177,7 +177,38 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels
 
 
-@query("q56_dedup_components")
+def _oracle_q56() -> str:
+    """Recursive-CTE transitive closure over the q47 pair oracle: at
+    sf0.01 scale DuckDB can enumerate every reachable pair, so the
+    iterative min-label propagation gets a REAL value oracle (component =
+    min reachable id), not just a rows-only check."""
+    from .dedup import ORACLES as dedup_oracles
+
+    return f"""
+    WITH RECURSIVE pairs AS (
+        SELECT a_id, b_id FROM ({dedup_oracles['q47_minhash_lsh']}) q47
+    ),
+    edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION
+        SELECT b_id, a_id FROM pairs
+    ),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+        SELECT src AS node, LEAST(src, MIN(dst)) AS component
+        FROM reach GROUP BY src
+    )
+    SELECT component, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(node) AS keeper_doc_id
+    FROM comp GROUP BY component
+    """
+
+
+@query("q56_dedup_components", _oracle_q56())
 def q56_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup clusters over the MinHash near-dup pairs (q47):
     component id, cluster size, keeper doc."""

@@ -54,20 +54,23 @@ _PRIORITY = [
     "q11_topk_per_group", "q12_pivot", "q13_setops", "q14_rollup",
     "q15_count_distinct", "q16_extent", "q17_case_thresholds",
     "q18_sessionization", "q19_hourly_window", "q20_above_avg",
-    "q26_median", "q29_asof_join",
+    "q29_asof_join",
     "q33_percentiles", "q72_hierarchical_rollup",
+    # q56 gained a recursive-closure oracle in r2: verify it in-window
+    "q56_dedup_components",
     # ---- 50-entry window boundary (oracled variants below are each covered
     # by an in-window sibling of the same operator class; all passed r1 —
-    # q30/q31/q32/q63 passed too and yield their slots to q67-q72) ----
-    "q30_range_join", "q31_sliding_window", "q32_session_window",
-    "q63_date_functions",
+    # q26's quantile class is covered by q33; q30/q31/q32/q63 passed too
+    # and yield their slots to q67-q72 and the newly-oracled q56) ----
+    "q26_median", "q30_range_join", "q31_sliding_window",
+    "q32_session_window", "q63_date_functions",
     "q21_props_extract", "q22_cube", "q23_unpivot", "q24_in_subquery",
     "q25_window_analytics", "q27_first_limit", "q35_rank_functions",
     "q36_full_outer", "q37_array_agg", "q38_profile",
     "q39_local_supplier_revenue", "q64_bag_set_ops",
     # no-oracle queries last: the driver's check for these is rows-only
     "q28_approx_distinct", "q34_approx_quantiles", "q52_ivf_ann",
-    "q55_kmeans", "q56_dedup_components",
+    "q55_kmeans",
 ]
 
 
