@@ -494,3 +494,78 @@ def q68_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.lit(_CHUNK_W), F.size("t") - F.col("start"))
         .cast("long").alias("n_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# q73 — deterministic train/val/test split: the assignment a training
+# pipeline keys on must be a pure function of the stable doc id (never
+# rand()), so reruns, backfills and engines all agree.  Bucket =
+# md5(doc_id) folded to an integer, mod 100 -> 80/10/10.  The md5-fold is
+# the same strpos arithmetic both engines compute bit-for-bit (dedup.py's
+# MinHash uses it for the same reason).
+# --------------------------------------------------------------------------
+def _md5_bucket(engine: str, col: str) -> str:
+    from .dedup import _hex_fold
+    md5 = (f"md5(CAST({col} AS STRING))" if engine == "spark"
+           else f"md5(CAST({col} AS VARCHAR))")
+    return f"({_hex_fold(engine, md5)} % 100)"
+
+
+@query(
+    "q73_hash_split",
+    f"""
+    WITH assigned AS (
+        SELECT lang, n_chars,
+               CASE WHEN {_md5_bucket('duckdb', 'doc_id')} < 80 THEN 'train'
+                    WHEN {_md5_bucket('duckdb', 'doc_id')} < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, lang, COUNT(*) AS n_docs,
+           {sql_davg('n_chars', 'avg_chars')}
+    FROM assigned GROUP BY split, lang
+    """,
+)
+def q73_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bucket = F.expr(_md5_bucket("spark", "doc_id"))
+    split = (F.when(bucket < 80, "train")
+             .when(bucket < 90, "val").otherwise("test"))
+    return (d.withColumn("split", split)
+            .groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 davg("n_chars", "avg_chars")))
+
+
+# --------------------------------------------------------------------------
+# q74 — vocabulary extraction: corpus-wide token frequencies, top 20 by
+# (count desc, token asc) — the deterministic tie-break makes the LIMIT
+# reproducible across engines.  Scale shape: explode -> codegen'd
+# map-side-partial count -> tiny global top-k (the aggregated vocabulary,
+# not the corpus, is what gets sorted).
+# --------------------------------------------------------------------------
+@query(
+    "q74_vocab_topk",
+    """
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    )
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token ASC
+    LIMIT 20
+    """,
+)
+def q74_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = (d.select("doc_id",
+                     F.explode(F.split("text", " ", -1)).alias("token"))
+            .filter(F.col("token") != ""))
+    return (toks.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                 F.countDistinct("doc_id").alias("n_docs"))
+            .orderBy(F.desc("n_occurrences"), F.asc("token"))
+            .limit(20))

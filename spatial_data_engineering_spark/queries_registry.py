@@ -39,7 +39,7 @@ _PRIORITY = [
     "q40_text_stats", "q41_token_count", "q42_lang_id", "q43_fingerprint",
     "q44_quality_score", "q57_normalize_text", "q58_edit_distance",
     "q65_blocklist_filter", "q66_repetition", "q68_chunk_documents",
-    "q69_embedding_quantize",
+    "q69_embedding_quantize", "q73_hash_split", "q74_vocab_topk",
     # similarity / multimodal previously past the window
     "q51_srp_lsh_buckets", "q70_multimodal_meta", "q71_frame_sample",
     # dedup family
@@ -52,17 +52,19 @@ _PRIORITY = [
     "q04_semi_join", "q05_anti_join", "q06_monthly_revenue",
     "q07_month_spine", "q08_var_argmax", "q09_histogram", "q10_row_number",
     "q11_topk_per_group", "q12_pivot", "q13_setops", "q14_rollup",
-    "q15_count_distinct", "q16_extent", "q17_case_thresholds",
-    "q18_sessionization", "q19_hourly_window", "q20_above_avg",
+    "q16_extent", "q17_case_thresholds",
+    "q18_sessionization", "q20_above_avg",
     "q29_asof_join",
     "q33_percentiles", "q72_hierarchical_rollup",
     # q56 gained a recursive-closure oracle in r2: verify it in-window
     "q56_dedup_components",
     # ---- 50-entry window boundary (oracled variants below are each covered
     # by an in-window sibling of the same operator class; all passed r1 —
-    # q26's quantile class is covered by q33; q30/q31/q32/q63 passed too
-    # and yield their slots to q67-q72 and the newly-oracled q56) ----
-    "q26_median", "q30_range_join", "q31_sliding_window",
+    # q26's quantile class is covered by q33, q15's COUNT DISTINCT by q41,
+    # q19's time windows by q72; q30/q31/q32/q63 passed too — together
+    # they yield their slots to q67-q74 and the newly-oracled q56) ----
+    "q15_count_distinct", "q19_hourly_window", "q26_median",
+    "q30_range_join", "q31_sliding_window",
     "q32_session_window", "q63_date_functions",
     "q21_props_extract", "q22_cube", "q23_unpivot", "q24_in_subquery",
     "q25_window_analytics", "q27_first_limit", "q35_rank_functions",
