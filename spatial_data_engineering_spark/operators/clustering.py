@@ -137,7 +137,17 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     sym = (edges.selectExpr("a AS src", "b AS dst")
            .unionByName(edges.selectExpr("b AS src", "a AS dst"))
            .persist())
+    # Size the iteration frames to the edge set, not the session's
+    # shuffle-partition default: a near-dup closure is usually tiny
+    # relative to the corpus, and checkpointing it at 200+ partitions
+    # makes every round pay hundreds of empty-task overheads (measured
+    # ~50 s for a 50-edge graph under a default-config session).  Large
+    # edge sets still spread across the full parallelism.
+    n_edges = sym.count()
+    sc = edges.sparkSession.sparkContext
+    nparts = max(1, min(sc.defaultParallelism, n_edges // 100_000 + 1))
     labels = (sym.select(F.col("src").alias("node")).distinct()
+              .coalesce(nparts)
               .withColumn("component", F.col("node"))
               .localCheckpoint(eager=True))
     for _ in range(max_iter):
@@ -153,6 +163,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                         F.coalesce(F.col("nmin"), F.col("component")))
                 .alias("component"),
             )
+            .coalesce(nparts)
             .localCheckpoint(eager=True)
         )
         changed = (
