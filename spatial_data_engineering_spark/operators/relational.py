@@ -300,6 +300,78 @@ def q08_var_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q75 — golden-report variance tail (E5+E7+C10; load_report.py:396,414,
+# 420-426): the flagship's RAW var_samp → argmax → inference CASE, as a
+# driver-oracled query.  q08 verifies the CV (stddev/mean) variant; this is
+# the reference's actual shape — sample variance of the monthly series per
+# category, pick the max-variance category (deterministic tie-break), and
+# emit the reference's verbatim inference strings.  Same order-independent
+# closed-form variance as q08: exact decimal sums of x and x², combined in
+# double — identical IEEE arithmetic on both engines.
+# --------------------------------------------------------------------------
+_INFER_HIGH = ("High variance observed, indicating significant changes in "
+               "vegetation health across months.")
+_INFER_MID = ("Moderate variance observed, indicating some fluctuations in "
+              "vegetation health across months.")
+_INFER_LOW = ("Low variance observed, indicating stable vegetation health "
+              "across months.")
+
+
+@query(
+    "q75_golden_variance",
+    f"""
+    WITH monthly AS (
+        SELECT o_orderpriority,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               {sql_dsum('o_totalprice', 'mrev')}
+        FROM orders GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT o_orderpriority,
+               ROUND(greatest({sql_dsum_expr('mrev * mrev')}
+                              - {sql_dsum_expr('mrev')}
+                                * {sql_dsum_expr('mrev')} / COUNT(*), 0)
+                     / (COUNT(*) - 1), 6) AS variance
+        FROM monthly GROUP BY 1
+    )
+    SELECT o_orderpriority, variance,
+           CASE WHEN variance > 0.5 THEN '{_INFER_HIGH}'
+                WHEN variance > 0.2 THEN '{_INFER_MID}'
+                ELSE '{_INFER_LOW}' END AS inference
+    FROM stats
+    ORDER BY variance DESC, o_orderpriority
+    LIMIT 1
+    """,
+)
+def q75_golden_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            "o_orderpriority",
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"),
+        ).agg(dsum("o_totalprice", "mrev"))
+    )
+    ds = lambda c: F.sum(c.cast("decimal(30,6)")).cast("double")  # noqa: E731
+    n = F.count(F.lit(1))
+    s1 = ds(F.col("mrev"))
+    s2 = ds(F.col("mrev") * F.col("mrev"))
+    variance = F.round(
+        F.greatest(s2 - s1 * s1 / n, F.lit(0)) / (n - 1), 6)
+    stats = monthly.groupBy("o_orderpriority").agg(variance.alias("variance"))
+    return (
+        stats.withColumn(
+            "inference",
+            F.when(F.col("variance") > 0.5, F.lit(_INFER_HIGH))
+            .when(F.col("variance") > 0.2, F.lit(_INFER_MID))
+            .otherwise(F.lit(_INFER_LOW)),
+        )
+        .orderBy(F.desc("variance"), F.asc("o_orderpriority"))
+        .limit(1)
+        .select("o_orderpriority", "variance", "inference")
+    )
+
+
+# --------------------------------------------------------------------------
 # q09 — fixed-width histogram binning (E8; r:63-65 `cut(..., by=20,
 # right=FALSE)`): left-closed bins via floor division.
 # --------------------------------------------------------------------------
@@ -325,18 +397,35 @@ def q09_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # "deterministic alternative") — the reference's current-row-order variant
 # is order-dependent and unreproducible at scale.
 #
-# Physical strategy (the scalable one): a naive
-# `row_number().over(Window.orderBy(key))` collapses the table onto a
-# single partition.  Instead: range-repartition on the key (parallel
-# sampled exchange), sort within partitions, count rows per partition
-# (tiny P-row collect), broadcast the cumulative offsets, and enumerate
-# inside mapInPandas with TaskContext.partitionId() — the same two-pass
-# scheme as RDD zipWithIndex, but staying in DataFrame/Arrow land.  The
-# localCheckpoint pins the range partitioning so the count job and the
-# enumeration job see identical partition ids, and (unlike persist) its
-# storage is released when the plan is garbage-collected instead of
-# pinning a full table copy in executor cache for the session lifetime.
+# Two physical strategies, auto-selected on a pre-count:
+#
+# * Small inputs (<= window_threshold rows): a plain
+#   `row_number().over(Window.orderBy(key))`.  Yes, that collapses onto
+#   one partition — which is exactly right when the whole input fits one
+#   task; the two-pass machinery below costs hundreds of empty-task
+#   launches for nothing at this size (measured 6.4 s on 500 rows).
+#
+# * Large inputs: range-repartition on the key (parallel sampled
+#   exchange), sort within partitions, count rows per partition (tiny
+#   P-row collect), and enumerate inside mapInPandas with
+#   TaskContext.partitionId() — the same two-pass scheme as RDD
+#   zipWithIndex, but staying in DataFrame/Arrow land.  The
+#   localCheckpoint pins the range partitioning so the count job and the
+#   enumeration job see identical partition ids, and (unlike persist) its
+#   storage is released when the plan is garbage-collected instead of
+#   pinning a full table copy in executor cache for the session lifetime.
+#   (localCheckpoint output is unrecoverable on executor loss; at 100 TB
+#   use reliable `checkpoint()` against the cluster checkpoint dir.)
+#   nparts is sized to the data (~TARGET_ROWS_PER_PART rows/partition,
+#   capped at defaultParallelism) so tiny frames don't pay a fixed-32
+#   exchange.  The cumulative-offset dict is O(nparts) ints and rides the
+#   task closure — no broadcast to leak (a per-call broadcast was never
+#   unpersisted in an earlier revision).
 # --------------------------------------------------------------------------
+_ROW_ID_WINDOW_THRESHOLD = 1_000_000  # rows; below this one task wins
+_ROW_ID_TARGET_ROWS_PER_PART = 100_000
+
+
 def sequential_row_id(df: DataFrame, key: str, out_col: str = "id",
                       nparts: int | None = None) -> DataFrame:
     import pandas as pd
@@ -344,7 +433,13 @@ def sequential_row_id(df: DataFrame, key: str, out_col: str = "id",
 
     spark = df.sparkSession
     if nparts is None:
-        nparts = spark.sparkContext.defaultParallelism
+        n = df.count()  # column-pruned count(*): cheap vs the work it sizes
+        if n <= _ROW_ID_WINDOW_THRESHOLD:
+            w = W.orderBy(F.col(key).asc())
+            return df.select(
+                F.row_number().over(w).cast("bigint").alias(out_col), "*")
+        nparts = max(1, min(spark.sparkContext.defaultParallelism,
+                            n // _ROW_ID_TARGET_ROWS_PER_PART))
     part = (df.repartitionByRange(nparts, F.col(key).asc())
             .sortWithinPartitions(F.col(key).asc())
             .localCheckpoint(eager=True))
@@ -355,13 +450,12 @@ def sequential_row_id(df: DataFrame, key: str, out_col: str = "id",
     for pid in sorted(counts):  # ascending pid == ascending key range
         offsets[pid] = acc
         acc += counts[pid]
-    bc = spark.sparkContext.broadcast(offsets)
 
     out_fields = f"`{out_col}` bigint, " + ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
 
     def number(batches):
-        base = bc.value.get(TaskContext.get().partitionId(), 0)
+        base = offsets.get(TaskContext.get().partitionId(), 0)
         seen = 0
         for pdf in batches:
             ids = pd.Series(range(base + seen + 1, base + seen + 1 + len(pdf)),

@@ -25,54 +25,62 @@ def _modules():
 
 
 # The driver's correctness harness verifies the FIRST 50 registry entries in
-# iteration order, so ordering is a coverage decision, not cosmetics.  Head of
-# the list: every operator family that lacked a correctness row in round 1
-# (zonal/spatial, textops, SRP-LSH, multimodal) plus one representative per
-# relational operator class.  Tail (past the window): queries with no oracle
-# (rows-only checks anyway) and relational variants whose operator class is
-# already hash-verified by an in-window sibling.
+# iteration order, so ordering is a coverage decision, not cosmetics.
+#
+# ROTATION POLICY (round 3+): least-recently-driver-verified first.  Each
+# round, (1) queries whose newest driver row is oldest lead the window,
+# (2) queries whose implementation or oracle changed this round are forced
+# in-window regardless of age, (3) queries verified last round take the
+# tail.  Combined with tests/test_oracle_parity.py — which re-runs the
+# DuckDB hash-match for the FULL inventory on every pytest run and is the
+# actual completeness gate — this keeps every oracled query's driver row at
+# most one round old.  The driver window is the sampling gate, not the
+# completeness gate.
+#
+# Round-3 window: the 23 queries whose last driver row is from round 1
+# (q15/q19/q21-q28/q30-q32/q34-q39/q52/q55/q63/q64), then this round's
+# new/changed queries (q75 new; q10 reimplemented; q67/q71 oracle edits),
+# then round-2-verified core families until the 50 slots fill.
 _PRIORITY = [
-    # spatial / zonal — the reference's core semantics
-    "q60_point_in_polygon", "q61_zonal_histogram", "q62_dissolve_area",
-    "q67_overlap_dissolve",
-    # text analysis
-    "q40_text_stats", "q41_token_count", "q42_lang_id", "q43_fingerprint",
-    "q44_quality_score", "q57_normalize_text", "q58_edit_distance",
-    "q65_blocklist_filter", "q66_repetition", "q68_chunk_documents",
-    "q69_embedding_quantize", "q73_hash_split", "q74_vocab_topk",
-    # similarity / multimodal previously past the window
-    "q51_srp_lsh_buckets", "q70_multimodal_meta", "q71_frame_sample",
-    # dedup family
-    "q45_dedup_exact", "q46_dedup_tokensort", "q47_minhash_lsh",
-    "q48_simhash", "q54_dedup_materialize",
-    # similarity (oracled)
-    "q49_cosine_topk", "q50_embedding_neardup", "q53_embedding_centroids",
-    # relational core — one in-window representative per operator class
-    "q01_pricing_summary", "q02_ilike_filter", "q03_join_enrich",
-    "q04_semi_join", "q05_anti_join", "q06_monthly_revenue",
-    "q07_month_spine", "q08_var_argmax", "q09_histogram", "q10_row_number",
-    "q11_topk_per_group", "q12_pivot", "q13_setops", "q14_rollup",
-    "q16_extent", "q17_case_thresholds",
-    "q18_sessionization", "q20_above_avg",
-    "q29_asof_join",
-    "q33_percentiles", "q72_hierarchical_rollup",
-    # q56 gained a recursive-closure oracle in r2: verify it in-window
-    "q56_dedup_components",
-    # ---- 50-entry window boundary (oracled variants below are each covered
-    # by an in-window sibling of the same operator class; all passed r1 —
-    # q26's quantile class is covered by q33, q15's COUNT DISTINCT by q41,
-    # q19's time windows by q72; q30/q31/q32/q63 passed too — together
-    # they yield their slots to q67-q74 and the newly-oracled q56) ----
-    "q15_count_distinct", "q19_hourly_window", "q26_median",
-    "q30_range_join", "q31_sliding_window",
-    "q32_session_window", "q63_date_functions",
-    "q21_props_extract", "q22_cube", "q23_unpivot", "q24_in_subquery",
-    "q25_window_analytics", "q27_first_limit", "q35_rank_functions",
-    "q36_full_outer", "q37_array_agg", "q38_profile",
-    "q39_local_supplier_revenue", "q64_bag_set_ops",
-    # no-oracle queries last: the driver's check for these is rows-only
+    # --- last driver row: round 1 (oracled) ---
+    "q15_count_distinct", "q19_hourly_window", "q21_props_extract",
+    "q22_cube", "q23_unpivot", "q24_in_subquery", "q25_window_analytics",
+    "q26_median", "q27_first_limit", "q30_range_join", "q31_sliding_window",
+    "q32_session_window", "q35_rank_functions", "q36_full_outer",
+    "q37_array_agg", "q38_profile", "q39_local_supplier_revenue",
+    "q63_date_functions", "q64_bag_set_ops",
+    # --- last driver row: round 1 (no oracle — rows-only driver check) ---
     "q28_approx_distinct", "q34_approx_quantiles", "q52_ivf_ann",
     "q55_kmeans",
+    # --- new or changed this round ---
+    "q75_golden_variance",  # new: flagship raw-variance tail w/ oracle
+    "q10_row_number",       # reimplemented: auto small/scale path selection
+    "q67_overlap_dissolve",  # oracle edit: 6-dp rounding vs float re-noding
+    "q71_frame_sample",     # oracle edit: byte-length semantics
+    # --- round-2-verified, refreshed while slots remain: spatial core ---
+    "q60_point_in_polygon", "q61_zonal_histogram", "q62_dissolve_area",
+    # dedup family
+    "q45_dedup_exact", "q46_dedup_tokensort", "q47_minhash_lsh",
+    "q48_simhash", "q54_dedup_materialize", "q56_dedup_components",
+    # similarity family
+    "q49_cosine_topk", "q50_embedding_neardup", "q51_srp_lsh_buckets",
+    "q53_embedding_centroids",
+    # text analysis representatives
+    "q40_text_stats", "q41_token_count", "q42_lang_id", "q43_fingerprint",
+    "q44_quality_score",
+    # relational representatives
+    "q01_pricing_summary", "q08_var_argmax", "q29_asof_join",
+    "q33_percentiles", "q72_hierarchical_rollup",
+    # ---- 50-entry window boundary; everything below was driver-verified
+    # green in round 2 and rotates back in next round ----
+    "q57_normalize_text", "q58_edit_distance", "q65_blocklist_filter",
+    "q66_repetition", "q68_chunk_documents", "q69_embedding_quantize",
+    "q70_multimodal_meta", "q73_hash_split", "q74_vocab_topk",
+    "q02_ilike_filter", "q03_join_enrich", "q04_semi_join", "q05_anti_join",
+    "q06_monthly_revenue", "q07_month_spine", "q09_histogram",
+    "q11_topk_per_group", "q12_pivot", "q13_setops", "q14_rollup",
+    "q16_extent", "q17_case_thresholds", "q18_sessionization",
+    "q20_above_avg",
 ]
 
 
