@@ -9,6 +9,12 @@ line::
 
 Each query is forced with the ``noop`` sink so the full plan executes
 (scan -> shuffle -> agg) without sink overhead or driver-side collection.
+
+BASELINE.md's judging rule is "median of >=3 runs" (this host's co-tenant
+noise swings single runs 3-10x), so the suite runs ``$SPARK_GRAFT_RUNS``
+times (default 3) and reports the per-query MEDIAN; ``value`` is the sum
+of medians.  Per-run totals ride along in ``runs_total`` so the spread is
+visible in the artifact itself.
 """
 
 from __future__ import annotations
@@ -16,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -63,24 +70,39 @@ def main() -> None:
         spark.stop()
         return
 
-    timings: dict[str, float] = {}
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "3")))
+    per_query: dict[str, list[float]] = {}
     failures: dict[str, str] = {}
-    for name, fn in sorted(all_queries().items()):
-        t0 = time.perf_counter()
-        try:
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # a failed query must not hide the rest
-            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+    run_totals: list[float] = []
+    queries = sorted(all_queries().items())
+    for _ in range(n_runs):
+        run_total = 0.0
+        for name, fn in queries:
+            if name in failures:
+                continue
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                dt = time.perf_counter() - t0
+                per_query.setdefault(name, []).append(dt)
+                run_total += dt
+            except Exception as exc:  # a failed query must not hide the rest
+                failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+                per_query.pop(name, None)
+        run_totals.append(round(run_total, 3))
 
+    timings = {name: round(statistics.median(ts), 3)
+               for name, ts in per_query.items()}
     total = round(sum(timings.values()), 3)
     out = {
-        "metric": "query_suite_total",
+        "metric": "query_suite_total_median",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
         "n_queries": len(timings),
+        "n_runs": n_runs,
+        "runs_total": run_totals,
     }
     if failures:
         out["failures"] = failures

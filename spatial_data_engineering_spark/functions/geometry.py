@@ -452,6 +452,15 @@ def union(geoms):
     rings rotated to their minimum vertex, shells CCW / holes CW — so the
     result is independent of input order.  That makes the aggregate safe
     for two-phase (partial-then-final) execution in ``union_agg``.
+
+    Known loud-fail mode: ``_seg_pair_splits`` classifies segment pairs
+    with |cross| <= 1e-12*|a||b| as parallel and only splits them when
+    endpoint-collinear within eps, so a genuine crossing at an extremely
+    shallow angle (interior angle < ~1e-12 rad) can go un-noded; the walk
+    then raises ``ValueError("union boundary did not close")`` rather than
+    return a wrong area.  This is a deliberate policy — adversarial
+    near-degenerate input fails the task loudly instead of corrupting the
+    dissolve; snap such inputs (round coordinates) before unioning.
     """
     polys = []
     for g in geoms:

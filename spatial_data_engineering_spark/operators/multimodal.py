@@ -85,11 +85,13 @@ def query(name: str, oracle: str | None = None):
     "q70_multimodal_meta",
     f"""
     WITH meta AS (
+        -- strlen = BYTE length in DuckDB (q71 note): matches the Spark
+        -- side's utf-8 payload length on any input, ASCII or not
         SELECT doc_id, source,
-               length(text) AS n_bytes,
-               length(text) % 640 + 16 AS width,
-               (length(text) * 7) % 480 + 16 AS height,
-               length(text) % 30 + 1 AS n_frames
+               strlen(text) AS n_bytes,
+               strlen(text) % 640 + 16 AS width,
+               (strlen(text) * 7) % 480 + 16 AS height,
+               strlen(text) % 30 + 1 AS n_frames
         FROM documents
     )
     SELECT source,
@@ -183,11 +185,14 @@ def sample_frames(df: DataFrame) -> DataFrame:
     "q71_frame_sample",
     f"""
     WITH meta AS (
+        -- strlen = BYTE length in DuckDB, matching the Spark side's
+        -- length(encode(text,'utf-8')); length(text) would count
+        -- characters and diverge on any non-ASCII document
         SELECT doc_id,
-               length(text) AS n_bytes,
-               length(text) % 30 + 1 AS n_frames,
-               length(text) % 640 + 16 AS width,
-               (length(text) * 7) % 480 + 16 AS height
+               strlen(text) AS n_bytes,
+               strlen(text) % 30 + 1 AS n_frames,
+               strlen(text) % 640 + 16 AS width,
+               (strlen(text) * 7) % 480 + 16 AS height
         FROM documents
     ),
     frames AS (

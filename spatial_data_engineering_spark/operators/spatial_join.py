@@ -76,6 +76,42 @@ def grid_spatial_join(
     return out.withColumnRenamed(rg, right_out)
 
 
+# Phase-1 combine pays one python-side union per (group, batch); when a
+# batch is nearly one-group-per-row the combine shuffles ~as many rows as
+# it received while paying a per-row decode/canonicalize/encode — worse
+# than shuffling the raw WKB.  Combine only when it at least halves the
+# batch's row count.
+_COMBINE_MAX_GROUP_RATIO = 0.5
+
+
+def _dissolve_group_rows(pdf, keep: list[str], in_col: str, out_col: str):
+    """Union one group's WKB rows into a single-row frame (helper shared
+    by the phase-1 combiner and the phase-2 final dissolve)."""
+    import pandas as pd
+
+    geoms = [G.wkb_loads(bytes(b)) for b in pdf[in_col] if b is not None]
+    u = G.union(geoms)
+    row = {c: [pdf[c].iloc[0]] for c in keep}
+    row[out_col] = [None if u is None else G.wkb_dumps(u)]
+    return pd.DataFrame(row)
+
+
+def _combine_batch(pdf, keep: list[str], geom_col: str, out_col: str):
+    """Map-side combine for one Arrow batch, with a cardinality guard:
+    high-cardinality batches (groups > ratio*rows) pass through unchanged
+    so the partial count cannot approach the row count."""
+    import pandas as pd
+
+    gb = pdf.groupby(keep, dropna=False, sort=False)
+    if gb.ngroups > _COMBINE_MAX_GROUP_RATIO * len(pdf):
+        out = pdf[keep].copy()
+        out[out_col] = pdf[geom_col]
+        return out
+    parts = [_dissolve_group_rows(grp, keep, geom_col, out_col)
+             for _, grp in gb]
+    return pd.concat(parts, ignore_index=True)
+
+
 def union_agg(df: DataFrame, group_cols: list[str], geom_col: str = "geom",
               out_col: str = "geom") -> DataFrame:
     """GROUP BY group_cols with geometric union of geom_col (E1).
@@ -84,10 +120,12 @@ def union_agg(df: DataFrame, group_cols: list[str], geom_col: str = "geom",
     associative and canonical): phase 1 dissolves each group's rows
     WITHIN each Arrow batch via mapInPandas — the map-side combine, so
     only one partial geometry per (group, batch) is shuffled; phase 2 is
-    the grouped-map final dissolve over those partials.
+    the grouped-map final dissolve over those partials.  Batches whose
+    group count approaches their row count skip the combine (see
+    ``_combine_batch``) — the guard makes the operator safe on
+    high-cardinality keys, where phase 1 would otherwise emit one
+    re-encoded partial per row for no shuffle savings.
     """
-    import pandas as pd
-
     keep = [f.name for f in df.schema.fields if f.name in group_cols]
     schema_fields = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}"
@@ -95,25 +133,16 @@ def union_agg(df: DataFrame, group_cols: list[str], geom_col: str = "geom",
     )
     out_schema = f"{schema_fields}, `{out_col}` binary"
 
-    def _dissolve_rows(pdf: pd.DataFrame, in_col: str) -> pd.DataFrame:
-        geoms = [G.wkb_loads(bytes(b)) for b in pdf[in_col] if b is not None]
-        u = G.union(geoms)
-        row = {c: [pdf[c].iloc[0]] for c in keep}
-        row[out_col] = [None if u is None else G.wkb_dumps(u)]
-        return pd.DataFrame(row)
-
     def partial(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            parts = [_dissolve_rows(grp, geom_col)
-                     for _, grp in pdf.groupby(keep, dropna=False, sort=False)]
-            yield pd.concat(parts, ignore_index=True)
+            yield _combine_batch(pdf, keep, geom_col, out_col)
 
     partials = df.select(*keep, geom_col).mapInPandas(partial,
                                                       schema=out_schema)
 
-    def final(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _dissolve_rows(pdf, out_col)
+    def final(pdf):
+        return _dissolve_group_rows(pdf, keep, out_col, out_col)
 
     return partials.groupBy(*group_cols).applyInPandas(final, schema=out_schema)

@@ -30,9 +30,11 @@ def scan_csv(spark: SparkSession, path: str,
 def scan_jdbc(spark: SparkSession, url: str, query: str, **options) -> DataFrame:
     """A3 (load_report.py:35-42): JDBC scan with query pushdown.
 
-    Requires the vendor driver jar on the Spark classpath; the test
-    container has none, so this surface is exercised only for its error
-    contract.
+    Raw-URL form; ``sources.jdbc`` holds the full assembly (db_params →
+    URL/options, PostGIS→WKB query wrapping, partitioned reads).  Requires
+    the vendor driver jar on the Spark classpath; the test container has
+    none, so the ``.load()`` step is exercised only for its error
+    contract while the assembly itself is unit-tested.
     """
     reader = (spark.read.format("jdbc")
               .option("url", url).option("query", query))

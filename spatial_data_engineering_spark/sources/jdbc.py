@@ -1,0 +1,129 @@
+"""JDBC ingest assembly (SURVEY.md §2 A3).
+
+The reference connects SQLAlchemy to Postgres and pushes a complete SQL
+query — filter, ST_Union, ST_Transform all evaluated database-side — then
+reads the geometry column as WKB (scripts/python/load_report.py:30-42, the
+``create_db_engine``/``fetch_geometries`` pair, driven by the pushed query
+at load_report.py:471-476).
+
+Spark-first equivalent: ``spark.read.format("jdbc")`` with the SAME pushed
+query (the database remains the right place to evaluate PostGIS operators
+Spark doesn't have), plus the two things a 100 TB-era ingest needs that
+the reference's single connection lacks:
+
+* **WKB bridging** — ``postgis_wkb_query`` wraps the pushed query so the
+  geometry column arrives as ``bytea`` (``ST_AsBinary``), which the JDBC
+  source maps to Spark ``binary`` — directly consumable by this engine's
+  WKB kernel (functions/geometry.py).  Without it, PostGIS ``geometry``
+  arrives as an opaque hex string.
+* **Partitioned reads** — ``partition_options`` emits
+  partitionColumn/lowerBound/upperBound/numPartitions so the scan issues
+  N range-sliced queries in parallel instead of one connection streaming
+  the whole result through a single task.
+
+No driver jar ships in this container, so ``.load()`` is exercised only
+for its error contract (tests assert the clear ClassNotFound failure);
+everything up to the reader — URL, pushed SQL text, options dict — is
+constructed and unit-tested for real.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+_PG_DRIVER = "org.postgresql.Driver"
+
+
+def jdbc_url(db_params: dict) -> str:
+    """Postgres JDBC URL from the reference's db_params shape
+    (load_report.py:32: user/password/host/port/dbname keys; credentials
+    ride the options dict, never the URL, so they can't leak into plans
+    or logs)."""
+    missing = [k for k in ("host", "port", "dbname") if k not in db_params]
+    if missing:
+        raise ValueError(f"db_params missing {missing}")
+    return (f"jdbc:postgresql://{db_params['host']}:{db_params['port']}"
+            f"/{db_params['dbname']}")
+
+
+def postgis_wkb_query(query: str, geom_col: str = "geom",
+                      columns: list[str] | None = None) -> str:
+    """Wrap a pushed query so ``geom_col`` arrives as WKB bytes.
+
+    ``columns`` lists the non-geometry output columns of ``query`` (SQL
+    can't express "* except geom" portably).  The wrap keeps the whole
+    inner query database-side — PostGIS evaluates it, Spark sees a flat
+    (columns..., geom bytea) relation.
+    """
+    inner = query.strip().rstrip(";")
+    cols = ", ".join(f"src.{c}" for c in (columns or []))
+    sel = f"{cols}, " if cols else ""
+    return (f"SELECT {sel}ST_AsBinary(src.{geom_col}) AS {geom_col} "
+            f"FROM ({inner}) src")
+
+
+def partition_options(column: str, lower: int, upper: int,
+                      num_partitions: int) -> dict[str, str]:
+    """Range-sliced parallel read options (Spark JDBC partitioning).
+
+    The JDBC source turns these into ``num_partitions`` concurrent
+    queries, each with a WHERE range on ``column`` — the only way a JDBC
+    ingest scales past one task.  Bounds only shape the slicing; rows
+    outside them are still read (Spark semantics), so a stale bound
+    cannot drop data.
+    """
+    if num_partitions < 1:
+        raise ValueError("num_partitions must be >= 1")
+    if lower >= upper:
+        raise ValueError(f"need lower < upper, got [{lower}, {upper}]")
+    return {
+        "partitionColumn": column,
+        "lowerBound": str(lower),
+        "upperBound": str(upper),
+        "numPartitions": str(num_partitions),
+    }
+
+
+def assemble_scan(db_params: dict, query: str, *,
+                  geom_col: str | None = None,
+                  columns: list[str] | None = None,
+                  fetchsize: int = 10_000,
+                  partitioning: dict[str, str] | None = None,
+                  ) -> tuple[str, str, dict[str, str]]:
+    """Build (url, pushed_sql, options) for a JDBC scan — the pure
+    assembly step, unit-testable without a driver jar.
+
+    ``partitioning`` must use ``dbtable`` semantics (Spark forbids
+    combining ``query`` with partitionColumn), so the pushed SQL is
+    emitted as a named derived table in that case.
+    """
+    url = jdbc_url(db_params)
+    pushed = (postgis_wkb_query(query, geom_col, columns)
+              if geom_col else query.strip().rstrip(";"))
+    options: dict[str, str] = {
+        "driver": _PG_DRIVER,
+        "fetchsize": str(fetchsize),
+    }
+    for k in ("user", "password"):
+        if k in db_params:
+            options[k] = str(db_params[k])
+    if partitioning:
+        # Spark rejects query+partitionColumn together; the documented
+        # escape hatch is a derived-table dbtable.
+        options["dbtable"] = f"({pushed}) pushed_q"
+        options.update(partitioning)
+    else:
+        options["query"] = pushed
+    return url, pushed, options
+
+
+def scan(spark: SparkSession, db_params: dict, query: str,
+         **kwargs) -> DataFrame:
+    """A3 end-to-end: assemble + read.  Fails with the JDBC driver
+    ClassNotFound error when no vendor jar is on the classpath (this
+    container), which is the loud contract tests pin."""
+    url, _, options = assemble_scan(db_params, query, **kwargs)
+    reader = spark.read.format("jdbc").option("url", url)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()

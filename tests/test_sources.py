@@ -107,3 +107,60 @@ def test_jdbc_error_contract(spark):
         # no driver jar in the container: surface must fail loudly, not hang
         scan_jdbc(spark, "jdbc:postgresql://localhost:5434/none",
                   "SELECT 1").collect()
+
+
+def test_jdbc_assembly_pushdown_sql():
+    """A3 assembly: the pushed SQL and options dict are constructed
+    exactly — testable with no driver jar (reference semantics:
+    load_report.py:471-476 pushed through load_report.py:35-42)."""
+    from spatial_data_engineering_spark.sources.jdbc import (
+        assemble_scan, jdbc_url, partition_options, postgis_wkb_query)
+
+    params = {"user": "u", "password": "s3c", "host": "db.example",
+              "port": 5432, "dbname": "gis"}
+    assert jdbc_url(params) == "jdbc:postgresql://db.example:5432/gis"
+
+    inner = ("SELECT 1 id, keterangan, "
+             "ST_Union(ST_Transform(geometry, 4326)) as geom "
+             "FROM staging.linked_data_view "
+             "WHERE keterangan ILIKE '%mangrove%' GROUP BY keterangan")
+    wrapped = postgis_wkb_query(inner, "geom", columns=["id", "keterangan"])
+    assert wrapped == (
+        "SELECT src.id, src.keterangan, ST_AsBinary(src.geom) AS geom "
+        f"FROM ({inner}) src")
+
+    url, pushed, opts = assemble_scan(params, inner, geom_col="geom",
+                                      columns=["id", "keterangan"])
+    assert url == "jdbc:postgresql://db.example:5432/gis"
+    assert pushed == wrapped
+    assert opts == {"driver": "org.postgresql.Driver",
+                    "fetchsize": "10000", "user": "u", "password": "s3c",
+                    "query": wrapped}
+    assert "s3c" not in url  # credentials never ride the URL
+
+    # partitioned read switches to derived-table dbtable semantics
+    part = partition_options("id", 0, 1000, 8)
+    _, _, opts2 = assemble_scan(params, inner, geom_col="geom",
+                                columns=["id", "keterangan"],
+                                partitioning=part)
+    assert opts2["dbtable"] == f"({wrapped}) pushed_q"
+    assert "query" not in opts2
+    assert opts2["numPartitions"] == "8"
+    assert opts2["lowerBound"] == "0" and opts2["upperBound"] == "1000"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        partition_options("id", 10, 10, 4)
+    with _pytest.raises(ValueError):
+        partition_options("id", 0, 10, 0)
+    with _pytest.raises(ValueError):
+        jdbc_url({"host": "h", "port": 1})
+
+
+def test_jdbc_assembled_scan_error_contract(spark):
+    from spatial_data_engineering_spark.sources import jdbc
+
+    params = {"host": "localhost", "port": 5434, "dbname": "none"}
+    with pytest.raises(Exception):
+        # assembly succeeds; .load() must fail loudly without a driver jar
+        jdbc.scan(spark, params, "SELECT 1 AS x").collect()

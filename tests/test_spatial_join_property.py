@@ -104,3 +104,48 @@ def test_union_agg_partitioning_invariant(spark):
             ga, gb = G.wkb_loads(a[grp]), G.wkb_loads(wkb)
             assert ga[0] == gb[0]  # same Polygon/MultiPolygon structure
             assert abs(G.area(ga) - G.area(gb)) < 1e-9
+
+
+def test_union_agg_combine_guard_passthrough():
+    """Phase-1 combine must not blow up on one-group-per-row batches: the
+    cardinality guard passes raw WKB through untouched (no per-row
+    decode/canonicalize/re-encode), so partial count == row count with
+    zero python geometry work."""
+    import pandas as pd
+
+    from spatial_data_engineering_spark.operators.spatial_join import (
+        _combine_batch)
+
+    # CW shell: a real dissolve would canonicalize to CCW and change the
+    # bytes — byte-identity proves the passthrough path ran
+    cw = G.wkb_dumps(("Polygon", [[(0.0, 0.0), (0.0, 1.0), (1.0, 1.0),
+                                   (1.0, 0.0), (0.0, 0.0)]]))
+    pdf = pd.DataFrame({"grp": list(range(64)), "geom": [cw] * 64})
+    out = _combine_batch(pdf, ["grp"], "geom", "geom")
+    assert len(out) == 64
+    assert all(bytes(b) == bytes(cw) for b in out["geom"])
+
+    # low-cardinality batch still combines to one partial per group
+    pdf2 = pd.DataFrame({"grp": [0, 0, 1, 1] * 16, "geom": [cw] * 64})
+    out2 = _combine_batch(pdf2, ["grp"], "geom", "geom")
+    assert sorted(out2["grp"]) == [0, 1]
+    assert all(bytes(b) != bytes(cw) for b in out2["geom"])  # canonicalized
+
+
+def test_union_agg_high_cardinality_correct(spark):
+    """End-to-end: a one-group-per-row dissolve (guard active in every
+    batch) still yields the correct per-group union."""
+    from pyspark.sql import functions as F
+
+    from spatial_data_engineering_spark.functions.st_funcs import st_makebox
+    from spatial_data_engineering_spark.operators.spatial_join import union_agg
+
+    base = (spark.range(200)
+            .select(F.col("id").alias("grp"),
+                    st_makebox(F.col("id") * 2.0, F.lit(0.0),
+                               F.col("id") * 2.0 + 1.0, F.lit(1.0))
+                    .alias("geom")))
+    rows = union_agg(base, ["grp"], geom_col="geom").collect()
+    assert len(rows) == 200
+    areas = {r["grp"]: G.area(G.wkb_loads(bytes(r["geom"]))) for r in rows}
+    assert all(abs(a - 1.0) < 1e-12 for a in areas.values())
