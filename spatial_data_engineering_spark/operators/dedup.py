@@ -320,3 +320,83 @@ def q48_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.groupBy("simhash").agg(
         F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q76 — exact set-similarity self-join (n-gram Jaccard) via an inverted
+# index with a document-frequency cap — the EXACT counterpart to q47's
+# probabilistic MinHash-LSH, sharing its char-8-gram shingle space.
+#
+# Pipeline: shingle sets -> explode to an inverted index (shingle,
+# doc_id) -> global df per shingle -> candidate pairs = docs sharing at
+# least one shingle with df <= cap -> exact full-set Jaccard >= 0.5.
+#
+# Contract (the scale story): the df cap bounds every index block to at
+# most cap docs, so candidate generation is a self-equi-join producing
+# <= df²/2 pairs per shingle — no quadratic stop-shingle blocks, uniform
+# md5-like keys, and the expensive array intersect/union only touches
+# candidates.  The trade is recall-by-contract: a pair is found iff it
+# shares >= 1 rare shingle (measured at sf0.01: cap=10 finds every
+# Jaccard>=0.5 pair that cap=50 finds, with 3x fewer candidates; at
+# sf0.1 raising the cap still adds pairs — the cap is the recall/cost
+# knob exactly as LSH band count is for q47).  The oracle applies the
+# identical cap, so driver parity is exact at every sf.
+# --------------------------------------------------------------------------
+_SSJ_DF_CAP = 10
+_SSJ_THETA = 0.5
+
+_ORACLE_Q76 = f"""
+    WITH sh AS (
+        SELECT doc_id, {_SHINGLES_SQL.format(col='text')} AS tl
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(tl) AS t FROM sh),
+    rare AS (
+        SELECT t FROM tok GROUP BY t HAVING COUNT(*) <= {_SSJ_DF_CAP}
+    ),
+    rt AS (SELECT tok.t, tok.doc_id FROM tok JOIN rare ON tok.t = rare.t),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM rt a JOIN rt b ON a.t = b.t AND a.doc_id < b.doc_id
+    )
+    SELECT a_id, b_id,
+           ROUND(len(list_intersect(ta.tl, tb.tl)) * 1.0
+                 / len(list_distinct(list_concat(ta.tl, tb.tl))), 6) AS jaccard
+    FROM cand
+    JOIN sh ta ON ta.doc_id = a_id
+    JOIN sh tb ON tb.doc_id = b_id
+    WHERE len(list_intersect(ta.tl, tb.tl)) * 1.0
+          / len(list_distinct(list_concat(ta.tl, tb.tl))) >= {_SSJ_THETA}
+"""
+
+
+@query("q76_ngram_jaccard_join", _ORACLE_Q76)
+def q76_ngram_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.expr(_SHINGLES_SPARK.format(col="text")).alias("tl")
+    )
+    tok = sh.select("doc_id", F.explode("tl").alias("t"))
+    # df filter as a window-free agg + join: HAVING over the index keeps
+    # the partial-aggregated path (no per-row window over the token list)
+    rare = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df")) \
+        .filter(F.col("df") <= _SSJ_DF_CAP).select("t")
+    rt = tok.join(rare, "t")
+    a, b = rt.alias("a"), rt.alias("b")
+    cand = (
+        a.join(b, (F.col("a.t") == F.col("b.t"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    ta, tb = sh.alias("ta"), sh.alias("tb")
+    j = (F.size(F.array_intersect(F.col("ta.tl"), F.col("tb.tl"))) * 1.0
+         / F.size(F.array_distinct(F.concat(F.col("ta.tl"), F.col("tb.tl")))))
+    # materialize Jaccard once pre-filter (HOF exprs are not CSE'd)
+    return (
+        cand.join(ta, F.col("ta.doc_id") == F.col("a_id"))
+        .join(tb, F.col("tb.doc_id") == F.col("b_id"))
+        .select("a_id", "b_id", j.alias("__j"))
+        .filter(F.col("__j") >= _SSJ_THETA)
+        .select("a_id", "b_id", F.round("__j", 6).alias("jaccard"))
+    )

@@ -569,3 +569,87 @@ def q74_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("doc_id").alias("n_docs"))
             .orderBy(F.desc("n_occurrences"), F.asc("token"))
             .limit(20))
+
+
+# --------------------------------------------------------------------------
+# q77 — greedy sequence packing: assign documents to fixed-capacity token
+# bins, first-fit in doc_id order — the batch-construction step of an LLM
+# training pipeline (pack short docs together so each 512-token sequence
+# wastes minimal padding).
+#
+# Semantics (by contract): within each shard (doc_id % N_SHARDS), walk
+# docs in doc_id order keeping a running token total; when adding a doc
+# would exceed the capacity, close the bin and start the next.  A doc
+# longer than the capacity gets a bin of its own.  Packing is inherently
+# sequential, so the SHARD is the unit of parallelism — the Spark side is
+# one applyInPandas pass per shard (each group walks its rows once in
+# Arrow batch memory), exactly how production packers chunk work per
+# writer task.  At 100 TB you raise N_SHARDS to match writer parallelism;
+# results stay deterministic because the shard function and the walk
+# order are part of the contract, not the physical plan.
+#
+# The oracle replays the same walk as a recursive CTE (the q56 pattern):
+# row r's bin state derives from row r-1's — a linear recursion DuckDB
+# evaluates exactly.
+# --------------------------------------------------------------------------
+_PACK_CAP = 512
+_PACK_SHARDS = 8
+
+
+@query(
+    "q77_pack_sequences",
+    f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    ord AS (
+        SELECT doc_id, shard, n_tokens,
+               row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        FROM toks
+    ),
+    packed AS (
+        SELECT shard, rn, doc_id, n_tokens,
+               CAST(0 AS BIGINT) AS bin_idx, n_tokens AS cum
+        FROM ord WHERE rn = 1
+        UNION ALL
+        SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+               CASE WHEN p.cum + o.n_tokens > {_PACK_CAP}
+                    THEN p.bin_idx + 1 ELSE p.bin_idx END,
+               CASE WHEN p.cum + o.n_tokens > {_PACK_CAP}
+                    THEN o.n_tokens ELSE p.cum + o.n_tokens END
+        FROM packed p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1
+    )
+    SELECT doc_id, shard, bin_idx, n_tokens FROM packed
+    """,
+)
+def q77_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins = []
+        bin_idx, cum = 0, 0
+        for i, n in enumerate(pdf["n_tokens"]):
+            if i == 0:
+                cum = n
+            elif cum + n > _PACK_CAP:
+                bin_idx += 1
+                cum = n
+            else:
+                cum += n
+            bins.append(bin_idx)
+        pdf["bin_idx"] = pd.Series(bins, dtype="int64")
+        return pdf[["doc_id", "shard", "bin_idx", "n_tokens"]]
+
+    return toks.groupBy("shard").applyInPandas(
+        pack, schema="doc_id bigint, shard bigint, bin_idx bigint, "
+                     "n_tokens bigint")

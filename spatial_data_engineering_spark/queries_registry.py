@@ -54,6 +54,8 @@ _PRIORITY = [
     "q55_kmeans",
     # --- new or changed this round ---
     "q75_golden_variance",  # new: flagship raw-variance tail w/ oracle
+    "q76_ngram_jaccard_join",  # new: exact df-capped set-similarity join
+    "q77_pack_sequences",   # new: greedy token packing w/ recursive oracle
     "q10_row_number",       # reimplemented: auto small/scale path selection
     "q67_overlap_dissolve",  # oracle edit: 6-dp rounding vs float re-noding
     "q71_frame_sample",     # oracle edit: byte-length semantics
@@ -70,9 +72,9 @@ _PRIORITY = [
     "q44_quality_score",
     # relational representatives
     "q01_pricing_summary", "q08_var_argmax", "q29_asof_join",
-    "q33_percentiles", "q72_hierarchical_rollup",
     # ---- 50-entry window boundary; everything below was driver-verified
     # green in round 2 and rotates back in next round ----
+    "q33_percentiles", "q72_hierarchical_rollup",
     "q57_normalize_text", "q58_edit_distance", "q65_blocklist_filter",
     "q66_repetition", "q68_chunk_documents", "q69_embedding_quantize",
     "q70_multimodal_meta", "q73_hash_split", "q74_vocab_topk",

@@ -131,3 +131,38 @@ def test_q68_chunking_is_pure_flatmap(spark):
     plan = _plan(spark, "q68_chunk_documents")
     assert "Exchange" not in plan
     assert "Generate" in plan  # the explode
+
+
+def test_q76_ssjoin_no_cartesian(spark):
+    # candidate generation must be an equi-join on the shingle key; the
+    # df cap keeps blocks bounded but must not change the join shape
+    plan = _plan(spark, "q76_ngram_jaccard_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q77_packing_invariants(spark):
+    # contract invariants beyond the value oracle: bins are contiguous
+    # per shard, no bin exceeds capacity unless it holds a single
+    # over-long doc, and every doc appears exactly once
+    from spatial_data_engineering_spark.operators.textops import (
+        _PACK_CAP, _PACK_SHARDS)
+    from spatial_data_engineering_spark.queries_registry import all_queries
+
+    rows = all_queries()["q77_pack_sequences"](spark, SF_ORACLE).collect()
+    assert len(rows) == len({r["doc_id"] for r in rows}) > 0
+    by_shard: dict = {}
+    for r in rows:
+        assert r["shard"] == r["doc_id"] % _PACK_SHARDS
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        bins = [r["bin_idx"] for r in rs]
+        assert bins[0] == 0
+        assert all(b2 - b1 in (0, 1) for b1, b2 in zip(bins, bins[1:]))
+        fill: dict = {}
+        for r in rs:
+            fill[r["bin_idx"]] = fill.get(r["bin_idx"], 0) + r["n_tokens"]
+        for b, tot in fill.items():
+            n_docs = sum(1 for r in rs if r["bin_idx"] == b)
+            assert tot <= _PACK_CAP or n_docs == 1
