@@ -653,3 +653,136 @@ def q77_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.groupBy("shard").applyInPandas(
         pack, schema="doc_id bigint, shard bigint, bin_idx bigint, "
                      "n_tokens bigint")
+
+
+# --------------------------------------------------------------------------
+# q78 — deterministic corpus balancing: thin over-represented languages to
+# a per-language document budget by hash-rate sampling.  keep-probability
+# = min(1, K/count(lang)); a doc survives iff its md5-fold bucket (0..9999,
+# a pure function of doc_id) falls under floor(rate*10000).
+#
+# This is the scale-safe shape for group-capped sampling: NO per-group
+# window/rank (a rank over `lang` puts each language on one partition —
+# the skew bottleneck), just a tiny per-group rate table broadcast back
+# and a stateless per-row hash test.  The sample is reproducible across
+# runs/partitionings by construction (never rand()), and the realized
+# sample size concentrates around K (binomial, not exact-K — the
+# documented trade for a one-pass stateless plan).
+# --------------------------------------------------------------------------
+_BALANCE_K = 100
+_BALANCE_BUCKETS = 10_000
+
+
+def _doc_bucket(engine: str) -> str:
+    """md5-fold of doc_id -> bucket in [0, _BALANCE_BUCKETS): the q47/q73
+    portable-hash pattern (hex digits -> integer -> mod)."""
+    from .dedup import _hex_fold
+
+    cast = ("CAST(doc_id AS STRING)" if engine == "spark"
+            else "CAST(doc_id AS VARCHAR)")
+    return f"({_hex_fold(engine, f'md5({cast})')} % {_BALANCE_BUCKETS})"
+
+
+@query(
+    "q78_balance_corpus",
+    f"""
+    WITH rates AS (
+        SELECT lang,
+               least(1.0, {_BALANCE_K} * 1.0 / COUNT(*)) AS rate
+        FROM documents GROUP BY 1
+    ),
+    keyed AS (
+        SELECT doc_id, lang, n_chars, {_doc_bucket('duckdb')} AS u
+        FROM documents
+    )
+    SELECT k.doc_id, k.lang, k.n_chars
+    FROM keyed k JOIN rates r ON k.lang = r.lang
+    WHERE k.u < CAST(floor(r.rate * {_BALANCE_BUCKETS}) AS BIGINT)
+    """,
+)
+def q78_balance_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    rates = d.groupBy("lang").agg(
+        F.least(F.lit(1.0),
+                F.lit(float(_BALANCE_K)) / F.count(F.lit(1))).alias("rate"))
+    keyed = d.select(
+        "doc_id", "lang", "n_chars",
+        F.expr(_doc_bucket("spark")).alias("u"),
+    )
+    return (
+        keyed.join(F.broadcast(rates), "lang")
+        .filter(F.col("u")
+                < F.floor(F.col("rate") * _BALANCE_BUCKETS).cast("bigint"))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+# --------------------------------------------------------------------------
+# q79 — benchmark decontamination: flag training documents whose char-8-
+# gram shingle overlap with a held-out benchmark set exceeds a threshold
+# (the n-gram-overlap decontamination standard for LLM training corpora).
+#
+# Benchmark set (by contract here): docs with doc_id % 97 == 0 — in a real
+# pipeline this is the eval-suite text.  Plan shape: the benchmark's
+# distinct shingle set is small and BROADCAST; corpus shingles explode,
+# hash-join against it (map-side, no corpus shuffle), per-doc match counts
+# aggregate with map-side partials, ratio = matched/|set| >= 0.45 flags.
+# At 100 TB the corpus side never shuffles its text — only (doc_id, 1)
+# match rows after the broadcast join.
+# --------------------------------------------------------------------------
+_DECON_THETA = 0.45
+_DECON_MOD = 97
+
+from .dedup import _SHINGLES_SPARK, _SHINGLES_SQL  # noqa: E402
+
+
+@query(
+    "q79_decontaminate",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, {_SHINGLES_SQL.format(col='text')} AS tl
+        FROM documents
+    ),
+    bench AS (
+        SELECT DISTINCT unnest(tl) AS t FROM sh
+        WHERE doc_id % {_DECON_MOD} = 0
+    ),
+    doc_tok AS (
+        SELECT doc_id, unnest(tl) AS t FROM sh
+        WHERE doc_id % {_DECON_MOD} <> 0
+    ),
+    m AS (
+        SELECT d.doc_id, COUNT(*) AS n_matched
+        FROM doc_tok d JOIN bench b ON d.t = b.t GROUP BY 1
+    ),
+    sz AS (
+        SELECT doc_id, len(tl) AS n_shingles FROM sh
+        WHERE doc_id % {_DECON_MOD} <> 0
+    )
+    SELECT s.doc_id, s.n_shingles, m.n_matched,
+           ROUND(m.n_matched * 1.0 / s.n_shingles, 6) AS overlap
+    FROM sz s JOIN m ON s.doc_id = m.doc_id
+    WHERE m.n_matched * 1.0 / s.n_shingles >= {_DECON_THETA}
+    """,
+)
+def q79_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.expr(_SHINGLES_SPARK.format(col="text")).alias("tl")
+    )
+    is_bench = F.col("doc_id") % _DECON_MOD == 0
+    bench = (sh.filter(is_bench)
+             .select(F.explode("tl").alias("t")).distinct())
+    doc_tok = (sh.filter(~is_bench)
+               .select("doc_id", F.explode("tl").alias("t")))
+    m = (doc_tok.join(F.broadcast(bench), "t")
+         .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_matched")))
+    sz = sh.filter(~is_bench).select(
+        "doc_id", F.size("tl").cast("bigint").alias("n_shingles"))
+    ratio = F.col("n_matched") * 1.0 / F.col("n_shingles")
+    return (
+        sz.join(m, "doc_id")
+        .filter(ratio >= _DECON_THETA)
+        .select("doc_id", "n_shingles", "n_matched",
+                F.round(ratio, 6).alias("overlap"))
+    )

@@ -56,6 +56,8 @@ _PRIORITY = [
     "q75_golden_variance",  # new: flagship raw-variance tail w/ oracle
     "q76_ngram_jaccard_join",  # new: exact df-capped set-similarity join
     "q77_pack_sequences",   # new: greedy token packing w/ recursive oracle
+    "q78_balance_corpus",   # new: hash-rate language balancing
+    "q79_decontaminate",    # new: benchmark n-gram decontamination
     "q10_row_number",       # reimplemented: auto small/scale path selection
     "q67_overlap_dissolve",  # oracle edit: 6-dp rounding vs float re-noding
     "q71_frame_sample",     # oracle edit: byte-length semantics
@@ -70,10 +72,12 @@ _PRIORITY = [
     # text analysis representatives
     "q40_text_stats", "q41_token_count", "q42_lang_id", "q43_fingerprint",
     "q44_quality_score",
-    # relational representatives
-    "q01_pricing_summary", "q08_var_argmax", "q29_asof_join",
+    # relational representative (q75 refreshes q08's class; q01's
+    # scan/agg class is exercised by nearly every in-window query)
+    "q29_asof_join",
     # ---- 50-entry window boundary; everything below was driver-verified
     # green in round 2 and rotates back in next round ----
+    "q01_pricing_summary", "q08_var_argmax",
     "q33_percentiles", "q72_hierarchical_rollup",
     "q57_normalize_text", "q58_edit_distance", "q65_blocklist_filter",
     "q66_repetition", "q68_chunk_documents", "q69_embedding_quantize",

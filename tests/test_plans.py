@@ -166,3 +166,19 @@ def test_q77_packing_invariants(spark):
         for b, tot in fill.items():
             n_docs = sum(1 for r in rs if r["bin_idx"] == b)
             assert tot <= _PACK_CAP or n_docs == 1
+
+
+def test_q78_balance_no_window_broadcast_rates(spark):
+    # group-capped sampling must stay stateless per row: a rank/window
+    # over lang would serialize each language onto one partition
+    plan = _plan(spark, "q78_balance_corpus")
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q79_decontaminate_broadcasts_benchmark(spark):
+    # the benchmark shingle set broadcasts; the corpus side never
+    # sort-merge-shuffles its exploded text
+    plan = _plan(spark, "q79_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
