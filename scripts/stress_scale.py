@@ -135,6 +135,73 @@ def main() -> None:
     out["union_one_part_per_group"] = (
         agg["total_parts"] == n_groups == agg["n_groups_out"])
 
+    # ---- exact ssjoin (q76 shape) at n_docs -----------------------------
+    # same synthetic corpus: candidate generation must stay bounded by the
+    # df cap (blocks of <= cap docs), never quadratic
+    from spatial_data_engineering_spark.operators.dedup import _SSJ_DF_CAP
+    t0 = time.perf_counter()
+    tok = sh.select("doc_id", F.explode("tl").alias("t"))
+    rare = (tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= _SSJ_DF_CAP).select("t"))
+    rt = tok.join(rare, "t")
+    ra, rb = rt.alias("a"), rt.alias("b")
+    ss_cand = (ra.join(rb, (F.col("a.t") == F.col("b.t"))
+                       & (F.col("a.doc_id") < F.col("b.doc_id")))
+               .select(F.col("a.doc_id").alias("a_id"),
+                       F.col("b.doc_id").alias("b_id")).distinct())
+    n_ss = ss_cand.count()
+    out["ssjoin_sec"] = round(time.perf_counter() - t0, 2)
+    out["ssjoin_candidates"] = n_ss
+    out["ssjoin_candidate_fraction_of_n2"] = round(
+        n_ss / (n_docs * (n_docs - 1) / 2), 8)
+
+    # ---- union_agg high-cardinality guard at n_rects groups -------------
+    # one group per row: phase 1 must pass WKB through (no per-row
+    # dissolve); completing in seconds rather than minutes is the signal
+    hc = (spark.range(n_rects)
+          .select(F.col("id").alias("grp"),
+                  st_makebox(F.col("id") * 2.0, F.lit(0.0),
+                             F.col("id") * 2.0 + 1.0, F.lit(1.0))
+                  .alias("geom")))
+    t0 = time.perf_counter()
+    hc_out = union_agg(hc, ["grp"], geom_col="geom").count()
+    out["union_hc_sec"] = round(time.perf_counter() - t0, 2)
+    out["union_hc_groups"] = hc_out
+
+    # ---- sequence packing (q77 shape) at n_pack docs --------------------
+    # shards are the parallelism unit; each applyInPandas group walks its
+    # rows once — wall-clock should scale with n_pack / n_shards
+    n_pack = int(sys.argv[4]) if len(sys.argv) > 4 else 5_000_000
+    n_shards = 1024
+    pk = (spark.range(n_pack)
+          .select(F.col("id").alias("doc_id"),
+                  (F.col("id") % n_shards).alias("shard"),
+                  ((F.col("id") * 37) % 400 + 20).alias("n_tokens")))
+    import pandas as pd
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, bin_idx, cum = [], 0, 0
+        for i, n in enumerate(pdf["n_tokens"]):
+            if i == 0:
+                cum = n
+            elif cum + n > 512:
+                bin_idx += 1
+                cum = n
+            else:
+                cum += n
+            bins.append(bin_idx)
+        pdf["bin_idx"] = pd.Series(bins, dtype="int64")
+        return pdf[["doc_id", "shard", "bin_idx", "n_tokens"]]
+
+    t0 = time.perf_counter()
+    packed = pk.groupBy("shard").applyInPandas(
+        pack, schema="doc_id bigint, shard bigint, bin_idx bigint, "
+                     "n_tokens bigint")
+    n_packed = packed.count()
+    out["pack_sec"] = round(time.perf_counter() - t0, 2)
+    out["pack_docs"] = n_packed
+
     print(json.dumps(out))
     spark.stop()
 

@@ -108,6 +108,24 @@ _MH_P = 2_147_483_647  # 2^31 - 1; a*h stays < 2^62, no int64 overflow
 _MH_A = [2 * i + 1 for i in range(_N_HASHES)]          # odd multipliers
 _MH_B = [i * i + 17 for i in range(_N_HASHES)]
 
+
+def _spread_docs(df: DataFrame) -> DataFrame:
+    """Spread a small-split scan across the cluster before token explosion.
+
+    At bench SF the documents table is ONE parquet file -> one scan task,
+    and every shingle/explode pipeline inherits that single thread for a
+    ~300x row multiplication (measured: the q76 candidate pipeline dropped
+    25-33s -> ~10s at sf0.1 once spread).  The guard makes it a no-op when
+    the scan already has enough splits — at 100 TB the input has thousands
+    of row groups and an unconditional repartition would shuffle the whole
+    corpus text for nothing.
+    """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism, "doc_id")
+
+
 _SHINGLES_SPARK = ("array_distinct(transform(sequence(1, greatest(length({col})"
                    " - 7, 1)), i -> substring({col}, i, 8)))")
 _SHINGLES_SQL = ("list_distinct(list_transform(generate_series(1, "
@@ -182,7 +200,7 @@ _ORACLE_Q47 = f"""
 
 @query("q47_minhash_lsh", _ORACLE_Q47)
 def q47_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = _spread_docs(load(spark, sf_dir, "documents"))
     sh = d.select(
         "doc_id", F.expr(_SHINGLES_SPARK.format(col="text")).alias("tl")
     )
@@ -372,7 +390,7 @@ _ORACLE_Q76 = f"""
 
 @query("q76_ngram_jaccard_join", _ORACLE_Q76)
 def q76_ngram_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = _spread_docs(load(spark, sf_dir, "documents"))
     sh = d.select(
         "doc_id", F.expr(_SHINGLES_SPARK.format(col="text")).alias("tl")
     )

@@ -208,7 +208,9 @@ def q42_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q43_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    from .dedup import _spread_docs
+
+    d = _spread_docs(load(spark, sf_dir, "documents"))
     fp = F.expr(
         "array_min(transform(sequence(1, greatest(length(text) - 7, 1)),"
         " i -> md5(substring(text, i, 8))))"
@@ -766,7 +768,9 @@ from .dedup import _SHINGLES_SPARK, _SHINGLES_SQL  # noqa: E402
     """,
 )
 def q79_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    from .dedup import _spread_docs
+
+    d = _spread_docs(load(spark, sf_dir, "documents"))
     sh = d.select(
         "doc_id", F.expr(_SHINGLES_SPARK.format(col="text")).alias("tl")
     )
