@@ -8,7 +8,7 @@ spatial join stay an equi-join with bounded candidates, does LSH candidate
 generation stay sub-quadratic, at data sizes where an O(n^2) or
 driver-side formulation would already be intractable?
 
-Usage: python scripts/stress_scale.py [n_points] [n_docs]
+Usage: python scripts/stress_scale.py [n_points] [n_docs] [n_rects] [n_pack]
 """
 
 from __future__ import annotations
@@ -171,6 +171,7 @@ def main() -> None:
     # ---- sequence packing (q77 shape) at n_pack docs --------------------
     # shards are the parallelism unit; each applyInPandas group walks its
     # rows once — wall-clock should scale with n_pack / n_shards
+    from spatial_data_engineering_spark.operators.textops import _PACK_CAP
     n_pack = int(sys.argv[4]) if len(sys.argv) > 4 else 5_000_000
     n_shards = 1024
     pk = (spark.range(n_pack)
@@ -185,7 +186,7 @@ def main() -> None:
         for i, n in enumerate(pdf["n_tokens"]):
             if i == 0:
                 cum = n
-            elif cum + n > 512:
+            elif cum + n > _PACK_CAP:
                 bin_idx += 1
                 cum = n
             else:

@@ -49,3 +49,39 @@ def sql_dsum(expr: str, alias: str) -> str:
 def sql_davg(expr: str, alias: str) -> str:
     return (f"(CAST(SUM(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE)"
             f" / COUNT({expr})) AS {alias}")
+
+
+def _dmoments(col: str) -> tuple[Column, Column, Column]:
+    """(n, Σx, Σx²) with exact decimal accumulation — the closed-form
+    building blocks for order-independent variance/CV."""
+    ds = lambda c: F.sum(c.cast(DEC)).cast("double")  # noqa: E731
+    c = F.col(col)
+    return F.count(F.lit(1)), ds(c), ds(c * c)
+
+
+def dvar_samp(col: str) -> Column:
+    """Order-independent sample variance (ddof=1), closed form: exact
+    decimal sums of x and x², combined in double — identical IEEE
+    arithmetic on both engines (the q08/q75 contract).  stddev_samp/var
+    over raw doubles would accumulate in engine-specific order."""
+    n, s1, s2 = _dmoments(col)
+    return F.greatest(s2 - s1 * s1 / n, F.lit(0)) / (n - 1)
+
+
+def dcv(col: str) -> Column:
+    """Order-independent coefficient of variation: sqrt(var_samp)/mean."""
+    n, s1, _ = _dmoments(col)
+    return F.sqrt(dvar_samp(col)) / (s1 / n)
+
+
+def sql_dvar_expr(expr: str) -> str:
+    """DuckDB twin of dvar_samp (alias-free, for composition)."""
+    s1 = sql_dsum_expr(expr)
+    s2 = sql_dsum_expr(f"{expr} * {expr}")
+    return (f"(greatest({s2} - {s1} * {s1} / COUNT(*), 0)"
+            f" / (COUNT(*) - 1))")
+
+
+def sql_dcv_expr(expr: str) -> str:
+    """DuckDB twin of dcv."""
+    return f"(sqrt({sql_dvar_expr(expr)}) / ({sql_dsum_expr(expr)} / COUNT(*)))"

@@ -359,6 +359,12 @@ def q48_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sf0.1 raising the cap still adds pairs — the cap is the recall/cost
 # knob exactly as LSH band count is for q47).  The oracle applies the
 # identical cap, so driver parity is exact at every sf.
+#
+# The shingle expression appears in several plan branches; measured at
+# sf0.1, letting Spark's ReuseExchange carry the duplication beats a
+# localCheckpoint of the token stream (13.5s vs 15-23s under identical
+# load) — the checkpoint serializes 1.35M rows and severs the reused
+# shuffle, so don't "fix" the recompute.
 # --------------------------------------------------------------------------
 _SSJ_DF_CAP = 10
 _SSJ_THETA = 0.5

@@ -15,7 +15,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..catalog import load
-from .common import davg, dsum, sql_davg, sql_dsum, sql_dsum_expr
+from .common import (davg, dcv, dsum, dvar_samp, sql_davg, sql_dcv_expr,
+                     sql_dsum, sql_dsum_expr, sql_dvar_expr)
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -247,17 +248,10 @@ def q07_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY 1, 2
     ),
     stats AS (
-        -- order-independent sample stddev/mean: exact decimal sums of x
-        -- and x^2, closed-form variance in double — stddev_samp/avg over
-        -- raw doubles would accumulate in engine-specific order
+        -- order-independent sample stddev/mean (closed form over exact
+        -- decimal sums; see operators/common.py sql_dcv_expr)
         SELECT o_orderpriority,
-               ROUND(
-                 sqrt(greatest({sql_dsum_expr('mrev * mrev')}
-                               - {sql_dsum_expr('mrev')}
-                                 * {sql_dsum_expr('mrev')} / COUNT(*), 0)
-                      / (COUNT(*) - 1))
-                 / ({sql_dsum_expr('mrev')} / COUNT(*)),
-                 6) AS cv
+               ROUND({sql_dcv_expr('mrev')}, 6) AS cv
         FROM monthly GROUP BY 1
     )
     SELECT o_orderpriority, cv,
@@ -277,15 +271,9 @@ def q08_var_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"),
         ).agg(dsum("o_totalprice", "mrev"))
     )
-    # mirror the oracle's closed-form, order-independent cv (see SQL note)
-    ds = lambda c: F.sum(c.cast("decimal(30,6)")).cast("double")  # noqa: E731
-    n = F.count(F.lit(1))
-    s1 = ds(F.col("mrev"))
-    s2 = ds(F.col("mrev") * F.col("mrev"))
-    cv = F.round(
-        F.sqrt(F.greatest(s2 - s1 * s1 / n, F.lit(0)) / (n - 1)) / (s1 / n), 6
-    )
-    stats = monthly.groupBy("o_orderpriority").agg(cv.alias("cv"))
+    # mirror the oracle's closed-form, order-independent cv (common.dcv)
+    stats = monthly.groupBy("o_orderpriority").agg(
+        F.round(dcv("mrev"), 6).alias("cv"))
     return (
         stats.withColumn(
             "inference",
@@ -328,10 +316,7 @@ _INFER_LOW = ("Low variance observed, indicating stable vegetation health "
     ),
     stats AS (
         SELECT o_orderpriority,
-               ROUND(greatest({sql_dsum_expr('mrev * mrev')}
-                              - {sql_dsum_expr('mrev')}
-                                * {sql_dsum_expr('mrev')} / COUNT(*), 0)
-                     / (COUNT(*) - 1), 6) AS variance
+               ROUND({sql_dvar_expr('mrev')}, 6) AS variance
         FROM monthly GROUP BY 1
     )
     SELECT o_orderpriority, variance,
@@ -351,13 +336,8 @@ def q75_golden_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"),
         ).agg(dsum("o_totalprice", "mrev"))
     )
-    ds = lambda c: F.sum(c.cast("decimal(30,6)")).cast("double")  # noqa: E731
-    n = F.count(F.lit(1))
-    s1 = ds(F.col("mrev"))
-    s2 = ds(F.col("mrev") * F.col("mrev"))
-    variance = F.round(
-        F.greatest(s2 - s1 * s1 / n, F.lit(0)) / (n - 1), 6)
-    stats = monthly.groupBy("o_orderpriority").agg(variance.alias("variance"))
+    stats = monthly.groupBy("o_orderpriority").agg(
+        F.round(dvar_samp("mrev"), 6).alias("variance"))
     return (
         stats.withColumn(
             "inference",
@@ -416,14 +396,14 @@ def q09_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   pinning a full table copy in executor cache for the session lifetime.
 #   (localCheckpoint output is unrecoverable on executor loss; at 100 TB
 #   use reliable `checkpoint()` against the cluster checkpoint dir.)
-#   nparts is sized to the data (~TARGET_ROWS_PER_PART rows/partition,
-#   capped at defaultParallelism) so tiny frames don't pay a fixed-32
-#   exchange.  The cumulative-offset dict is O(nparts) ints and rides the
-#   task closure — no broadcast to leak (a per-call broadcast was never
-#   unpersisted in an earlier revision).
+#   The strategy probe is a bounded limit(T+1) count (early-exit scan),
+#   so an expensive upstream plan is never fully evaluated just to pick a
+#   path; tiny frames take the window and never pay the exchange.  The
+#   cumulative-offset dict is O(nparts) ints and rides the task closure —
+#   no broadcast to leak (a per-call broadcast was never unpersisted in
+#   an earlier revision).
 # --------------------------------------------------------------------------
 _ROW_ID_WINDOW_THRESHOLD = 1_000_000  # rows; below this one task wins
-_ROW_ID_TARGET_ROWS_PER_PART = 100_000
 
 
 def sequential_row_id(df: DataFrame, key: str, out_col: str = "id",
@@ -433,13 +413,18 @@ def sequential_row_id(df: DataFrame, key: str, out_col: str = "id",
 
     spark = df.sparkSession
     if nparts is None:
-        n = df.count()  # column-pruned count(*): cheap vs the work it sizes
-        if n <= _ROW_ID_WINDOW_THRESHOLD:
+        # bounded probe, not a full count: limit(T+1) early-exits the scan
+        # once T+1 rows exist, so an expensive upstream plan is not fully
+        # evaluated twice just to pick a strategy
+        probe = df.limit(_ROW_ID_WINDOW_THRESHOLD + 1).count()
+        if probe <= _ROW_ID_WINDOW_THRESHOLD:
             w = W.orderBy(F.col(key).asc())
             return df.select(
                 F.row_number().over(w).cast("bigint").alias(out_col), "*")
-        nparts = max(1, min(spark.sparkContext.defaultParallelism,
-                            n // _ROW_ID_TARGET_ROWS_PER_PART))
+        # big path (>threshold rows): full parallelism is always right —
+        # at >=1M rows every core has >=30k rows to enumerate, so no
+        # second (full) count is needed just to size the exchange
+        nparts = spark.sparkContext.defaultParallelism
     part = (df.repartitionByRange(nparts, F.col(key).asc())
             .sortWithinPartitions(F.col(key).asc())
             .localCheckpoint(eager=True))
