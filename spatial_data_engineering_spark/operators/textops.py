@@ -381,11 +381,11 @@ def q66_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STOPWORDS = "'the', 'a', 'of', 'and', 'to', 'in'"
 
 
-@query(
-    "q44_quality_score",
-    f"""
+# Shared scored-quality relation: (doc_id, lang, quality), one definition
+# per engine — q44 tiers it, q80 threshold-filters it.
+_SCORED_SQL = f"""
     WITH feats AS (
-        SELECT doc_id,
+        SELECT doc_id, lang,
                length(text) AS n,
                len(string_split(text, ' ')) AS nt,
                len(list_distinct(string_split(text, ' '))) AS ndt,
@@ -394,25 +394,19 @@ _STOPWORDS = "'the', 'a', 'of', 'and', 'to', 'in'"
         FROM documents
     ),
     scored AS (
-        SELECT doc_id,
+        SELECT doc_id, lang,
                ROUND(  0.25 * least(n / 400.0, 1.0)
                      + 0.25 * least(nstop * 4.0 / nt, 1.0)
                      + 0.50 * (ndt * 1.0 / nt), 6) AS quality
         FROM feats
     )
-    SELECT CASE WHEN quality > 0.6 THEN 'keep'
-                WHEN quality > 0.4 THEN 'review'
-                ELSE 'drop' END AS tier,
-           COUNT(*) AS n_docs,
-           ROUND(MIN(quality), 6) AS min_q,
-           ROUND(MAX(quality), 6) AS max_q
-    FROM scored GROUP BY 1
-    """,
-)
-def q44_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+"""
+
+
+def _scored_quality(d: DataFrame) -> DataFrame:
+    """(doc_id, lang, quality) — the Spark twin of ``_SCORED_SQL``."""
     feats = d.select(
-        "doc_id",
+        "doc_id", "lang",
         F.length("text").alias("n"),
         F.expr(f"size({_TOKENS})").alias("nt"),
         F.expr(f"size(array_distinct({_TOKENS}))").alias("ndt"),
@@ -424,7 +418,24 @@ def q44_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.50 * (F.col("ndt") * 1.0 / F.col("nt")),
         6,
     )
-    scored = feats.select("doc_id", quality.alias("quality"))
+    return feats.select("doc_id", "lang", quality.alias("quality"))
+
+
+@query(
+    "q44_quality_score",
+    f"""
+    {_SCORED_SQL}
+    SELECT CASE WHEN quality > 0.6 THEN 'keep'
+                WHEN quality > 0.4 THEN 'review'
+                ELSE 'drop' END AS tier,
+           COUNT(*) AS n_docs,
+           ROUND(MIN(quality), 6) AS min_q,
+           ROUND(MAX(quality), 6) AS max_q
+    FROM scored GROUP BY 1
+    """,
+)
+def q44_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _scored_quality(load(spark, sf_dir, "documents"))
     return (
         scored.withColumn(
             "tier",
@@ -789,4 +800,46 @@ def q79_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(ratio >= _DECON_THETA)
         .select("doc_id", "n_shingles", "n_matched",
                 F.round(ratio, 6).alias("overlap"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q80 — per-language quality-threshold filtering: keep documents at or
+# above their language's 25th quality percentile — the curation step that
+# drops each language's worst quartile WITHOUT letting a high-resource
+# language's score distribution set the bar for a low-resource one.
+#
+# Plan shape: the scored relation aggregates to one exact p25 per
+# language (tiny), which broadcasts back for a stateless per-row filter —
+# no per-group window over the corpus.  Exact `percentile` keeps the
+# oracle bit-matched (the q33 contract: Spark percentile and DuckDB
+# quantile_cont interpolate identically); at 100 TB the same operator
+# takes approx_percentile thresholds (q34's sketch path) since a
+# curation cut tolerates sketch error.
+# --------------------------------------------------------------------------
+_QF_P = 0.25
+
+
+@query(
+    "q80_quality_filter",
+    f"""
+    {_SCORED_SQL},
+    thr AS (
+        SELECT lang, quantile_cont(quality, {_QF_P}) AS p25
+        FROM scored GROUP BY 1
+    )
+    SELECT s.doc_id, s.lang, s.quality, ROUND(t.p25, 6) AS p25
+    FROM scored s JOIN thr t ON s.lang = t.lang
+    WHERE s.quality >= t.p25
+    """,
+)
+def q80_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _scored_quality(load(spark, sf_dir, "documents"))
+    thr = scored.groupBy("lang").agg(
+        F.expr(f"percentile(quality, {_QF_P})").alias("p25"))
+    return (
+        scored.join(F.broadcast(thr), "lang")
+        .filter(F.col("quality") >= F.col("p25"))
+        .select("doc_id", "lang", "quality",
+                F.round("p25", 6).alias("p25"))
     )

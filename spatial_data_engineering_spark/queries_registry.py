@@ -58,6 +58,7 @@ _PRIORITY = [
     "q77_pack_sequences",   # new: greedy token packing w/ recursive oracle
     "q78_balance_corpus",   # new: hash-rate language balancing
     "q79_decontaminate",    # new: benchmark n-gram decontamination
+    "q80_quality_filter",   # new: per-language quality-quartile cut
     "q10_row_number",       # reimplemented: auto small/scale path selection
     "q67_overlap_dissolve",  # oracle edit: 6-dp rounding vs float re-noding
     "q71_frame_sample",     # oracle edit: byte-length semantics
@@ -72,11 +73,11 @@ _PRIORITY = [
     # text analysis representatives
     "q40_text_stats", "q41_token_count", "q42_lang_id", "q43_fingerprint",
     "q44_quality_score",
-    # relational representative (q75 refreshes q08's class; q01's
-    # scan/agg class is exercised by nearly every in-window query)
-    "q29_asof_join",
+    # (q75 refreshes q08's class; q01's scan/agg class is exercised by
+    # nearly every in-window query; q29 passed r2 and rotates next round)
     # ---- 50-entry window boundary; everything below was driver-verified
     # green in round 2 and rotates back in next round ----
+    "q29_asof_join",
     "q01_pricing_summary", "q08_var_argmax",
     "q33_percentiles", "q72_hierarchical_rollup",
     "q57_normalize_text", "q58_edit_distance", "q65_blocklist_filter",
