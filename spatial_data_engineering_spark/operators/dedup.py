@@ -424,3 +424,75 @@ def q76_ngram_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__j") >= _SSJ_THETA)
         .select("a_id", "b_id", F.round("__j", 6).alias("jaccard"))
     )
+
+
+# --------------------------------------------------------------------------
+# q81 — exact common-substring detection (containment/partial-copy dedup,
+# the suffix-array-lite seed scheme): find document pairs sharing a long
+# verbatim substring — the case shingle-set Jaccard under-weighs (one
+# copied paragraph inside two otherwise-different docs).
+#
+# Scheme: side A enumerates EVERY char-64-gram; side B samples grams at
+# stride 16 (seed-aligned).  Any common substring of length >=
+# 64 + 16 - 1 = 79 chars must contain a stride-aligned 64-gram of the
+# higher-id doc, which side A's full enumeration also holds — so the
+# equi-join provably detects every >= 79-char shared substring, with B's
+# enumeration cost cut 16x.  Grams join on md5(g): 16-byte keys instead
+# of 64-char strings (shuffle width /4) while staying engine-portable and
+# collision-free in practice; the seed count per pair rides along as
+# verification surface.  At 100 TB this is the same uniform-key equi-join
+# shape as q47/q76 — no quadratic blocks (a gram repeated across k docs
+# yields k partners per seed, bounded by the corpus's true duplication).
+# --------------------------------------------------------------------------
+_SUB_L = 64     # gram length
+_SUB_STRIDE = 16  # seed stride on the sampled side
+
+_ORACLE_Q81 = f"""
+    WITH grams AS (
+        SELECT doc_id, md5(substr(text, CAST(i AS INTEGER), {_SUB_L})) AS h
+        FROM documents,
+             unnest(generate_series(1, greatest(length(text) - {_SUB_L - 1}, 1)))
+                 AS t(i)
+    ),
+    seeds AS (
+        SELECT doc_id, md5(substr(text, CAST(i AS INTEGER), {_SUB_L})) AS h
+        FROM documents,
+             unnest(generate_series(1, greatest(length(text) - {_SUB_L - 1}, 1),
+                                    {_SUB_STRIDE})) AS t(i)
+        WHERE length(substr(text, CAST(i AS INTEGER), {_SUB_L})) = {_SUB_L}
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           COUNT(DISTINCT a.h) AS n_shared_seeds
+    FROM grams a JOIN seeds b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+"""
+
+
+@query("q81_substring_dup", _ORACLE_Q81)
+def q81_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread_docs(load(spark, sf_dir, "documents"))
+    grams = (
+        d.select("doc_id", "text",
+                 F.explode(F.expr(
+                     f"sequence(1, greatest(length(text) - {_SUB_L - 1}, 1))"
+                 )).alias("i"))
+        .select("doc_id",
+                F.md5(F.expr(f"substring(text, i, {_SUB_L})")).alias("h"))
+    )
+    seeds = (
+        d.select("doc_id", "text",
+                 F.explode(F.expr(
+                     f"sequence(1, greatest(length(text) - {_SUB_L - 1}, 1),"
+                     f" {_SUB_STRIDE})")).alias("i"))
+        .select("doc_id", F.expr(f"substring(text, i, {_SUB_L})").alias("g"))
+        .filter(F.length("g") == _SUB_L)
+        .select("doc_id", F.md5("g").alias("h"))
+    )
+    a, b = grams.alias("a"), seeds.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"),
+                 F.col("b.doc_id").alias("b_id"))
+        .agg(F.countDistinct(F.col("a.h")).alias("n_shared_seeds"))
+    )
