@@ -468,9 +468,10 @@ _ORACLE_Q81 = f"""
 """
 
 
-@query("q81_substring_dup", _ORACLE_Q81)
-def q81_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _spread_docs(load(spark, sf_dir, "documents"))
+def substring_dup_pairs(d: DataFrame) -> DataFrame:
+    """Core of q81 over any (doc_id, text) frame — kept callable so the
+    >=79-char detection guarantee is property-testable on planted
+    corpora (tests/test_plans.py)."""
     grams = (
         d.select("doc_id", "text",
                  F.explode(F.expr(
@@ -496,3 +497,9 @@ def q81_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("b.doc_id").alias("b_id"))
         .agg(F.countDistinct(F.col("a.h")).alias("n_shared_seeds"))
     )
+
+
+@query("q81_substring_dup", _ORACLE_Q81)
+def q81_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return substring_dup_pairs(
+        _spread_docs(load(spark, sf_dir, "documents")))

@@ -182,3 +182,44 @@ def test_q79_decontaminate_broadcasts_benchmark(spark):
     plan = _plan(spark, "q79_decontaminate")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q81_detection_guarantee(spark):
+    # the seed-scheme contract: ANY shared substring of length
+    # >= _SUB_L + _SUB_STRIDE - 1 (79 chars) must be detected, wherever
+    # it lands in either document — planted-copy property test across
+    # alignments, including the id-asymmetric direction
+    import random
+
+    from spatial_data_engineering_spark.operators.dedup import (
+        _SUB_L, _SUB_STRIDE, substring_dup_pairs)
+
+    rng = random.Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+    def rand_text(n):
+        return "".join(rng.choice(alpha) for _ in range(n))
+
+    shared_len = _SUB_L + _SUB_STRIDE - 1  # 79: the guaranteed minimum
+    rows, expected = [], set()
+    doc_id = 0
+    for trial in range(8):
+        shared = rand_text(shared_len)
+        # plant at awkward offsets in both docs (including offset 0 and
+        # deep inside), order the ids both ways across trials
+        off_a, off_b = rng.randrange(0, 200), rng.randrange(0, 200)
+        a_txt = rand_text(off_a) + shared + rand_text(rng.randrange(0, 150))
+        b_txt = rand_text(off_b) + shared + rand_text(rng.randrange(0, 150))
+        rows += [(doc_id, a_txt), (doc_id + 1, b_txt)]
+        expected.add((doc_id, doc_id + 1))
+        doc_id += 2
+    # decoys with no long shared run
+    for _ in range(6):
+        rows.append((doc_id, rand_text(300)))
+        doc_id += 1
+
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r["a_id"], r["b_id"])
+           for r in substring_dup_pairs(d).collect()}
+    missed = expected - got
+    assert not missed, f"guaranteed pairs missed: {missed}"
