@@ -503,3 +503,54 @@ def substring_dup_pairs(d: DataFrame) -> DataFrame:
 def q81_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dup_pairs(
         _spread_docs(load(spark, sf_dir, "documents")))
+
+
+# --------------------------------------------------------------------------
+# q82 — incremental-batch dedup: the daily-ingest shape.  A new snapshot
+# (docs with doc_id % 10 = 9 here; in production, today's crawl) is
+# admitted only if neither its exact content hash NOR its token-sort
+# fingerprint already exists in the standing corpus — two LEFT ANTI joins
+# on md5 keys.
+#
+# This is deliberately a different plan shape from q45/q46's full-corpus
+# groupBy: the increment is small relative to the corpus, so the corpus
+# side reduces to its distinct key set (partial-agg'd) and the anti join
+# shuffles only (key) pairs — never corpus text, never a full re-dedup of
+# 100 TB to admit a 100 GB day.  With the corpus keys maintained as a
+# bucketed table, the join is co-located and shuffle-free.
+# --------------------------------------------------------------------------
+_INC_MOD = 10
+_INC_REM = 9
+
+
+@query(
+    "q82_incremental_dedup",
+    f"""
+    WITH corpus AS (
+        SELECT md5(text) AS eh, {_FP_SQL} AS fh
+        FROM documents WHERE doc_id % {_INC_MOD} <> {_INC_REM}
+    ),
+    batch AS (
+        SELECT doc_id, lang, source, md5(text) AS eh, {_FP_SQL} AS fh
+        FROM documents WHERE doc_id % {_INC_MOD} = {_INC_REM}
+    )
+    SELECT b.doc_id, b.lang, b.source
+    FROM batch b
+    WHERE b.eh NOT IN (SELECT eh FROM corpus)
+      AND b.fh NOT IN (SELECT fh FROM corpus)
+    """,
+)
+def q82_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    eh = F.md5("text")
+    fh = F.md5(F.array_join(
+        F.array_sort(F.array_distinct(F.split("text", " "))), " "))
+    is_batch = F.col("doc_id") % _INC_MOD == _INC_REM
+    corpus = d.filter(~is_batch).select(eh.alias("eh"), fh.alias("fh"))
+    batch = d.filter(is_batch).select(
+        "doc_id", "lang", "source", eh.alias("eh"), fh.alias("fh"))
+    return (
+        batch.join(corpus.select("eh").distinct(), "eh", "left_anti")
+        .join(corpus.select("fh").distinct(), "fh", "left_anti")
+        .select("doc_id", "lang", "source")
+    )

@@ -60,6 +60,7 @@ _PRIORITY = [
     "q79_decontaminate",    # new: benchmark n-gram decontamination
     "q80_quality_filter",   # new: per-language quality-quartile cut
     "q81_substring_dup",    # new: seed-scheme common-substring detection
+    "q82_incremental_dedup",  # new: batch-vs-corpus anti-join admission
     "q10_row_number",       # reimplemented: auto small/scale path selection
     "q67_overlap_dissolve",  # oracle edit: 6-dp rounding vs float re-noding
     "q71_frame_sample",     # oracle edit: byte-length semantics
@@ -71,15 +72,14 @@ _PRIORITY = [
     # similarity family
     "q49_cosine_topk", "q50_embedding_neardup", "q51_srp_lsh_buckets",
     "q53_embedding_centroids",
-    # text analysis representatives (q41's count-distinct class is q15,
-    # already at the head of the window)
+    # text analysis representatives (q41's count-distinct class is q15 at
+    # the head of the window; q44's scored relation is exercised by q80)
     "q40_text_stats", "q42_lang_id", "q43_fingerprint",
-    "q44_quality_score",
     # (q75 refreshes q08's class; q01's scan/agg class is exercised by
     # nearly every in-window query; q29 passed r2 and rotates next round)
     # ---- 50-entry window boundary; everything below was driver-verified
     # green in round 2 and rotates back in next round ----
-    "q41_token_count", "q29_asof_join",
+    "q44_quality_score", "q41_token_count", "q29_asof_join",
     "q01_pricing_summary", "q08_var_argmax",
     "q33_percentiles", "q72_hierarchical_rollup",
     "q57_normalize_text", "q58_edit_distance", "q65_blocklist_filter",

@@ -223,3 +223,23 @@ def test_q81_detection_guarantee(spark):
            for r in substring_dup_pairs(d).collect()}
     missed = expected - got
     assert not missed, f"guaranteed pairs missed: {missed}"
+
+
+def test_q82_incremental_is_anti_join(spark):
+    # incremental admission must be anti joins on hash keys — never a full
+    # corpus re-dedup, never corpus text in the shuffle
+    plan = _plan(spark, "q82_incremental_dedup")
+    assert plan.count("LeftAnti") >= 2
+
+
+def test_spread_docs_guard(spark):
+    # the spread is a no-op once the scan already has enough splits —
+    # no unconditional corpus shuffle at scale
+    from spatial_data_engineering_spark.operators.dedup import _spread_docs
+
+    p = spark.sparkContext.defaultParallelism
+    wide = spark.range(1000).withColumnRenamed("id", "doc_id") \
+        .repartition(p + 4)
+    assert _spread_docs(wide) is wide
+    narrow = spark.range(1000).withColumnRenamed("id", "doc_id").coalesce(1)
+    assert _spread_docs(narrow).rdd.getNumPartitions() == p
