@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..catalog import load
-from .common import davg, sql_davg
+from .common import (davg, dvar_samp, sql_davg,
+                     sql_dvar_expr)
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -478,4 +479,52 @@ def q69_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("qv").alias("min_q"),
         F.array_max("qv").alias("max_q"),
         F.size("qv").alias("n_dims"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q83 — per-dimension embedding statistics: mean / sample variance / range
+# per vector dimension, plus a dead-dimension flag (variance below 1e-4)
+# — the whitening-parameter / data-quality pass run before ANN indexing
+# (a dead or collapsed dimension wastes index bits and flags an upstream
+# encoder bug).
+#
+# Shape: posexplode to (dim, value) -> 64-group aggregate with map-side
+# partials; all moments use the exact-decimal trick (values widened
+# float32 -> double FIRST — float->decimal casting differs between
+# engines, double->decimal does not).  At 100 TB this is one pass over
+# the embedding column with a 64-row output.
+# --------------------------------------------------------------------------
+_DEAD_VAR = 1e-4
+
+
+@query(
+    "q83_embedding_stats",
+    f"""
+    WITH dims AS (
+        SELECT CAST(i - 1 AS INTEGER) AS dim,
+               CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS v
+        FROM embeddings,
+             unnest(generate_series(1, len(embedding))) AS t(i)
+    )
+    SELECT dim, COUNT(*) AS n, {sql_davg('v', 'mean')},
+           ROUND({sql_dvar_expr('v')}, 6) AS variance,
+           MIN(v) AS vmin, MAX(v) AS vmax,
+           ROUND({sql_dvar_expr('v')}, 6) < {_DEAD_VAR} AS dead
+    FROM dims GROUP BY dim
+    """,
+)
+def q83_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    dims = (e.select(F.posexplode("embedding").alias("dim", "v"))
+            .select("dim", F.col("v").cast("double").alias("v")))
+    return (
+        dims.groupBy("dim").agg(
+            F.count(F.lit(1)).alias("n"),
+            davg("v", "mean"),
+            F.round(dvar_samp("v"), 6).alias("variance"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+        )
+        .withColumn("dead", F.col("variance") < _DEAD_VAR)
     )
