@@ -843,3 +843,47 @@ def q80_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "quality",
                 F.round("p25", 6).alias("p25"))
     )
+
+
+# --------------------------------------------------------------------------
+# q84 — exact-K deterministic sample per group: the eval-set construction
+# op.  q78's hash-rate thinning is stateless and scales without a window,
+# but its realized size is binomial around K; building a benchmark/eval
+# split needs EXACTLY K docs per language, reproducibly.  Rank docs
+# within each language by (md5(doc_id), doc_id) — a uniform, data-
+# independent order — and keep rank <= K.
+#
+# Scale trade (documented, the q78 contrast): the rank window serializes
+# each language onto one partition, acceptable when groups are bounded
+# (languages, sources) and WRONG for unbounded keys — there, use q78's
+# thinning to ~2K then exact-rank the survivors (two-phase top-K), which
+# this operator composes with.
+# --------------------------------------------------------------------------
+_EXACT_K = 40
+
+
+@query(
+    "q84_sample_exact_k",
+    f"""
+    WITH ranked AS (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rk
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {_EXACT_K}
+    """,
+)
+def q84_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (
+        d.select("doc_id", "lang", "n_chars",
+                 F.row_number().over(w).cast("bigint").alias("rk"))
+        .filter(F.col("rk") <= _EXACT_K)
+    )

@@ -62,6 +62,7 @@ _PRIORITY = [
     "q81_substring_dup",    # new: seed-scheme common-substring detection
     "q82_incremental_dedup",  # new: batch-vs-corpus anti-join admission
     "q83_embedding_stats",  # new: per-dimension whitening stats
+    "q84_sample_exact_k",   # new: exact-K per-group eval sampling
     "q10_row_number",       # reimplemented: auto small/scale path selection
     "q67_overlap_dissolve",  # oracle edit: 6-dp rounding vs float re-noding
     "q71_frame_sample",     # oracle edit: byte-length semantics
@@ -73,15 +74,16 @@ _PRIORITY = [
     # similarity family
     "q49_cosine_topk", "q50_embedding_neardup", "q51_srp_lsh_buckets",
     "q53_embedding_centroids",
-    # text analysis representatives (q41's count-distinct class is q15 at
+    # text analysis representative (q41's count-distinct class is q15 at
     # the head of the window; q44's scored relation is exercised by q80;
     # q43 stays in-window because its physical plan changed this round)
-    "q40_text_stats", "q43_fingerprint",
+    "q43_fingerprint",
     # (q75 refreshes q08's class; q01's scan/agg class is exercised by
     # nearly every in-window query; q29 passed r2 and rotates next round)
     # ---- 50-entry window boundary; everything below was driver-verified
     # green in round 2 and rotates back in next round ----
-    "q42_lang_id", "q44_quality_score", "q41_token_count", "q29_asof_join",
+    "q40_text_stats", "q42_lang_id", "q44_quality_score",
+    "q41_token_count", "q29_asof_join",
     "q01_pricing_summary", "q08_var_argmax",
     "q33_percentiles", "q72_hierarchical_rollup",
     "q57_normalize_text", "q58_edit_distance", "q65_blocklist_filter",

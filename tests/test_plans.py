@@ -243,3 +243,61 @@ def test_spread_docs_guard(spark):
     assert _spread_docs(wide) is wide
     narrow = spark.range(1000).withColumnRenamed("id", "doc_id").coalesce(1)
     assert _spread_docs(narrow).rdd.getNumPartitions() == p
+
+
+def test_q77_packing_random_frames(spark):
+    # hypothesis-style sweep over random token-count frames: the
+    # distributed pack must equal a sequential reference walk exactly,
+    # for every shard, at several sizes/seeds
+    import random
+
+    from spatial_data_engineering_spark.operators.textops import _PACK_CAP
+
+    def reference_pack(rows):
+        # rows: [(doc_id, shard, n_tokens)] -> {doc_id: bin_idx}
+        out = {}
+        by_shard: dict = {}
+        for r in sorted(rows):
+            by_shard.setdefault(r[1], []).append(r)
+        for shard, rs in by_shard.items():
+            bin_idx, cum = 0, 0
+            for k, (doc_id, _, n) in enumerate(rs):
+                if k == 0:
+                    cum = n
+                elif cum + n > _PACK_CAP:
+                    bin_idx += 1
+                    cum = n
+                else:
+                    cum += n
+                out[doc_id] = bin_idx
+        return out
+
+    import pandas as pd
+
+    for seed, n_docs, n_shards in ((0, 97, 4), (1, 400, 8), (2, 33, 16)):
+        rng = random.Random(seed)
+        rows = [(i, i % n_shards,
+                 rng.choice([5, 60, 200, _PACK_CAP, _PACK_CAP + 50]))
+                for i in range(n_docs)]
+        pdf = spark.createDataFrame(rows, ["doc_id", "shard", "n_tokens"])
+
+        def pack(p: pd.DataFrame) -> pd.DataFrame:
+            p = p.sort_values("doc_id").reset_index(drop=True)
+            bins, bin_idx, cum = [], 0, 0
+            for k, n in enumerate(p["n_tokens"]):
+                if k == 0:
+                    cum = n
+                elif cum + n > _PACK_CAP:
+                    bin_idx += 1
+                    cum = n
+                else:
+                    cum += n
+                bins.append(bin_idx)
+            p["bin_idx"] = pd.Series(bins, dtype="int64")
+            return p[["doc_id", "shard", "bin_idx", "n_tokens"]]
+
+        got = {r["doc_id"]: r["bin_idx"]
+               for r in pdf.groupBy("shard").applyInPandas(
+                   pack, schema="doc_id bigint, shard bigint, "
+                                "bin_idx bigint, n_tokens bigint").collect()}
+        assert got == reference_pack(rows), f"seed {seed} diverged"
