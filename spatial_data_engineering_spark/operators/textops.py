@@ -887,3 +887,68 @@ def q84_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.row_number().over(w).cast("bigint").alias("rk"))
         .filter(F.col("rk") <= _EXACT_K)
     )
+
+
+# --------------------------------------------------------------------------
+# q85 — two-phase exact top-K per group: the SCALE-SAFE form of q84.
+# Phase 1 thins each language to ~2K expected survivors with the q78
+# stateless hash test (rate = 2K/count, same md5-fold bucket u); phase 2
+# exact-ranks only the survivors by (u, doc_id).  The window now runs
+# over ~2K rows per group instead of the whole corpus slice — per-group
+# serialization stops being a scale concern while the result stays
+# EXACTLY the K smallest-u docs per group, because the K-th smallest u
+# is below the phase-1 threshold whenever >= K docs survive (asserted in
+# tests/test_plans.py against the direct single-window rank).
+# --------------------------------------------------------------------------
+_TP_K = 40
+
+
+@query(
+    "q85_twophase_topk",
+    f"""
+    WITH keyed AS (
+        SELECT doc_id, lang, n_chars, {_doc_bucket('duckdb')} AS u
+        FROM documents
+    ),
+    rates AS (
+        SELECT lang,
+               least(1.0, 2.0 * {_TP_K} / COUNT(*)) AS rate
+        FROM documents GROUP BY 1
+    ),
+    survivors AS (
+        SELECT k.doc_id, k.lang, k.n_chars, k.u
+        FROM keyed k JOIN rates r ON k.lang = r.lang
+        WHERE k.u < CAST(floor(r.rate * {_BALANCE_BUCKETS}) AS BIGINT)
+    ),
+    ranked AS (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY u, doc_id)
+                   AS rk
+        FROM survivors
+    )
+    SELECT doc_id, lang, n_chars, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {_TP_K}
+    """,
+)
+def q85_twophase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id", "lang", "n_chars",
+        F.expr(_doc_bucket("spark")).alias("u"),
+    )
+    rates = d.groupBy("lang").agg(
+        F.least(F.lit(1.0),
+                F.lit(2.0 * _TP_K) / F.count(F.lit(1))).alias("rate"))
+    survivors = (
+        keyed.join(F.broadcast(rates), "lang")
+        .filter(F.col("u")
+                < F.floor(F.col("rate") * _BALANCE_BUCKETS).cast("bigint"))
+    )
+    w = W.partitionBy("lang").orderBy("u", "doc_id")
+    return (
+        survivors.select("doc_id", "lang", "n_chars",
+                         F.row_number().over(w).cast("bigint").alias("rk"))
+        .filter(F.col("rk") <= _TP_K)
+    )

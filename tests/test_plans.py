@@ -301,3 +301,37 @@ def test_q77_packing_random_frames(spark):
                    pack, schema="doc_id bigint, shard bigint, "
                                 "bin_idx bigint, n_tokens bigint").collect()}
         assert got == reference_pack(rows), f"seed {seed} diverged"
+
+
+def test_q85_twophase_equals_direct_rank(spark):
+    # the two-phase top-K must equal the direct single-window rank over
+    # the FULL corpus slice — the thinning threshold (2K expected
+    # survivors) provably contains the K smallest u whenever >= K docs
+    # survive, which the test also asserts per group
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from spatial_data_engineering_spark.operators.textops import (
+        _BALANCE_BUCKETS, _TP_K, _doc_bucket)
+    from spatial_data_engineering_spark.queries_registry import all_queries
+    from spatial_data_engineering_spark.catalog import load
+
+    two = all_queries()["q85_twophase_topk"](spark, SF_ORACLE)
+    got = {(r["lang"], r["rk"]): r["doc_id"] for r in two.collect()}
+
+    d = load(spark, SF_ORACLE, "documents")
+    keyed = d.select("doc_id", "lang",
+                     F.expr(_doc_bucket("spark")).alias("u"))
+    w = W.partitionBy("lang").orderBy("u", "doc_id")
+    direct = (keyed.select("doc_id", "lang",
+                           F.row_number().over(w).alias("rk"))
+              .filter(F.col("rk") <= _TP_K))
+    want = {(r["lang"], r["rk"]): r["doc_id"] for r in direct.collect()}
+    assert got == want
+
+    # precondition that makes the equivalence exact on this corpus:
+    # every language keeps >= K survivors after thinning
+    per_lang = {r["lang"]: r["n"] for r in
+                two.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+                .collect()}
+    assert all(n == _TP_K for n in per_lang.values()), per_lang
