@@ -141,6 +141,25 @@ def write_stream_idempotent(stream_df: DataFrame, out_dir: str,
     q.awaitTermination()
 
 
+def stream_dedup_against_corpus(stream_df: DataFrame,
+                                corpus_keys: DataFrame,
+                                key_col: str = "event_id") -> DataFrame:
+    """Stream-static LEFT ANTI join: admit only stream rows whose key is
+    absent from a standing corpus — the streaming twin of the batch
+    incremental-dedup operator (dedup.q82).
+
+    Spark re-plans the static side per micro-batch, so the corpus can be
+    a table that a concurrent batch job replaces between batches; at
+    scale the static side is a bucketed key table and the anti join is
+    broadcast (small hot-key set) or co-located (bucketed).  State-free:
+    unlike dropDuplicates, nothing accumulates in the state store —
+    dedup against history lives in the corpus table, dedup within the
+    stream belongs to dropDuplicatesWithinWatermark.
+    """
+    return stream_df.join(corpus_keys.select(key_col).distinct(),
+                          key_col, "left_anti")
+
+
 def run_to_completion(stream_df: DataFrame, query_name: str,
                       output_mode: str = "append") -> DataFrame:
     """Drive a (bounded file-source) streaming frame to completion through

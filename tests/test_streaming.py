@@ -212,3 +212,25 @@ def test_stateful_running_totals(spark, events_dir):
     for uid, row in batch.iterrows():
         assert int(last.loc[uid, "total_events"]) == int(row["n"])
         assert abs(float(last.loc[uid, "total_value"]) - float(row["v"])) < 1e-6
+
+
+def test_stream_static_anti_dedup_parity(spark, events_dir):
+    # stream-static LEFT ANTI admission (the streaming twin of q82):
+    # rows whose event_id is already in the corpus never come through,
+    # and the stream result equals the batch anti join on the same rows
+    from spatial_data_engineering_spark.streaming.windows import (
+        read_events_stream, run_to_completion, stream_dedup_against_corpus)
+
+    all_events = _batch_events(spark, events_dir)
+    corpus = all_events.filter(F.col("event_id") % 3 == 0) \
+        .select("event_id")
+
+    stream = read_events_stream(spark, events_dir)
+    got = run_to_completion(
+        stream_dedup_against_corpus(stream, corpus), "t_anti_dedup"
+    ).toPandas()
+    exp = all_events.join(corpus, "event_id", "left_anti").toPandas()
+
+    assert len(got) == len(exp) > 0
+    assert set(got["event_id"]) == set(exp["event_id"])
+    assert not (got["event_id"] % 3 == 0).any()
