@@ -68,7 +68,7 @@ def q45_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q46_dedup_tokensort(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    h = F.md5(F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " "))
+    h = _fp_spark()
     return d.groupBy(h.alias("h")).agg(
         F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper_doc_id")
     )
@@ -249,6 +249,15 @@ _FP_SQL = ("md5(array_to_string(list_sort(list_distinct("
            "string_split(text, ' '))), ' '))")
 
 
+def _fp_spark():
+    """Spark twin of _FP_SQL — the token-sort fingerprint used by
+    q46/q54/q82; one definition so the dedup family's keys cannot
+    silently desynchronize (incremental admission must match
+    full-corpus dedup bit-for-bit)."""
+    return F.md5(F.array_join(
+        F.array_sort(F.array_distinct(F.split("text", " "))), " "))
+
+
 @query(
     "q54_dedup_materialize",
     f"""
@@ -266,7 +275,7 @@ _FP_SQL = ("md5(array_to_string(list_sort(list_distinct("
 )
 def q54_dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    h = F.md5(F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " "))
+    h = _fp_spark()
     fp = d.select("doc_id", "lang", "source", "n_chars", h.alias("h"))
     keepers = fp.groupBy("h").agg(F.min("doc_id").alias("keeper"))
     return (
@@ -543,8 +552,7 @@ _INC_REM = 9
 def q82_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     eh = F.md5("text")
-    fh = F.md5(F.array_join(
-        F.array_sort(F.array_distinct(F.split("text", " "))), " "))
+    fh = _fp_spark()
     is_batch = F.col("doc_id") % _INC_MOD == _INC_REM
     corpus = d.filter(~is_batch).select(eh.alias("eh"), fh.alias("fh"))
     batch = d.filter(is_batch).select(

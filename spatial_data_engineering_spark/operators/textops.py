@@ -671,8 +671,15 @@ def q77_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q78 — deterministic corpus balancing: thin over-represented languages to
 # a per-language document budget by hash-rate sampling.  keep-probability
-# = min(1, K/count(lang)); a doc survives iff its md5-fold bucket (0..9999,
-# a pure function of doc_id) falls under floor(rate*10000).
+# = min(1, K/count(lang)); a doc survives iff its md5-fold key — a pure
+# function of doc_id, uniform over [0, 2^31-1) — falls under
+# ceil(rate * 2^31-1).
+#
+# The threshold lives in the FULL fold domain, not a coarse bucket grid:
+# with B buckets, floor(rate*B) hits 0 once count > K*B and the language
+# silently vanishes (caught in round-3 review); ceil over the 2^31 domain
+# keeps the threshold >= 1 and the expected sample within one doc of K
+# for any count below 2^31.
 #
 # This is the scale-safe shape for group-capped sampling: NO per-group
 # window/rank (a rank over `lang` puts each language on one partition —
@@ -680,20 +687,21 @@ def q77_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and a stateless per-row hash test.  The sample is reproducible across
 # runs/partitionings by construction (never rand()), and the realized
 # sample size concentrates around K (binomial, not exact-K — the
-# documented trade for a one-pass stateless plan).
+# documented trade for a one-pass stateless plan; q84/q85 are the
+# exact-K variants).
 # --------------------------------------------------------------------------
 _BALANCE_K = 100
-_BALANCE_BUCKETS = 10_000
+_HASH_DOMAIN = 2_147_483_647  # dedup._MH_P — the md5-fold key domain
 
 
-def _doc_bucket(engine: str) -> str:
-    """md5-fold of doc_id -> bucket in [0, _BALANCE_BUCKETS): the q47/q73
-    portable-hash pattern (hex digits -> integer -> mod)."""
+def _doc_key(engine: str) -> str:
+    """md5-fold of doc_id -> uniform key in [0, _HASH_DOMAIN): the
+    q47/q73 portable-hash pattern (hex digits -> integer -> mod p)."""
     from .dedup import _hex_fold
 
     cast = ("CAST(doc_id AS STRING)" if engine == "spark"
             else "CAST(doc_id AS VARCHAR)")
-    return f"({_hex_fold(engine, f'md5({cast})')} % {_BALANCE_BUCKETS})"
+    return _hex_fold(engine, f"md5({cast})")
 
 
 @query(
@@ -705,12 +713,12 @@ def _doc_bucket(engine: str) -> str:
         FROM documents GROUP BY 1
     ),
     keyed AS (
-        SELECT doc_id, lang, n_chars, {_doc_bucket('duckdb')} AS u
+        SELECT doc_id, lang, n_chars, {_doc_key('duckdb')} AS u
         FROM documents
     )
     SELECT k.doc_id, k.lang, k.n_chars
     FROM keyed k JOIN rates r ON k.lang = r.lang
-    WHERE k.u < CAST(floor(r.rate * {_BALANCE_BUCKETS}) AS BIGINT)
+    WHERE k.u < CAST(ceil(r.rate * {_HASH_DOMAIN}) AS BIGINT)
     """,
 )
 def q78_balance_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -720,12 +728,12 @@ def q78_balance_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(float(_BALANCE_K)) / F.count(F.lit(1))).alias("rate"))
     keyed = d.select(
         "doc_id", "lang", "n_chars",
-        F.expr(_doc_bucket("spark")).alias("u"),
+        F.expr(_doc_key("spark")).alias("u"),
     )
     return (
         keyed.join(F.broadcast(rates), "lang")
         .filter(F.col("u")
-                < F.floor(F.col("rate") * _BALANCE_BUCKETS).cast("bigint"))
+                < F.ceil(F.col("rate") * _HASH_DOMAIN).cast("bigint"))
         .select("doc_id", "lang", "n_chars")
     )
 
@@ -892,22 +900,54 @@ def q84_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q85 — two-phase exact top-K per group: the SCALE-SAFE form of q84.
 # Phase 1 thins each language to ~2K expected survivors with the q78
-# stateless hash test (rate = 2K/count, same md5-fold bucket u); phase 2
-# exact-ranks only the survivors by (u, doc_id).  The window now runs
+# stateless hash test (rate = 2K/count, same fine md5-fold key u); phase
+# 2 exact-ranks only the survivors by (u, doc_id).  The window now runs
 # over ~2K rows per group instead of the whole corpus slice — per-group
 # serialization stops being a scale concern while the result stays
-# EXACTLY the K smallest-u docs per group, because the K-th smallest u
-# is below the phase-1 threshold whenever >= K docs survive (asserted in
-# tests/test_plans.py against the direct single-window rank).
+# EXACTLY the K smallest-(u, doc_id) docs per group whenever >= K docs
+# survive phase 1 (expected survivors 2K; shortfall probability falls
+# exponentially in the oversample factor — raise it for tighter bounds).
+# The threshold uses ceil over the full 2^31 fold domain (see q78's
+# note): a coarse bucket grid quantized the rate to 0 for groups larger
+# than K*buckets, which silently broke both the oversample margin and
+# the exactness guarantee (round-3 review).  Equivalence to the direct
+# single-window rank is asserted in tests/test_plans.py on the fixture
+# corpus AND on a 300k-row single-group frame (the regime the old
+# bucket-grid version got wrong).
 # --------------------------------------------------------------------------
 _TP_K = 40
+
+
+def twophase_topk(d: DataFrame, k: int = _TP_K) -> DataFrame:
+    """Two-phase exact top-K over a (doc_id, lang, n_chars) frame —
+    module-level so tests can drive it with synthetic large groups."""
+    from pyspark.sql.window import Window as W
+
+    keyed = d.select(
+        "doc_id", "lang", "n_chars",
+        F.expr(_doc_key("spark")).alias("u"),
+    )
+    rates = d.groupBy("lang").agg(
+        F.least(F.lit(1.0),
+                F.lit(2.0 * k) / F.count(F.lit(1))).alias("rate"))
+    survivors = (
+        keyed.join(F.broadcast(rates), "lang")
+        .filter(F.col("u")
+                < F.ceil(F.col("rate") * _HASH_DOMAIN).cast("bigint"))
+    )
+    w = W.partitionBy("lang").orderBy("u", "doc_id")
+    return (
+        survivors.select("doc_id", "lang", "n_chars",
+                         F.row_number().over(w).cast("bigint").alias("rk"))
+        .filter(F.col("rk") <= k)
+    )
 
 
 @query(
     "q85_twophase_topk",
     f"""
     WITH keyed AS (
-        SELECT doc_id, lang, n_chars, {_doc_bucket('duckdb')} AS u
+        SELECT doc_id, lang, n_chars, {_doc_key('duckdb')} AS u
         FROM documents
     ),
     rates AS (
@@ -918,7 +958,7 @@ _TP_K = 40
     survivors AS (
         SELECT k.doc_id, k.lang, k.n_chars, k.u
         FROM keyed k JOIN rates r ON k.lang = r.lang
-        WHERE k.u < CAST(floor(r.rate * {_BALANCE_BUCKETS}) AS BIGINT)
+        WHERE k.u < CAST(ceil(r.rate * {_HASH_DOMAIN}) AS BIGINT)
     ),
     ranked AS (
         SELECT doc_id, lang, n_chars,
@@ -931,24 +971,4 @@ _TP_K = 40
     """,
 )
 def q85_twophase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
-    d = load(spark, sf_dir, "documents")
-    keyed = d.select(
-        "doc_id", "lang", "n_chars",
-        F.expr(_doc_bucket("spark")).alias("u"),
-    )
-    rates = d.groupBy("lang").agg(
-        F.least(F.lit(1.0),
-                F.lit(2.0 * _TP_K) / F.count(F.lit(1))).alias("rate"))
-    survivors = (
-        keyed.join(F.broadcast(rates), "lang")
-        .filter(F.col("u")
-                < F.floor(F.col("rate") * _BALANCE_BUCKETS).cast("bigint"))
-    )
-    w = W.partitionBy("lang").orderBy("u", "doc_id")
-    return (
-        survivors.select("doc_id", "lang", "n_chars",
-                         F.row_number().over(w).cast("bigint").alias("rk"))
-        .filter(F.col("rk") <= _TP_K)
-    )
+    return twophase_topk(load(spark, sf_dir, "documents"))

@@ -69,22 +69,23 @@ _PRIORITY = [
     "q71_frame_sample",     # oracle edit: byte-length semantics
     # --- round-2-verified, refreshed while slots remain: spatial core ---
     "q60_point_in_polygon", "q61_zonal_histogram", "q62_dissolve_area",
-    # dedup family (q46's fingerprint-groupBy class rides with q45/q54)
-    "q45_dedup_exact", "q47_minhash_lsh",
+    # dedup family (q46's fingerprint-groupBy class rides with q54; q45's
+    # md5-groupBy mechanism is exercised by in-window q82/q43)
+    "q47_minhash_lsh",
     "q48_simhash", "q54_dedup_materialize", "q56_dedup_components",
     # similarity family
     "q49_cosine_topk", "q50_embedding_neardup", "q51_srp_lsh_buckets",
     "q53_embedding_centroids",
-    # text analysis representative (q41's count-distinct class is q15 at
-    # the head of the window; q44's scored relation is exercised by q80;
-    # q43 stays in-window because its physical plan changed this round)
-    "q43_fingerprint",
+    # text analysis representatives (q41's count-distinct class is q15 at
+    # the head of the window; q43 and q44 stay in-window because their
+    # physical plan / oracle text changed this round)
+    "q43_fingerprint", "q44_quality_score",
     # (q75 refreshes q08's class; q01's scan/agg class is exercised by
     # nearly every in-window query; q29 passed r2 and rotates next round)
     # ---- 50-entry window boundary; everything below was driver-verified
     # green in round 2 and rotates back in next round ----
-    "q46_dedup_tokensort",
-    "q40_text_stats", "q42_lang_id", "q44_quality_score",
+    "q45_dedup_exact", "q46_dedup_tokensort",
+    "q40_text_stats", "q42_lang_id",
     "q41_token_count", "q29_asof_join",
     "q01_pricing_summary", "q08_var_argmax",
     "q33_percentiles", "q72_hierarchical_rollup",

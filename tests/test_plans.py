@@ -303,16 +303,27 @@ def test_q77_packing_random_frames(spark):
         assert got == reference_pack(rows), f"seed {seed} diverged"
 
 
-def test_q85_twophase_equals_direct_rank(spark):
-    # the two-phase top-K must equal the direct single-window rank over
-    # the FULL corpus slice — the thinning threshold (2K expected
-    # survivors) provably contains the K smallest u whenever >= K docs
-    # survive, which the test also asserts per group
+def _direct_topk(spark, d, k):
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window as W
 
-    from spatial_data_engineering_spark.operators.textops import (
-        _BALANCE_BUCKETS, _TP_K, _doc_bucket)
+    from spatial_data_engineering_spark.operators.textops import _doc_key
+
+    keyed = d.select("doc_id", "lang", F.expr(_doc_key("spark")).alias("u"))
+    w = W.partitionBy("lang").orderBy("u", "doc_id")
+    return (keyed.select("doc_id", "lang",
+                         F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") <= k))
+
+
+def test_q85_twophase_equals_direct_rank(spark):
+    # the two-phase top-K must equal the direct single-window rank over
+    # the FULL corpus slice — the thinning threshold (2K expected
+    # survivors) contains the K smallest u whenever >= K docs survive,
+    # which the test also asserts per group
+    from pyspark.sql import functions as F
+
+    from spatial_data_engineering_spark.operators.textops import _TP_K
     from spatial_data_engineering_spark.queries_registry import all_queries
     from spatial_data_engineering_spark.catalog import load
 
@@ -320,13 +331,8 @@ def test_q85_twophase_equals_direct_rank(spark):
     got = {(r["lang"], r["rk"]): r["doc_id"] for r in two.collect()}
 
     d = load(spark, SF_ORACLE, "documents")
-    keyed = d.select("doc_id", "lang",
-                     F.expr(_doc_bucket("spark")).alias("u"))
-    w = W.partitionBy("lang").orderBy("u", "doc_id")
-    direct = (keyed.select("doc_id", "lang",
-                           F.row_number().over(w).alias("rk"))
-              .filter(F.col("rk") <= _TP_K))
-    want = {(r["lang"], r["rk"]): r["doc_id"] for r in direct.collect()}
+    want = {(r["lang"], r["rk"]): r["doc_id"]
+            for r in _direct_topk(spark, d, _TP_K).collect()}
     assert got == want
 
     # precondition that makes the equivalence exact on this corpus:
@@ -335,3 +341,25 @@ def test_q85_twophase_equals_direct_rank(spark):
                 two.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
                 .collect()}
     assert all(n == _TP_K for n in per_lang.values()), per_lang
+
+
+def test_q85_twophase_large_group_regime(spark):
+    # the regime the old bucket-grid threshold got wrong: one group far
+    # larger than any bucket grid (300k docs; old floor(rate*10000) gave
+    # threshold 2 -> ~60 expected survivors < K -> silent wrong answer).
+    # With the fine-domain ceil threshold, two-phase must still equal the
+    # direct rank exactly and produce a full K rows.
+    from pyspark.sql import functions as F
+
+    from spatial_data_engineering_spark.operators.textops import (
+        _TP_K, twophase_topk)
+
+    d = (spark.range(300_000)
+         .select(F.col("id").alias("doc_id"), F.lit("xx").alias("lang"),
+                 F.lit(0).alias("n_chars")))
+    two = twophase_topk(d)
+    got = [(r["rk"], r["doc_id"]) for r in two.collect()]
+    want = [(r["rk"], r["doc_id"])
+            for r in _direct_topk(spark, d, _TP_K).collect()]
+    assert len(got) == _TP_K
+    assert sorted(got) == sorted(want)
