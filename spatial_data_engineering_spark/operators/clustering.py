@@ -231,3 +231,119 @@ def q56_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (comp.groupBy("component")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.min("node").alias("keeper_doc_id")))
+
+
+# --------------------------------------------------------------------------
+# q86 — PageRank centrality over the near-dup graph (5 fixed power
+# iterations, damping 0.85): ranks each clustered document by how central
+# it is among its near-duplicates — the principled "which copy is
+# canonical" signal (min-doc-id keeper policy is arbitrary; the most-
+# linked variant is usually the cleanest).
+#
+# Determinism contract: per-edge contributions rank/deg are computed in
+# double (identical IEEE ops both engines) and SUMMED through
+# DECIMAL(30,6) — order-independent, so AQE/partitioning cannot change
+# results, and the DuckDB oracle matches bit-for-bit.  Scale-6
+# accumulation IS the operator's numeric contract (documented loss vs
+# infinite precision; identical everywhere).
+#
+# The oracle UNROLLS the 5 iterations as chained CTEs rather than a
+# recursive CTE: SQL engines (DuckDB included) prohibit aggregation in a
+# recursive term, and a fixed iteration count needs no recursion.
+#
+# Scale shape: per iteration one join (edges x ranks, both partitioned
+# on node) + one groupBy-sum with map-side partials; edges persist once,
+# ranks localCheckpoint per round (the q56 lineage-truncation pattern).
+# --------------------------------------------------------------------------
+_PR_ITERS = 5
+_PR_DAMP = 0.85
+
+
+_PR_BROADCAST_EDGES = 1_000_000  # below this the rank table broadcasts
+
+
+def pagerank(edges: DataFrame, n_iter: int = _PR_ITERS) -> DataFrame:
+    """edges: (a, b) undirected.  Returns (node, rank) after n_iter
+    power iterations with decimal-exact contribution sums.
+
+    Two join regimes (the q10 pattern): small graphs broadcast the
+    per-node rank/degree tables so each iteration costs ONE shuffle (the
+    contribution groupBy, AQE-coalesced) instead of three 200-partition
+    join exchanges — measured 17.4s -> ~5s for the 47-node near-dup
+    graph under a default-config session.  Past the threshold the joins
+    fall back to the shuffle planner; at true scale the edge set is
+    bucketed by node so the iteration joins co-locate (SCALE_NOTES
+    checklist #3).
+    """
+    sym = (edges.selectExpr("a AS src", "b AS dst")
+           .unionByName(edges.selectExpr("b AS src", "a AS dst"))
+           .distinct().persist())
+    n_edges = sym.count()
+    sc = edges.sparkSession.sparkContext
+    nparts = max(1, min(sc.defaultParallelism, n_edges // 100_000 + 1))
+    small = n_edges < _PR_BROADCAST_EDGES
+    hint = F.broadcast if small else (lambda df: df)
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    ranks = (deg.select(F.col("src").alias("node"),
+                        F.lit(1.0).alias("rank"))
+             .coalesce(nparts).localCheckpoint(eager=True))
+    for _ in range(n_iter):
+        contribs = (
+            sym.join(hint(ranks), sym.src == ranks.node)
+            .join(hint(deg), "src")
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        ranks = (
+            contribs.groupBy("dst")
+            .agg((F.lit(1.0 - _PR_DAMP)
+                  + F.lit(_PR_DAMP)
+                  * F.sum(F.col("c").cast("decimal(30,6)")).cast("double"))
+                 .alias("rank"))
+            .select(F.col("dst").alias("node"), "rank")
+            .coalesce(nparts).localCheckpoint(eager=True)
+        )
+    sym.unpersist()
+    deg.unpersist()
+    return ranks
+
+
+def _oracle_q86() -> str:
+    from .dedup import ORACLES as dedup_oracles
+
+    sql = f"""
+    WITH pairs AS (
+        SELECT a_id, b_id FROM ({dedup_oracles['q47_minhash_lsh']}) q47
+    ),
+    edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION
+        SELECT b_id, a_id FROM pairs
+    ),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+    r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS rank FROM deg)"""
+    for i in range(1, _PR_ITERS + 1):
+        sql += f""",
+    r{i} AS (
+        SELECT e.dst AS node,
+               {1.0 - _PR_DAMP} + {_PR_DAMP} * CAST(SUM(CAST(
+                   r.rank / d.deg AS DECIMAL(30,6))) AS DOUBLE) AS rank
+        FROM r{i - 1} r
+        JOIN edges e ON r.node = e.src
+        JOIN deg d ON d.src = r.node
+        GROUP BY e.dst
+    )"""
+    sql += f"""
+    SELECT node AS doc_id, ROUND(rank, 6) AS rank
+    FROM r{_PR_ITERS}"""
+    return sql
+
+
+@query("q86_pagerank_centrality", _oracle_q86())
+def q86_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-graph centrality: doc_id, PageRank after 5 iterations."""
+    from .dedup import q47_minhash_lsh
+
+    pairs = q47_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
+    edges = pairs.selectExpr("a_id AS a", "b_id AS b")
+    return pagerank(edges).select(
+        F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank"))

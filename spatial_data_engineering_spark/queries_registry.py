@@ -64,15 +64,17 @@ _PRIORITY = [
     "q83_embedding_stats",  # new: per-dimension whitening stats
     "q84_sample_exact_k",   # new: exact-K per-group eval sampling
     "q85_twophase_topk",    # new: scale-safe two-phase exact top-K
+    "q86_pagerank_centrality",  # new: near-dup-graph canonical ranking
     "q10_row_number",       # reimplemented: auto small/scale path selection
     "q67_overlap_dissolve",  # oracle edit: 6-dp rounding vs float re-noding
     "q71_frame_sample",     # oracle edit: byte-length semantics
     # --- round-2-verified, refreshed while slots remain: spatial core ---
     "q60_point_in_polygon", "q61_zonal_histogram", "q62_dissolve_area",
     # dedup family (q46's fingerprint-groupBy class rides with q54; q45's
-    # md5-groupBy mechanism is exercised by in-window q82/q43)
+    # md5-groupBy mechanism is exercised by in-window q82/q43; q48's
+    # bit-vote aggregation passed r2 and rotates next round)
     "q47_minhash_lsh",
-    "q48_simhash", "q54_dedup_materialize", "q56_dedup_components",
+    "q54_dedup_materialize", "q56_dedup_components",
     # similarity family
     "q49_cosine_topk", "q50_embedding_neardup", "q51_srp_lsh_buckets",
     "q53_embedding_centroids",
@@ -84,7 +86,7 @@ _PRIORITY = [
     # nearly every in-window query; q29 passed r2 and rotates next round)
     # ---- 50-entry window boundary; everything below was driver-verified
     # green in round 2 and rotates back in next round ----
-    "q45_dedup_exact", "q46_dedup_tokensort",
+    "q45_dedup_exact", "q46_dedup_tokensort", "q48_simhash",
     "q40_text_stats", "q42_lang_id",
     "q41_token_count", "q29_asof_join",
     "q01_pricing_summary", "q08_var_argmax",
