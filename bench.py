@@ -10,6 +10,14 @@ line::
 Each query is forced with the ``noop`` sink so the full plan executes
 (scan -> shuffle -> agg) without sink overhead or driver-side collection.
 
+The JSON line is guaranteed to be the SOLE stdout output: before the JVM
+launches, the real stdout fd is saved and fd 1 is redirected to stderr, so
+every Spark/py4j/console-progress byte (JVM children inherit fd 1) lands on
+stderr and only the final JSON line reaches the caller's stdout.  The same
+payload is also written to ``BENCH.json`` next to this script, so the
+artifact survives even if the caller truncates the stream (BENCH_r02/r03
+both lost their tails to exactly that).
+
 BASELINE.md's judging rule is "median of >=3 runs" (this host's co-tenant
 noise swings single runs 3-10x), so the suite runs ``$SPARK_GRAFT_RUNS``
 times (default 3) and reports the per-query MEDIAN; ``value`` is the sum
@@ -31,7 +39,31 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 
+def _claim_stdout():
+    """Reserve the caller's stdout for the JSON line; route fd 1 to stderr.
+
+    ``sys.stdout`` reassignment is not enough: the py4j JVM child and its
+    console-progress writer inherit the process's *fd 1* and write to it
+    directly.  Duplicating the real stdout away and pointing fd 1 at
+    stderr before the JVM launches is the only reliable way to keep the
+    one-JSON-line stdout contract.  Returns an ``emit(payload)`` closure
+    that writes the line to the saved fd AND to ``BENCH.json`` on disk.
+    """
+    real_stdout_fd = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr  # keep Python-level print() coherent with fd 1
+
+    def emit(payload: dict) -> None:
+        line = json.dumps(payload)
+        with open(os.path.join(REPO, "BENCH.json"), "w") as fh:
+            fh.write(line + "\n")
+        os.write(real_stdout_fd, (line + "\n").encode())
+
+    return emit
+
+
 def main() -> None:
+    emit = _claim_stdout()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         m = re.search(r"sf([\d.]+)", sf_dir)
@@ -62,11 +94,11 @@ def main() -> None:
          .write.mode("overwrite").format("noop").save())
     except Exception as exc:
         # still emit the one-line contract even if the data dir is wrong
-        print(json.dumps({
+        emit({
             "metric": "query_suite_total", "value": -1.0, "unit": "sec",
             "queries": {}, "sf": sf,
             "failures": {"_warmup": f"{type(exc).__name__}: {exc}"[:200]},
-        }))
+        })
         spark.stop()
         return
 
@@ -108,7 +140,7 @@ def main() -> None:
     }
     if failures:
         out["failures"] = failures
-    print(json.dumps(out))
+    emit(out)
     spark.stop()
 
 
