@@ -308,6 +308,13 @@ def pagerank(edges: DataFrame, n_iter: int = _PR_ITERS) -> DataFrame:
             .select(F.col("dst").alias("node"), "rank")
             .coalesce(nparts)
         )
+    # Materialize the final (node-sized) ranks eagerly so the persisted
+    # edge/degree tables can be released before returning — without this
+    # every pagerank() call pins executor cache for the session lifetime
+    # (the q18 unpersist-after-use pattern elsewhere in the repo).
+    ranks = ranks.localCheckpoint(eager=True)
+    sym.unpersist()
+    deg.unpersist()
     return ranks
 
 

@@ -545,8 +545,12 @@ _INC_REM = 9
     )
     SELECT b.doc_id, b.lang, b.source
     FROM batch b
-    WHERE b.eh NOT IN (SELECT eh FROM corpus)
-      AND b.fh NOT IN (SELECT fh FROM corpus)
+    -- NOT EXISTS, not NOT IN: NOT IN over a set containing NULL drops
+    -- every row (three-valued logic), while Spark's left_anti keeps
+    -- null-key rows — NOT EXISTS matches left_anti's null semantics
+    -- exactly, so a NULL text row cannot make the engines diverge.
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.eh = b.eh)
+      AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fh = b.fh)
     """,
 )
 def q82_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -293,16 +293,17 @@ def q08_var_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver-oracled query.  q08 verifies the CV (stddev/mean) variant; this is
 # the reference's actual shape — sample variance of the monthly series per
 # category, pick the max-variance category (deterministic tie-break), and
-# emit the reference's verbatim inference strings.  Same order-independent
-# closed-form variance as q08: exact decimal sums of x and x², combined in
-# double — identical IEEE arithmetic on both engines.
+# emit the reference's verbatim inference strings (load_report.py:422-426;
+# plans/golden.py imports these same constants so query and report cannot
+# drift).  Same order-independent closed-form variance as q08: exact
+# decimal sums of x and x², combined in double — identical IEEE arithmetic
+# on both engines.
 # --------------------------------------------------------------------------
-_INFER_HIGH = ("High variance observed, indicating significant changes in "
-               "vegetation health across months.")
-_INFER_MID = ("Moderate variance observed, indicating some fluctuations in "
-              "vegetation health across months.")
-_INFER_LOW = ("Low variance observed, indicating stable vegetation health "
-              "across months.")
+INFER_HIGH = ("High variance observed, suggesting significant changes "
+              "over time.")
+INFER_MID = ("Moderate variance observed, indicating some level of change "
+             "over time.")
+INFER_LOW = ("Low variance observed, implying stable conditions over time.")
 
 
 @query(
@@ -320,9 +321,9 @@ _INFER_LOW = ("Low variance observed, indicating stable vegetation health "
         FROM monthly GROUP BY 1
     )
     SELECT o_orderpriority, variance,
-           CASE WHEN variance > 0.5 THEN '{_INFER_HIGH}'
-                WHEN variance > 0.2 THEN '{_INFER_MID}'
-                ELSE '{_INFER_LOW}' END AS inference
+           CASE WHEN variance > 0.5 THEN '{INFER_HIGH}'
+                WHEN variance > 0.2 THEN '{INFER_MID}'
+                ELSE '{INFER_LOW}' END AS inference
     FROM stats
     ORDER BY variance DESC, o_orderpriority
     LIMIT 1
@@ -341,9 +342,9 @@ def q75_golden_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         stats.withColumn(
             "inference",
-            F.when(F.col("variance") > 0.5, F.lit(_INFER_HIGH))
-            .when(F.col("variance") > 0.2, F.lit(_INFER_MID))
-            .otherwise(F.lit(_INFER_LOW)),
+            F.when(F.col("variance") > 0.5, F.lit(INFER_HIGH))
+            .when(F.col("variance") > 0.2, F.lit(INFER_MID))
+            .otherwise(F.lit(INFER_LOW)),
         )
         .orderBy(F.desc("variance"), F.asc("o_orderpriority"))
         .limit(1)

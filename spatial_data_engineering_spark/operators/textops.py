@@ -722,10 +722,17 @@ def _doc_key(engine: str) -> str:
     """,
 )
 def q78_balance_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    return balance_corpus(load(spark, sf_dir, "documents"))
+
+
+def balance_corpus(d: DataFrame, k: int = _BALANCE_K) -> DataFrame:
+    """q78's core over an arbitrary (doc_id, lang, n_chars, ...) frame —
+    rates are computed on EXACTLY the rows passed in, so pipeline stages
+    (plans/curation.py) can balance the curated survivors rather than the
+    raw corpus."""
     rates = d.groupBy("lang").agg(
         F.least(F.lit(1.0),
-                F.lit(float(_BALANCE_K)) / F.count(F.lit(1))).alias("rate"))
+                F.lit(float(k)) / F.count(F.lit(1))).alias("rate"))
     keyed = d.select(
         "doc_id", "lang", "n_chars",
         F.expr(_doc_key("spark")).alias("u"),
@@ -842,9 +849,17 @@ _QF_P = 0.25
     """,
 )
 def q80_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored = _scored_quality(load(spark, sf_dir, "documents"))
+    return quality_filter(load(spark, sf_dir, "documents"))
+
+
+def quality_filter(d: DataFrame, p: float = _QF_P) -> DataFrame:
+    """q80's core over an arbitrary (doc_id, lang, text, ...) frame —
+    percentiles reflect EXACTLY the rows passed in, so pipeline stages
+    (plans/curation.py) can cut on the deduped/decontaminated survivors'
+    distribution rather than the raw corpus's."""
+    scored = _scored_quality(d)
     thr = scored.groupBy("lang").agg(
-        F.expr(f"percentile(quality, {_QF_P})").alias("p25"))
+        F.expr(f"percentile(quality, {p})").alias("p25"))
     return (
         scored.join(F.broadcast(thr), "lang")
         .filter(F.col("quality") >= F.col("p25"))

@@ -14,9 +14,13 @@ Stage order matters and mirrors production practice:
      standard keep-first policy;
   3. benchmark decontamination (q79 shape): any doc whose shingle
      overlap with the held-out benchmark exceeds the threshold is
-     removed from ALL splits, not just eval;
-  4. quality-quartile cut per language (q80);
-  5. language balancing to a per-language budget (q78);
+     removed from ALL splits, not just eval — and so are the benchmark
+     member documents themselves (eval text must never reach train);
+  4. quality-quartile cut per language (q80's core, computed on the
+     deduped/decontaminated survivors — the cut reflects the corpus
+     that actually remains, not the raw distribution's duplicates);
+  5. language balancing to a per-language budget (q78's core, rates
+     from the post-cut survivor counts so realized sizes land on K);
   6. deterministic train/val/test assignment (q73's md5 bucket);
   7. greedy sequence packing per (split, shard) (q77) so the output is
      training-ready bins.
@@ -53,17 +57,30 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers = pairs.select(F.col("b_id").alias("doc_id")).distinct()
     corpus = corpus.join(losers, "doc_id", "left_anti")
 
-    # 3. decontamination: drop flagged docs entirely
+    # 3. decontamination: drop flagged docs AND the benchmark members
+    # themselves — eval text must not land in any split.  Membership here
+    # is a pure function of doc_id (q79's contract), so the member drop
+    # is a shuffle-free filter; with a real eval suite it would be the
+    # same left_anti as the flagged set.
+    from ..operators.textops import _DECON_MOD
+
     contaminated = TQ["q79_decontaminate"](spark, sf_dir) \
         .select("doc_id")
-    corpus = corpus.join(contaminated, "doc_id", "left_anti")
+    corpus = (corpus.join(contaminated, "doc_id", "left_anti")
+              .filter(F.col("doc_id") % _DECON_MOD != 0))
 
-    # 4. per-language quality-quartile cut
-    quality_kept = TQ["q80_quality_filter"](spark, sf_dir).select("doc_id")
+    # 4. per-language quality-quartile cut — q80's core on the SURVIVORS,
+    # so the p25 thresholds reflect the deduped/decontaminated corpus,
+    # not the raw distribution (whose duplicates would skew the cut)
+    from ..operators.textops import balance_corpus, quality_filter
+
+    quality_kept = quality_filter(corpus).select("doc_id")
     corpus = corpus.join(quality_kept, "doc_id")
 
-    # 5. language balancing
-    balanced = TQ["q78_balance_corpus"](spark, sf_dir).select("doc_id")
+    # 5. language balancing — q78's core on the post-cut survivors, so
+    # keep-rates are computed from the counts actually entering this
+    # stage and realized per-language sizes concentrate around K
+    balanced = balance_corpus(corpus).select("doc_id")
     corpus = corpus.join(balanced, "doc_id")
 
     # 6. deterministic split assignment (q73's md5 bucket contract)

@@ -121,15 +121,13 @@ def golden_report(spark: SparkSession, fixture_dir: str,
     ]
     if top_rows:
         t = top_rows[0]
+        # the reference's verbatim strings (load_report.py:422-426),
+        # single-sourced with q75 so report and query cannot drift
+        from ..operators.relational import INFER_HIGH, INFER_LOW, INFER_MID
         inference = (
-            "High variance observed, indicating significant changes in "
-            "vegetation health across months."
-            if t["variance"] > 0.5 else
-            "Moderate variance observed, indicating some fluctuations in "
-            "vegetation health across months."
-            if t["variance"] > 0.2 else
-            "Low variance observed, indicating stable vegetation health "
-            "across months."
+            INFER_HIGH if t["variance"] > 0.5 else
+            INFER_MID if t["variance"] > 0.2 else
+            INFER_LOW
         )
         rows += [
             ("Area with Highest Variation", t["keterangan"]),

@@ -36,6 +36,11 @@ def test_curation_pipeline_properties(spark):
         spark, SF_ORACLE).collect()}
     assert not (set(out["doc_id"]) & contaminated)
 
+    # no benchmark MEMBER survives either — eval text must never be
+    # assignable to the train split (ADVICE r3)
+    from spatial_data_engineering_spark.operators.textops import _DECON_MOD
+    assert not any(i % _DECON_MOD == 0 for i in out["doc_id"])
+
     # packing invariants within each (split, shard)
     for (_, _), grp in out.groupby(["split", "shard"]):
         grp = grp.sort_values("doc_id")
