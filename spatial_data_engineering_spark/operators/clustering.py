@@ -223,10 +223,9 @@ def _oracle_q56() -> str:
 def q56_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup clusters over the MinHash near-dup pairs (q47):
     component id, cluster size, keeper doc."""
-    from .dedup import q47_minhash_lsh
+    from .dedup import near_dup_pairs
 
-    pairs = q47_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
-    edges = pairs.selectExpr("a_id AS a", "b_id AS b")
+    edges = near_dup_pairs(spark, sf_dir).selectExpr("a_id AS a", "b_id AS b")
     comp = connected_components(edges)
     return (comp.groupBy("component")
             .agg(F.count(F.lit(1)).alias("n_docs"),
@@ -352,9 +351,8 @@ def _oracle_q86() -> str:
 @query("q86_pagerank_centrality", _oracle_q86())
 def q86_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup-graph centrality: doc_id, PageRank after 5 iterations."""
-    from .dedup import q47_minhash_lsh
+    from .dedup import near_dup_pairs
 
-    pairs = q47_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
-    edges = pairs.selectExpr("a_id AS a", "b_id AS b")
+    edges = near_dup_pairs(spark, sf_dir).selectExpr("a_id AS a", "b_id AS b")
     return pagerank(edges).select(
         F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank"))

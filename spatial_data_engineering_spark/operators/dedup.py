@@ -239,6 +239,39 @@ def q47_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Shared near-dup pair set — q47's output, materialized ONCE per
+# (application, sf_dir) for its graph consumers (q56 components, q86
+# PageRank, the curation DAG).  The LSH DAG is the repo's most expensive
+# upstream (shingle explosion + banded self-join + exact verify); before
+# this, each consumer re-executed it cold (measured: q86's first run
+# 20-35 s vs 4.7 s warm — all upstream recompute).  The pair list is
+# edge-sized — bounded by near-dup density, orders of magnitude smaller
+# than the corpus — so an eager localCheckpoint pins it cheaply and
+# truncates the LSH lineage.  At 100 TB the same role is played by
+# writing the pair table once and reading it back (the bucketed-table
+# pattern); in-session localCheckpoint is the local twin of that.
+# --------------------------------------------------------------------------
+_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+_PAIR_CACHE_COMPUTES = 0  # test hook: cold materialization count
+
+
+def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(a_id, b_id) confirmed near-dup pairs, materialized once per
+    (applicationId, sf_dir) — keyed on the application so a stopped
+    session's dead handles can never be returned to a new one."""
+    global _PAIR_CACHE_COMPUTES
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _PAIR_CACHE.get(key)
+    if hit is not None:
+        return hit
+    pairs = (q47_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
+             .localCheckpoint(eager=True))
+    _PAIR_CACHE_COMPUTES += 1
+    _PAIR_CACHE[key] = pairs
+    return pairs
+
+
+# --------------------------------------------------------------------------
 # q54 — materialized dedup: the actual "keep" output a pipeline consumes.
 # Each doc joins its token-sort fingerprint cluster (q46); only the
 # cluster's min doc_id survives.  Output is the kept corpus metadata —

@@ -53,7 +53,11 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.join(F.broadcast(keepers), "doc_id")
 
     # 2. near-dup removal: drop the higher id of each confirmed LSH pair
-    pairs = DQ["q47_minhash_lsh"](spark, sf_dir)
+    # (via the shared materialized pair set — computed once per session,
+    # not re-derived by every graph consumer)
+    from ..operators.dedup import near_dup_pairs
+
+    pairs = near_dup_pairs(spark, sf_dir)
     losers = pairs.select(F.col("b_id").alias("doc_id")).distinct()
     corpus = corpus.join(losers, "doc_id", "left_anti")
 

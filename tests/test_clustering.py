@@ -71,3 +71,29 @@ def test_dedup_components_vs_pairs(spark):
 
     got = {r.component: r.n_docs for r in comps}
     assert got == sizes and sum(sizes.values()) > 0
+
+
+def test_near_dup_pairs_materialized_once(spark):
+    """The q47->{q56,q86,curation} family must share ONE materialization
+    of the LSH pair set per (application, sf_dir) — each graph consumer
+    re-executing the shingle/band/verify DAG cold was the round-3
+    perf finding (q86 first run 20-35s vs 4.7s warm)."""
+    from spatial_data_engineering_spark.operators import dedup
+    from spatial_data_engineering_spark.operators.clustering import (
+        q56_dedup_components, q86_pagerank_centrality)
+
+    key = (spark.sparkContext.applicationId, SF_ORACLE)
+    dedup._PAIR_CACHE.pop(key, None)
+    before = dedup._PAIR_CACHE_COMPUTES
+
+    first = dedup.near_dup_pairs(spark, SF_ORACLE)
+    # the cached frame is checkpointed: lineage truncated, so consumers
+    # plan against the materialized rows, not the LSH DAG
+    assert first.rdd.getNumPartitions() >= 1
+    assert dedup.near_dup_pairs(spark, SF_ORACLE) is first
+
+    n56 = q56_dedup_components(spark, SF_ORACLE).count()
+    n86 = q86_pagerank_centrality(spark, SF_ORACLE).count()
+    assert n56 > 0 and n86 > 0
+
+    assert dedup._PAIR_CACHE_COMPUTES == before + 1
