@@ -20,6 +20,7 @@ ValueError exactly like convert_geom_to_gee (load_report.py:51-57).
 
 from __future__ import annotations
 
+import bisect
 import math
 import struct
 
@@ -453,14 +454,15 @@ def union(geoms):
     result is independent of input order.  That makes the aggregate safe
     for two-phase (partial-then-final) execution in ``union_agg``.
 
-    Known loud-fail mode: ``_seg_pair_splits`` classifies segment pairs
-    with |cross| <= 1e-12*|a||b| as parallel and only splits them when
-    endpoint-collinear within eps, so a genuine crossing at an extremely
-    shallow angle (interior angle < ~1e-12 rad) can go un-noded; the walk
-    then raises ``ValueError("union boundary did not close")`` rather than
-    return a wrong area.  This is a deliberate policy — adversarial
-    near-degenerate input fails the task loudly instead of corrupting the
-    dissolve; snap such inputs (round coordinates) before unioning.
+    Near-degenerate crossings: segment pairs whose determinant falls
+    under the parallel threshold (|cross| <= 1e-12*|a||b|) but whose
+    cross-track distances change sign — a genuine crossing at an
+    extremely shallow interior angle — are noded via the distance-ratio
+    solve in ``_seg_pair_splits`` (both segments split at the same
+    point), so shallow-angle input unions instead of raising.  The walk
+    still raises ``ValueError("union boundary did not close")`` for
+    inputs that defeat eps-snapping entirely rather than return a wrong
+    area — loud failure over silent corruption.
     """
     polys = []
     for g in geoms:
@@ -582,15 +584,37 @@ def _seg_pair_splits(sa, sb, ta: set, tb: set, eps: float) -> None:
             ta.add(min(1.0, max(0.0, t)))
             tb.add(min(1.0, max(0.0, u)))
         return
-    # parallel: collinear iff p3 sits within eps of line(p1, p2)
-    if abs((p3[0] - p1[0]) * d1[1] - (p3[1] - p1[1]) * d1[0]) / l1 > eps:
+    # (near-)parallel: classify by cross-track signed distances of sb's
+    # endpoints from line(p1, p2) — well-conditioned dot products where
+    # the determinant above is not
+    s3 = ((p3[0] - p1[0]) * d1[1] - (p3[1] - p1[1]) * d1[0]) / l1
+    s4 = ((p4[0] - p1[0]) * d1[1] - (p4[1] - p1[1]) * d1[0]) / l1
+    if abs(s3) <= eps and abs(s4) <= eps:
+        # collinear overlap: split at projected endpoints
+        for (px, py), tset, base, d, ln in (
+                (p3, ta, p1, d1, l1), (p4, ta, p1, d1, l1),
+                (p1, tb, p3, d2, l2), (p2, tb, p3, d2, l2)):
+            t = ((px - base[0]) * d[0] + (py - base[1]) * d[1]) / (ln * ln)
+            if 0.0 < t < 1.0:
+                tset.add(t)
         return
-    for (px, py), tset, base, d, ln in (
-            (p3, ta, p1, d1, l1), (p4, ta, p1, d1, l1),
-            (p1, tb, p3, d2, l2), (p2, tb, p3, d2, l2)):
-        t = ((px - base[0]) * d[0] + (py - base[1]) * d[1]) / (ln * ln)
-        if 0.0 < t < 1.0:
-            tset.add(t)
+    # Near-parallel but NOT collinear: a genuine crossing at an extremely
+    # shallow interior angle (< ~1e-12 rad) reaches here — the determinant
+    # test cannot see it, but the cross-track distance changes sign where
+    # sb crosses line(sa).  Solve on the distances (u* = s3/(s3-s4), exact
+    # to ~1 ulp), take the ONE crossing point X on sb, and split BOTH
+    # segments at X (sa at X's projection) so the split vertices land
+    # within snap-eps of each other and the ring walk stays closed.
+    # Previously this pair went un-noded and union() raised
+    # ``ValueError("union boundary did not close")`` (round-3 advice).
+    if s3 * s4 < 0:
+        u_star = s3 / (s3 - s4)
+        xx = p3[0] + u_star * d2[0]
+        xy = p3[1] + u_star * d2[1]
+        t_star = ((xx - p1[0]) * d1[0] + (xy - p1[1]) * d1[1]) / (l1 * l1)
+        if -eps / l1 <= t_star <= 1 + eps / l1:
+            ta.add(min(1.0, max(0.0, t_star)))
+            tb.add(min(1.0, max(0.0, u_star)))
 
 
 def _split_all(segs, eps: float):
@@ -616,6 +640,43 @@ def _split_all(segs, eps: float):
     return ts
 
 
+def _node_at_vertices(segs, seg_pts, ts, snap, eps: float) -> None:
+    """Split segments at foreign vertices lying within eps of their
+    interior (in place, refreshing ``seg_pts``) — the closure step that
+    makes the arrangement consistent under eps-snapping.  Candidate
+    vertices come from a sort-by-x sweep, so cost is O(S log V + hits),
+    the same shape as ``_split_all``'s pair sweep."""
+    verts = sorted({v for pts in seg_pts for v in pts})
+    xs = [v[0] for v in verts]
+    for i, (p, q, _pi) in enumerate(segs):
+        dx, dy = q[0] - p[0], q[1] - p[1]
+        ll = dx * dx + dy * dy
+        if ll == 0:
+            continue
+        ln = math.sqrt(ll)
+        lo = bisect.bisect_left(xs, min(p[0], q[0]) - eps)
+        hi = bisect.bisect_right(xs, max(p[0], q[0]) + eps)
+        ymin = min(p[1], q[1]) - eps
+        ymax = max(p[1], q[1]) + eps
+        added = False
+        for w in verts[lo:hi]:
+            if w[1] < ymin or w[1] > ymax:
+                continue
+            t = ((w[0] - p[0]) * dx + (w[1] - p[1]) * dy) / ll
+            # interior only: a split within eps of an endpoint would
+            # re-create the same vertex, not refine the noding
+            if t * ln <= eps or (1.0 - t) * ln <= eps:
+                continue
+            px, py = p[0] + t * dx, p[1] + t * dy
+            if abs(px - w[0]) <= eps and abs(py - w[1]) <= eps:
+                if t not in ts[i]:
+                    ts[i].add(t)
+                    added = True
+        if added:
+            seg_pts[i] = [snap((p[0] + t * dx, p[1] + t * dy))
+                          for t in sorted(ts[i] | {0.0, 1.0})]
+
+
 def _union_exact(polys):
     # local frame: translation hygiene, same reason as _ring_area
     ox, oy = polys[0][0][0]
@@ -639,13 +700,28 @@ def _union_exact(polys):
 
     ts = _split_all(segs, eps)
     snap = _Snapper(eps)
+    # First snapping pass: materialize every split vertex so the closure
+    # pass below sees the full vertex set.
+    seg_pts: list[list] = []
+    for i, (p, q, _pi) in enumerate(segs):
+        seg_pts.append([snap((p[0] + t * (q[0] - p[0]),
+                              p[1] + t * (q[1] - p[1])))
+                        for t in sorted(ts[i] | {0.0, 1.0})])
+    # Noding CLOSURE (snap-rounding's vertex-on-edge rule): a split vertex
+    # introduced by one segment pair can land within eps of a THIRD
+    # segment that no pair test split — three near-coincident boundaries
+    # (e.g. sub-eps-offset copies crossing at shallow angles) leave that
+    # third edge unsplit, its midpoint sits ON the others' rim, the side
+    # probe is undefined, and the walk raises "union boundary did not
+    # close" (round-3 advice).  Split every segment at every foreign
+    # vertex within eps of its interior; the new split points snap back
+    # to the EXISTING vertex (it is registered in the snapper), so the
+    # vertex set does not grow and one pass reaches the fixpoint.
+    _node_at_vertices(segs, seg_pts, ts, snap, eps)
     # undirected sub-edge -> {poly_idx: net direction along key order}
     edges: dict = {}
     for i, (p, q, pi) in enumerate(segs):
-        pts = []
-        for t in sorted(ts[i] | {0.0, 1.0}):
-            pts.append(snap((p[0] + t * (q[0] - p[0]),
-                             p[1] + t * (q[1] - p[1]))))
+        pts = seg_pts[i]
         for a, b in zip(pts, pts[1:]):
             if a == b:
                 continue

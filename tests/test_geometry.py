@@ -366,6 +366,51 @@ def test_union_convex_pair_vs_inclusion_exclusion(pa, pb, shift):
     assert abs(got - expect) <= 1e-6 * max(1.0, expect)
 
 
+def _shallow_strip_corpus(trial: int):
+    """Three near-coincident strips crossing at shallow angles
+    (1e-13.5..1e-9.5 rad) with sub-eps offsets — the corpus class that
+    raised ``union boundary did not close`` before the noding-closure
+    pass (round-3 advice: r4 fuzz found 688/4000 raising)."""
+    import random
+
+    rng = random.Random(1000 + trial)
+    th = 10 ** rng.uniform(-13.5, -9.5)
+    L = 10 ** rng.uniform(0, 6)
+    dx = rng.uniform(-L * 0.3, L * 0.3)
+    w = L * 10 ** rng.uniform(-7, -2)
+    c, s = math.cos(th), math.sin(th)
+
+    def quad(pts):
+        return ("Polygon", [pts + [pts[0]]])
+
+    def rot(x, y, cx, cy, sgn):
+        return (cx + c * (x - cx) - sgn * s * (y - cy),
+                cy + sgn * s * (x - cx) + c * (y - cy))
+
+    a = quad([(0, 0), (L, 0), (L, w), (0, w)])
+    b = quad([rot(x, y, L / 2 + dx, w / 2, 1)
+              for x, y in [(0, 0), (L, 0), (L, w), (0, w)]])
+    d = quad([rot(x, y, L / 2 - dx, w / 2, -1)
+              for x, y in [(0, 0), (L, 0), (L, w), (0, w)]])
+    return [a, b, d]
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.integers(0, 3999))
+def test_union_shallow_angle_crossings_close(trial):
+    polys = _shallow_strip_corpus(trial)
+    u = G.union(polys)                       # must not raise
+    parts = [G.area(p) for p in polys]
+    ua = G.area(u)
+    # area invariant: between the largest part and the parts' sum, to
+    # 1e-9 relative — the strips overlap almost entirely, so ua is also
+    # within 1e-6 of each individual part
+    tol = 1e-9 * sum(parts) + 1e-12
+    assert max(parts) - tol <= ua <= sum(parts) + tol
+    # input-order invariance (the union_agg two-phase contract)
+    assert abs(G.area(G.union(polys[::-1])) - ua) <= tol
+
+
 def test_union_all_degenerate_input_returns_collection():
     # zero-area (point-extent) boxes with overlapping bboxes must not
     # abort — the dissolve returns a zero-area collection
