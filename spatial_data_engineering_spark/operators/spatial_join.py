@@ -113,7 +113,7 @@ def _combine_batch(pdf, keep: list[str], geom_col: str, out_col: str):
 
 
 def union_agg(df: DataFrame, group_cols: list[str], geom_col: str = "geom",
-              out_col: str = "geom") -> DataFrame:
+              out_col: str = "geom", tree_fanin: int | None = 64) -> DataFrame:
     """GROUP BY group_cols with geometric union of geom_col (E1).
 
     Two-phase tree aggregation (legal because geometry.union is
@@ -125,6 +125,20 @@ def union_agg(df: DataFrame, group_cols: list[str], geom_col: str = "geom",
     ``_combine_batch``) — the guard makes the operator safe on
     high-cardinality keys, where phase 1 would otherwise emit one
     re-encoded partial per row for no shuffle savings.
+
+    Depth bounding (SURVEY §7 hard-item #1): one group's partial count is
+    bounded by the upstream partition count P, and the phase-2 task for
+    that group dissolves all P partials serially — fine at local scale,
+    a single-executor bottleneck for a continental dissolve at 100 TB.
+    When P exceeds ``tree_fanin``, an intermediate dissolve keyed by
+    (group, salt) with ceil(sqrt(P)) salt buckets runs first, capping
+    per-task partial counts at ~sqrt(P) in both rounds (P=10^6 partials
+    -> ~1000 unions per task).  The salt is a pure function of the
+    partial's bytes (crc32 mod buckets), so the plan stays deterministic;
+    associativity + canonical output make the extra round semantically
+    free.  At local[32] partition counts sit under the default fan-in and
+    the round never fires — no bench-scale cost.  Pass tree_fanin=None
+    to force the flat two-phase plan.
     """
     keep = [f.name for f in df.schema.fields if f.name in group_cols]
     schema_fields = ", ".join(
@@ -144,5 +158,15 @@ def union_agg(df: DataFrame, group_cols: list[str], geom_col: str = "geom",
 
     def final(pdf):
         return _dissolve_group_rows(pdf, keep, out_col, out_col)
+
+    nparts = df.rdd.getNumPartitions()
+    if tree_fanin is not None and nparts > tree_fanin:
+        import math
+
+        buckets = int(math.ceil(math.sqrt(nparts)))
+        salted = partials.withColumn(
+            "__salt", F.pmod(F.crc32(F.col(out_col)), F.lit(buckets)))
+        partials = salted.groupBy(*group_cols, "__salt").applyInPandas(
+            final, schema=out_schema)
 
     return partials.groupBy(*group_cols).applyInPandas(final, schema=out_schema)

@@ -132,6 +132,61 @@ def test_union_agg_combine_guard_passthrough():
     assert all(bytes(b) != bytes(cw) for b in out2["geom"])  # canonicalized
 
 
+def test_union_agg_tree_reduce_bounds_fanin(spark):
+    """Depth bounding (SURVEY §7 hard-item #1): when one group's rows
+    arrive from more partitions than tree_fanin, a salted intermediate
+    dissolve must run so no single task unions all P partials; the
+    result stays area-identical to the flat plan."""
+    from pyspark.sql import functions as F
+
+    from spatial_data_engineering_spark.functions.st_funcs import st_makebox
+    from spatial_data_engineering_spark.operators.spatial_join import union_agg
+
+    # ONE group, 300 disjoint unit boxes, spread over 100 partitions ->
+    # up to 100 partials converge on a single phase-2 task in the flat
+    # plan
+    base = (spark.range(300)
+            .select(F.lit(0).alias("grp"),
+                    st_makebox(F.col("id") * 2.0, F.lit(0.0),
+                               F.col("id") * 2.0 + 1.0, F.lit(1.0))
+                    .alias("geom"))
+            .repartition(100))
+
+    treed = union_agg(base, ["grp"], geom_col="geom", tree_fanin=8)
+    flat = union_agg(base, ["grp"], geom_col="geom", tree_fanin=None)
+
+    # plan shape: the salted round adds a second grouped-map stage
+    def n_grouped_map(df):
+        return df._jdf.queryExecution().executedPlan().toString().count(
+            "FlatMapGroupsInPandas")
+    assert n_grouped_map(treed) == 2
+    assert n_grouped_map(flat) == 1
+
+    rt, rf = treed.collect(), flat.collect()
+    assert len(rt) == len(rf) == 1
+    at = G.area(G.wkb_loads(bytes(rt[0]["geom"])))
+    af = G.area(G.wkb_loads(bytes(rf[0]["geom"])))
+    assert abs(at - 300.0) < 1e-9 and abs(af - 300.0) < 1e-9
+
+    # the salt genuinely splits the group: partials land in >1 bucket
+    # (crc32 of distinct partial bytes mod ceil(sqrt(100)) = 10 buckets)
+    import math
+
+    buckets = int(math.ceil(math.sqrt(100)))
+    keep = ["grp"]
+    from spatial_data_engineering_spark.operators.spatial_join import (
+        _combine_batch)
+    partials = base.select("grp", "geom").mapInPandas(
+        lambda it: (_combine_batch(pdf, keep, "geom", "geom")
+                    for pdf in it if len(pdf)),
+        schema="grp int, geom binary")
+    n_buckets = (partials
+                 .select(F.pmod(F.crc32("geom"), F.lit(buckets))
+                         .alias("salt"))
+                 .distinct().count())
+    assert n_buckets > 1
+
+
 def test_union_agg_high_cardinality_correct(spark):
     """End-to-end: a one-group-per-row dissolve (guard active in every
     batch) still yields the correct per-group union."""
