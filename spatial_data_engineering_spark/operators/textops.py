@@ -170,11 +170,32 @@ def _score_spark(lang: str):
     """,
 )
 def q42_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    return lang_id_confusion(load(spark, sf_dir, "documents"))
+
+
+_LANG_ORDER = ("en", "de", "fr", "es")
+
+
+def lang_id_confusion(d: DataFrame, score_cols=None) -> DataFrame:
+    """q42's scoring plumbing with a pluggable scorer.
+
+    ``score_cols``: callable taking the text Column and returning one
+    score Column per language in ``_LANG_ORDER``.  Default is the JVM
+    marker-token expressions (zero Python in the hot path); a real
+    language-ID model drops in as an Arrow ``pandas_udf`` returning
+    ``array<double>`` whose elements are unpacked with ``element_at`` —
+    tests/test_scorer_integration.py drives exactly that path and pins
+    matrix equality with the JVM scorer.  Everything downstream (argmax
+    CASE, 'und' zero-rule, confusion-matrix groupBy) is shared, so
+    swapping the model cannot change the aggregation semantics.
+    """
+    if score_cols is None:
+        cols = [_score_spark(lang) for lang in _LANG_ORDER]
+    else:
+        cols = score_cols(F.col("text"))
     scored = d.select(
         "lang",
-        _score_spark("en").alias("s_en"), _score_spark("de").alias("s_de"),
-        _score_spark("fr").alias("s_fr"), _score_spark("es").alias("s_es"),
+        *[c.alias(f"s_{lang}") for lang, c in zip(_LANG_ORDER, cols)],
     )
     pred = scored.select(
         "lang",
@@ -435,7 +456,16 @@ def _scored_quality(d: DataFrame) -> DataFrame:
     """,
 )
 def q44_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored = _scored_quality(load(spark, sf_dir, "documents"))
+    return quality_tiers(load(spark, sf_dir, "documents"))
+
+
+def quality_tiers(d: DataFrame, scorer=None) -> DataFrame:
+    """q44's tiering plumbing with a pluggable scorer: ``scorer`` maps
+    the document frame to (doc_id, lang, quality) — default is the JVM
+    feature formula (``_scored_quality``); a model-based scorer drops in
+    as a pandas_udf-backed callable with the same output contract
+    (tests/test_scorer_integration.py drives one)."""
+    scored = (scorer or _scored_quality)(d)
     return (
         scored.withColumn(
             "tier",
@@ -852,12 +882,13 @@ def q80_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_filter(load(spark, sf_dir, "documents"))
 
 
-def quality_filter(d: DataFrame, p: float = _QF_P) -> DataFrame:
+def quality_filter(d: DataFrame, p: float = _QF_P, scorer=None) -> DataFrame:
     """q80's core over an arbitrary (doc_id, lang, text, ...) frame —
     percentiles reflect EXACTLY the rows passed in, so pipeline stages
     (plans/curation.py) can cut on the deduped/decontaminated survivors'
-    distribution rather than the raw corpus's."""
-    scored = _scored_quality(d)
+    distribution rather than the raw corpus's.  ``scorer`` swaps the
+    quality model (same contract as ``quality_tiers``)."""
+    scored = (scorer or _scored_quality)(d)
     thr = scored.groupBy("lang").agg(
         F.expr(f"percentile(quality, {p})").alias("p25"))
     return (
