@@ -160,6 +160,35 @@ def stream_dedup_against_corpus(stream_df: DataFrame,
                           key_col, "left_anti")
 
 
+def stream_admit_documents(stream_docs: DataFrame,
+                           corpus_docs: DataFrame) -> DataFrame:
+    """Two-tier streaming admission against a standing document corpus —
+    the streaming twin of the batch incremental dedup (dedup.q82): a
+    streamed document is admitted only if neither its exact content hash
+    (md5(text)) NOR its token-sort fingerprint already exists in the
+    corpus.  Both tiers share ``dedup._fp_spark`` with q46/q54/q82, so
+    streaming and batch admission cannot desynchronize key-wise.
+
+    Plan shape mirrors q82 at scale: the corpus reduces to its distinct
+    key sets (never its text), each tier is a stream-static LEFT ANTI
+    join re-planned per micro-batch (the corpus table may be replaced by
+    a concurrent batch job), and nothing enters the state store — dedup
+    against history lives in the corpus, dedup within the stream belongs
+    to dropDuplicatesWithinWatermark.
+    """
+    from ..operators.dedup import _fp_spark
+
+    keyed = (stream_docs
+             .withColumn("__eh", F.md5("text"))
+             .withColumn("__fh", _fp_spark()))
+    corpus_eh = corpus_docs.select(F.md5("text").alias("__eh")).distinct()
+    corpus_fh = corpus_docs.select(_fp_spark().alias("__fh")).distinct()
+    return (keyed
+            .join(corpus_eh, "__eh", "left_anti")
+            .join(corpus_fh, "__fh", "left_anti")
+            .drop("__eh", "__fh"))
+
+
 def run_to_completion(stream_df: DataFrame, query_name: str,
                       output_mode: str = "append") -> DataFrame:
     """Drive a (bounded file-source) streaming frame to completion through

@@ -214,6 +214,38 @@ def test_stateful_running_totals(spark, events_dir):
         assert abs(float(last.loc[uid, "total_value"]) - float(row["v"])) < 1e-6
 
 
+def test_stream_two_tier_admission_matches_q82(spark, tmp_path):
+    # streaming admission must implement q82's exact two-tier contract
+    # (exact md5 + token-sort fingerprint) on the same frames: the
+    # admitted set from the stream equals the batch q82 result
+    from spatial_data_engineering_spark.catalog import load
+    from spatial_data_engineering_spark.operators.dedup import (
+        q82_incremental_dedup)
+    from spatial_data_engineering_spark.streaming.windows import (
+        run_to_completion, stream_admit_documents)
+
+    docs = load(spark, SF_SMOKE, "documents")
+    is_batch = F.col("doc_id") % 10 == 9          # q82's batch contract
+    corpus = docs.filter(~is_batch)
+
+    # the day's crawl arrives as a file stream in several micro-batches
+    stream_dir = str(tmp_path / "incoming_docs")
+    docs.filter(is_batch).repartition(3).write.mode("overwrite") \
+        .parquet(stream_dir)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(stream_dir))
+
+    got = run_to_completion(
+        stream_admit_documents(stream, corpus), "t_two_tier"
+    ).toPandas()
+    exp = q82_incremental_dedup(spark, SF_SMOKE).toPandas()
+
+    assert set(got["doc_id"]) == set(exp["doc_id"])
+    assert len(got) == len(exp) > 0
+    # admitted rows keep the full document row (schema passthrough)
+    assert set(docs.columns) <= set(got.columns)
+
+
 def test_stream_static_anti_dedup_parity(spark, events_dir):
     # stream-static LEFT ANTI admission (the streaming twin of q82):
     # rows whose event_id is already in the corpus never come through,
