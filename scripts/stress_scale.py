@@ -203,6 +203,36 @@ def main() -> None:
     out["pack_sec"] = round(time.perf_counter() - t0, 2)
     out["pack_docs"] = n_packed
 
+    # ---- two-phase exact top-K (q85 shape): n_topk rows, ONE group ------
+    # the regime where a single-window rank would serialize the whole
+    # group onto one task; phase-1 hash thinning must cut the window
+    # input to ~2K rows while the result stays exactly the K smallest
+    # (u, doc_id).  Ground truth via global sort-limit (TakeOrdered — no
+    # window, no serialization), valid because there is one group.
+    import math
+
+    from spatial_data_engineering_spark.operators.textops import (
+        _HASH_DOMAIN, _doc_key, twophase_topk)
+
+    n_topk = int(sys.argv[5]) if len(sys.argv) > 5 else 3_000_000
+    k = 40
+    tk = (spark.range(n_topk)
+          .select(F.col("id").alias("doc_id"), F.lit("xx").alias("lang"),
+                  (F.col("id") % 997).alias("n_chars")))
+    t0 = time.perf_counter()
+    got = twophase_topk(tk, k=k).collect()
+    out["topk_sec"] = round(time.perf_counter() - t0, 2)
+    out["topk_rows"] = n_topk
+    thr = math.ceil(min(1.0, 2.0 * k / n_topk) * _HASH_DOMAIN)
+    out["topk_window_rows"] = (
+        tk.select(F.expr(_doc_key("spark")).alias("u"))
+        .filter(F.col("u") < thr).count())
+    truth = (tk.select("doc_id", F.expr(_doc_key("spark")).alias("u"))
+             .orderBy("u", "doc_id").limit(k).collect())
+    out["topk_exact"] = ({r["doc_id"] for r in got}
+                         == {r["doc_id"] for r in truth})
+    out["topk_k_returned"] = len(got)
+
     print(json.dumps(out))
     spark.stop()
 

@@ -37,58 +37,17 @@ def _modules():
 # most one round old.  The driver window is the sampling gate, not the
 # completeness gate.
 #
-# Round-3 window: the 23 queries whose last driver row is from round 1
-# (q15/q19/q21-q28/q30-q32/q34-q39/q52/q55/q63/q64), then this round's
-# new/changed queries (q75 new; q10 reimplemented; q67/q71 oracle edits),
-# then round-2-verified core families until the 50 slots fill.
+# Round-4 window: the 35 queries whose last driver row is from round 2
+# lead (they are now the oldest evidence), then the queries whose
+# implementation or oracle changed THIS round (curation-core refactor,
+# q82 oracle NOT EXISTS, shared near-dup pairs, union_agg tree reduce,
+# verbatim inference strings, scorer plumbing), then round-3-verified
+# entries fill the remaining slots; the round-3 window's survivors take
+# the tail and rotate back next round.
 _PRIORITY = [
-    # --- last driver row: round 1 (oracled) ---
-    "q15_count_distinct", "q19_hourly_window", "q21_props_extract",
-    "q22_cube", "q23_unpivot", "q24_in_subquery", "q25_window_analytics",
-    "q26_median", "q27_first_limit", "q30_range_join", "q31_sliding_window",
-    "q32_session_window", "q35_rank_functions", "q36_full_outer",
-    "q37_array_agg", "q38_profile", "q39_local_supplier_revenue",
-    "q63_date_functions", "q64_bag_set_ops",
-    # --- last driver row: round 1 (no oracle — rows-only driver check) ---
-    "q28_approx_distinct", "q34_approx_quantiles", "q52_ivf_ann",
-    "q55_kmeans",
-    # --- new or changed this round ---
-    "q75_golden_variance",  # new: flagship raw-variance tail w/ oracle
-    "q76_ngram_jaccard_join",  # new: exact df-capped set-similarity join
-    "q77_pack_sequences",   # new: greedy token packing w/ recursive oracle
-    "q78_balance_corpus",   # new: hash-rate language balancing
-    "q79_decontaminate",    # new: benchmark n-gram decontamination
-    "q80_quality_filter",   # new: per-language quality-quartile cut
-    "q81_substring_dup",    # new: seed-scheme common-substring detection
-    "q82_incremental_dedup",  # new: batch-vs-corpus anti-join admission
-    "q83_embedding_stats",  # new: per-dimension whitening stats
-    "q84_sample_exact_k",   # new: exact-K per-group eval sampling
-    "q85_twophase_topk",    # new: scale-safe two-phase exact top-K
-    "q86_pagerank_centrality",  # new: near-dup-graph canonical ranking
-    "q10_row_number",       # reimplemented: auto small/scale path selection
-    "q67_overlap_dissolve",  # oracle edit: 6-dp rounding vs float re-noding
-    "q71_frame_sample",     # oracle edit: byte-length semantics
-    # --- round-2-verified, refreshed while slots remain: spatial core ---
-    "q60_point_in_polygon", "q61_zonal_histogram", "q62_dissolve_area",
-    # dedup family (q46's fingerprint-groupBy class rides with q54; q45's
-    # md5-groupBy mechanism is exercised by in-window q82/q43; q48's
-    # bit-vote aggregation passed r2 and rotates next round)
-    "q47_minhash_lsh",
-    "q54_dedup_materialize", "q56_dedup_components",
-    # similarity family
-    "q49_cosine_topk", "q50_embedding_neardup", "q51_srp_lsh_buckets",
-    "q53_embedding_centroids",
-    # text analysis representatives (q41's count-distinct class is q15 at
-    # the head of the window; q43 and q44 stay in-window because their
-    # physical plan / oracle text changed this round)
-    "q43_fingerprint", "q44_quality_score",
-    # (q75 refreshes q08's class; q01's scan/agg class is exercised by
-    # nearly every in-window query; q29 passed r2 and rotates next round)
-    # ---- 50-entry window boundary; everything below was driver-verified
-    # green in round 2 and rotates back in next round ----
+    # --- last driver row: round 2 (oracled) — lead the window ---
     "q45_dedup_exact", "q46_dedup_tokensort", "q48_simhash",
-    "q40_text_stats", "q42_lang_id",
-    "q41_token_count", "q29_asof_join",
+    "q40_text_stats", "q41_token_count", "q29_asof_join",
     "q01_pricing_summary", "q08_var_argmax",
     "q33_percentiles", "q72_hierarchical_rollup",
     "q57_normalize_text", "q58_edit_distance", "q65_blocklist_filter",
@@ -99,6 +58,36 @@ _PRIORITY = [
     "q11_topk_per_group", "q12_pivot", "q13_setops", "q14_rollup",
     "q16_extent", "q17_case_thresholds", "q18_sessionization",
     "q20_above_avg",
+    # --- implementation or oracle changed this round (forced in-window) ---
+    "q42_lang_id",          # r2 row AND re-plumbed via lang_id_confusion
+    "q44_quality_score",    # re-plumbed via quality_tiers (pluggable scorer)
+    "q75_golden_variance",  # reference-verbatim inference strings
+    "q78_balance_corpus",   # core refactored to take a DataFrame
+    "q80_quality_filter",   # core refactored to take a DataFrame
+    "q82_incremental_dedup",  # oracle NOT IN -> NOT EXISTS
+    "q56_dedup_components",  # consumes shared near_dup_pairs()
+    "q86_pagerank_centrality",  # shared pairs + cache release
+    "q62_dissolve_area",    # union_agg tree-reduce parameter
+    "q67_overlap_dissolve",  # union_agg tree-reduce + geometry closure
+    "q47_minhash_lsh",      # upstream of the shared pair set
+    # --- round-3-verified, refreshed while slots remain ---
+    "q60_point_in_polygon", "q61_zonal_histogram",
+    "q49_cosine_topk", "q43_fingerprint", "q54_dedup_materialize",
+    # ---- 50-entry window boundary; everything below was driver-verified
+    # green in round 3 and rotates back in next round ----
+    "q15_count_distinct", "q19_hourly_window", "q21_props_extract",
+    "q22_cube", "q23_unpivot", "q24_in_subquery", "q25_window_analytics",
+    "q26_median", "q27_first_limit", "q30_range_join", "q31_sliding_window",
+    "q32_session_window", "q35_rank_functions", "q36_full_outer",
+    "q37_array_agg", "q38_profile", "q39_local_supplier_revenue",
+    "q63_date_functions", "q64_bag_set_ops",
+    "q28_approx_distinct", "q34_approx_quantiles", "q52_ivf_ann",
+    "q55_kmeans",
+    "q76_ngram_jaccard_join", "q77_pack_sequences", "q79_decontaminate",
+    "q81_substring_dup", "q83_embedding_stats", "q84_sample_exact_k",
+    "q85_twophase_topk", "q10_row_number", "q71_frame_sample",
+    "q50_embedding_neardup", "q51_srp_lsh_buckets",
+    "q53_embedding_centroids",
 ]
 
 
