@@ -43,6 +43,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # nanos UP one microsecond, diverging from DuckDB's epoch floor.
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000")))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            # Some generators write TIMESTAMP(MICROS, isAdjustedToUTC=false)
+            # which Spark reads as TIMESTAMP_NTZ — a type unix_micros/
+            # window() reject.  Cast to the session-zoned type: under the
+            # engine's UTC-session contract the wall-clock values are
+            # unchanged, matching DuckDB's naive-timestamp reading.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
