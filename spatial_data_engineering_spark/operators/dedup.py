@@ -548,6 +548,73 @@ def q81_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q88 — asymmetric containment join: C(A,B) = |A∩B| / min(|A|, |B|) over
+# the q76 candidate scheme.  Jaccard (q76/q47) misses the quote/subset
+# case — a short document wholly contained in a much longer one scores
+# |A|/|B| ≈ 0 Jaccard but containment 1.0.  This is the near-SUBSET
+# detector a curation pipeline runs alongside symmetric near-dup.
+#
+# Same df-capped inverted-index candidates as q76 (shared rare-shingle
+# contract, same recall/cost knob), different verify score; the exact
+# set arithmetic only touches candidates.  Threshold 0.8.
+# --------------------------------------------------------------------------
+_CONT_THETA = 0.8
+
+_ORACLE_Q88 = f"""
+    WITH sh AS (
+        SELECT doc_id, {_SHINGLES_SQL.format(col='text')} AS tl
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(tl) AS t FROM sh),
+    rare AS (
+        SELECT t FROM tok GROUP BY t HAVING COUNT(*) <= {_SSJ_DF_CAP}
+    ),
+    rt AS (SELECT tok.t, tok.doc_id FROM tok JOIN rare ON tok.t = rare.t),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM rt a JOIN rt b ON a.t = b.t AND a.doc_id < b.doc_id
+    )
+    SELECT a_id, b_id,
+           ROUND(len(list_intersect(ta.tl, tb.tl)) * 1.0
+                 / least(len(ta.tl), len(tb.tl)), 6) AS containment
+    FROM cand
+    JOIN sh ta ON ta.doc_id = a_id
+    JOIN sh tb ON tb.doc_id = b_id
+    WHERE len(list_intersect(ta.tl, tb.tl)) * 1.0
+          / least(len(ta.tl), len(tb.tl)) >= {_CONT_THETA}
+"""
+
+
+@query("q88_containment_join", _ORACLE_Q88)
+def q88_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread_docs(load(spark, sf_dir, "documents"))
+    sh = d.select(
+        "doc_id", F.expr(_SHINGLES_SPARK.format(col="text")).alias("tl")
+    )
+    tok = sh.select("doc_id", F.explode("tl").alias("t"))
+    rare = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df")) \
+        .filter(F.col("df") <= _SSJ_DF_CAP).select("t")
+    rt = tok.join(rare, "t")
+    a, b = rt.alias("a"), rt.alias("b")
+    cand = (
+        a.join(b, (F.col("a.t") == F.col("b.t"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    ta, tb = sh.alias("ta"), sh.alias("tb")
+    c = (F.size(F.array_intersect(F.col("ta.tl"), F.col("tb.tl"))) * 1.0
+         / F.least(F.size(F.col("ta.tl")), F.size(F.col("tb.tl"))))
+    return (
+        cand.join(ta, F.col("ta.doc_id") == F.col("a_id"))
+        .join(tb, F.col("tb.doc_id") == F.col("b_id"))
+        .select("a_id", "b_id", c.alias("__c"))
+        .filter(F.col("__c") >= _CONT_THETA)
+        .select("a_id", "b_id", F.round("__c", 6).alias("containment"))
+    )
+
+
+# --------------------------------------------------------------------------
 # q82 — incremental-batch dedup: the daily-ingest shape.  A new snapshot
 # (docs with doc_id % 10 = 9 here; in production, today's crawl) is
 # admitted only if neither its exact content hash NOR its token-sort

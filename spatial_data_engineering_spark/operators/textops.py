@@ -1018,3 +1018,193 @@ def twophase_topk(d: DataFrame, k: int = _TP_K) -> DataFrame:
 )
 def q85_twophase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return twophase_topk(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# q87 — n-gram novelty / boilerplate scoring: the fraction of a document's
+# distinct char-8-gram shingles that appear in NO other document (corpus
+# document frequency == 1).  Low novelty = template/boilerplate-heavy
+# documents — the standard complement to dedup in crawl curation (a page
+# can be globally unique yet 95% navigation chrome).
+#
+# Plan shape at 100 TB: explode to the inverted index once, df as a
+# partial-agg'd groupBy on the uniform shingle key, then ONE co-
+# partitioned big-big join back on that same key (Catalyst reuses the
+# exchange) and a per-doc partial-agg — no window over the corpus, no
+# broadcast of anything unbounded.
+# --------------------------------------------------------------------------
+@query(
+    "q87_ngram_novelty",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, {_SHINGLES_SQL.format(col='text')} AS tl
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(tl) AS t FROM sh),
+    df AS (SELECT t, COUNT(*) AS df FROM tok GROUP BY t)
+    SELECT tok.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique,
+           ROUND(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS novelty
+    FROM tok JOIN df ON tok.t = df.t
+    GROUP BY tok.doc_id
+    """,
+)
+def q87_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _spread_docs
+
+    d = _spread_docs(load(spark, sf_dir, "documents"))
+    sh = d.select(
+        "doc_id", F.expr(_SHINGLES_SPARK.format(col="text")).alias("tl"))
+    tok = sh.select("doc_id", F.explode("tl").alias("t"))
+    df = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    uniq = F.when(F.col("df") == 1, 1).otherwise(0)
+    return (
+        tok.join(df, "t")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"),
+             F.sum(uniq).cast("bigint").alias("n_unique"),
+             F.round(F.sum(uniq) * 1.0 / F.count(F.lit(1)), 6)
+             .alias("novelty"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q89 — bigram collocation lift: top-20 adjacent token pairs by
+# association strength lift(a,b) = p(ab) / (p(a)·p(b)) with a minimum
+# pair count — corpus phrase/collocation mining (the PMI family; lift is
+# PMI's argument, kept un-logged so Spark and DuckDB agree bit-for-bit —
+# log implementations may differ in the last ulp, pure division cannot).
+#
+# Plan shape: bigrams via transform(sequence) (a flatMap, no shuffle),
+# one groupBy per gram size with partial aggs, totals via a 1-row
+# broadcast cross join; top-20 is a TakeOrdered, never a full sort.
+# --------------------------------------------------------------------------
+_LIFT_MIN_COUNT = 5
+_LIFT_K = 20
+
+
+@query(
+    "q89_bigram_lift",
+    f"""
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS ts FROM documents
+    ),
+    uni AS (
+        SELECT t, COUNT(*) AS c FROM (SELECT unnest(ts) AS t FROM toks)
+        GROUP BY t
+    ),
+    bi AS (
+        SELECT bg, COUNT(*) AS c FROM (
+            SELECT unnest(list_transform(
+                generate_series(1, len(ts) - 1),
+                i -> ts[i] || ' ' || ts[i + 1])) AS bg
+            FROM toks
+        ) GROUP BY bg
+    ),
+    n1 AS (SELECT SUM(c) * 1.0 AS n FROM uni),
+    n2 AS (SELECT SUM(c) * 1.0 AS n FROM bi)
+    SELECT bi.bg AS bigram, bi.c AS n_pair,
+           ROUND((bi.c * 1.0 / n2.n)
+                 / ((ua.c * 1.0 / n1.n) * (ub.c * 1.0 / n1.n)), 6)
+               AS lift
+    FROM bi, n1, n2
+    JOIN uni ua ON ua.t = split_part(bi.bg, ' ', 1)
+    JOIN uni ub ON ub.t = split_part(bi.bg, ' ', 2)
+    WHERE bi.c >= {_LIFT_MIN_COUNT}
+    ORDER BY lift DESC, bigram ASC
+    LIMIT {_LIFT_K}
+    """,
+)
+def q89_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("ts"))
+    uni = (toks.select(F.explode("ts").alias("t"))
+           .groupBy("t").agg(F.count(F.lit(1)).alias("c")))
+    bi = (toks.select(F.explode(F.expr(
+            "transform(sequence(1, size(ts) - 1),"
+            " i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1)))"
+          )).alias("bg"))
+          .groupBy("bg").agg(F.count(F.lit(1)).alias("c_ab")))
+    n1 = uni.agg((F.sum("c") * 1.0).alias("n1"))
+    n2 = bi.agg((F.sum("c_ab") * 1.0).alias("n2"))
+    ua, ub = uni.alias("ua"), uni.alias("ub")
+    lift = ((F.col("c_ab") * 1.0 / F.col("n2"))
+            / ((F.col("ua.c") * 1.0 / F.col("n1"))
+               * (F.col("ub.c") * 1.0 / F.col("n1"))))
+    return (
+        bi.filter(F.col("c_ab") >= _LIFT_MIN_COUNT)
+        .crossJoin(F.broadcast(n1)).crossJoin(F.broadcast(n2))
+        .join(F.broadcast(ua),
+              F.col("ua.t") == F.element_at(F.split("bg", " "), 1))
+        .join(F.broadcast(ub),
+              F.col("ub.t") == F.element_at(F.split("bg", " "), 2))
+        .select(F.col("bg").alias("bigram"),
+                F.col("c_ab").alias("n_pair"),
+                F.round(lift, 6).alias("lift"))
+        .orderBy(F.desc("lift"), F.asc("bigram"))
+        .limit(_LIFT_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# q90 — pattern redaction scan: count and redact a configured pattern
+# list (PII shapes: emails, long digit runs; plus a named-entity
+# stand-in that actually fires on the fixture corpus) and emit per-doc
+# match counts with the md5 of the redacted text.  The production form
+# of q65's blocklist filter — redact-in-place instead of drop, so
+# downstream token counts stay comparable.
+#
+# All JVM-side: regexp_count + nested regexp_replace, one projection, no
+# shuffle before the per-doc output.  The pattern list is the config
+# surface; patterns are chosen from the RE2 ∩ java.util.regex common
+# subset so the oracle is bit-identical.
+# --------------------------------------------------------------------------
+_REDACT_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("digits", "[0-9]{6,}"),
+    ("entity", "customer( customer)*"),  # fixture stand-in for NER spans
+)
+_REDACT_TOKEN = "[REDACTED]"
+
+
+@query(
+    "q90_pattern_redact",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_REDACT_PATTERNS[0][1]}'))
+                AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '{_REDACT_PATTERNS[1][1]}'))
+                AS BIGINT) AS n_digits,
+           CAST(len(regexp_extract_all(text, '{_REDACT_PATTERNS[2][1]}'))
+                AS BIGINT) AS n_entity,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '{_REDACT_PATTERNS[0][1]}', '{_REDACT_TOKEN}', 'g'),
+               '{_REDACT_PATTERNS[1][1]}', '{_REDACT_TOKEN}', 'g'),
+               '{_REDACT_PATTERNS[2][1]}', '{_REDACT_TOKEN}', 'g'))
+               AS redacted_md5
+    FROM documents
+    WHERE len(regexp_extract_all(text, '{_REDACT_PATTERNS[0][1]}'))
+          + len(regexp_extract_all(text, '{_REDACT_PATTERNS[1][1]}'))
+          + len(regexp_extract_all(text, '{_REDACT_PATTERNS[2][1]}')) > 0
+    """,
+)
+def q90_pattern_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pats = [p for _, p in _REDACT_PATTERNS]
+    counts = [F.regexp_count("text", F.lit(p)).cast("bigint") for p in pats]
+    red = F.col("text")
+    for p in pats:
+        red = F.regexp_replace(red, p, _REDACT_TOKEN)
+    return (
+        d.select(
+            "doc_id",
+            counts[0].alias("n_email"),
+            counts[1].alias("n_digits"),
+            counts[2].alias("n_entity"),
+            F.md5(red).alias("redacted_md5"),
+        )
+        .filter(F.col("n_email") + F.col("n_digits") + F.col("n_entity") > 0)
+    )

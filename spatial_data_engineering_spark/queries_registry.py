@@ -70,11 +70,17 @@ _PRIORITY = [
     "q62_dissolve_area",    # union_agg tree-reduce parameter
     "q67_overlap_dissolve",  # union_agg tree-reduce + geometry closure
     "q47_minhash_lsh",      # upstream of the shared pair set
+    # --- NEW this round (never driver-verified — forced in-window) ---
+    "q87_ngram_novelty",    # new: df==1 boilerplate/novelty scoring
+    "q88_containment_join",  # new: asymmetric near-subset detector
+    "q89_bigram_lift",      # new: collocation mining, top-20 by lift
+    "q90_pattern_redact",   # new: PII-shape pattern redaction scan
     # --- round-3-verified, refreshed while slots remain ---
-    "q60_point_in_polygon", "q61_zonal_histogram",
-    "q49_cosine_topk", "q43_fingerprint", "q54_dedup_materialize",
+    "q60_point_in_polygon",
     # ---- 50-entry window boundary; everything below was driver-verified
     # green in round 3 and rotates back in next round ----
+    "q61_zonal_histogram",
+    "q49_cosine_topk", "q43_fingerprint", "q54_dedup_materialize",
     "q15_count_distinct", "q19_hourly_window", "q21_props_extract",
     "q22_cube", "q23_unpivot", "q24_in_subquery", "q25_window_analytics",
     "q26_median", "q27_first_limit", "q30_range_join", "q31_sliding_window",
