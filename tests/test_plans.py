@@ -363,3 +363,33 @@ def test_q85_twophase_large_group_regime(spark):
             for r in _direct_topk(spark, d, _TP_K).collect()]
     assert len(got) == _TP_K
     assert sorted(got) == sorted(want)
+
+
+def test_q87_novelty_no_cartesian_one_index_join(spark):
+    # novelty joins the token stream back to its df table on the shingle
+    # key — must stay an equi-join (no cartesian) with partial aggs on
+    # both the df groupBy and the per-doc rollup
+    plan = _plan(spark, "q87_ngram_novelty")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_q88_containment_no_cartesian(spark):
+    # candidate generation shares q76's df-capped inverted-index shape
+    plan = _plan(spark, "q88_containment_join")
+    assert "CartesianProduct" not in plan
+
+
+def test_q89_lift_takeordered_and_broadcast(spark):
+    # top-20 must be a TakeOrdered (never a global sort of the bigram
+    # table) and the vocabulary-sized unigram table must broadcast
+    plan = _plan(spark, "q89_bigram_lift")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q90_redact_no_shuffle(spark):
+    # pattern scan is a pure projection + filter: no exchange at all
+    plan = _plan(spark, "q90_pattern_redact")
+    assert "Exchange" not in plan
