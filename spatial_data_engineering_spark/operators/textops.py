@@ -1027,11 +1027,13 @@ def q85_twophase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # documents — the standard complement to dedup in crawl curation (a page
 # can be globally unique yet 95% navigation chrome).
 #
-# Plan shape at 100 TB: explode to the inverted index once, df as a
-# partial-agg'd groupBy on the uniform shingle key, then ONE co-
-# partitioned big-big join back on that same key (Catalyst reuses the
-# exchange) and a per-doc partial-agg — no window over the corpus, no
-# broadcast of anything unbounded.
+# Plan shape at 100 TB: the token stream shuffles ONCE — a df==1
+# shingle has exactly one owner, so MIN(doc_id) inside the df groupBy
+# carries that owner through the same aggregation, and per-doc unique
+# counts reduce the (already vocabulary-sized) df==1 set.  No join back
+# against the token stream (the naive tok JOIN df formulation shuffles
+# the full index twice and joins big-big); per-doc totals come straight
+# from size(tl) on the un-exploded side, shuffle-free.
 # --------------------------------------------------------------------------
 @query(
     "q87_ngram_novelty",
@@ -1041,15 +1043,18 @@ def q85_twophase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ),
     tok AS (SELECT doc_id, unnest(tl) AS t FROM sh),
-    df AS (SELECT t, COUNT(*) AS df FROM tok GROUP BY t)
-    SELECT tok.doc_id,
-           COUNT(*) AS n_shingles,
-           CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_unique,
-           ROUND(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 1.0
-                 / COUNT(*), 6) AS novelty
-    FROM tok JOIN df ON tok.t = df.t
-    GROUP BY tok.doc_id
+    nu AS (
+        SELECT doc_id, COUNT(*) AS n_unique FROM (
+            SELECT MIN(doc_id) AS doc_id
+            FROM tok GROUP BY t HAVING COUNT(*) = 1
+        ) GROUP BY doc_id
+    ),
+    sz AS (SELECT doc_id, len(tl) AS n_shingles FROM sh)
+    SELECT sz.doc_id, sz.n_shingles,
+           CAST(COALESCE(nu.n_unique, 0) AS BIGINT) AS n_unique,
+           ROUND(COALESCE(nu.n_unique, 0) * 1.0 / sz.n_shingles, 6)
+               AS novelty
+    FROM sz LEFT JOIN nu ON sz.doc_id = nu.doc_id
     """,
 )
 def q87_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1059,15 +1064,18 @@ def q87_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select(
         "doc_id", F.expr(_SHINGLES_SPARK.format(col="text")).alias("tl"))
     tok = sh.select("doc_id", F.explode("tl").alias("t"))
-    df = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
-    uniq = F.when(F.col("df") == 1, 1).otherwise(0)
+    nu = (tok.groupBy("t")
+          .agg(F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("doc_id"))
+          .filter(F.col("df") == 1)
+          .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_unique")))
+    sz = sh.select("doc_id", F.size("tl").cast("bigint").alias("n_shingles"))
+    n_unique = F.coalesce("n_unique", F.lit(0))
     return (
-        tok.join(df, "t")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shingles"),
-             F.sum(uniq).cast("bigint").alias("n_unique"),
-             F.round(F.sum(uniq) * 1.0 / F.count(F.lit(1)), 6)
-             .alias("novelty"))
+        sz.join(nu, "doc_id", "left")
+        .select("doc_id", "n_shingles",
+                n_unique.cast("bigint").alias("n_unique"),
+                F.round(n_unique * 1.0 / F.col("n_shingles"), 6)
+                .alias("novelty"))
     )
 
 
