@@ -436,9 +436,12 @@ _ORACLE_Q76 = f"""
 """
 
 
-@query("q76_ngram_jaccard_join", _ORACLE_Q76)
-def q76_ngram_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _spread_docs(load(spark, sf_dir, "documents"))
+def _ssj_candidates(d: DataFrame):
+    """Shared df-capped inverted-index candidate generator for the exact
+    set-similarity family (q76 Jaccard, q88 containment): returns the
+    (shingle-set frame, candidate-pair frame) pair.  The cap bounds
+    every index block to <= cap docs so candidates stay sub-quadratic;
+    the recall-by-contract trade is documented at q76."""
     sh = d.select(
         "doc_id", F.expr(_SHINGLES_SPARK.format(col="text")).alias("tl")
     )
@@ -455,6 +458,12 @@ def q76_ngram_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
+    return sh, cand
+
+
+@query("q76_ngram_jaccard_join", _ORACLE_Q76)
+def q76_ngram_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh, cand = _ssj_candidates(_spread_docs(load(spark, sf_dir, "documents")))
     ta, tb = sh.alias("ta"), sh.alias("tb")
     j = (F.size(F.array_intersect(F.col("ta.tl"), F.col("tb.tl"))) * 1.0
          / F.size(F.array_distinct(F.concat(F.col("ta.tl"), F.col("tb.tl")))))
@@ -587,21 +596,7 @@ _ORACLE_Q88 = f"""
 
 @query("q88_containment_join", _ORACLE_Q88)
 def q88_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _spread_docs(load(spark, sf_dir, "documents"))
-    sh = d.select(
-        "doc_id", F.expr(_SHINGLES_SPARK.format(col="text")).alias("tl")
-    )
-    tok = sh.select("doc_id", F.explode("tl").alias("t"))
-    rare = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df")) \
-        .filter(F.col("df") <= _SSJ_DF_CAP).select("t")
-    rt = tok.join(rare, "t")
-    a, b = rt.alias("a"), rt.alias("b")
-    cand = (
-        a.join(b, (F.col("a.t") == F.col("b.t"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .distinct()
-    )
+    sh, cand = _ssj_candidates(_spread_docs(load(spark, sf_dir, "documents")))
     ta, tb = sh.alias("ta"), sh.alias("tb")
     c = (F.size(F.array_intersect(F.col("ta.tl"), F.col("tb.tl"))) * 1.0
          / F.least(F.size(F.col("ta.tl")), F.size(F.col("tb.tl"))))

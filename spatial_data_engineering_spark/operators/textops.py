@@ -1145,10 +1145,12 @@ def q89_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         bi.filter(F.col("c_ab") >= _LIFT_MIN_COUNT)
         .crossJoin(F.broadcast(n1)).crossJoin(F.broadcast(n2))
-        .join(F.broadcast(ua),
-              F.col("ua.t") == F.element_at(F.split("bg", " "), 1))
-        .join(F.broadcast(ub),
-              F.col("ub.t") == F.element_at(F.split("bg", " "), 2))
+        # no broadcast hint on the unigram sides: Catalyst size-gates the
+        # build side, so a toy vocabulary broadcasts while a 100 TB
+        # corpus's billion-token vocabulary degrades to a shuffle join
+        # instead of OOMing the driver
+        .join(ua, F.col("ua.t") == F.element_at(F.split("bg", " "), 1))
+        .join(ub, F.col("ub.t") == F.element_at(F.split("bg", " "), 2))
         .select(F.col("bg").alias("bigram"),
                 F.col("c_ab").alias("n_pair"),
                 F.round(lift, 6).alias("lift"))
