@@ -1218,3 +1218,62 @@ def q90_pattern_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_email") + F.col("n_digits") + F.col("n_entity") > 0)
     )
+
+
+# --------------------------------------------------------------------------
+# q91 — temperature-based corpus mixture sampling (the mT5/T5 alpha-
+# sampling shape): resample languages to p_l ∝ c_l^alpha so low-resource
+# languages are up-weighted relative to their raw counts, with a total
+# document budget.  alpha is fixed at 0.5 BY DESIGN: sqrt is correctly
+# rounded in IEEE 754 (bit-identical across Spark and DuckDB) where a
+# general pow(x, alpha) can differ in the last ulp and flip a hash-
+# threshold comparison — the determinism contract picks the alpha.
+#
+# Same stateless plan as q78: a tiny per-language rate table (keep-rate
+# = budget share / count, capped at 1) broadcasts back over the corpus
+# and each doc passes a pure md5-fold hash test — no window, no rand(),
+# reproducible on any partitioning.
+# --------------------------------------------------------------------------
+_TEMP_BUDGET = 300
+
+
+@query(
+    "q91_temperature_sample",
+    f"""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT SUM(sqrt(c * 1.0)) AS z FROM counts),
+    rates AS (
+        SELECT lang,
+               least(1.0, {_TEMP_BUDGET} * (sqrt(c * 1.0) / tot.z) / c)
+                   AS rate
+        FROM counts, tot
+    ),
+    keyed AS (
+        SELECT doc_id, lang, n_chars, {_doc_key('duckdb')} AS u
+        FROM documents
+    )
+    SELECT k.doc_id, k.lang, k.n_chars
+    FROM keyed k JOIN rates r ON k.lang = r.lang
+    WHERE k.u < CAST(ceil(r.rate * {_HASH_DOMAIN}) AS BIGINT)
+    """,
+)
+def q91_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.agg(F.sum(F.sqrt(F.col("c") * 1.0)).alias("z"))
+    rates = (counts.crossJoin(F.broadcast(tot))
+             .select("lang",
+                     F.least(F.lit(1.0),
+                             F.lit(float(_TEMP_BUDGET))
+                             * (F.sqrt(F.col("c") * 1.0) / F.col("z"))
+                             / F.col("c")).alias("rate")))
+    keyed = d.select("doc_id", "lang", "n_chars",
+                     F.expr(_doc_key("spark")).alias("u"))
+    return (
+        keyed.join(F.broadcast(rates), "lang")
+        .filter(F.col("u")
+                < F.ceil(F.col("rate") * _HASH_DOMAIN).cast("bigint"))
+        .select("doc_id", "lang", "n_chars")
+    )

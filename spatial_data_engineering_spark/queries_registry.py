@@ -75,11 +75,10 @@ _PRIORITY = [
     "q88_containment_join",  # new: asymmetric near-subset detector
     "q89_bigram_lift",      # new: collocation mining, top-20 by lift
     "q90_pattern_redact",   # new: PII-shape pattern redaction scan
-    # --- round-3-verified, refreshed while slots remain ---
-    "q60_point_in_polygon",
+    "q91_temperature_sample",  # new: alpha=0.5 corpus mixture resampling
     # ---- 50-entry window boundary; everything below was driver-verified
     # green in round 3 and rotates back in next round ----
-    "q61_zonal_histogram",
+    "q60_point_in_polygon", "q61_zonal_histogram",
     "q49_cosine_topk", "q43_fingerprint", "q54_dedup_materialize",
     "q15_count_distinct", "q19_hourly_window", "q21_props_extract",
     "q22_cube", "q23_unpivot", "q24_in_subquery", "q25_window_analytics",
