@@ -528,3 +528,35 @@ def q83_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("dead", F.col("variance") < _DEAD_VAR)
     )
+
+
+# --------------------------------------------------------------------------
+# q92 — deterministic random-projection dimensionality reduction (the
+# Johnson-Lindenstrauss step before coarse clustering / visualization):
+# project 64-dim embeddings onto 8 arithmetic pseudo-random hyperplanes —
+# the q51 SRP plane family kept REAL-VALUED instead of sign-bucketed.
+# Output is columnar (vec_id, p0..p7): one projection per column, no
+# explode, no shuffle — the whole operator is a single codegen'd
+# projection over the scan, the shape that rides free at 100 TB.
+# Strict left-fold dot products with integer-arithmetic weights make the
+# oracle bit-identical (the q49/q51 determinism contract).
+# --------------------------------------------------------------------------
+_RP_K = 8
+
+
+@query(
+    "q92_random_projection",
+    f"""
+    SELECT vec_id,
+           {', '.join(f"ROUND({_plane_dot('duckdb', 'embedding', p)}, 6)"
+                      f" AS p{p}" for p in range(_RP_K))}
+    FROM embeddings
+    """,
+)
+def q92_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        *[F.round(F.expr(_plane_dot("spark", "embedding", p)), 6)
+          .alias(f"p{p}") for p in range(_RP_K)],
+    )

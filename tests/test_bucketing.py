@@ -48,3 +48,71 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql("DROP DATABASE IF EXISTS buckdemo CASCADE")
+
+
+def test_bucketed_incremental_dedup_admission_no_shuffle(spark,
+                                                         tmp_path_factory):
+    """q82's 100 TB claim, substantiated: with the corpus key set
+    maintained as a bucketed table and the day's batch written bucketed
+    on the same key, the two-tier anti-join admission is co-located —
+    zero Exchange in the whole plan — and admits exactly the same doc
+    set as the unbucketed operator."""
+    from spatial_data_engineering_spark.catalog import load
+    from spatial_data_engineering_spark.operators.dedup import (
+        _INC_MOD, _INC_REM, _fp_spark, q82_incremental_dedup)
+
+    wh = str(tmp_path_factory.mktemp("warehouse2"))
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS admdemo LOCATION '{wh}'")
+    try:
+        d = load(spark, SF_SMOKE, "documents")
+        is_batch = F.col("doc_id") % _INC_MOD == _INC_REM
+        corpus_keys = (d.filter(~is_batch)
+                       .select(F.md5("text").alias("eh"),
+                               _fp_spark().alias("fh")))
+        batch = d.filter(is_batch).select(
+            "doc_id", "lang", "source",
+            F.md5("text").alias("eh"), _fp_spark().alias("fh"))
+        # the standing corpus key table and the day's batch, both
+        # bucketed on the admission keys (production: the corpus table
+        # is maintained incrementally, the batch is one write)
+        (corpus_keys.select("eh").distinct()
+         .write.mode("overwrite").bucketBy(8, "eh")
+         .saveAsTable("admdemo.corpus_eh"))
+        (corpus_keys.select("fh").distinct()
+         .write.mode("overwrite").bucketBy(8, "fh")
+         .saveAsTable("admdemo.corpus_fh"))
+        (batch.write.mode("overwrite").bucketBy(8, "eh")
+         .saveAsTable("admdemo.batch_b"))
+
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            admitted = (
+                spark.table("admdemo.batch_b")
+                .join(spark.table("admdemo.corpus_eh"), "eh", "left_anti")
+            )
+            mode = (spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                    .fromString("formatted"))
+            plan = admitted._jdf.queryExecution().explainString(mode)
+            # tier 1 (exact-hash admission, batch bucketed on eh):
+            # fully co-located — zero Exchange
+            assert plan.count("Exchange") == 0, plan
+            # tier 2 joins on fh — the batch side is bucketed on eh, so
+            # only that side re-shuffles; the corpus_fh scan stays
+            # exchange-free (one-sided shuffle, never the corpus)
+            two = (admitted
+                   .join(spark.table("admdemo.corpus_fh"), "fh",
+                         "left_anti"))
+            plan2 = two._jdf.queryExecution().explainString(mode)
+            scan_fh = [ln for ln in plan2.splitlines()
+                       if "corpus_fh" in ln and "Scan" in ln]
+            assert scan_fh and "Bucketed: true" in plan2
+            got = {r["doc_id"] for r in
+                   two.select("doc_id", "lang", "source").collect()}
+            exp = {r["doc_id"] for r in
+                   q82_incremental_dedup(spark, SF_SMOKE).collect()}
+            assert got == exp and got
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS admdemo CASCADE")
