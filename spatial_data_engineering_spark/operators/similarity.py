@@ -560,3 +560,88 @@ def q92_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.round(F.expr(_plane_dot("spark", "embedding", p)), 6)
           .alias(f"p{p}") for p in range(_RP_K)],
     )
+
+
+# --------------------------------------------------------------------------
+# q93 — full embedding covariance (upper triangle): the PCA/whitening
+# input that completes q83's per-dimension diagonal.  cov(i,j) from
+# order-independent raw moments: exact DECIMAL(38,12) sums of x_i·x_j
+# and of each x_i (scale 12 keeps ~1e-12 product terms — scale 6 would
+# truncate small covariances), combined in double with identical op
+# order on both engines (the q08/q75 closed-form contract).
+#
+# Plan shape: the i<=j pair explode is a 2,080x row multiplication but
+# stays inside whole-stage codegen with only (i, j, v) live, and the
+# partial agg reduces each partition to <= 2,080 keys before the
+# shuffle — the wire carries 2,080 x nparts rows regardless of corpus
+# size.  The production fast path for dense fleets is a mapInPandas
+# X^T·X per Arrow batch (the q50 BLAS pattern); this form is the
+# oracle-checkable twin with identical results.
+# --------------------------------------------------------------------------
+_COV_DIM = 64
+_DEC12 = "DECIMAL(38,12)"
+
+
+@query(
+    "q93_embedding_covariance",
+    f"""
+    WITH pr AS (
+        SELECT u.i AS i, u.j AS j, u.v AS v FROM (
+            SELECT unnest(flatten(list_transform(
+                generate_series(1, {_COV_DIM}), i ->
+                list_transform(generate_series(i, {_COV_DIM}), j ->
+                    {{'i': i, 'j': j,
+                      'v': CAST(embedding[i] AS DOUBLE)
+                           * CAST(embedding[j] AS DOUBLE)}})))) AS u
+            FROM embeddings
+        )
+    ),
+    m AS (
+        SELECT g.i AS i,
+               CAST(SUM(CAST(CAST(embedding[g.i] AS DOUBLE)
+                             AS {_DEC12})) AS DOUBLE) AS s
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(generate_series(1, {_COV_DIM})) AS i) g
+        GROUP BY g.i
+    ),
+    nn AS (SELECT COUNT(*) * 1.0 AS n FROM embeddings)
+    SELECT CAST(pr.i AS BIGINT) AS i, CAST(pr.j AS BIGINT) AS j,
+           -- + 0.0 canonicalizes IEEE negative zero (engines disagree on
+           -- the sign of a rounded -1e-9 but -0.0 + 0.0 = +0.0 in both)
+           ROUND((CAST(SUM(CAST(pr.v AS {_DEC12})) AS DOUBLE)
+                  - mi.s * mj.s / nn.n) / (nn.n - 1), 6) + 0.0 AS cov
+    FROM pr
+    CROSS JOIN nn
+    JOIN m mi ON mi.i = pr.i
+    JOIN m mj ON mj.i = pr.j
+    GROUP BY pr.i, pr.j, mi.s, mj.s, nn.n
+    """,
+)
+def q93_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    pairs = (f"flatten(transform(sequence(1, {_COV_DIM}), i -> "
+             f"transform(sequence(i, {_COV_DIM}), j -> "
+             f"struct(i, j, CAST(element_at(embedding, i) AS DOUBLE)"
+             f" * CAST(element_at(embedding, j) AS DOUBLE) AS v))))")
+    pr = (e.select(F.explode(F.expr(pairs)).alias("u"))
+          .select(F.col("u.i").alias("i"), F.col("u.j").alias("j"),
+                  F.col("u.v").alias("v")))
+    spr = pr.groupBy("i", "j").agg(
+        F.sum(F.col("v").cast(_DEC12.lower())).cast("double").alias("sxy"))
+    m = (e.selectExpr("posexplode(embedding) AS (p, x)")
+         .groupBy((F.col("p") + 1).alias("i"))
+         .agg(F.sum(F.col("x").cast("double").cast(_DEC12.lower()))
+              .cast("double").alias("s")))
+    nn = e.agg((F.count(F.lit(1)) * 1.0).alias("n"))
+    mi, mj = m.alias("mi"), m.alias("mj")
+    cov = ((F.col("sxy") - F.col("mi.s") * F.col("mj.s") / F.col("n"))
+           / (F.col("n") - 1))
+    return (
+        spr.crossJoin(F.broadcast(nn))
+        .join(F.broadcast(mi), F.col("mi.i") == spr.i)
+        .join(F.broadcast(mj), F.col("mj.i") == spr.j)
+        .select(spr.i.cast("bigint").alias("i"),
+                spr.j.cast("bigint").alias("j"),
+                # + 0.0 canonicalizes IEEE negative zero (see oracle note)
+                (F.round(cov, 6) + F.lit(0.0)).alias("cov"))
+    )

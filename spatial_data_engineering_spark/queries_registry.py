@@ -68,7 +68,6 @@ _PRIORITY = [
     "q56_dedup_components",  # consumes shared near_dup_pairs()
     "q86_pagerank_centrality",  # shared pairs + cache release
     "q62_dissolve_area",    # union_agg tree-reduce parameter
-    "q67_overlap_dissolve",  # union_agg tree-reduce + geometry closure
     # --- NEW this round (never driver-verified — forced in-window) ---
     "q87_ngram_novelty",    # new: df==1 boilerplate/novelty scoring
     "q88_containment_join",  # new: asymmetric near-subset detector
@@ -76,11 +75,13 @@ _PRIORITY = [
     "q90_pattern_redact",   # new: PII-shape pattern redaction scan
     "q91_temperature_sample",  # new: alpha=0.5 corpus mixture resampling
     "q92_random_projection",  # new: JL projection, columnar no-shuffle
+    "q93_embedding_covariance",  # new: PCA-input covariance, exact moments
     # ---- 50-entry window boundary; everything below was driver-verified
     # green in round 3 and rotates back in next round (q47's own
     # implementation is unchanged — only its consumers moved to the
     # shared pair set — so it yields its slot to the new q92) ----
     "q47_minhash_lsh",
+    "q67_overlap_dissolve",
     "q60_point_in_polygon", "q61_zonal_histogram",
     "q49_cosine_topk", "q43_fingerprint", "q54_dedup_materialize",
     "q15_count_distinct", "q19_hourly_window", "q21_props_extract",

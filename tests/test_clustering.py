@@ -97,3 +97,30 @@ def test_near_dup_pairs_materialized_once(spark):
     assert n56 > 0 and n86 > 0
 
     assert dedup._PAIR_CACHE_COMPUTES == before + 1
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    """q93 vs an independent numpy.cov computation: the engine's
+    decimal-exact moment formulation must agree with the textbook
+    two-pass covariance to rounding tolerance (6 dp output + the
+    1e-12-scale decimal truncation of the moment sums)."""
+    import numpy as np
+
+    from spatial_data_engineering_spark.catalog import load
+    from spatial_data_engineering_spark.operators.similarity import (
+        q93_embedding_covariance)
+
+    rows = load(spark, SF_ORACLE, "embeddings") \
+        .select("vec_id", "embedding").collect()
+    X = np.array([np.array(r["embedding"], dtype=np.float64)
+                  for r in sorted(rows, key=lambda r: r["vec_id"])])
+    C = np.cov(X, rowvar=False)
+
+    got = {(r["i"], r["j"]): r["cov"]
+           for r in q93_embedding_covariance(spark, SF_ORACLE).collect()}
+    assert len(got) == 64 * 65 // 2
+    err = max(abs(got[(i + 1, j + 1)] - C[i, j])
+              for i in range(64) for j in range(i, 64))
+    assert err < 1e-5, err
+    # diagonal is the q83 variance view: strictly positive
+    assert all(got[(d, d)] > 0 for d in range(1, 65))
