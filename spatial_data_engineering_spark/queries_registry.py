@@ -37,13 +37,16 @@ def _modules():
 # most one round old.  The driver window is the sampling gate, not the
 # completeness gate.
 #
-# Round-4 window: the 35 queries whose last driver row is from round 2
-# lead (they are now the oldest evidence), then the queries whose
+# Round-4 window: the 34 queries whose last driver row is from round 2
+# lead (they are now the oldest evidence), then the 9 whose
 # implementation or oracle changed THIS round (curation-core refactor,
 # q82 oracle NOT EXISTS, shared near-dup pairs, union_agg tree reduce,
-# verbatim inference strings, scorer plumbing), then round-3-verified
-# entries fill the remaining slots; the round-3 window's survivors take
-# the tail and rotate back next round.
+# verbatim inference strings, scorer plumbing), then the 7 brand-new
+# queries (q87-q93, never driver-verified) fill the window to 50.
+# q47 and q67 were r3-verified and their own code is unchanged (q47's
+# consumers moved to the shared pair set; q67 rides the same union_agg
+# change q62 covers in-window), so they yielded their slots to the new
+# queries and lead the tail with the other r3 survivors.
 _PRIORITY = [
     # --- last driver row: round 2 (oracled) — lead the window ---
     "q45_dedup_exact", "q46_dedup_tokensort", "q48_simhash",
@@ -77,9 +80,7 @@ _PRIORITY = [
     "q92_random_projection",  # new: JL projection, columnar no-shuffle
     "q93_embedding_covariance",  # new: PCA-input covariance, exact moments
     # ---- 50-entry window boundary; everything below was driver-verified
-    # green in round 3 and rotates back in next round (q47's own
-    # implementation is unchanged — only its consumers moved to the
-    # shared pair set — so it yields its slot to the new q92) ----
+    # green in round 3 and rotates back in next round ----
     "q47_minhash_lsh",
     "q67_overlap_dissolve",
     "q60_point_in_polygon", "q61_zonal_histogram",
