@@ -619,15 +619,26 @@ _DEC12 = "DECIMAL(38,12)"
 )
 def q93_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    pairs = (f"flatten(transform(sequence(1, {_COV_DIM}), i -> "
+    # Explode BARE products and recover (i, j) from the flattened pair
+    # position afterwards via a broadcast 2,080-row constant map: the
+    # per-row struct(i, j, v) construction tripled the bytes built and
+    # exploded per pair for values derivable from position (measured
+    # 8.7s -> ~4s at sf0.1).  The position map is dimension-sized, not
+    # data-sized — driver-built like any constant dimension table.
+    prods = (f"flatten(transform(sequence(1, {_COV_DIM}), i -> "
              f"transform(sequence(i, {_COV_DIM}), j -> "
-             f"struct(i, j, CAST(element_at(embedding, i) AS DOUBLE)"
-             f" * CAST(element_at(embedding, j) AS DOUBLE) AS v))))")
-    pr = (e.select(F.explode(F.expr(pairs)).alias("u"))
-          .select(F.col("u.i").alias("i"), F.col("u.j").alias("j"),
-                  F.col("u.v").alias("v")))
-    spr = pr.groupBy("i", "j").agg(
-        F.sum(F.col("v").cast(_DEC12.lower())).cast("double").alias("sxy"))
+             f"CAST(element_at(embedding, i) AS DOUBLE)"
+             f" * CAST(element_at(embedding, j) AS DOUBLE))))")
+    pv = e.selectExpr(f"posexplode({prods}) AS (pos, v)")
+    posmap = spark.createDataFrame(
+        [(pos, i, j) for pos, (i, j) in enumerate(
+            (i, j) for i in range(1, _COV_DIM + 1)
+            for j in range(i, _COV_DIM + 1))],
+        "pos int, i int, j int")
+    spr = (pv.groupBy("pos")
+           .agg(F.sum(F.col("v").cast(_DEC12.lower()))
+                .cast("double").alias("sxy"))
+           .join(F.broadcast(posmap), "pos"))
     m = (e.selectExpr("posexplode(embedding) AS (p, x)")
          .groupBy((F.col("p") + 1).alias("i"))
          .agg(F.sum(F.col("x").cast("double").cast(_DEC12.lower()))
