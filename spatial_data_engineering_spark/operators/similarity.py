@@ -570,21 +570,23 @@ def q92_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # truncate small covariances), combined in double with identical op
 # order on both engines (the q08/q75 closed-form contract).
 #
-# Plan shape: the i<=j pair explode is a 2,080x row multiplication but
-# stays inside whole-stage codegen with only (i, j, v) live, and the
-# partial agg reduces each partition to <= 2,080 keys before the
-# shuffle — the wire carries 2,080 x nparts rows regardless of corpus
-# size.  The production fast path for dense fleets is a mapInPandas
-# X^T·X per Arrow batch (the q50 BLAS pattern); this form is the
-# oracle-checkable twin with identical results.
+# Plan shape (production path, round 5): one mapInPandas pass computes a
+# per-PARTITION Gram partial — X^T·X via one BLAS matmul per Arrow batch
+# plus per-dim sums and the row count, packed into a single
+# 2,080+64+1-double array — so the corpus is read exactly once and the
+# wire carries 2,145 doubles per partition regardless of corpus size.
+# Cross-partition reduction casts each partial to DECIMAL(38,12) before
+# summing, so the reduce is order-independent (commutative decimal adds)
+# even though the within-partition float64 accumulation is sequential.
+# The previous codegen form (a 2,080x i<=j pair explode per vector) is
+# kept verbatim as `q93_covariance_explode_twin` — it is the
+# oracle-shaped twin the parity test pins the BLAS path against.
 # --------------------------------------------------------------------------
 _COV_DIM = 64
 _DEC12 = "DECIMAL(38,12)"
+_COV_NPAIR = _COV_DIM * (_COV_DIM + 1) // 2  # 2,080 upper-triangle cells
 
-
-@query(
-    "q93_embedding_covariance",
-    f"""
+_ORACLE_Q93 = f"""
     WITH pr AS (
         SELECT u.i AS i, u.j AS j, u.v AS v FROM (
             SELECT unnest(flatten(list_transform(
@@ -615,35 +617,29 @@ _DEC12 = "DECIMAL(38,12)"
     JOIN m mi ON mi.i = pr.i
     JOIN m mj ON mj.i = pr.j
     GROUP BY pr.i, pr.j, mi.s, mj.s, nn.n
-    """,
-)
-def q93_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
-    # Explode BARE products and recover (i, j) from the flattened pair
-    # position afterwards via a broadcast 2,080-row constant map: the
-    # per-row struct(i, j, v) construction tripled the bytes built and
-    # exploded per pair for values derivable from position (measured
-    # 8.7s -> ~4s at sf0.1).  The position map is dimension-sized, not
-    # data-sized — driver-built like any constant dimension table.
-    prods = (f"flatten(transform(sequence(1, {_COV_DIM}), i -> "
-             f"transform(sequence(i, {_COV_DIM}), j -> "
-             f"CAST(element_at(embedding, i) AS DOUBLE)"
-             f" * CAST(element_at(embedding, j) AS DOUBLE))))")
-    pv = e.selectExpr(f"posexplode({prods}) AS (pos, v)")
-    posmap = spark.createDataFrame(
+"""
+
+
+def _cov_posmap(spark: SparkSession) -> DataFrame:
+    """Broadcastable (pos -> i, j) map over the row-major upper triangle.
+
+    Dimension-sized (2,080 rows), driver-built like any constant dim table;
+    the order matches both the explode twin's flatten order and
+    numpy.triu_indices.
+    """
+    return spark.createDataFrame(
         [(pos, i, j) for pos, (i, j) in enumerate(
             (i, j) for i in range(1, _COV_DIM + 1)
             for j in range(i, _COV_DIM + 1))],
         "pos int, i int, j int")
-    spr = (pv.groupBy("pos")
-           .agg(F.sum(F.col("v").cast(_DEC12.lower()))
-                .cast("double").alias("sxy"))
-           .join(F.broadcast(posmap), "pos"))
-    m = (e.selectExpr("posexplode(embedding) AS (p, x)")
-         .groupBy((F.col("p") + 1).alias("i"))
-         .agg(F.sum(F.col("x").cast("double").cast(_DEC12.lower()))
-              .cast("double").alias("s")))
-    nn = e.agg((F.count(F.lit(1)) * 1.0).alias("n"))
+
+
+def _cov_from_moments(spr: DataFrame, m: DataFrame, nn: DataFrame) -> DataFrame:
+    """(i, j, cov) from upper-triangle product sums + per-dim sums + count.
+
+    Shared final step of the BLAS path and the explode twin so the two can
+    only differ in how the raw-moment sums were accumulated.
+    """
     mi, mj = m.alias("mi"), m.alias("mj")
     cov = ((F.col("sxy") - F.col("mi.s") * F.col("mj.s") / F.col("n"))
            / (F.col("n") - 1))
@@ -656,3 +652,92 @@ def q93_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # + 0.0 canonicalizes IEEE negative zero (see oracle note)
                 (F.round(cov, 6) + F.lit(0.0)).alias("cov"))
     )
+
+
+@query("q93_embedding_covariance", _ORACLE_Q93)
+def q93_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full covariance via per-partition BLAS Gram partials (production).
+
+    One `mapInPandas` pass over the corpus: each Arrow batch is stacked
+    into an (n_batch, 64) float64 matrix and contributes `X.T @ X` (one
+    BLAS call), per-dim column sums and the row count to a running
+    per-partition accumulator; the partition emits ONE row holding the
+    2,080-cell upper triangle + 64 sums + count packed into a single
+    array<double>.  That is a 2,145-double partial per partition instead
+    of the explode twin's 2,080x row multiplication through codegen —
+    at 100 TB the corpus streams through BLAS once and only
+    dimension-sized partials ever hit the wire.
+
+    The cross-partition reduce casts each partial to DECIMAL(38,12) and
+    sums — commutative, order-independent — so the only float64
+    reassociation vs the explode twin / DuckDB oracle is the sequential
+    within-partition accumulation, ~1e-11 absolute on sums whose covs are
+    rounded to 1e-6 (`tests/test_clustering.py` pins bit-parity after
+    round(6) between both Spark paths on the fixture).
+    """
+    e = load(spark, sf_dir, "embeddings").select("embedding")
+    dim, npair = _COV_DIM, _COV_NPAIR
+
+    def gram_partials(batches):
+        import numpy as np
+        import pandas as pd
+        triu = np.triu_indices(dim)
+        gram = np.zeros((dim, dim), dtype=np.float64)
+        sums = np.zeros(dim, dtype=np.float64)
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            gram += x.T @ x
+            sums += x.sum(axis=0)
+            n += len(x)
+        if n:
+            packed = np.concatenate(
+                [gram[triu], sums, np.array([float(n)])])
+            yield pd.DataFrame({"part": [packed]})
+
+    partials = e.mapInPandas(gram_partials, schema="part array<double>")
+    # Reduce the <=2,145-row-per-partition partials with decimal-exact,
+    # order-independent sums; localCheckpoint the dimension-sized result
+    # so the three consumers below don't re-run the corpus pass.
+    red = (partials.selectExpr("posexplode(part) AS (pos, v)")
+           .groupBy("pos")
+           .agg(F.sum(F.col("v").cast(_DEC12.lower()))
+                .cast("double").alias("s"))
+           .localCheckpoint())
+    spr = (red.filter(F.col("pos") < npair)
+           .select("pos", F.col("s").alias("sxy"))
+           .join(F.broadcast(_cov_posmap(spark)), "pos"))
+    m = (red.filter((F.col("pos") >= npair) & (F.col("pos") < npair + dim))
+         .select((F.col("pos") - npair + 1).alias("i"), "s"))
+    nn = red.filter(F.col("pos") == npair + dim).select(F.col("s").alias("n"))
+    return _cov_from_moments(spr, m, nn)
+
+
+def q93_covariance_explode_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-shaped twin: whole-stage-codegen pair explode (round-4 form).
+
+    Explodes BARE products and recovers (i, j) from the flattened pair
+    position via the broadcast 2,080-row constant map (struct build per
+    pair measured 8.7s -> ~4s at sf0.1).  Kept as the pure-SQL-shape
+    reference the BLAS production path is parity-tested against; not the
+    registered execution (a 2,080x row multiplication per vector is the
+    named scale-killer at 100 TB).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    prods = (f"flatten(transform(sequence(1, {_COV_DIM}), i -> "
+             f"transform(sequence(i, {_COV_DIM}), j -> "
+             f"CAST(element_at(embedding, i) AS DOUBLE)"
+             f" * CAST(element_at(embedding, j) AS DOUBLE))))")
+    pv = e.selectExpr(f"posexplode({prods}) AS (pos, v)")
+    spr = (pv.groupBy("pos")
+           .agg(F.sum(F.col("v").cast(_DEC12.lower()))
+                .cast("double").alias("sxy"))
+           .join(F.broadcast(_cov_posmap(spark)), "pos"))
+    m = (e.selectExpr("posexplode(embedding) AS (p, x)")
+         .groupBy((F.col("p") + 1).alias("i"))
+         .agg(F.sum(F.col("x").cast("double").cast(_DEC12.lower()))
+              .cast("double").alias("s")))
+    nn = e.agg((F.count(F.lit(1)) * 1.0).alias("n"))
+    return _cov_from_moments(spr, m, nn)

@@ -124,3 +124,23 @@ def test_embedding_covariance_matches_numpy(spark):
     assert err < 1e-5, err
     # diagonal is the q83 variance view: strictly positive
     assert all(got[(d, d)] > 0 for d in range(1, 65))
+
+
+def test_covariance_blas_explode_parity(spark):
+    """The mapInPandas BLAS Gram production path and the codegen pair-
+    explode twin must agree BIT-FOR-BIT after round(6): the only float64
+    reassociation between them is the sequential within-partition BLAS
+    accumulation (~1e-11 on sums whose covs round at 1e-6), and the
+    cross-partition reduce is decimal-exact on both."""
+    from spatial_data_engineering_spark.operators.similarity import (
+        q93_covariance_explode_twin, q93_embedding_covariance)
+
+    blas = {(r["i"], r["j"]): r["cov"]
+            for r in q93_embedding_covariance(spark, SF_ORACLE).collect()}
+    expl = {(r["i"], r["j"]): r["cov"]
+            for r in q93_covariance_explode_twin(spark, SF_ORACLE).collect()}
+    assert blas.keys() == expl.keys()
+    assert len(blas) == 64 * 65 // 2
+    diffs = [(k, blas[k], expl[k]) for k in blas
+             if blas[k] != expl[k]]  # exact float equality, post-round
+    assert not diffs, diffs[:5]
