@@ -13,10 +13,12 @@ Each query is forced with the ``noop`` sink so the full plan executes
 The JSON line is guaranteed to be the SOLE stdout output: before the JVM
 launches, the real stdout fd is saved and fd 1 is redirected to stderr, so
 every Spark/py4j/console-progress byte (JVM children inherit fd 1) lands on
-stderr and only the final JSON line reaches the caller's stdout.  The same
-payload is also written to ``BENCH.json`` next to this script, so the
-artifact survives even if the caller truncates the stream (BENCH_r02/r03
-both lost their tails to exactly that).
+stderr and only the final JSON line reaches the caller's stdout.  The
+stdout line is deliberately COMPACT (totals only, no per-query map): the
+caller's capture truncated the long single line two rounds running
+(BENCH_r03/r04 ``parsed: null``), so the per-query medians live solely in
+``BENCH.json`` next to this script while stdout stays short enough to
+survive any capture.
 
 BASELINE.md's judging rule is "median of >=3 runs" (this host's co-tenant
 noise swings single runs 3-10x), so the suite runs ``$SPARK_GRAFT_RUNS``
@@ -47,17 +49,24 @@ def _claim_stdout():
     directly.  Duplicating the real stdout away and pointing fd 1 at
     stderr before the JVM launches is the only reliable way to keep the
     one-JSON-line stdout contract.  Returns an ``emit(payload)`` closure
-    that writes the line to the saved fd AND to ``BENCH.json`` on disk.
+    that writes a compact summary line to the saved fd and the FULL
+    payload (per-query medians included) to ``BENCH.json`` on disk.
     """
     real_stdout_fd = os.dup(1)
     os.dup2(2, 1)
     sys.stdout = sys.stderr  # keep Python-level print() coherent with fd 1
 
     def emit(payload: dict) -> None:
-        line = json.dumps(payload)
-        with open(os.path.join(REPO, "BENCH.json"), "w") as fh:
-            fh.write(line + "\n")
-        os.write(real_stdout_fd, (line + "\n").encode())
+        # stdout FIRST: the one-line contract must hold even if the disk
+        # write below fails (read-only checkout, full disk) — losing
+        # BENCH.json is recoverable, losing the stdout line is not.
+        compact = {k: v for k, v in payload.items() if k != "queries"}
+        os.write(real_stdout_fd, (json.dumps(compact) + "\n").encode())
+        try:
+            with open(os.path.join(REPO, "BENCH.json"), "w") as fh:
+                fh.write(json.dumps(payload) + "\n")
+        except OSError as exc:
+            print(f"bench: BENCH.json write failed: {exc}", file=sys.stderr)
 
     return emit
 

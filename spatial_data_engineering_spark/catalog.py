@@ -36,6 +36,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # the same session therefore yields LongType instead of failing —
         # normalize it the same way this function does.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Session TZ is part of the same policy: timestamp VALUES are
+        # TZ-independent epoch micros, but every render/collect boundary
+        # (toPandas, hash compare, date_trunc) reinterprets them in
+        # spark.sql.session.timeZone — under a vanilla session on a
+        # non-UTC host every events timestamp would diverge from DuckDB's
+        # naive (UTC-wall-clock) reading.  Confs resolve lazily at
+        # execution, so setting them here covers this frame's own scan.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if isinstance(df.schema["ts"].dataType, T.LongType):
             # floor division (pmod keeps the remainder non-negative): `div`
@@ -46,9 +54,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
             # Some generators write TIMESTAMP(MICROS, isAdjustedToUTC=false)
             # which Spark reads as TIMESTAMP_NTZ — a type unix_micros/
-            # window() reject.  Cast to the session-zoned type: under the
-            # engine's UTC-session contract the wall-clock values are
-            # unchanged, matching DuckDB's naive-timestamp reading.
+            # window() reject.  The NTZ->timestamp cast reinterprets the
+            # wall clock in spark.sql.session.timeZone — exactly why the
+            # UTC pin above is unconditional: under a vanilla session on a
+            # non-UTC host the bare cast would shift every value away from
+            # DuckDB's naive reading.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

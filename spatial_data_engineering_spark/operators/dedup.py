@@ -17,6 +17,8 @@ every query here is fully oracle-checkable — including MinHash-LSH.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -253,22 +255,33 @@ def q47_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
 _PAIR_CACHE_COMPUTES = 0  # test hook: cold materialization count
+_PAIR_CACHE_LOCK = threading.Lock()
 
 
 def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(a_id, b_id) confirmed near-dup pairs, materialized once per
     (applicationId, sf_dir) — keyed on the application so a stopped
-    session's dead handles can never be returned to a new one."""
+    session's dead handles can never be returned to a new one.
+
+    Entries from other applications are evicted on each call (the cache
+    is bounded by the live application's sf_dirs, never grows across
+    session restarts) and the cold materialization is serialized under a
+    lock so concurrent first callers can't run the LSH DAG twice.
+    """
     global _PAIR_CACHE_COMPUTES
-    key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _PAIR_CACHE.get(key)
-    if hit is not None:
-        return hit
-    pairs = (q47_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
-             .localCheckpoint(eager=True))
-    _PAIR_CACHE_COMPUTES += 1
-    _PAIR_CACHE[key] = pairs
-    return pairs
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    with _PAIR_CACHE_LOCK:
+        for k in [k for k in _PAIR_CACHE if k[0] != app]:
+            del _PAIR_CACHE[k]  # dead handles of stopped applications
+        hit = _PAIR_CACHE.get(key)
+        if hit is not None:
+            return hit
+        pairs = (q47_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
+                 .localCheckpoint(eager=True))
+        _PAIR_CACHE_COMPUTES += 1
+        _PAIR_CACHE[key] = pairs
+        return pairs
 
 
 # --------------------------------------------------------------------------

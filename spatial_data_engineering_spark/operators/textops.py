@@ -193,6 +193,12 @@ def lang_id_confusion(d: DataFrame, score_cols=None) -> DataFrame:
         cols = [_score_spark(lang) for lang in _LANG_ORDER]
     else:
         cols = score_cols(F.col("text"))
+        if len(cols) != len(_LANG_ORDER):
+            # zip() below would silently truncate a wrong-arity scorer,
+            # yielding a confusion matrix missing languages
+            raise ValueError(
+                f"score_cols must return {len(_LANG_ORDER)} columns "
+                f"(one per language in {_LANG_ORDER}), got {len(cols)}")
     scored = d.select(
         "lang",
         *[c.alias(f"s_{lang}") for lang, c in zip(_LANG_ORDER, cols)],

@@ -37,52 +37,19 @@ def _modules():
 # most one round old.  The driver window is the sampling gate, not the
 # completeness gate.
 #
-# Round-4 window: the 34 queries whose last driver row is from round 2
-# lead (they are now the oldest evidence), then the 9 whose
-# implementation or oracle changed THIS round (curation-core refactor,
-# q82 oracle NOT EXISTS, shared near-dup pairs, union_agg tree reduce,
-# verbatim inference strings, scorer plumbing), then the 7 brand-new
-# queries (q87-q93, never driver-verified) fill the window to 50.
-# q47 and q67 were r3-verified and their own code is unchanged (q47's
-# consumers moved to the shared pair set; q67 rides the same union_agg
-# change q62 covers in-window), so they yielded their slots to the new
-# queries and lead the tail with the other r3 survivors.
+# Round-5 window: the 42 queries whose last driver row is from round 3
+# lead (the r4 window rotated them out, so they are now the oldest
+# evidence — two rounds stale without this rotation), then the queries
+# whose implementation or a shared dependency changed THIS round are
+# forced in-window: q93 (BLAS Gram production path), q56/q86 (pair-cache
+# eviction+lock), q42/q44 (scorer-arity guard in lang_id_confusion),
+# q18/q29 (events-table consumers of the catalog TIMESTAMP_NTZ/UTC
+# shim fix; q19/q31/q32 already lead the window as r3-tail).  The
+# remaining r4-verified queries take the tail, q01 first as the
+# headline canary filling slot 50.
 _PRIORITY = [
-    # --- last driver row: round 2 (oracled) — lead the window ---
-    "q45_dedup_exact", "q46_dedup_tokensort", "q48_simhash",
-    "q40_text_stats", "q41_token_count", "q29_asof_join",
-    "q01_pricing_summary", "q08_var_argmax",
-    "q33_percentiles", "q72_hierarchical_rollup",
-    "q57_normalize_text", "q58_edit_distance", "q65_blocklist_filter",
-    "q66_repetition", "q68_chunk_documents", "q69_embedding_quantize",
-    "q70_multimodal_meta", "q73_hash_split", "q74_vocab_topk",
-    "q02_ilike_filter", "q03_join_enrich", "q04_semi_join", "q05_anti_join",
-    "q06_monthly_revenue", "q07_month_spine", "q09_histogram",
-    "q11_topk_per_group", "q12_pivot", "q13_setops", "q14_rollup",
-    "q16_extent", "q17_case_thresholds", "q18_sessionization",
-    "q20_above_avg",
-    # --- implementation or oracle changed this round (forced in-window) ---
-    "q42_lang_id",          # r2 row AND re-plumbed via lang_id_confusion
-    "q44_quality_score",    # re-plumbed via quality_tiers (pluggable scorer)
-    "q75_golden_variance",  # reference-verbatim inference strings
-    "q78_balance_corpus",   # core refactored to take a DataFrame
-    "q80_quality_filter",   # core refactored to take a DataFrame
-    "q82_incremental_dedup",  # oracle NOT IN -> NOT EXISTS
-    "q56_dedup_components",  # consumes shared near_dup_pairs()
-    "q86_pagerank_centrality",  # shared pairs + cache release
-    "q62_dissolve_area",    # union_agg tree-reduce parameter
-    # --- NEW this round (never driver-verified — forced in-window) ---
-    "q87_ngram_novelty",    # new: df==1 boilerplate/novelty scoring
-    "q88_containment_join",  # new: asymmetric near-subset detector
-    "q89_bigram_lift",      # new: collocation mining, top-20 by lift
-    "q90_pattern_redact",   # new: PII-shape pattern redaction scan
-    "q91_temperature_sample",  # new: alpha=0.5 corpus mixture resampling
-    "q92_random_projection",  # new: JL projection, columnar no-shuffle
-    "q93_embedding_covariance",  # new: PCA-input covariance, exact moments
-    # ---- 50-entry window boundary; everything below was driver-verified
-    # green in round 3 and rotates back in next round ----
-    "q47_minhash_lsh",
-    "q67_overlap_dissolve",
+    # --- last driver row: round 3 (oracled) — lead the window ---
+    "q47_minhash_lsh", "q67_overlap_dissolve",
     "q60_point_in_polygon", "q61_zonal_histogram",
     "q49_cosine_topk", "q43_fingerprint", "q54_dedup_materialize",
     "q15_count_distinct", "q19_hourly_window", "q21_props_extract",
@@ -98,6 +65,41 @@ _PRIORITY = [
     "q85_twophase_topk", "q10_row_number", "q71_frame_sample",
     "q50_embedding_neardup", "q51_srp_lsh_buckets",
     "q53_embedding_centroids",
+    # --- implementation or dependency changed this round (forced in) ---
+    "q93_embedding_covariance",  # mapInPandas BLAS Gram production path
+    "q56_dedup_components",   # near_dup_pairs cache eviction + lock
+    "q86_pagerank_centrality",  # same shared pair-set dependency
+    "q42_lang_id",            # lang_id_confusion scorer-arity guard
+    "q44_quality_score",      # shares the pluggable-scorer plumbing
+    "q18_sessionization",     # events table: catalog NTZ/UTC shim fix
+    "q29_asof_join",          # events table: catalog NTZ/UTC shim fix
+    # ---- 50-entry window boundary (q01 below fills slot 50);
+    # everything below was driver-verified green in round 4 and
+    # rotates back in next round ----
+    "q01_pricing_summary",
+    "q45_dedup_exact", "q46_dedup_tokensort", "q48_simhash",
+    "q40_text_stats", "q41_token_count",
+    "q08_var_argmax",
+    "q33_percentiles", "q72_hierarchical_rollup",
+    "q57_normalize_text", "q58_edit_distance", "q65_blocklist_filter",
+    "q66_repetition", "q68_chunk_documents", "q69_embedding_quantize",
+    "q70_multimodal_meta", "q73_hash_split", "q74_vocab_topk",
+    "q02_ilike_filter", "q03_join_enrich", "q04_semi_join", "q05_anti_join",
+    "q06_monthly_revenue", "q07_month_spine", "q09_histogram",
+    "q11_topk_per_group", "q12_pivot", "q13_setops", "q14_rollup",
+    "q16_extent", "q17_case_thresholds",
+    "q20_above_avg",
+    "q75_golden_variance",
+    "q78_balance_corpus",
+    "q80_quality_filter",
+    "q82_incremental_dedup",
+    "q62_dissolve_area",
+    "q87_ngram_novelty",
+    "q88_containment_join",
+    "q89_bigram_lift",
+    "q90_pattern_redact",
+    "q91_temperature_sample",
+    "q92_random_projection",
 ]
 
 
