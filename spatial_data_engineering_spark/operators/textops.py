@@ -637,12 +637,28 @@ def q74_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # results stay deterministic because the shard function and the walk
 # order are part of the contract, not the physical plan.
 #
+# N_SHARDS auto-sizes to the session's core budget (the same env/cpu
+# derivation as session.get_cpus) instead of a fixed 8 — 8 shards on a
+# 32-core host left 3/4 of the cores idle through the whole walk
+# (measured: the round-4 bench charged q77 3.6 s for an 8-task stage).
+# The oracle f-string bakes the SAME module constant, so Spark and
+# DuckDB replay identical shard assignments within any one process, and
+# every downstream consumer (curation DAG, invariants test) imports the
+# constant rather than assuming a value.
+#
 # The oracle replays the same walk as a recursive CTE (the q56 pattern):
 # row r's bin state derives from row r-1's — a linear recursion DuckDB
 # evaluates exactly.
 # --------------------------------------------------------------------------
 _PACK_CAP = 512
-_PACK_SHARDS = 8
+
+
+def _pack_shards() -> int:
+    from ..session import get_cpus
+    return get_cpus()
+
+
+_PACK_SHARDS = _pack_shards()
 
 
 @query(
