@@ -297,10 +297,14 @@ def q53_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q52 — IVF-style ANN (coarse quantizer -> probe nprobe cells -> exact
-# re-rank).  Training-free deterministic centroids (the n_centroids
-# lowest-vec_id non-zero vectors, unit-normalized) keep the operator
-# reproducible without an iterative k-means job; swap in real k-means
-# (operators/clustering.py) offline at scale.
+# re-rank).  The registered query uses training-free deterministic
+# centroids (the n_centroids lowest-vec_id non-zero vectors,
+# unit-normalized) so the driver's rows-only check is reproducible
+# without an iterative job; `ivf_centroids_kmeans` is the offline
+# trained-centroid source for production (pass its output as
+# ``centroids=``) — on clustered corpora first-k centroids collapse into
+# one true cluster and recall degrades, which is exactly the case
+# tests/test_ann.py::test_ivf_trained_centroids_beat_first_k pins.
 #
 # No SQL oracle: cluster assignment argmax over BLAS cosines is not
 # reproducible bit-for-bit in SQL, and an approximate operator's contract
@@ -312,9 +316,31 @@ _IVF_N_CENTROIDS = 16
 _IVF_NPROBE = 4
 
 
+def ivf_centroids_kmeans(spark: SparkSession, vectors: DataFrame,
+                         k: int = _IVF_N_CENTROIDS, max_iter: int = 5):
+    """Offline IVF centroid training: Lloyd k-means (clustering.kmeans_fit)
+    over the corpus, rows-normalized for the cosine coarse quantizer.
+
+    Returns a (k, dim) float64 ndarray — the same bounded driver-side
+    footprint as the training-free path (k rows, never the corpus).  At
+    100 TB this runs as its own occasional job and the centroid matrix is
+    persisted/broadcast; zero-norm rows are excluded up front the same way
+    the training-free path excludes them.
+    """
+    import numpy as np
+
+    from .clustering import kmeans_fit
+
+    nz = vectors.filter(F.expr(_norm_spark("embedding")) > 0)
+    _, cent, _ = kmeans_fit(spark, nz, k=k, max_iter=max_iter)
+    nrm = np.linalg.norm(cent, axis=1)
+    nrm[nrm == 0] = 1.0  # an empty cluster's centroid stays harmless
+    return cent / nrm[:, None]
+
+
 @query("q52_ivf_ann")
 def q52_ivf_ann(spark: SparkSession, sf_dir: str, n_query: int = 10,
-                k: int = 3) -> DataFrame:
+                k: int = 3, centroids=None) -> DataFrame:
     import numpy as np
     import pandas as pd
 
@@ -322,13 +348,16 @@ def q52_ivf_ann(spark: SparkSession, sf_dir: str, n_query: int = 10,
     # The ONLY driver-side materialization is bounded: n_centroids + n_query
     # rows (k x dim floats), never the corpus — the corpus is touched
     # exclusively by executor-side mapInPandas/applyInPandas below.
-    cent_rows = (
-        e.select("vec_id", "embedding")
-        .filter(F.expr(_norm_spark("embedding")) > 0)
-        .orderBy("vec_id").limit(_IVF_N_CENTROIDS).collect())
-    cmat = np.stack([np.asarray(r["embedding"], dtype=np.float64)
-                     for r in cent_rows])
-    cent = cmat / np.linalg.norm(cmat, axis=1)[:, None]
+    if centroids is not None:
+        cent = np.asarray(centroids, dtype=np.float64)
+    else:
+        cent_rows = (
+            e.select("vec_id", "embedding")
+            .filter(F.expr(_norm_spark("embedding")) > 0)
+            .orderBy("vec_id").limit(_IVF_N_CENTROIDS).collect())
+        cmat = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                         for r in cent_rows])
+        cent = cmat / np.linalg.norm(cmat, axis=1)[:, None]
 
     q_rows = (e.select("vec_id", "embedding")
               .filter(F.col("vec_id") < n_query).orderBy("vec_id").collect())
