@@ -35,14 +35,37 @@ DECODE_SCHEMA = ("doc_id bigint, source string, n_bytes bigint, "
 def decode_image_batch(pdf: pd.DataFrame, real: bool = False) -> pd.DataFrame:
     """Decode a batch of binary payloads to image metadata.
 
-    real=True is the integration point for an actual codec (PIL/ffmpeg);
-    not available in this environment.
+    real=True decodes actual image bytes with Pillow when it is
+    importable (import-guarded — this container ships no codec, so the
+    guard raises with a pointer at the gated test).  Both paths return
+    the SAME typed frame (DECODE_SCHEMA dtypes);
+    tests/test_multimodal_real.py pins that schema equality wherever PIL
+    exists, so swapping fake -> real cannot change the engine surface.
     """
     if real:
-        raise NotImplementedError(
-            "real image decode requires PIL/ffmpeg; not present in this "
-            "container — deterministic fake used instead"
-        )
+        try:
+            import io
+
+            from PIL import Image
+        except ImportError as exc:
+            raise NotImplementedError(
+                "real image decode requires Pillow, not present in this "
+                "container — the deterministic fake (real=False) is the "
+                "in-container path; tests/test_multimodal_real.py runs "
+                "this branch wherever PIL is importable") from exc
+        recs = []
+        for doc_id, source, payload in zip(
+                pdf["doc_id"], pdf["source"], pdf["payload"]):
+            with Image.open(io.BytesIO(bytes(payload))) as img:
+                w, h = img.size
+                n_frames = int(getattr(img, "n_frames", 1))
+            recs.append((int(doc_id), source, len(payload), w, h, n_frames))
+        out = pd.DataFrame(
+            recs, columns=["doc_id", "source", "n_bytes", "width",
+                           "height", "n_frames"])
+        return out.astype({"doc_id": "int64", "n_bytes": "int64",
+                           "width": "int32", "height": "int32",
+                           "n_frames": "int32"})
     n = pdf["payload"].map(len).astype("int64")
     return pd.DataFrame({
         "doc_id": pdf["doc_id"].astype("int64"),
@@ -54,14 +77,15 @@ def decode_image_batch(pdf: pd.DataFrame, real: bool = False) -> pd.DataFrame:
     })
 
 
-def decode_images(df: DataFrame) -> DataFrame:
+def decode_images(df: DataFrame, real: bool = False) -> DataFrame:
     """mapInPandas decode operator: (doc_id, source, payload binary) ->
     typed metadata rows.  One output row per input row; batches stream
-    through Arrow."""
+    through Arrow.  ``real`` selects the Pillow decode branch (gated on
+    PIL being importable on the executors)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield decode_image_batch(pdf)
+            yield decode_image_batch(pdf, real=real)
 
     return df.mapInPandas(run, schema=DECODE_SCHEMA)
 
@@ -147,7 +171,9 @@ def sample_frames_batch(pdf: pd.DataFrame, stride: int = _FRAME_STRIDE,
     if real:
         raise NotImplementedError(
             "real frame extraction requires ffmpeg; not present in this "
-            "container — deterministic fake used instead")
+            "container — deterministic fake used instead (the decode "
+            "twin's gated real-codec pattern is decode_image_batch + "
+            "tests/test_multimodal_real.py; wire ffmpeg the same way)")
     n = pdf["payload"].map(len).astype("int64")
     meta = pd.DataFrame({
         "doc_id": pdf["doc_id"].astype("int64"),

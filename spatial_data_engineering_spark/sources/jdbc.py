@@ -21,17 +21,65 @@ the reference's single connection lacks:
   N range-sliced queries in parallel instead of one connection streaming
   the whole result through a single task.
 
-No driver jar ships in this container, so ``.load()`` is exercised only
-for its error contract (tests assert the clear ClassNotFound failure);
-everything up to the reader — URL, pushed SQL text, options dict — is
-constructed and unit-tested for real.
+No *Postgres* driver jar ships in this container, so the PostGIS target
+is exercised for its error contract (tests assert the clear ClassNotFound
+failure) and the assembly layer is unit-tested; but the scan path itself
+DOES move real rows end-to-end — pyspark bundles Derby for its metastore,
+and ``tests/test_jdbc_e2e.py`` discovers it via ``find_embedded_jdbc_jar``
+and runs write -> pushed-filter read -> partitioned read -> WKB decode
+against an in-process in-memory database.
 """
 
 from __future__ import annotations
 
+import glob
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 _PG_DRIVER = "org.postgresql.Driver"
+
+# Embeddable databases the e2e test can run against in-process, in
+# preference order: (jar filename marker, driver class, in-memory URL).
+_EMBEDDED_DRIVERS = (
+    ("derby", "org.apache.derby.iapi.jdbc.AutoloadedDriver",
+     "jdbc:derby:memory:{db};create=true"),
+    ("h2-", "org.h2.Driver", "jdbc:h2:mem:{db};DB_CLOSE_DELAY=-1"),
+    ("hsqldb", "org.hsqldb.jdbc.JDBCDriver", "jdbc:hsqldb:mem:{db}"),
+    ("sqlite-jdbc", "org.sqlite.JDBC", "jdbc:sqlite::memory:"),
+)
+
+
+def find_embedded_jdbc_jar() -> tuple[str, str, str] | None:
+    """Locate an embeddable JDBC driver jar for the e2e round-trip test.
+
+    Returns (jar_path, driver_class, url_template) for the first match
+    from ``$SPARK_GRAFT_JDBC_JAR`` (explicit override), the pyspark jars
+    directory, or the usual local maven/ivy caches; ``None`` when no jar
+    exists (this container ships none — the e2e test then skips with the
+    documented reason instead of failing).
+    """
+    explicit = os.environ.get("SPARK_GRAFT_JDBC_JAR")
+    candidates: list[str] = [explicit] if explicit else []
+    try:
+        import pyspark
+        candidates += glob.glob(
+            os.path.join(os.path.dirname(pyspark.__file__), "jars", "*.jar"))
+    except ImportError:
+        pass
+    home = os.path.expanduser("~")
+    for root in (os.path.join(home, ".ivy2"), os.path.join(home, ".m2"),
+                 os.path.join(home, ".cache", "coursier")):
+        candidates += glob.glob(os.path.join(root, "**", "*.jar"),
+                                recursive=True)
+    for jar in candidates:
+        if not jar or not os.path.isfile(jar):
+            continue
+        base = os.path.basename(jar).lower()
+        for marker, driver, url_tpl in _EMBEDDED_DRIVERS:
+            if marker in base:
+                return jar, driver, url_tpl
+    return None
 
 
 def jdbc_url(db_params: dict) -> str:
@@ -89,6 +137,8 @@ def assemble_scan(db_params: dict, query: str, *,
                   columns: list[str] | None = None,
                   fetchsize: int = 10_000,
                   partitioning: dict[str, str] | None = None,
+                  driver: str = _PG_DRIVER,
+                  url: str | None = None,
                   ) -> tuple[str, str, dict[str, str]]:
     """Build (url, pushed_sql, options) for a JDBC scan — the pure
     assembly step, unit-testable without a driver jar.
@@ -96,12 +146,17 @@ def assemble_scan(db_params: dict, query: str, *,
     ``partitioning`` must use ``dbtable`` semantics (Spark forbids
     combining ``query`` with partitionColumn), so the pushed SQL is
     emitted as a named derived table in that case.
+
+    ``driver``/``url`` default to the reference's Postgres target but are
+    overridable so the same scan path runs against any JDBC database —
+    tests/test_jdbc_e2e.py drives it end-to-end against an in-process
+    embedded database whenever a driver jar is discoverable.
     """
-    url = jdbc_url(db_params)
+    url = url or jdbc_url(db_params)
     pushed = (postgis_wkb_query(query, geom_col, columns)
               if geom_col else query.strip().rstrip(";"))
     options: dict[str, str] = {
-        "driver": _PG_DRIVER,
+        "driver": driver,
         "fetchsize": str(fetchsize),
     }
     for k in ("user", "password"):
