@@ -32,7 +32,58 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import geometry as G
-from ..functions.st_funcs import st_contains, st_grid_cells, st_intersects
+from ..functions.st_funcs import (st_contains, st_envelope, st_grid_cells,
+                                  st_intersects)
+
+
+def _grid_candidates(left: DataFrame, right: DataFrame, cell: float,
+                     left_geom: str, right_geom: str) -> DataFrame:
+    """Candidate pairs from the cell-id equi-join, PRE-dedup — factored
+    out so the skew test can measure raw candidate duplication directly
+    (the public join dedupes and refines on top of this)."""
+    lg, rg = "__lg", "__rg"
+    l = left.withColumnRenamed(left_geom, lg)
+    r = right.withColumnRenamed(right_geom, rg)
+    l = l.withColumn("__cell", F.explode(st_grid_cells(F.col(lg), F.lit(cell))))
+    r = r.withColumn("__cell", F.explode(st_grid_cells(F.col(rg), F.lit(cell))))
+    return l.join(r, "__cell").drop("__cell")
+
+
+def adaptive_cell(build: DataFrame, geom_col: str = "geom",
+                  q: float = 0.95) -> float:
+    """Grid cell size from the build side's bbox-extent distribution.
+
+    cell = HALF the q-quantile (default p95) of per-geometry bbox
+    extents.  For an extent-E build geometry and cell c, the bbox's cell
+    cover approximates area (E+c)^2 — a false-candidate factor of
+    (1+c/E)^2 for point probes — while the geometry duplicates into
+    (E/c+1)^2 cells.  c=E/2 sits at 2.25x false candidates and ~9 cells
+    per build row: probes usually outnumber build rows by orders of
+    magnitude, so false-candidate cost dominates and a sub-extent cell
+    wins (it also reproduces the previously hand-tuned pitch on the
+    zonal fixtures, where extents are 20 and the tuned cell was 10).
+    The constant now tracks the DATA's units instead of assuming them
+    (degrees vs meters broke any fixed value).
+
+    Point-only build sides (extent 0) fall back to 1/64 of the data's
+    overall span, and a degenerate single-point domain to 1.0.  Cost:
+    one tiny aggregate over the build side (a 1-row driver pull,
+    dimension-sized); result SETS are cell-size-invariant by
+    construction (the exact predicate refine decides membership),
+    pinned by the invariance property test.
+    """
+    row = (build.select(st_envelope(F.col(geom_col)).alias("e"))
+           .agg(F.expr(f"percentile_approx(greatest(e.xmax - e.xmin,"
+                       f" e.ymax - e.ymin), {q})").alias("p"),
+                F.expr("greatest(max(e.xmax) - min(e.xmin),"
+                       " max(e.ymax) - min(e.ymin))").alias("span"))
+           .collect()[0])
+    p95, span = row["p"], row["span"]
+    if p95 is not None and p95 > 0:
+        return float(p95) / 2.0
+    if span is not None and span > 0:
+        return float(span) / 64.0
+    return 1.0
 
 
 def grid_spatial_join(
@@ -41,7 +92,7 @@ def grid_spatial_join(
     left_keys: list[str],
     right_keys: list[str],
     predicate: str = "intersects",
-    cell: float = 10.0,
+    cell: float | None = None,
     left_geom: str = "geom",
     right_geom: str = "geom",
 ) -> DataFrame:
@@ -53,14 +104,16 @@ def grid_spatial_join(
     key the candidate dedupe.  All non-conflicting columns survive; when
     both sides use the same geometry column name, the left geometry keeps
     the name and the right geometry comes back as ``{right_geom}_right``.
-    """
-    lg, rg = f"__lg", f"__rg"
-    l = left.withColumnRenamed(left_geom, lg)
-    r = right.withColumnRenamed(right_geom, rg)
-    l = l.withColumn("__cell", F.explode(st_grid_cells(F.col(lg), F.lit(cell))))
-    r = r.withColumn("__cell", F.explode(st_grid_cells(F.col(rg), F.lit(cell))))
 
-    cand = l.join(r, "__cell").drop("__cell")
+    ``cell=None`` (default) derives the grid pitch from the RIGHT (build)
+    side's p95 bbox extent — see ``adaptive_cell``; pass an explicit cell
+    to pin it (results are invariant either way, only candidate counts
+    move).
+    """
+    if cell is None:
+        cell = adaptive_cell(right, right_geom)
+    lg, rg = "__lg", "__rg"
+    cand = _grid_candidates(left, right, cell, left_geom, right_geom)
     # one candidate per key pair before the (expensive) exact refine
     cand = cand.dropDuplicates(left_keys + right_keys)
 

@@ -91,7 +91,7 @@ def q60_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     boxes = _nation_boxes(spark, sf_dir)
     joined = grid_spatial_join(
         pts, boxes, left_keys=["c_custkey"], right_keys=["n_nationkey"],
-        predicate="contains", cell=10.0,
+        predicate="contains",  # cell: adaptive p95-extent default
     )
     return joined.groupBy("n_nationkey").agg(
         F.count(F.lit(1)).alias("n_points"), davg("c_acctbal", "avg_acctbal")
@@ -138,7 +138,7 @@ def q61_zonal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     boxes = _nation_boxes(spark, sf_dir)
     joined = grid_spatial_join(
         cells, boxes, left_keys=["p_partkey"], right_keys=["n_nationkey"],
-        predicate="contains", cell=10.0,
+        predicate="contains",  # cell: adaptive p95-extent default
     )
     zonal = joined.groupBy("n_nationkey").agg(davg("elev", "mean_elev"))
     return (

@@ -81,7 +81,7 @@ def golden_report(spark: SparkSession, fixture_dir: str,
     joined = grid_spatial_join(
         ndvi, dissolved,
         left_keys=["scene_id", "lon", "lat"], right_keys=["keterangan"],
-        predicate="contains", cell=0.01,
+        predicate="contains",  # cell: adaptive p95-extent default
     )
     month = F.date_format(F.date_trunc("month", "ts"), "yyyy-MM")
     per_pixel_month = (

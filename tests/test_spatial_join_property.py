@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from spatial_data_engineering_spark.functions import geometry as G
 from spatial_data_engineering_spark.functions.st_funcs import (
-    st_contains, st_intersects)
+    st_contains, st_intersects, st_makebox)
 from spatial_data_engineering_spark.operators.spatial_join import (
     grid_spatial_join)
 
@@ -51,6 +51,58 @@ def test_grid_join_equals_bruteforce(spark, seed, cell):
     g = {(r.pt_id, r.box_id) for r in got.collect()}
     b = {(r.pt_id, r.box_id) for r in brute.collect()}
     assert g == b and len(b) > 0
+
+
+def test_grid_join_cell_size_invariance(spark):
+    """The result SET must not depend on the grid pitch: explicit cells
+    spanning two orders of magnitude and the adaptive p95-extent default
+    all agree (the exact refine decides membership; the grid only
+    generates candidates)."""
+    pts, boxes = _random_frames(spark, 3)
+
+    def pairs(cell):
+        df = grid_spatial_join(pts, boxes, ["pt_id"], ["box_id"],
+                               predicate="contains", cell=cell)
+        return {(r.pt_id, r.box_id) for r in df.select("pt_id", "box_id").collect()}
+
+    base = pairs(0.7)
+    assert base  # non-degenerate fixture
+    for cell in (7.0, 70.0, None):  # None = adaptive
+        assert pairs(cell) == base, cell
+
+
+def test_grid_join_skew_bounded_duplication(spark):
+    """Skew fixture: ONE polygon covering the whole domain among many
+    small ones.  With the adaptive cell (p95 of build extents) the huge
+    polygon spans many cells but each point lives in exactly one, so raw
+    candidate duplication stays one-per-pair for it; total pre-dedup
+    candidates stay within a small constant of the exact pair count."""
+    from pyspark.sql import functions as F
+
+    from spatial_data_engineering_spark.operators.spatial_join import (
+        _grid_candidates, adaptive_cell)
+
+    pts, boxes = _random_frames(spark, 11)
+    huge = spark.createDataFrame([(999,)], "box_id int").select(
+        "box_id", st_makebox(F.lit(-1000.0), F.lit(-1000.0),
+                             F.lit(1000.0), F.lit(1000.0)).alias("geom"))
+    build = boxes.select("box_id", "geom").unionByName(huge)
+
+    cell = adaptive_cell(build)
+    # p95 over {many small extents, one 2000-wide} stays small-sized
+    assert cell < 100.0, cell
+
+    n_pts = pts.count()
+    n_pairs_exact = (grid_spatial_join(pts, build, ["pt_id"], ["box_id"],
+                                       predicate="contains", cell=cell)
+                     .count())
+    n_cand = _grid_candidates(pts, build, cell, "geom", "geom").count()
+    # every point matches the huge polygon, so exact pairs >= n_pts;
+    # candidate duplication is bounded: each point is in ONE cell, so it
+    # meets the huge polygon once and small polygons only via genuine
+    # bbox overlap (at most 4 cells each)
+    assert n_pairs_exact >= n_pts
+    assert n_cand <= 4 * n_pairs_exact + 4 * n_pts, (n_cand, n_pairs_exact)
 
 
 def test_grid_join_polygons_intersects_equals_bruteforce(spark):
