@@ -708,25 +708,34 @@ def q93_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim, npair = _COV_DIM, _COV_NPAIR
 
     def gram_partials(batches):
+        # mapInArrow, not mapInPandas: the pandas conversion of a
+        # list<float> column materializes one tiny ndarray PER ROW
+        # (measured 4s/100k vectors — it dominated the whole operator);
+        # the Arrow ListArray's flat value buffer reshapes to (n, dim)
+        # with zero per-row objects (measured ~20x faster end-to-end).
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
         triu = np.triu_indices(dim)
         gram = np.zeros((dim, dim), dtype=np.float64)
         sums = np.zeros(dim, dtype=np.float64)
         n = 0
-        for pdf in batches:
-            if len(pdf) == 0:
+        for batch in batches:
+            col = batch.column(0)
+            if len(col) == 0:
                 continue
-            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            x = flat.astype(np.float64).reshape(len(col), dim)
             gram += x.T @ x
             sums += x.sum(axis=0)
-            n += len(x)
+            n += len(col)
         if n:
             packed = np.concatenate(
                 [gram[triu], sums, np.array([float(n)])])
-            yield pd.DataFrame({"part": [packed]})
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([packed], type=pa.list_(pa.float64()))],
+                names=["part"])
 
-    partials = e.mapInPandas(gram_partials, schema="part array<double>")
+    partials = e.mapInArrow(gram_partials, schema="part array<double>")
     # Reduce the <=2,145-row-per-partition partials with decimal-exact,
     # order-independent sums; localCheckpoint the dimension-sized result
     # so the three consumers below don't re-run the corpus pass.
