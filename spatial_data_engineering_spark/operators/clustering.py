@@ -356,3 +356,78 @@ def q86_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = near_dup_pairs(spark, sf_dir).selectExpr("a_id AS a", "b_id AS b")
     return pagerank(edges).select(
         F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank"))
+
+
+# --------------------------------------------------------------------------
+# q94 — quality-aware canonical selection per near-dup cluster: for each
+# transitive dup component (q56), keep the member with the MOST content
+# (max n_chars; ties -> lowest doc_id).  The materialization step after
+# clustering — q56's min-id "keeper" is arbitrary, while retention
+# pipelines keep the richest copy (the q86 docstring's canonicality
+# point, made deterministic without a rank model).
+#
+# Plan shape: components (iterative, edge-sized) join the corpus metadata
+# on doc_id — a dimension-to-fact equi-join touching only clustered docs —
+# then ONE groupBy(component) with a struct-max aggregate: max of
+# (n_chars, -doc_id) picks the longest doc with smallest-id tie-break in
+# a single shuffle (no second join-back pass).  At 100 TB the component
+# table is duplication-bounded (orders smaller than the corpus) and
+# broadcast-joins the metadata scan.
+# --------------------------------------------------------------------------
+def _oracle_q94() -> str:
+    from .dedup import ORACLES as dedup_oracles
+
+    return f"""
+    WITH RECURSIVE pairs AS (
+        SELECT a_id, b_id FROM ({dedup_oracles['q47_minhash_lsh']}) q47
+    ),
+    edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION
+        SELECT b_id, a_id FROM pairs
+    ),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+        SELECT src AS node, LEAST(src, MIN(dst)) AS component
+        FROM reach GROUP BY src
+    ),
+    members AS (
+        SELECT c.component, d.doc_id, d.n_chars
+        FROM comp c JOIN documents d ON d.doc_id = c.node
+    ),
+    mx AS (
+        SELECT component, MAX(n_chars) AS max_chars
+        FROM members GROUP BY component
+    )
+    SELECT m.component,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           mx.max_chars AS canonical_chars,
+           MIN(CASE WHEN m.n_chars = mx.max_chars THEN m.doc_id END)
+               AS canonical_id
+    FROM members m JOIN mx ON m.component = mx.component
+    GROUP BY m.component, mx.max_chars
+    """
+
+
+@query("q94_dedup_canonical", _oracle_q94())
+def q94_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (richest) member per near-dup cluster."""
+    from .dedup import near_dup_pairs
+
+    edges = near_dup_pairs(spark, sf_dir).selectExpr("a_id AS a", "b_id AS b")
+    comp = connected_components(edges)
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    members = comp.join(d, comp.node == d.doc_id)
+    # single-shuffle argmax: max struct(n_chars, -doc_id) = longest doc,
+    # smallest id on ties
+    best = F.max(F.struct(F.col("n_chars").alias("nc"),
+                          (-F.col("doc_id")).alias("nd"))).alias("b")
+    return (members.groupBy("component")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"), best)
+            .select("component", "n_members",
+                    F.col("b.nc").alias("canonical_chars"),
+                    (-F.col("b.nd")).alias("canonical_id")))

@@ -1299,3 +1299,143 @@ def q91_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 < F.ceil(F.col("rate") * _HASH_DOMAIN).cast("bigint"))
         .select("doc_id", "lang", "n_chars")
     )
+
+
+# --------------------------------------------------------------------------
+# q95 — exact-proportion stratified split: assign every document to
+# train/val/test with EXACT 80/10/10 counts per language stratum.  The
+# q73 hash split is stateless but binomial (realized proportions wobble);
+# eval-set construction wants the ratios exact per stratum, reproducibly.
+# Rank docs within each language by the q84 uniform order (md5(doc_id),
+# doc_id), then pure-integer threshold arithmetic (rk*10 <= n*8 -> train)
+# — no floating point anywhere near the boundary, so the engines cannot
+# disagree on a cutoff row.
+#
+# Scale trade: same per-group window as q84 — acceptable for bounded
+# strata (languages), WRONG for unbounded keys; there the q85 two-phase
+# pattern or q73's stateless split applies.  The count is carried by a
+# window aggregate over the same partition, so one sort serves both.
+# --------------------------------------------------------------------------
+@query(
+    "q95_stratified_split",
+    """
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rk,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk,
+           CASE WHEN rk * 10 <= n * 8 THEN 'train'
+                WHEN rk * 10 <= n * 9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM ranked
+    """,
+)
+def q95_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    wall = W.partitionBy("lang")
+    ranked = d.select(
+        "doc_id", "lang",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        F.count(F.lit(1)).over(wall).alias("n"))
+    return ranked.select(
+        "doc_id", "lang", "rk",
+        F.when(F.col("rk") * 10 <= F.col("n") * 8, "train")
+        .when(F.col("rk") * 10 <= F.col("n") * 9, "val")
+        .otherwise("test").alias("split"))
+
+
+# --------------------------------------------------------------------------
+# q96 — per-document LM-quality proxy: mean bigram lift of the document's
+# adjacent token pairs under the CORPUS bigram statistics (the q89
+# collocation table, un-filtered).  Documents whose transitions are
+# corpus-typical score high; token-salad / shuffled text scores near 1
+# (independence) — the classic cheap stand-in for model-based perplexity
+# filtering, computable without any trained artifact.
+#
+# Plan shape: corpus unigram/bigram stats are one explode + groupBy each
+# (the q89 DAG); the per-doc pass joins doc bigram OCCURRENCES to the
+# vocabulary-bounded lift table on the bigram key and reduces per doc —
+# Catalyst size-gates the lift-table broadcast exactly as q89 documents.
+# Per-element lifts are identical IEEE doubles on both engines (division
+# only); the per-doc mean sums them through DECIMAL(30,12) so the reduce
+# is order-independent (the q08/q75 contract).
+# --------------------------------------------------------------------------
+_BG_EXPR_SQL = ("list_transform(generate_series(1, len(ts) - 1),"
+                " i -> ts[i] || ' ' || ts[i + 1])")
+_BG_EXPR_SPARK = ("transform(sequence(1, size(ts) - 1),"
+                  " i -> concat_ws(' ', element_at(ts, i),"
+                  " element_at(ts, i + 1)))")
+
+
+@query(
+    "q96_doc_bigram_lift",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    uni AS (
+        SELECT t, COUNT(*) AS c FROM (SELECT unnest(ts) AS t FROM toks)
+        GROUP BY t
+    ),
+    bi AS (
+        SELECT bg, COUNT(*) AS c FROM (
+            SELECT unnest({_BG_EXPR_SQL}) AS bg FROM toks
+        ) GROUP BY bg
+    ),
+    n1 AS (SELECT SUM(c) * 1.0 AS n FROM uni),
+    n2 AS (SELECT SUM(c) * 1.0 AS n FROM bi),
+    lift AS (
+        SELECT bi.bg,
+               (bi.c * 1.0 / n2.n)
+               / ((ua.c * 1.0 / n1.n) * (ub.c * 1.0 / n1.n)) AS lift
+        FROM bi, n1, n2
+        JOIN uni ua ON ua.t = split_part(bi.bg, ' ', 1)
+        JOIN uni ub ON ub.t = split_part(bi.bg, ' ', 2)
+    ),
+    docbg AS (
+        SELECT doc_id, unnest({_BG_EXPR_SQL}) AS bg FROM toks
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(l.lift AS DECIMAL(30,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_lift
+    FROM docbg d JOIN lift l ON l.bg = d.bg
+    GROUP BY d.doc_id
+    """,
+)
+def q96_doc_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("ts"))
+    uni = (toks.select(F.explode("ts").alias("t"))
+           .groupBy("t").agg(F.count(F.lit(1)).alias("c")))
+    bi = (toks.select(F.explode(F.expr(_BG_EXPR_SPARK)).alias("bg"))
+          .groupBy("bg").agg(F.count(F.lit(1)).alias("c_ab")))
+    n1 = uni.agg((F.sum("c") * 1.0).alias("n1"))
+    n2 = bi.agg((F.sum("c_ab") * 1.0).alias("n2"))
+    ua, ub = uni.alias("ua"), uni.alias("ub")
+    lift_val = ((F.col("c_ab") * 1.0 / F.col("n2"))
+                / ((F.col("ua.c") * 1.0 / F.col("n1"))
+                   * (F.col("ub.c") * 1.0 / F.col("n1"))))
+    lift = (
+        bi.crossJoin(F.broadcast(n1)).crossJoin(F.broadcast(n2))
+        # no broadcast hint on the unigram sides — q89's size-gating note
+        .join(ua, F.col("ua.t") == F.element_at(F.split("bg", " "), 1))
+        .join(ub, F.col("ub.t") == F.element_at(F.split("bg", " "), 2))
+        .select("bg", lift_val.alias("lift")))
+    docbg = toks.select("doc_id", F.explode(F.expr(_BG_EXPR_SPARK)).alias("bg"))
+    return (
+        docbg.join(lift, "bg")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+             (F.sum(F.col("lift").cast("decimal(30,12)")).cast("double")
+              / F.count(F.lit(1))).alias("__avg"))
+        .select("doc_id", "n_bigrams", F.round("__avg", 6).alias("avg_lift"))
+    )

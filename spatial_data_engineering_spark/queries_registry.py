@@ -66,16 +66,26 @@ _PRIORITY = [
     "q50_embedding_neardup", "q51_srp_lsh_buckets",
     "q53_embedding_centroids",
     # --- implementation or dependency changed this round (forced in) ---
-    "q93_embedding_covariance",  # mapInPandas BLAS Gram production path
+    "q93_embedding_covariance",  # mapInArrow BLAS Gram production path
     "q56_dedup_components",   # near_dup_pairs cache eviction + lock
     "q86_pagerank_centrality",  # same shared pair-set dependency
-    "q42_lang_id",            # lang_id_confusion scorer-arity guard
-    "q44_quality_score",      # shares the pluggable-scorer plumbing
-    "q18_sessionization",     # events table: catalog NTZ/UTC shim fix
     "q29_asof_join",          # events table: catalog NTZ/UTC shim fix
-    # ---- 50-entry window boundary (q01 below fills slot 50);
-    # everything below was driver-verified green in round 4 and
-    # rotates back in next round ----
+    # --- NEW this round (never driver-verified — forced in-window) ---
+    "q94_dedup_canonical",    # new: richest-member canonical per cluster
+    "q95_stratified_split",   # new: exact 80/10/10 per-lang split
+    "q96_doc_bigram_lift",    # new: per-doc LM-quality proxy
+    # ---- q42 below fills slot 50; q44/q18 fall just outside.  They
+    # yielded their forced slots to the new queries because their
+    # round-5 changes don't alter driver-visible behavior: q42/q44's is
+    # a misuse guard on the non-default scorer path (default bit-
+    # identical, r4-green, pytest-reproven), and q18's UTC pin only
+    # affects non-UTC sessions (the driver session is UTC; q29 covers
+    # the events/catalog surface in-window with raw timestamp output —
+    # the more TZ-sensitive of the two).  Everything from q44 down was
+    # driver-verified green in round 4 and rotates back next round. ----
+    "q42_lang_id",
+    "q44_quality_score",
+    "q18_sessionization",
     "q01_pricing_summary",
     "q45_dedup_exact", "q46_dedup_tokensort", "q48_simhash",
     "q40_text_stats", "q41_token_count",

@@ -144,3 +144,23 @@ def test_covariance_blas_explode_parity(spark):
     diffs = [(k, blas[k], expl[k]) for k in blas
              if blas[k] != expl[k]]  # exact float equality, post-round
     assert not diffs, diffs[:5]
+
+
+def test_dedup_canonical_consistent_with_components(spark):
+    """q94's clusters must be exactly q56's, and the canonical member
+    must be a true member with the cluster's max n_chars (smallest id on
+    ties)."""
+    from spatial_data_engineering_spark.catalog import load
+    from spatial_data_engineering_spark.operators.clustering import (
+        q56_dedup_components, q94_dedup_canonical)
+
+    comp = {r["component"]: r["n_docs"]
+            for r in q56_dedup_components(spark, SF_ORACLE).collect()}
+    canon = q94_dedup_canonical(spark, SF_ORACLE).collect()
+    assert {r["component"] for r in canon} == set(comp)
+    chars = {r["doc_id"]: r["n_chars"]
+             for r in load(spark, SF_ORACLE, "documents")
+             .select("doc_id", "n_chars").collect()}
+    for r in canon:
+        assert r["n_members"] == comp[r["component"]]
+        assert chars[r["canonical_id"]] == r["canonical_chars"]

@@ -393,3 +393,45 @@ def test_q90_redact_no_shuffle(spark):
     # pattern scan is a pure projection + filter: no exchange at all
     plan = _plan(spark, "q90_pattern_redact")
     assert "Exchange" not in plan
+
+
+def test_q95_split_exact_proportions(spark):
+    # every doc in exactly one split; per-lang counts follow the exact
+    # integer thresholds (train = floor(8n/10), train+val = floor(9n/10))
+    from spatial_data_engineering_spark.queries_registry import all_queries
+
+    rows = all_queries()["q95_stratified_split"](spark, SF_ORACLE).collect()
+    assert len(rows) == len({r["doc_id"] for r in rows}) > 0
+    per_lang: dict = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], []).append(r["split"])
+    for lang, splits in per_lang.items():
+        n = len(splits)
+        from collections import Counter
+
+        c = Counter(splits)
+        assert c["train"] == (8 * n) // 10, (lang, c)
+        assert c["train"] + c["val"] == (9 * n) // 10, (lang, c)
+        assert c["test"] == n - (9 * n) // 10, (lang, c)
+
+
+def test_q96_lift_covers_all_multi_token_docs(spark):
+    # inner join against the unfiltered corpus lift table must cover
+    # every adjacent pair: n_bigrams == n_tokens - 1 per doc, lift > 0
+    from pyspark.sql import functions as F
+
+    from spatial_data_engineering_spark.catalog import load
+    from spatial_data_engineering_spark.queries_registry import all_queries
+
+    got = {r["doc_id"]: r for r in
+           all_queries()["q96_doc_bigram_lift"](spark, SF_ORACLE).collect()}
+    toks = {r["doc_id"]: r["nt"] for r in
+            load(spark, SF_ORACLE, "documents")
+            .select("doc_id", F.size(F.split("text", " ")).alias("nt"))
+            .collect()}
+    for doc_id, nt in toks.items():
+        if nt >= 2:
+            assert got[doc_id]["n_bigrams"] == nt - 1, doc_id
+            assert got[doc_id]["avg_lift"] > 0
+        else:
+            assert doc_id not in got
