@@ -323,9 +323,15 @@ def q54_dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     h = _fp_spark()
     fp = d.select("doc_id", "lang", "source", "n_chars", h.alias("h"))
-    keepers = fp.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    # a doc survives iff it is its fingerprint group's keeper (min
+    # doc_id); keeper ids are unique, so a LEFT SEMI on doc_id alone is
+    # the whole predicate.  (The previous `fp.h == keepers.h` conjunct
+    # self-resolved to a trivially-true h == h — Spark dedups the
+    # attribute through the groupBy lineage — and only the doc_id
+    # equality ever constrained the join.)
+    keepers = fp.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
     return (
-        fp.join(keepers, (fp.h == keepers.h) & (fp.doc_id == keepers.keeper))
+        fp.join(keepers.select("doc_id"), "doc_id", "semi")
         .select("doc_id", "lang", "source", "n_chars")
     )
 
