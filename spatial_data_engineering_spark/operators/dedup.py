@@ -480,9 +480,43 @@ def _ssj_candidates(d: DataFrame):
     return sh, cand
 
 
+# Candidate-pair twin of _PAIR_CACHE: q76 and q88 share the SAME df-capped
+# inverted-index candidates, and each was re-running the token explode +
+# df groupBy + index self-join cold.  The pair list is df-cap-bounded
+# (sub-quadratic by contract, ~edge-sized), so one localCheckpoint per
+# (application, sf_dir) pins it cheaply; the corpus-sized shingle FRAME is
+# deliberately NOT cached — rebuilding it is one shuffle-free scan, and
+# checkpointing the token stream is the measured anti-fix documented at
+# q76 (ReuseExchange note above).
+_SSJ_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SSJ_CACHE_COMPUTES = 0  # test hook
+
+
+def ssj_candidate_pairs(spark: SparkSession, sf_dir: str):
+    """(shingle frame, checkpointed candidate pairs) for the exact
+    set-similarity family, candidates materialized once per
+    (applicationId, sf_dir) — the near_dup_pairs policy (eviction of dead
+    applications, locked cold compute)."""
+    global _SSJ_CACHE_COMPUTES
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    sh, _ = _ssj_candidates(_spread_docs(load(spark, sf_dir, "documents")))
+    with _PAIR_CACHE_LOCK:
+        for k in [k for k in _SSJ_CACHE if k[0] != app]:
+            del _SSJ_CACHE[k]
+        cand = _SSJ_CACHE.get(key)
+        if cand is None:
+            _, cand = _ssj_candidates(
+                _spread_docs(load(spark, sf_dir, "documents")))
+            cand = cand.localCheckpoint(eager=True)
+            _SSJ_CACHE_COMPUTES += 1
+            _SSJ_CACHE[key] = cand
+    return sh, cand
+
+
 @query("q76_ngram_jaccard_join", _ORACLE_Q76)
 def q76_ngram_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh, cand = _ssj_candidates(_spread_docs(load(spark, sf_dir, "documents")))
+    sh, cand = ssj_candidate_pairs(spark, sf_dir)
     ta, tb = sh.alias("ta"), sh.alias("tb")
     j = (F.size(F.array_intersect(F.col("ta.tl"), F.col("tb.tl"))) * 1.0
          / F.size(F.array_distinct(F.concat(F.col("ta.tl"), F.col("tb.tl")))))
@@ -615,7 +649,7 @@ _ORACLE_Q88 = f"""
 
 @query("q88_containment_join", _ORACLE_Q88)
 def q88_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh, cand = _ssj_candidates(_spread_docs(load(spark, sf_dir, "documents")))
+    sh, cand = ssj_candidate_pairs(spark, sf_dir)
     ta, tb = sh.alias("ta"), sh.alias("tb")
     c = (F.size(F.array_intersect(F.col("ta.tl"), F.col("tb.tl"))) * 1.0
          / F.least(F.size(F.col("ta.tl")), F.size(F.col("tb.tl"))))
