@@ -1,0 +1,364 @@
+"""Event-stream analytics operators — funnel, cohort retention, anomaly
+scoring, time-weighted aggregation, gap-fill interpolation, deterministic
+per-key sampling.
+
+The reference's workload is batch geospatial reporting, but its `events`
+ingestion path (SURVEY.md A2/C4: load_data.py timestamped loads) implies the
+product-analytics queries any engine over an event table must answer.  These
+are the canonical ones — every implementation is pure Catalyst (window
+functions + aggregation), no Python in the hot path.
+
+Scale notes (100 TB):
+- Every operator shuffles at most once on `user_id` (uniform, high-card) or
+  on a low-cardinality group key with map-side partial aggregation.
+- Stage outputs that join back to the event stream are per-user aggregates —
+  orders of magnitude smaller than the input; at sf0.1 they broadcast, at
+  100 TB they hash-join co-partitioned on the same key the groupBy just
+  shuffled on, so AQE reuses the exchange.
+- All timestamp arithmetic is exact integer epoch-microseconds; all double
+  reductions use the order-independent decimal accumulation from common.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import load
+from .common import (davg, dsum, dvar_samp, sql_davg, sql_dsum,
+                     sql_dsum_expr, sql_dvar_expr)
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# --------------------------------------------------------------------------
+# q97 — ordered conversion funnel: view -> click -> purchase.
+# A user reaches stage k only with an event at stage k AT OR AFTER their
+# first stage-(k-1) event.  One row out: users entering each stage.
+#
+# Shape: three per-user min-aggregations chained by joins.  Each stage input
+# is already a per-user singleton (<= n_users rows), so stages 2-3 join
+# aggregate-to-aggregate; only stage 1 and the stage-filtered event scans
+# touch the raw stream, each a single groupBy(user_id) with map-side
+# partials.  At 100 TB all four shuffles hash on user_id — AQE coalesces,
+# and the per-stage frames shrink monotonically (funnel property).
+# --------------------------------------------------------------------------
+@query(
+    "q97_funnel",
+    """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts >= v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click,
+           (SELECT COUNT(*) FROM p) AS n_purchase
+    """,
+)
+def q97_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    v = (e.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    c = (e.filter(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .filter(F.col("ts") >= F.col("t_view"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    p = (e.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter(F.col("ts") >= F.col("t_click"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_purchase")))
+    counts = [df.agg(F.count(F.lit(1)).alias(a))
+              for df, a in ((v, "n_view"), (c, "n_click"), (p, "n_purchase"))]
+    # 1-row x 1-row joins of the three stage counts (broadcast, no shuffle).
+    out = counts[0].crossJoin(counts[1]).crossJoin(counts[2])
+    return out
+
+
+# --------------------------------------------------------------------------
+# q98 — weekly cohort retention.  Cohort = ISO week of a user's first
+# event; a cohort retains a user at offset k if they have any event k
+# weeks after their cohort week (calendar-week difference, not 7-day
+# buckets, so both engines use the same date_trunc('week') floor).
+#
+# Shape: per-user min-agg (shuffle 1 on user_id), join back to the stream
+# (co-partitioned on user_id), then a (cohort_week, offset) count-distinct
+# (shuffle 2 on a low-card composite).  The join's build side is per-user
+# singletons — broadcast locally, co-located hash at scale.
+# --------------------------------------------------------------------------
+@query(
+    "q98_cohort_retention",
+    """
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    )
+    SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(datediff('week', f.cohort_week,
+                         date_trunc('week', e.ts)) AS BIGINT) AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY f.cohort_week, week_offset
+    """,
+)
+def q98_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    first_seen = (e.groupBy("user_id")
+                  .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week")))
+    ev_week = F.date_trunc("week", F.col("ts"))
+    offset = (F.datediff(ev_week, F.col("cohort_week")) / 7).cast("bigint")
+    return (
+        e.join(first_seen, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            offset.alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q99 — z-score anomaly detection: events whose value deviates > 2 sample
+# standard deviations from their event_type mean.  Moments come from the
+# order-independent decimal accumulators (common.py), so mean/std — and
+# therefore the >2σ cut itself — are bit-identical across engines and
+# across partitionings/AQE re-plans; a naive stddev_samp could flip a
+# borderline row in or out between runs.
+#
+# Shape: one low-cardinality groupBy (5 types, map-side partials), then the
+# tiny stats frame broadcasts back onto the stream — zero shuffle of the
+# events themselves.  This is the canonical scale pattern for global-stat
+# filters.
+# --------------------------------------------------------------------------
+@query(
+    "q99_zscore_anomaly",
+    f"""
+    WITH stats AS (
+        SELECT event_type,
+               {sql_davg('value', 'mu')},
+               SQRT({sql_dvar_expr('value')}) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, COUNT(*) AS n_outliers,
+           {sql_dsum('ABS((e.value - s.mu) / s.sigma)', 'sum_abs_z')}
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE ABS((e.value - s.mu) / s.sigma) > 2.0
+    GROUP BY e.event_type
+    """,
+)
+def q99_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        davg("value", "mu"),
+        F.sqrt(dvar_samp("value")).alias("sigma"),
+    )
+    z = F.abs((F.col("value") - F.col("mu")) / F.col("sigma"))
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .filter(z > 2.0)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_outliers"),
+             dsum(F.abs((F.col("value") - F.col("mu")) / F.col("sigma")),
+                  "sum_abs_z"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q100 — time-weighted average value per user: each event's value holds
+# until the next event (step interpolation), weighted by exact integer
+# epoch-microsecond durations.  Users with a single event have zero span
+# and are excluded (HAVING span > 0) rather than emitting NULL/NaN.
+#
+# Shape: one window pass partitioned by user_id (shuffle 1), then a
+# per-user sum (same key — Catalyst reuses the partitioning; no second
+# exchange).  value*duration is per-row IEEE double (deterministic), the
+# reduction is decimal-exact.
+#
+# Output is quantized to 1e-6: the value*micros numerator sums to ~1e14,
+# and DuckDB's DECIMAL->DOUBLE cast is not correctly rounded at that
+# magnitude (measured: 99980337641065.129056 -> ...065.14, one ulp above
+# the nearest double ...065.125), so the exact-decimal trick alone cannot
+# make the quotient bit-identical here.  ROUND(x, 6) absorbs the ulp.
+# --------------------------------------------------------------------------
+@query(
+    "q100_time_weighted_avg",
+    f"""
+    WITH stepped AS (
+        SELECT user_id,
+               value * (LEAD(epoch_us(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                        - epoch_us(ts)) AS vdur,
+               LEAD(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)
+                   - epoch_us(ts) AS dur
+        FROM events
+    )
+    SELECT user_id,
+           ROUND({sql_dsum_expr('vdur')} / SUM(dur), 6) AS twa_value
+    FROM stepped WHERE dur IS NOT NULL
+    GROUP BY user_id HAVING SUM(dur) > 0
+    """,
+)
+def q100_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    dur = F.lead(us).over(w) - us
+    stepped = (e.select("user_id", "value", dur.alias("dur"))
+               .withColumn("vdur", F.col("value") * F.col("dur"))
+               .filter(F.col("dur").isNotNull()))
+    return (
+        stepped.groupBy("user_id")
+        .agg(F.round(F.sum(F.col("vdur").cast("decimal(30,6)")).cast("double")
+                     / F.sum("dur"), 6).alias("twa_value"),
+             F.sum("dur").alias("_span"))
+        .filter(F.col("_span") > 0)
+        .drop("_span")
+    )
+
+
+# --------------------------------------------------------------------------
+# q101 — gap-fill with linear interpolation.  Daily mean purchase value per
+# user has missing days (purchases are sparse per user); build the dense
+# day spine over each user's [first,last] purchase day and lerp interior
+# gaps from the bracketing observed days.  Exactly the time-series
+# `interpolate` every hypertable engine ships.
+#
+# Interpolated value = prev + (next-prev) * (day-prev_day)/(next_day-prev_day)
+# — per-row IEEE double, identical across engines.  Edge days are observed
+# by construction, so no extrapolation case exists.
+#
+# Shape: per-(user, day) agg (shuffle 1), per-user spine via sequence()
+# (no shuffle — generated from a 2-column per-user aggregate), left join
+# spine<-observed co-partitioned on user_id, one window pass for the
+# bracketing values (last/first with ignorenulls).  At 100 TB the spine is
+# |users| x |days| rows of 3 columns — far smaller than the event stream.
+# --------------------------------------------------------------------------
+@query(
+    "q101_gap_fill_interpolate",
+    f"""
+    WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               {sql_davg('value', 'v')}
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, day
+    ),
+    spine AS (
+        SELECT user_id, UNNEST(generate_series(MIN(day), MAX(day),
+                                               INTERVAL 1 DAY))::DATE AS day
+        FROM daily GROUP BY user_id
+    ),
+    joined AS (
+        SELECT s.user_id, s.day, d.v,
+               LAST_VALUE(d.v IGNORE NULLS) OVER
+                   (PARTITION BY s.user_id ORDER BY s.day
+                    ROWS UNBOUNDED PRECEDING) AS pv,
+               LAST_VALUE(CASE WHEN d.v IS NOT NULL THEN s.day END
+                          IGNORE NULLS) OVER
+                   (PARTITION BY s.user_id ORDER BY s.day
+                    ROWS UNBOUNDED PRECEDING) AS pd,
+               FIRST_VALUE(d.v IGNORE NULLS) OVER
+                   (PARTITION BY s.user_id ORDER BY s.day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               FIRST_VALUE(CASE WHEN d.v IS NOT NULL THEN s.day END
+                           IGNORE NULLS) OVER
+                   (PARTITION BY s.user_id ORDER BY s.day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        FROM spine s LEFT JOIN daily d USING (user_id, day)
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           CASE WHEN v IS NOT NULL THEN v
+                ELSE pv + (nv - pv) * CAST(datediff('day', pd, day) AS DOUBLE)
+                                      / CAST(datediff('day', pd, nd) AS DOUBLE)
+           END AS value_filled,
+           (v IS NULL) AS interpolated
+    FROM joined
+    """,
+)
+def q101_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = (e.filter(F.col("event_type") == "purchase")
+             .groupBy("user_id",
+                      F.date_trunc("day", "ts").cast("date").alias("day"))
+             .agg(davg("value", "v")))
+    spine = (daily.groupBy("user_id")
+             .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+             .select("user_id",
+                     F.explode(F.sequence("d0", "d1")).alias("day")))
+    wp = (W.partitionBy("user_id").orderBy("day")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wn = (W.partitionBy("user_id").orderBy("day")
+          .rowsBetween(W.currentRow, W.unboundedFollowing))
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    j = (spine.join(daily, ["user_id", "day"], "left")
+         .withColumn("pv", F.last("v", ignorenulls=True).over(wp))
+         .withColumn("pd", F.last(obs_day, ignorenulls=True).over(wp))
+         .withColumn("nv", F.first("v", ignorenulls=True).over(wn))
+         .withColumn("nd", F.first(obs_day, ignorenulls=True).over(wn)))
+    lerp = (F.col("pv") + (F.col("nv") - F.col("pv"))
+            * F.datediff("day", "pd").cast("double")
+            / F.datediff("nd", "pd").cast("double"))
+    return j.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.when(F.col("v").isNotNull(), F.col("v")).otherwise(lerp)
+         .alias("value_filled"),
+        F.col("v").isNull().alias("interpolated"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q102 — deterministic bottom-k-by-hash sample per key (the distributed
+# stand-in for per-stratum reservoir sampling).  Hash order is a pure
+# function of doc_id, so the sample is reproducible across runs, engines,
+# partitionings and — unlike rand()-based sampling — across retried tasks.
+# Bottom-k union-merges under re-partitioning, which true reservoirs don't.
+#
+# Shape: one window pass partitioned by the stratum key.  At 100 TB this
+# is a single shuffle on `source`; for heavy strata the two-phase variant
+# (per-partition bottom-k, then merge) from textops.two_phase_topk applies
+# unchanged — documented there, same contract.
+# --------------------------------------------------------------------------
+@query(
+    "q102_bottomk_sample",
+    """
+    SELECT source, doc_id
+    FROM (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rk
+        FROM documents
+    ) WHERE rk <= 4
+    """,
+)
+def q102_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = (W.partitionBy("source")
+         .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
+    return (d.select("source", "doc_id",
+                     F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") <= 4)
+            .drop("rk"))

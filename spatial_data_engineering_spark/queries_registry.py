@@ -17,11 +17,11 @@ def _modules():
     # registry, not silently shrink the inventory — the parity gate
     # parametrizes over whatever this returns, so a swallowed ImportError
     # would turn missing queries into a false-green run.
-    from .operators import (clustering, dedup, multimodal, relational,
-                            similarity, textops, zonal)
+    from .operators import (analytics, clustering, dedup, multimodal,
+                            relational, similarity, textops, zonal)
 
     return [relational, dedup, similarity, textops, zonal, multimodal,
-            clustering]
+            clustering, analytics]
 
 
 # The driver's correctness harness verifies the FIRST 50 registry entries in
@@ -48,6 +48,12 @@ def _modules():
 # remaining r4-verified queries take the tail, q01 first as the
 # headline canary filling slot 50.
 _PRIORITY = [
+    # --- NEW in round 5 (never driver-verified — lead the window).
+    # Final round-5 rotation is re-balanced at round close once the full
+    # set of new/changed queries is known. ---
+    "q97_funnel", "q98_cohort_retention", "q99_zscore_anomaly",
+    "q100_time_weighted_avg", "q101_gap_fill_interpolate",
+    "q102_bottomk_sample",
     # --- last driver row: round 3 (oracled) — lead the window ---
     "q47_minhash_lsh", "q67_overlap_dissolve",
     "q60_point_in_polygon", "q61_zonal_histogram",
