@@ -18,10 +18,11 @@ def _modules():
     # parametrizes over whatever this returns, so a swallowed ImportError
     # would turn missing queries into a false-green run.
     from .operators import (analytics, clustering, dedup, multimodal,
-                            relational, similarity, textops, zonal)
+                            relational, similarity, subqueries, textops,
+                            zonal)
 
     return [relational, dedup, similarity, textops, zonal, multimodal,
-            clustering, analytics]
+            clustering, analytics, subqueries]
 
 
 # The driver's correctness harness verifies the FIRST 50 registry entries in
@@ -54,6 +55,8 @@ _PRIORITY = [
     "q97_funnel", "q98_cohort_retention", "q99_zscore_anomaly",
     "q100_time_weighted_avg", "q101_gap_fill_interpolate",
     "q102_bottomk_sample",
+    "q103_order_count_distribution", "q104_large_volume_orders",
+    "q105_lone_returner", "q106_bloom_semi_join",
     # --- last driver row: round 3 (oracled) — lead the window ---
     "q47_minhash_lsh", "q67_overlap_dissolve",
     "q60_point_in_polygon", "q61_zonal_histogram",

