@@ -1439,3 +1439,122 @@ def q96_doc_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
               / F.count(F.lit(1))).alias("__avg"))
         .select("doc_id", "n_bigrams", F.round("__avg", 6).alias("avg_lift"))
     )
+
+
+# --------------------------------------------------------------------------
+# q107 — line-level corpus deduplication (the C4/RefinedWeb recipe: drop
+# every repeated line corpus-wide, keeping only its first occurrence).
+# The fixture has no newlines, so a "line" is a fixed 10-token chunk —
+# deterministic in both engines; on a real corpus the chunker is
+# split('\n') and everything downstream is unchanged.
+#
+# Ownership = global MIN(doc_id) per distinct line; a document keeps the
+# distinct lines it owns.  Per doc: total line instances and kept count.
+#
+# Scale: explode is a pure flatMap (no shuffle); ownership is one groupBy
+# on the line hash (uniform key — lines ARE the dedup unit) and the join
+# back is on the same key, so AQE reuses the exchange.  At 100 TB the line
+# strings never need to shuffle twice: hash the line once and carry
+# (line_hash, doc_id) only — done here via the md5 of the chunk.
+# --------------------------------------------------------------------------
+@query(
+    "q107_line_dedup",
+    """
+    WITH ex AS (
+        SELECT doc_id,
+               md5(array_to_string(words[(i*10+1):(i*10+10)], ' ')) AS line_h
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+             UNNEST(generate_series(0, CAST(ceil(len(words)/10.0) AS INT) - 1))
+                 AS t(i)
+    ),
+    owner AS (SELECT line_h, MIN(doc_id) AS owner_doc FROM ex GROUP BY line_h)
+    SELECT ex.doc_id,
+           COUNT(*) AS n_lines,
+           COUNT(DISTINCT CASE WHEN o.owner_doc = ex.doc_id
+                               THEN ex.line_h END) AS n_kept
+    FROM ex JOIN owner o ON ex.line_h = o.line_h
+    GROUP BY ex.doc_id
+    """,
+)
+def q107_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.md5(F.array_join(F.slice(words, i * 10 + 1, 10), " ")),
+    )
+    ex = d.select("doc_id", F.explode(chunks).alias("line_h"))
+    owner = ex.groupBy("line_h").agg(F.min("doc_id").alias("owner_doc"))
+    return (
+        ex.join(owner, "line_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct(
+                F.when(F.col("owner_doc") == F.col("doc_id"),
+                       F.col("line_h"))).alias("n_kept"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q108 — TF-IDF keyword extraction: the top-scoring term per document,
+# score = tf * ln(N / df).  The ordering key is ROUND(score, 6): ln() may
+# differ by one ulp between java.lang.Math and libm, and an unrounded
+# order-by could flip ranks between engines on near-equal scores; rounding
+# absorbs the ulp, and exact ties fall to the term-ascending tiebreak
+# (same rule both engines).
+#
+# Scale: tf is a (doc, term) groupBy — the natural shuffle; df is a
+# term-level aggregate of the SAME grouped frame (no second pass over raw
+# text), and at |vocab| << |corpus| the df map broadcasts.  The final
+# per-doc argmax is max_by on the doc-partitioned frame — a groupBy, not a
+# global sort.
+# --------------------------------------------------------------------------
+@query(
+    "q108_tfidf_keywords",
+    """
+    WITH tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+              FROM documents)
+        WHERE term <> ''
+        GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6)
+                   AS score
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term AS top_term, tf, df, score
+    FROM (SELECT *, ROW_NUMBER() OVER
+              (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+          FROM scored)
+    WHERE rk = 1
+    """,
+)
+def q108_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    terms = (d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+             .filter(F.col("term") != ""))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.count()  # driver scalar: one number, not a collect of rows
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")),
+                    6))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("doc_id", F.col("term").alias("top_term"),
+                    "tf", "df", "score"))
