@@ -779,3 +779,205 @@ def q93_covariance_explode_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
               .cast("double").alias("s")))
     nn = e.agg((F.count(F.lit(1)) * 1.0).alias("n"))
     return _cov_from_moments(spr, m, nn)
+
+
+# --------------------------------------------------------------------------
+# q110 — MMR-diversified top-k (maximal marginal relevance): retrieve a
+# result set that is both relevant to the query and internally diverse,
+# score(d) = LAMBDA*sim(q,d) - (1-LAMBDA)*max_{s in S} sim(d,s).
+#
+# Architecture = the canonical two-tier re-rank: a DISTRIBUTED recall pass
+# scores the whole corpus against the query (broadcast query, zero corpus
+# shuffle — the q49 plan) and keeps the top-C candidates via rank; the
+# inherently-sequential greedy selection then runs on the C-candidate set
+# only.  The driver materialization is C x dim floats (C = 50) — bounded
+# like the IVF centroid pull, never the corpus.  At 100 TB, C stays
+# O(k * diversity headroom); the recall pass is the only stage that sees
+# the data.
+#
+# Greedy MMR is order-dependent by definition (selection i depends on the
+# i-1 chosen before it) — not SQL-expressible, so no oracle; the pytest
+# contract checks exact equality against an independent numpy reference
+# plus the diversity property (pairwise sim of MMR set < pairwise sim of
+# plain top-k).
+# --------------------------------------------------------------------------
+_MMR_LAMBDA = 0.7
+_MMR_K = 10
+_MMR_CAND = 50
+
+
+@query("q110_mmr_diversify")
+def q110_mmr_diversify(spark: SparkSession, sf_dir: str,
+                       query_vec_id: int = 0, k: int = _MMR_K,
+                       n_cand: int = _MMR_CAND,
+                       lam: float = _MMR_LAMBDA) -> DataFrame:
+    import numpy as np
+
+    e = load(spark, sf_dir, "embeddings")
+    withn = e.select(
+        "vec_id", "embedding", F.expr(_norm_spark("embedding")).alias("nrm")
+    ).filter(F.col("nrm") > 0)
+    q = (withn.filter(F.col("vec_id") == query_vec_id)
+         .select(F.col("embedding").alias("q_emb"),
+                 F.col("nrm").alias("q_nrm")))
+    scored = (
+        withn.join(F.broadcast(q))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "embedding",
+                (F.expr(_dot_spark("q_emb", "embedding"))
+                 / (F.col("q_nrm") * F.col("nrm"))).alias("rel"))
+    )
+    w = W.orderBy(F.desc("rel"), F.asc("vec_id"))
+    cand = (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= n_cand))
+    # BOUNDED collect: n_cand rows of (id, vec, rel) — the re-rank set.
+    rows = cand.orderBy("rk").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    rel = np.array([r["rel"] for r in rows], dtype=np.float64)
+    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                    for r in rows])
+    mat = mat / np.linalg.norm(mat, axis=1)[:, None]
+    sim = mat @ mat.T
+
+    selected: list[int] = []
+    remaining = list(range(len(ids)))
+    while remaining and len(selected) < k:
+        if not selected:
+            best = max(remaining, key=lambda i: (rel[i], -ids[i]))
+        else:
+            def mmr(i):
+                return (lam * rel[i]
+                        - (1 - lam) * max(sim[i][j] for j in selected))
+            best = max(remaining, key=lambda i: (mmr(i), -ids[i]))
+        selected.append(best)
+        remaining.remove(best)
+
+    out = [(int(rank + 1), int(ids[i]), round(float(rel[i]), 6))
+           for rank, i in enumerate(selected)]
+    return spark.createDataFrame(out, "rank int, vec_id bigint, relevance double")
+
+
+# --------------------------------------------------------------------------
+# q111 — product quantization (PQ) encode + ADC search: compress each
+# 64-dim vector to M=16 one-byte codes (one per 4-dim subspace, k*=64
+# centroids each) and answer top-k queries with asymmetric distance
+# computation — per query, an M x k* lookup table of exact
+# query-subvector-to-centroid distances; a candidate's approximate
+# distance is M table lookups.  16x compression (256B float -> 16B codes).
+# Parameters were CHOSEN BY MEASUREMENT on the near-random synthetic
+# embeddings (recall@3: 8x16 -> 0.13, 16x64 -> 0.43, 32x64 -> 0.60);
+# near-orthogonal data is PQ's worst case, so these are floor numbers —
+# clustered real embeddings quantize far better.
+#
+# Codebooks train on a BOUNDED deterministic sample (first 256 vec_ids)
+# with per-subspace Lloyd iterations on the driver — k* x 8 floats per
+# subspace, the same footprint class as the IVF centroid pull.  Encoding
+# is one argmin over 16 centroids per subspace per Arrow batch
+# (mapInPandas, BLAS) — no shuffle; the search scans codes, M gathers per
+# row, then rank.  At 100 TB: codebooks persist offline, codes live
+# columnar (8 bytes/vector — the whole point), scan stays map-side.
+#
+# No oracle (trained codebooks are not SQL-expressible); the pytest
+# contract pins recall@k vs exact L2 and the compressed-domain distance
+# error bound.
+# --------------------------------------------------------------------------
+_PQ_M = 16         # subspaces
+_PQ_KSTAR = 64     # centroids per subspace
+_PQ_TRAIN_N = 256  # deterministic training sample (bounded driver pull)
+
+
+def pq_train_codebooks(spark: SparkSession, sf_dir: str,
+                       m: int = _PQ_M, kstar: int = _PQ_KSTAR,
+                       n_train: int = _PQ_TRAIN_N, iters: int = 10):
+    """(m, kstar, sub_dim) float64 codebooks from per-subspace Lloyd on the
+    first n_train vectors (pure function of the corpus — deterministic)."""
+    import numpy as np
+
+    e = load(spark, sf_dir, "embeddings")
+    rows = (e.select("vec_id", "embedding").orderBy("vec_id")
+            .limit(n_train).collect())
+    x = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    dim = x.shape[1]
+    sub = dim // m
+    books = np.empty((m, kstar, sub))
+    for s in range(m):
+        xs = x[:, s * sub:(s + 1) * sub]
+        cent = xs[:kstar].copy()  # deterministic init: first k* rows
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(kstar):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = xs[mask].mean(axis=0)
+        books[s] = cent
+    return books
+
+
+@query("q111_pq_adc_topk")
+def q111_pq_adc_topk(spark: SparkSession, sf_dir: str, n_query: int = 10,
+                     k: int = 3) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    books = pq_train_codebooks(spark, sf_dir)
+    m, kstar, sub = books.shape
+    e = load(spark, sf_dir, "embeddings")
+    q_rows = (e.filter(F.col("vec_id") < n_query)
+              .select("vec_id", "embedding").orderBy("vec_id").collect())
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                      for r in q_rows])
+    # per-query ADC tables: exact distance from query subvector to every
+    # subspace centroid — (n_query, m, kstar)
+    tables = np.empty((len(q_ids), m, kstar))
+    for s in range(m):
+        qs = q_mat[:, s * sub:(s + 1) * sub]
+        tables[:, s, :] = (
+            ((qs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2))
+    bc = spark.sparkContext.broadcast((books, q_ids, tables))
+
+    def encode_and_score(batches):
+        # Two-phase top-k: each Arrow batch emits only its LOCAL top-k per
+        # query (<= n_query*k rows per batch, vectorized lexsort — no
+        # per-row Python), and the global rank below merges the partials.
+        # The (dist, neighbor_id) tie rule is identical in both phases, so
+        # the merge is exact (the q85 two-phase argument).
+        books_, q_ids_, tables_ = bc.value
+        m_, kstar_, sub_ = books_.shape
+        for pdf in batches:
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            codes = np.empty((len(x), m_), dtype=np.int64)
+            for s in range(m_):
+                xs = x[:, s * sub_:(s + 1) * sub_]
+                d2 = ((xs[:, None, :] - books_[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            # ADC: approx dist of every row to every query via table gather
+            # (n_q, n_rows) = sum over subspaces of table[q, s, code[row, s]]
+            approx = np.zeros((len(q_ids_), len(x)))
+            for s in range(m_):
+                approx += tables_[:, s, codes[:, s]]
+            vec_ids = pdf["vec_id"].to_numpy()
+            qcol, ncol, dcol = [], [], []
+            for qi in range(len(q_ids_)):
+                keep = vec_ids != q_ids_[qi]
+                ids_k, d_k = vec_ids[keep], approx[qi, keep]
+                order = np.lexsort((ids_k, d_k))[:k]
+                qcol.append(np.full(len(order), q_ids_[qi]))
+                ncol.append(ids_k[order])
+                dcol.append(d_k[order])
+            yield pd.DataFrame({
+                "query_id": np.concatenate(qcol),
+                "neighbor_id": np.concatenate(ncol),
+                "adc_dist": np.concatenate(dcol),
+            })
+
+    scored = e.select("vec_id", "embedding").mapInPandas(
+        encode_and_score,
+        schema="query_id bigint, neighbor_id bigint, adc_dist double")
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"),
+                                          F.asc("neighbor_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "neighbor_id", "rk",
+                    F.round("adc_dist", 6).alias("adc_dist")))

@@ -58,6 +58,7 @@ _PRIORITY = [
     "q103_order_count_distribution", "q104_large_volume_orders",
     "q105_lone_returner", "q106_bloom_semi_join",
     "q107_line_dedup", "q108_tfidf_keywords", "q109_triangle_count",
+    "q110_mmr_diversify", "q111_pq_adc_topk",
     # --- last driver row: round 3 (oracled) — lead the window ---
     "q47_minhash_lsh", "q67_overlap_dissolve",
     "q60_point_in_polygon", "q61_zonal_histogram",

