@@ -223,3 +223,49 @@ def union_agg(df: DataFrame, group_cols: list[str], geom_col: str = "geom",
             final, schema=out_schema)
 
     return partials.groupBy(*group_cols).applyInPandas(final, schema=out_schema)
+
+
+def distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    d: float,
+    left_keys: list[str],
+    right_keys: list[str],
+    cell: float | None = None,
+    left_geom: str = "geom",
+    right_geom: str = "geom",
+) -> DataFrame:
+    """Inner distance join (ST_DWithin join): pairs whose minimum planar
+    distance is <= d.
+
+    Same grid-bucket physical strategy as ``grid_spatial_join`` with one
+    twist: the LEFT side emits cells for its bbox expanded by d, so any
+    pair within distance d (bbox gap <= d) is guaranteed to share a cell;
+    the exact ST_DWithin refine (expanded-bbox reject + vertex-segment
+    minimum) then decides.  Cell pitch defaults to the build side's
+    adaptive pitch, floored at d so the padding adds at most one ring of
+    cells per side rather than d/cell of them.
+
+    Scale: identical shuffle shape to the spatial join — equi-join on
+    uniform integer-grid keys, dedupe before the Python refine.  The
+    padding multiplies build-side duplication by ((E+2d)/(E))-ish, which
+    is the inherent candidate cost of a distance predicate.
+    """
+    from ..functions.st_funcs import st_dwithin, st_grid_cells_pad
+
+    if cell is None:
+        cell = max(adaptive_cell(right, right_geom), float(d))
+    lg, rg = "__lg", "__rg"
+    l = left.withColumnRenamed(left_geom, lg)
+    r = right.withColumnRenamed(right_geom, rg)
+    l = l.withColumn(
+        "__cell",
+        F.explode(st_grid_cells_pad(F.col(lg), F.lit(cell), F.lit(float(d)))))
+    r = r.withColumn(
+        "__cell", F.explode(st_grid_cells(F.col(rg), F.lit(cell))))
+    cand = l.join(r, "__cell").drop("__cell")
+    cand = cand.dropDuplicates(left_keys + right_keys)
+    out = cand.filter(st_dwithin(F.col(lg), F.col(rg), F.lit(float(d))))
+    out = out.withColumnRenamed(lg, left_geom)
+    name = right_geom if right_geom != left_geom else f"{right_geom}_right"
+    return out.withColumnRenamed(rg, name)
