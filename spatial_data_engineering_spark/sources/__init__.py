@@ -48,6 +48,25 @@ def create_schema_if_not_exists(spark: SparkSession, name: str) -> None:
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")
 
 
+def create_table_if_not_exists(spark: SparkSession,
+                               create_table_query: str) -> None:
+    """B4 (load_data.py:32-39): parametrized CREATE TABLE passthrough.
+
+    The reference feeds an arbitrary caller-supplied DDL string to the
+    connection (dead code there — main() never calls it); the Spark twin
+    is the same passthrough with one guard: the statement must actually
+    be a CREATE TABLE, because a passthrough named create_table that
+    silently executes arbitrary SQL is an injection surface, not a
+    convenience.  Idempotence comes from IF NOT EXISTS in the DDL itself,
+    exactly as in the reference's usage."""
+    stmt = create_table_query.strip()
+    if not stmt.upper().startswith("CREATE TABLE"):
+        raise ValueError(
+            f"create_table_if_not_exists expects a CREATE TABLE statement, "
+            f"got: {stmt[:60]!r}")
+    spark.sql(stmt)
+
+
 def create_or_replace_view(spark: SparkSession, name: str, sql: str) -> None:
     """B5 (query/view_linked_data.sql:1-2)."""
     spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sql}")

@@ -164,3 +164,23 @@ def test_jdbc_assembled_scan_error_contract(spark):
     with pytest.raises(Exception):
         # assembly succeeds; .load() must fail loudly without a driver jar
         jdbc.scan(spark, params, "SELECT 1 AS x").collect()
+
+
+def test_create_table_passthrough(spark):
+    """B4: the parametrized CREATE TABLE passthrough executes real DDL,
+    is idempotent via IF NOT EXISTS, and rejects non-CREATE-TABLE SQL."""
+    import pytest
+
+    from spatial_data_engineering_spark import sources
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS b4demo")
+    ddl = ("CREATE TABLE IF NOT EXISTS b4demo.sensor "
+           "(id BIGINT, name STRING, reading DOUBLE) USING parquet")
+    sources.create_table_if_not_exists(spark, ddl)
+    sources.create_table_if_not_exists(spark, ddl)  # idempotent
+    cols = [f.name for f in spark.table("b4demo.sensor").schema.fields]
+    assert cols == ["id", "name", "reading"]
+    with pytest.raises(ValueError, match="CREATE TABLE"):
+        sources.create_table_if_not_exists(spark, "DROP TABLE b4demo.sensor")
+    spark.sql("DROP TABLE IF EXISTS b4demo.sensor")
+    spark.sql("DROP DATABASE IF EXISTS b4demo")
