@@ -362,3 +362,65 @@ def q102_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.row_number().over(w).alias("rk"))
             .filter(F.col("rk") <= 4)
             .drop("rk"))
+
+
+# --------------------------------------------------------------------------
+# q112 — SCD2 interval construction (gaps-and-islands): collapse each
+# user's consecutive runs of equal event_type into versioned dimension
+# rows [valid_from, valid_to) with valid_to = next run's start and NULL
+# for the current (open) version — the warehouse slowly-changing-dimension
+# shape, built from an append-only event log.
+#
+# Exact integer epoch-micros throughout.  Shape: two window passes and one
+# groupBy, all partitioned by user_id — Catalyst plans a single exchange
+# and reuses it (the q18/q100 pattern).
+# --------------------------------------------------------------------------
+@query(
+    "q112_scd2_intervals",
+    """
+    WITH runs AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN LAG(event_type) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id)
+                         IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+    ),
+    grp AS (
+        SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM runs
+    ),
+    agg AS (
+        SELECT user_id, run_id,
+               MIN(event_type) AS event_type,   -- constant within a run
+               MIN(epoch_us(ts)) AS valid_from_us,
+               COUNT(*) AS n_events
+        FROM grp GROUP BY user_id, run_id
+    )
+    SELECT user_id, run_id, event_type, valid_from_us,
+           LEAD(valid_from_us) OVER
+               (PARTITION BY user_id ORDER BY run_id) AS valid_to_us,
+           n_events
+    FROM agg
+    """,
+)
+def q112_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    grp = (e.withColumn("chg", chg)
+           .withColumn("run_id", F.sum("chg").over(
+               w.rowsBetween(W.unboundedPreceding, 0))))
+    agg = (grp.groupBy("user_id", "run_id")
+           .agg(F.min("event_type").alias("event_type"),
+                F.min(F.unix_micros("ts")).alias("valid_from_us"),
+                F.count(F.lit(1)).alias("n_events")))
+    w2 = W.partitionBy("user_id").orderBy("run_id")
+    return agg.select(
+        "user_id", "run_id", "event_type", "valid_from_us",
+        F.lead("valid_from_us").over(w2).alias("valid_to_us"),
+        "n_events",
+    )

@@ -1,0 +1,132 @@
+"""Mergeable frequency sketches: count-min with conservative top-k.
+
+Complements the existing sketch surface (q28 HLL distinct counts, q34
+quantile sketches) with the frequency-estimation member of the family —
+and unlike those, this one is fully ORACLED: the sketch is a deterministic
+function of the data given the hash family (one md5 fold + Carter-Wegman
+transforms, the q47 MinHash machinery), so DuckDB reproduces the counters
+and the estimates bit-for-bit.  The APPROXIMATION error (estimate vs true
+count) is quantified in the output itself and bounded in pytest.
+
+Scale: the sketch build is one groupBy over d*w = 4096 counter keys with
+map-side partials — a fixed-size shuffle regardless of corpus size, which
+is the whole point of CMS at 100 TB (the exact q74 vocab top-k shuffles
+|vocab| keys; this shuffles 4096).  Counters merge by addition, so the
+same plan IS the multi-day incremental merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import load
+from .dedup import _MH_P, _hex_fold
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+_CMS_D = 4      # depth: independent hash rows
+_CMS_W = 1024   # width: counters per row
+# Carter-Wegman rows over the md5 fold (distinct from the MinHash family's
+# constants so the two sketches stay independent)
+_CMS_A = (131071, 524287, 2147483647 - 19, 6700417)
+_CMS_B = (12582917, 402653189, 786433, 98317)
+
+
+def _pos_exprs(engine: str, h: str) -> list[str]:
+    """d counter positions for a folded token hash ``h``."""
+    return [f"((({_CMS_A[i]} * {h} + {_CMS_B[i]}) % {_MH_P}) % {_CMS_W})"
+            for i in range(_CMS_D)]
+
+
+# --------------------------------------------------------------------------
+# q113 — count-min heavy hitters: estimate every distinct token's
+# frequency from the 4x1024 sketch and report the top-20 by estimate.
+# est = min over rows of counter[row][pos_row(token)]; CMS guarantees
+# est >= true count, with overestimate <= colliding mass — both visible in
+# the output (est_count vs exact n) and bounded in tests/test_approx.py.
+#
+# Plan shape: tokens fold to h once (md5 + arithmetic, codegen); the
+# sketch build explodes each occurrence into d (row, pos) cells and
+# aggregates — 4096-key shuffle with map-side combine.  Estimation joins
+# the DISTINCT-token frame's d cells against the broadcast 4096-row
+# sketch, then a min-groupBy per token and a top-20 rank.  The exact
+# count rides along from the same token frame (one extra low-card agg)
+# to make the error observable; a pure-sketch deployment drops it.
+# --------------------------------------------------------------------------
+def _cms_oracle() -> str:
+    h = _hex_fold("duckdb", "md5(term)")
+    poss = _pos_exprs("duckdb", "h")
+    cells = " UNION ALL ".join(
+        f"SELECT {i} AS row_i, {poss[i]} AS pos, n FROM tf" for i in range(_CMS_D))
+    qcells = " UNION ALL ".join(
+        f"SELECT term, n, {i} AS row_i, {poss[i]} AS pos FROM tf"
+        for i in range(_CMS_D))
+    return f"""
+    WITH toks AS (
+        SELECT UNNEST(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf0 AS (
+        SELECT term, COUNT(*) AS n FROM toks WHERE term <> '' GROUP BY term
+    ),
+    tf AS (SELECT term, n, {h} AS h FROM tf0),
+    sketch AS (
+        SELECT row_i, pos, SUM(n) AS cnt FROM ({cells}) GROUP BY row_i, pos
+    ),
+    est AS (
+        SELECT q.term, MIN(q.n) AS exact_count, MIN(s.cnt) AS est_count
+        FROM ({qcells}) q JOIN sketch s
+          ON q.row_i = s.row_i AND q.pos = s.pos
+        GROUP BY q.term
+    )
+    SELECT term, CAST(est_count AS BIGINT) AS est_count,
+           CAST(exact_count AS BIGINT) AS exact_count,
+           CAST(est_count - exact_count AS BIGINT) AS overestimate
+    FROM (SELECT *, ROW_NUMBER() OVER
+              (ORDER BY est_count DESC, term) AS rk FROM est)
+    WHERE rk <= 20
+    """
+
+
+@query("q113_cms_heavy_hitters", _cms_oracle())
+def q113_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = (d.select(F.explode(F.split("text", " ")).alias("term"))
+            .filter(F.col("term") != ""))
+    # per-term exact counts first: collapses the occurrence stream to the
+    # vocab ONCE, and every downstream step (sketch build + estimation)
+    # runs over |vocab| rows instead of corpus rows
+    tf = (toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+          .withColumn("h", F.expr(_hex_fold("spark", "md5(term)"))))
+    poss = _pos_exprs("spark", "h")
+    cell_structs = F.array(*[
+        F.struct(F.lit(i).alias("row_i"), F.expr(poss[i]).alias("pos"))
+        for i in range(_CMS_D)])
+    cells = (tf.select("term", "n", F.explode(cell_structs).alias("c"))
+             .select("term", "n", "c.row_i", "c.pos"))
+    sketch = (cells.groupBy("row_i", "pos")
+              .agg(F.sum("n").alias("cnt")))
+    est = (cells.join(F.broadcast(sketch), ["row_i", "pos"])
+           .groupBy("term")
+           .agg(F.min("n").alias("exact_count"),
+                F.min("cnt").alias("est_count")))
+    w = W.orderBy(F.desc("est_count"), F.asc("term"))
+    return (est.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 20)
+            .select("term",
+                    F.col("est_count").cast("bigint").alias("est_count"),
+                    F.col("exact_count").cast("bigint").alias("exact_count"),
+                    (F.col("est_count") - F.col("exact_count"))
+                    .cast("bigint").alias("overestimate")))

@@ -18,11 +18,11 @@ def _modules():
     # parametrizes over whatever this returns, so a swallowed ImportError
     # would turn missing queries into a false-green run.
     from .operators import (analytics, clustering, dedup, multimodal,
-                            relational, similarity, subqueries, textops,
-                            zonal)
+                            relational, similarity, sketches, subqueries,
+                            textops, zonal)
 
     return [relational, dedup, similarity, textops, zonal, multimodal,
-            clustering, analytics, subqueries]
+            clustering, analytics, subqueries, sketches]
 
 
 # The driver's correctness harness verifies the FIRST 50 registry entries in
@@ -59,6 +59,7 @@ _PRIORITY = [
     "q105_lone_returner", "q106_bloom_semi_join",
     "q107_line_dedup", "q108_tfidf_keywords", "q109_triangle_count",
     "q110_mmr_diversify", "q111_pq_adc_topk",
+    "q112_scd2_intervals", "q113_cms_heavy_hitters",
     # --- last driver row: round 3 (oracled) — lead the window ---
     "q47_minhash_lsh", "q67_overlap_dissolve",
     "q60_point_in_polygon", "q61_zonal_histogram",

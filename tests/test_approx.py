@@ -29,3 +29,36 @@ def test_approx_count_distinct_within_bound(spark):
     approx = {r.l_returnflag: r for r in q28_approx_distinct(spark, SF_ORACLE).collect()}
     for k in exact:
         assert abs(approx[k].approx_parts - exact[k].n_parts) / exact[k].n_parts < 0.1
+
+
+def test_cms_overestimate_bounds(spark):
+    """CMS contract: estimates never undercount, and the overestimate on
+    the reported heavy hitters stays within a small multiple of the
+    expected colliding mass N/w per row (min over d=4 rows makes the
+    expected excess far smaller; 3x is a generous non-flaky ceiling)."""
+    from pyspark.sql import functions as F
+
+    from spatial_data_engineering_spark.catalog import load
+    from spatial_data_engineering_spark.operators.sketches import (
+        _CMS_W, q113_cms_heavy_hitters)
+    from .conftest import SF_ORACLE
+
+    out = q113_cms_heavy_hitters(spark, SF_ORACLE).collect()
+    assert len(out) == 20
+    assert all(r.overestimate >= 0 for r in out)          # never undercount
+    assert all(r.est_count >= r.exact_count for r in out)
+
+    docs = load(spark, SF_ORACLE, "documents")
+    n_tokens = (docs.select(F.explode(F.split("text", " ")).alias("t"))
+                .filter(F.col("t") != "").count())
+    ceiling = 3.0 * n_tokens / _CMS_W
+    assert all(r.overestimate <= ceiling for r in out), (
+        max(r.overestimate for r in out), ceiling)
+
+    # the sketch's top-20 must be the true top-20 on this corpus (heavy
+    # hitters dominate the collision noise at this N/w)
+    exact_top = (docs.select(F.explode(F.split("text", " ")).alias("t"))
+                 .filter(F.col("t") != "")
+                 .groupBy("t").count()
+                 .orderBy(F.desc("count"), "t").limit(20).collect())
+    assert {r.term for r in out} == {r.t for r in exact_top}
