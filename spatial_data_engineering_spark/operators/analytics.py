@@ -424,3 +424,32 @@ def q112_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from_us").over(w2).alias("valid_to_us"),
         "n_events",
     )
+
+
+# --------------------------------------------------------------------------
+# q117 — rolling median smoothing: per user, the exact median of the last
+# 5 event values (ordered by ts, event_id).  Both engines interpolate the
+# even-count case as the mean of the two middle values over the same
+# ROWS frame, so outputs are bit-identical with no rounding.
+#
+# Shape: one window pass on user_id; the frame holds <= 5 doubles, so the
+# per-row cost is O(frame log frame) inside the JVM — no Python, no extra
+# shuffle beyond the partitioning.
+# --------------------------------------------------------------------------
+@query(
+    "q117_rolling_median",
+    """
+    SELECT event_id, user_id,
+           MEDIAN(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+               AS rolling_median
+    FROM events
+    """,
+)
+def q117_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-4, 0))
+    return e.select(
+        "event_id", "user_id",
+        F.expr("percentile(value, 0.5)").over(w).alias("rolling_median"))

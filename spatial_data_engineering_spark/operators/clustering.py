@@ -538,3 +538,98 @@ def q109_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("n_edges", "n_wedges", "n_triangles",
                     F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6)
                     .alias("clustering_coeff")))
+
+
+# --------------------------------------------------------------------------
+# q115 — multi-source BFS hop counts: shortest hop distance (<= 4) from
+# the seed set {smallest 5 part ids in the graph} to every reachable
+# node, over the same 1/20 hash-sampled co-purchase graph as q109.
+#
+# Spark side: the canonical distributed BFS — a driver loop of
+# frontier ⨝ edges -> min-agg rounds, each round one shuffle on the
+# frontier key, frames localCheckpointed so lineage stays flat (the
+# connected_components discipline).  The oracle is a DuckDB recursive CTE
+# walking the same edges — genuinely iterative, yet fully value-checked.
+#
+# Scale: per round the traffic is |frontier| x avg-degree; hop-bounded
+# BFS (here 4) is the production shape for "blast radius" queries over
+# dup graphs.  Seeds and graph are pure hash functions of the data.
+# --------------------------------------------------------------------------
+_BFS_HOPS = 4
+_BFS_SEEDS = 5
+
+
+def _edges_q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    so = (o.filter(F.md5(F.col("o_orderkey").cast("string")) < "0d")
+          .select("o_orderkey"))
+    lp = (li.join(so, li.l_orderkey == so.o_orderkey)
+          .select("l_orderkey", "l_partkey").distinct())
+    a, b = lp.alias("a"), lp.alias("b")
+    return (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                   & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+            .select(F.col("a.l_partkey").alias("u"),
+                    F.col("b.l_partkey").alias("v"))
+            .distinct())
+
+
+def _oracle_q115() -> str:
+    return f"""
+    WITH RECURSIVE
+    so AS (SELECT o_orderkey FROM orders
+           WHERE md5(CAST(o_orderkey AS VARCHAR)) < '0d'),
+    lp AS (SELECT DISTINCT l_orderkey, l_partkey
+           FROM lineitem JOIN so ON l_orderkey = o_orderkey),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lp a JOIN lp b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (SELECT u AS src, v AS dst FROM edges
+            UNION ALL SELECT v, u FROM edges),
+    seeds AS (
+        SELECT node FROM (
+            SELECT DISTINCT src AS node FROM sym ORDER BY node
+            LIMIT {_BFS_SEEDS})
+    ),
+    walk(node, hops) AS (
+        SELECT node, 0 FROM seeds
+        UNION ALL
+        SELECT s.dst, w.hops + 1
+        FROM walk w JOIN sym s ON w.node = s.src
+        WHERE w.hops < {_BFS_HOPS}
+    )
+    SELECT node, CAST(MIN(hops) AS BIGINT) AS hops
+    FROM walk GROUP BY node
+    """
+
+
+@query("q115_bfs_hops", _oracle_q115())
+def q115_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges_q109(spark, sf_dir)
+    sym = (edges.selectExpr("u AS src", "v AS dst")
+           .unionByName(edges.selectExpr("v AS src", "u AS dst"))
+           .persist())
+    sc = spark.sparkContext
+    n_edges = sym.count()
+    nparts = max(1, min(sc.defaultParallelism, n_edges // 100_000 + 1))
+    seeds = (sym.select(F.col("src").alias("node")).distinct()
+             .orderBy("node").limit(_BFS_SEEDS))
+    dist = (seeds.withColumn("hops", F.lit(0).cast("bigint"))
+            .coalesce(nparts).localCheckpoint(eager=True))
+    frontier = dist
+    for hop in range(1, _BFS_HOPS + 1):
+        neigh = (frontier.join(sym, frontier.node == sym.src)
+                 .select(F.col("dst").alias("node"))
+                 .distinct())
+        new = (neigh.join(dist, "node", "left_anti")
+               .withColumn("hops", F.lit(hop).cast("bigint"))
+               .coalesce(nparts).localCheckpoint(eager=True))
+        if new.limit(1).count() == 0:
+            break
+        dist = dist.unionByName(new).coalesce(nparts) \
+            .localCheckpoint(eager=True)
+        frontier = new
+    sym.unpersist()
+    return dist

@@ -1,12 +1,13 @@
-"""Mergeable frequency sketches: count-min with conservative top-k.
+"""Mergeable sketches: count-min frequency estimation and KMV distinct
+counting.
 
 Complements the existing sketch surface (q28 HLL distinct counts, q34
-quantile sketches) with the frequency-estimation member of the family —
-and unlike those, this one is fully ORACLED: the sketch is a deterministic
-function of the data given the hash family (one md5 fold + Carter-Wegman
-transforms, the q47 MinHash machinery), so DuckDB reproduces the counters
-and the estimates bit-for-bit.  The APPROXIMATION error (estimate vs true
-count) is quantified in the output itself and bounded in pytest.
+quantile sketches) with two more family members — and unlike those, these
+are fully ORACLED: each sketch is a deterministic function of the data
+given the hash family (one md5 fold + Carter-Wegman transforms, the q47
+MinHash machinery), so DuckDB reproduces the counters and the estimates
+bit-for-bit.  The APPROXIMATION error (estimate vs true count) is
+quantified in the output itself and bounded in pytest.
 
 Scale: the sketch build is one groupBy over d*w = 4096 counter keys with
 map-side partials — a fixed-size shuffle regardless of corpus size, which
@@ -130,3 +131,63 @@ def q113_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("exact_count").cast("bigint").alias("exact_count"),
                     (F.col("est_count") - F.col("exact_count"))
                     .cast("bigint").alias("overestimate")))
+
+
+# --------------------------------------------------------------------------
+# q114 — KMV (k-minimum-values) distinct-count sketch: keep the k smallest
+# hash values of the distinct tokens; est = (k-1) * (P+1) / h_k.  Like the
+# CMS above — and unlike q28's HLL — the sketch is a deterministic
+# function of the data under the md5 fold, so the sketch rows AND the
+# estimate hash-match DuckDB exactly, while the approximation error is
+# observable in the output (est vs exact).
+#
+# Mergeability (the scale story): KMV(A ∪ B) = k smallest of
+# KMV(A) ∪ KMV(B) — a union + top-k, so per-partition sketches combine
+# associatively; Spark computes exactly that here (per-partition top-k
+# partials feed the global top-k under the hood of the rank).
+# The estimator is the standard unbiased KMV form (Bar-Yossef et al.).
+#
+# Plan: distinct-token groupBy (the one real shuffle), then a global
+# bottom-k rank over |vocab| rows — two-phase under AQE.  Output is one
+# row: h_k, estimate, exact count, relative error.
+# --------------------------------------------------------------------------
+_KMV_K = 64
+
+
+def _kmv_oracle() -> str:
+    h = _hex_fold("duckdb", "md5(term)")
+    return f"""
+    WITH toks AS (
+        SELECT DISTINCT UNNEST(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    hashed AS (SELECT term, {h} AS h FROM toks WHERE term <> ''),
+    ranked AS (
+        SELECT h, ROW_NUMBER() OVER (ORDER BY h, term) AS rk FROM hashed
+    ),
+    kth AS (SELECT h AS hk FROM ranked WHERE rk = {_KMV_K}),
+    exact AS (SELECT COUNT(*) AS n_exact FROM hashed)
+    SELECT CAST(kth.hk AS BIGINT) AS kth_min_hash,
+           ROUND(({_KMV_K} - 1) * CAST({_MH_P} + 1 AS DOUBLE) / kth.hk, 6)
+               AS est_distinct,
+           CAST(exact.n_exact AS BIGINT) AS exact_distinct
+    FROM kth CROSS JOIN exact
+    """
+
+
+@query("q114_kmv_distinct", _kmv_oracle())
+def q114_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    hashed = (d.select(F.explode(F.split("text", " ")).alias("term"))
+              .filter(F.col("term") != "").distinct()
+              .withColumn("h", F.expr(_hex_fold("spark", "md5(term)"))))
+    w = W.orderBy("h", "term")
+    kth = (hashed.withColumn("rk", F.row_number().over(w))
+           .filter(F.col("rk") == _KMV_K)
+           .select(F.col("h").alias("hk")))
+    exact = hashed.agg(F.count(F.lit(1)).alias("n_exact"))
+    return (kth.crossJoin(exact)  # 1-row x 1-row
+            .select(F.col("hk").cast("bigint").alias("kth_min_hash"),
+                    F.round((_KMV_K - 1) * float(_MH_P + 1) / F.col("hk"), 6)
+                    .alias("est_distinct"),
+                    F.col("n_exact").cast("bigint").alias("exact_distinct")))

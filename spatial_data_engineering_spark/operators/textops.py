@@ -1558,3 +1558,56 @@ def q108_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") == 1)
             .select("doc_id", F.col("term").alias("top_term"),
                     "tf", "df", "score"))
+
+
+# --------------------------------------------------------------------------
+# q116 — population-stability-index drift detection between two corpus
+# snapshots (here: even/odd doc_id halves standing in for yesterday's and
+# today's crawl): per-language PSI contribution
+# (p_cur - p_ref) * ln(p_cur / p_ref), plus each side's share.  The
+# standard "did my training-mix shift" gate before a data refresh ships.
+#
+# The shares are exact rationals evaluated identically in both engines;
+# ln() may differ in the last ulp between java and libm, so contributions
+# are ROUND(·, 6) — the q108 rule.
+#
+# Shape: one scan, one 5-key groupBy with conditional partial counts, a
+# broadcast of the 1-row totals — no data shuffle at all.
+# --------------------------------------------------------------------------
+@query(
+    "q116_psi_drift",
+    """
+    WITH counts AS (
+        SELECT lang,
+               COUNT(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS n_ref,
+               COUNT(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_cur
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM counts)
+    SELECT lang,
+           ROUND(CAST(n_ref AS DOUBLE) / t_ref, 6) AS p_ref,
+           ROUND(CAST(n_cur AS DOUBLE) / t_cur, 6) AS p_cur,
+           ROUND((CAST(n_cur AS DOUBLE) / t_cur
+                  - CAST(n_ref AS DOUBLE) / t_ref)
+                 * ln((CAST(n_cur AS DOUBLE) / t_cur)
+                      / (CAST(n_ref AS DOUBLE) / t_ref)), 6)
+               AS psi_contrib
+    FROM counts CROSS JOIN tot
+    """,
+)
+def q116_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(
+        F.count(F.when(F.col("doc_id") % 2 == 0, 1)).alias("n_ref"),
+        F.count(F.when(F.col("doc_id") % 2 == 1, 1)).alias("n_cur"),
+    )
+    tot = counts.agg(F.sum("n_ref").alias("t_ref"),
+                     F.sum("n_cur").alias("t_cur"))
+    p_ref = F.col("n_ref").cast("double") / F.col("t_ref")
+    p_cur = F.col("n_cur").cast("double") / F.col("t_cur")
+    return (counts.crossJoin(F.broadcast(tot))  # 5 rows x 1 row
+            .select("lang",
+                    F.round(p_ref, 6).alias("p_ref"),
+                    F.round(p_cur, 6).alias("p_cur"),
+                    F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6)
+                    .alias("psi_contrib")))

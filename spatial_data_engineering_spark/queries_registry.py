@@ -60,6 +60,8 @@ _PRIORITY = [
     "q107_line_dedup", "q108_tfidf_keywords", "q109_triangle_count",
     "q110_mmr_diversify", "q111_pq_adc_topk",
     "q112_scd2_intervals", "q113_cms_heavy_hitters",
+    "q114_kmv_distinct", "q115_bfs_hops",
+    "q116_psi_drift", "q117_rolling_median",
     # --- last driver row: round 3 (oracled) — lead the window ---
     "q47_minhash_lsh", "q67_overlap_dissolve",
     "q60_point_in_polygon", "q61_zonal_histogram",
