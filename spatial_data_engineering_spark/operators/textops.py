@@ -29,6 +29,12 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+from .dedup import _MH_P as _FOLD_P, _hex_fold as _fold
+
+_HEX_FOLD_SPARK = _fold("spark", "md5(cast(doc_id as string))")
+_HEX_FOLD_DUCK = _fold("duckdb", "md5(cast(doc_id as varchar))")
+
+
 # Tokenization used across all text operators: plain space split.  The
 # documents fixture is space-separated ASCII; a BPE-ish regex tokenizer for
 # real corpora lives in token_count below.
@@ -1611,3 +1617,44 @@ def q116_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(p_cur, 6).alias("p_cur"),
                     F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6)
                     .alias("psi_contrib")))
+
+
+# --------------------------------------------------------------------------
+# q118 — weighted sampling without replacement (Efraimidis–Spirakis): per
+# source stratum, draw 3 documents with inclusion probability ∝ n_chars.
+# The ES key u^(1/w) is rank-equivalent to ln(u)/w, which is what both
+# engines order by; u is a deterministic uniform from the md5 fold
+# ((h+1)/(P+1) ∈ (0,1]), so the "randomness" is reproducible across
+# runs, engines and retried tasks — the q102/q73 hash-sampling doctrine
+# extended to weighted draws.
+#
+# ln() is the one transcendental: the ordering key is ROUND(·, 12) so a
+# last-ulp java-vs-libm divergence cannot flip ranks (q108 rule; 12
+# digits because keys are O(1e-4) and need headroom before the
+# tiebreak).  Shape: one window per stratum — same as q102.
+# --------------------------------------------------------------------------
+@query(
+    "q118_weighted_sample",
+    f"""
+    SELECT source, doc_id, n_chars
+    FROM (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY ROUND(
+                       ln(({_HEX_FOLD_DUCK} + 1.0) / 2147483648.0)
+                       / n_chars, 12) DESC, doc_id) AS rk
+        FROM documents WHERE n_chars > 0
+    ) WHERE rk <= 3
+    """,
+)
+def q118_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (F.expr(_HEX_FOLD_SPARK) + 1.0) / 2147483648.0
+    key = F.round(F.log(u) / F.col("n_chars"), 12)
+    w = W.partitionBy("source").orderBy(key.desc(), F.col("doc_id"))
+    return (d.select("source", "doc_id", "n_chars",
+                     F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") <= 3).drop("rk"))

@@ -61,7 +61,7 @@ _PRIORITY = [
     "q110_mmr_diversify", "q111_pq_adc_topk",
     "q112_scd2_intervals", "q113_cms_heavy_hitters",
     "q114_kmv_distinct", "q115_bfs_hops",
-    "q116_psi_drift", "q117_rolling_median",
+    "q116_psi_drift", "q117_rolling_median", "q118_weighted_sample",
     # --- last driver row: round 3 (oracled) — lead the window ---
     "q47_minhash_lsh", "q67_overlap_dissolve",
     "q60_point_in_polygon", "q61_zonal_histogram",

