@@ -453,3 +453,48 @@ def q117_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id", "user_id",
         F.expr("percentile(value, 0.5)").over(w).alias("rolling_median"))
+
+
+# --------------------------------------------------------------------------
+# q120 — forward as-of join with tolerance: each purchase event joined to
+# the user's NEXT error event within 1 hour (the q29 as-of join's mirror:
+# "did this purchase precede a failure").  Same union-free single-window
+# plan: one pass per user carrying the next error timestamp backwards
+# with first_value(ignorenulls) over the following frame — no join at
+# all, so nothing can skew; exact integer micros.
+# --------------------------------------------------------------------------
+@query(
+    "q120_asof_forward",
+    """
+    WITH tagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               FIRST_VALUE(CASE WHEN event_type = 'error'
+                                THEN epoch_us(ts) END IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS next_err_us
+        FROM events WHERE event_type IN ('purchase', 'error')
+    )
+    SELECT event_id, user_id, epoch_us(ts) AS purchase_us,
+           CASE WHEN next_err_us - epoch_us(ts) <= 3600000000
+                THEN next_err_us END AS error_us,
+           CASE WHEN next_err_us - epoch_us(ts) <= 3600000000
+                THEN next_err_us - epoch_us(ts) END AS gap_us
+    FROM tagged WHERE event_type = 'purchase'
+    """,
+)
+def q120_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    both = e.filter(F.col("event_type").isin("purchase", "error"))
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(1, W.unboundedFollowing))
+    err_us = F.when(F.col("event_type") == "error", F.unix_micros("ts"))
+    tagged = both.withColumn(
+        "next_err_us", F.first(err_us, ignorenulls=True).over(w))
+    us = F.unix_micros("ts")
+    within = F.col("next_err_us") - us <= 3_600_000_000
+    return (tagged.filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", us.alias("purchase_us"),
+                    F.when(within, F.col("next_err_us")).alias("error_us"),
+                    F.when(within, F.col("next_err_us") - us)
+                    .alias("gap_us")))

@@ -168,7 +168,7 @@ def _kmv_oracle() -> str:
     kth AS (SELECT h AS hk FROM ranked WHERE rk = {_KMV_K}),
     exact AS (SELECT COUNT(*) AS n_exact FROM hashed)
     SELECT CAST(kth.hk AS BIGINT) AS kth_min_hash,
-           ROUND(({_KMV_K} - 1) * CAST({_MH_P} + 1 AS DOUBLE) / kth.hk, 6)
+           ROUND(({_KMV_K} - 1) * CAST({_MH_P + 1} AS DOUBLE) / kth.hk, 6)
                AS est_distinct,
            CAST(exact.n_exact AS BIGINT) AS exact_distinct
     FROM kth CROSS JOIN exact
@@ -191,3 +191,102 @@ def q114_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round((_KMV_K - 1) * float(_MH_P + 1) / F.col("hk"), 6)
                     .alias("est_distinct"),
                     F.col("n_exact").cast("bigint").alias("exact_distinct")))
+
+
+# --------------------------------------------------------------------------
+# q119 — KMV set operations: estimate the vocabulary overlap (Jaccard and
+# intersection size) between two corpus snapshots (even/odd doc halves)
+# from their KMV sketches alone — the theta-sketch use case: compare
+# yesterday's and today's crawls without holding either vocabulary.
+#
+# Standard KMV estimator: merge = bottom-k of the union of both sketches;
+# rho = fraction of merge members present in BOTH sketches;
+# est_jaccard = rho, est_intersection = rho * est_distinct(union).
+# Everything is integer ranks + one double division per output — fully
+# deterministic under the md5 fold, hence oracled; the true Jaccard rides
+# along so the error is observable.
+#
+# Scale: each side's sketch is an independent bottom-k (mergeable,
+# per-partition partials); the comparison touches 2k = 128 rows.
+# --------------------------------------------------------------------------
+def _kmv_setops_oracle() -> str:
+    h = _hex_fold("duckdb", "md5(term)")
+    return f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id % 2 AS side,
+               UNNEST(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    hashed AS (SELECT DISTINCT side, term, {h} AS h
+               FROM toks WHERE term <> ''),
+    ranked AS (
+        SELECT side, term, h, ROW_NUMBER() OVER
+            (PARTITION BY side ORDER BY h, term) AS rk
+        FROM hashed
+    ),
+    ska AS (SELECT term, h FROM ranked WHERE side = 0 AND rk <= {_KMV_K}),
+    skb AS (SELECT term, h FROM ranked WHERE side = 1 AND rk <= {_KMV_K}),
+    merged AS (
+        SELECT term, h, ROW_NUMBER() OVER (ORDER BY h, term) AS rk
+        FROM (SELECT term, h FROM ska UNION SELECT term, h FROM skb)
+    ),
+    bot AS (SELECT term, h FROM merged WHERE rk <= {_KMV_K}),
+    kth AS (SELECT MAX(h) AS hk FROM bot),
+    rho AS (
+        SELECT COUNT(*) AS n_both FROM bot
+        WHERE term IN (SELECT term FROM ska)
+          AND term IN (SELECT term FROM skb)
+    ),
+    truth AS (
+        SELECT COUNT(CASE WHEN n_sides = 2 THEN 1 END) AS n_inter,
+               COUNT(*) AS n_union
+        FROM (SELECT term, COUNT(DISTINCT side) AS n_sides
+              FROM hashed GROUP BY term)
+    )
+    SELECT CAST(rho.n_both AS BIGINT) AS k_in_both,
+           ROUND(CAST(rho.n_both AS DOUBLE) / {_KMV_K}, 6) AS est_jaccard,
+           ROUND(CAST(rho.n_both AS DOUBLE) / {_KMV_K}
+                 * (({_KMV_K} - 1) * CAST({_MH_P + 1} AS DOUBLE) / kth.hk),
+                 6) AS est_intersection,
+           ROUND(CAST(truth.n_inter AS DOUBLE) / truth.n_union, 6)
+               AS true_jaccard,
+           CAST(truth.n_inter AS BIGINT) AS true_intersection
+    FROM rho CROSS JOIN kth CROSS JOIN truth
+    """
+
+
+@query("q119_kmv_setops", _kmv_setops_oracle())
+def q119_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    hashed = (d.select((F.col("doc_id") % 2).alias("side"),
+                       F.explode(F.split("text", " ")).alias("term"))
+              .filter(F.col("term") != "").distinct()
+              .withColumn("h", F.expr(_hex_fold("spark", "md5(term)"))))
+    wside = W.partitionBy("side").orderBy("h", "term")
+    ranked = hashed.withColumn("rk", F.row_number().over(wside))
+    ska = ranked.filter((F.col("side") == 0) & (F.col("rk") <= _KMV_K)) \
+        .select("term", "h")
+    skb = ranked.filter((F.col("side") == 1) & (F.col("rk") <= _KMV_K)) \
+        .select("term", "h")
+    merged = (ska.unionByName(skb).distinct()
+              .withColumn("rk", F.row_number().over(W.orderBy("h", "term"))))
+    bot = merged.filter(F.col("rk") <= _KMV_K).select("term", "h")
+    kth = bot.agg(F.max("h").alias("hk"))
+    in_a = bot.join(ska.select("term"), "term", "left_semi")
+    rho = (in_a.join(skb.select("term"), "term", "left_semi")
+           .agg(F.count(F.lit(1)).alias("n_both")))
+    sides_per_term = (hashed.groupBy("term")
+                      .agg(F.countDistinct("side").alias("n_sides")))
+    truth = sides_per_term.agg(
+        F.count(F.when(F.col("n_sides") == 2, 1)).alias("n_inter"),
+        F.count(F.lit(1)).alias("n_union"))
+    est_j = F.col("n_both").cast("double") / _KMV_K
+    est_union = (_KMV_K - 1) * float(_MH_P + 1) / F.col("hk")
+    return (rho.crossJoin(kth).crossJoin(truth)  # 1-row scalars
+            .select(F.col("n_both").cast("bigint").alias("k_in_both"),
+                    F.round(est_j, 6).alias("est_jaccard"),
+                    F.round(est_j * est_union, 6).alias("est_intersection"),
+                    F.round(F.col("n_inter").cast("double")
+                            / F.col("n_union"), 6).alias("true_jaccard"),
+                    F.col("n_inter").cast("bigint")
+                    .alias("true_intersection")))

@@ -38,92 +38,66 @@ def _modules():
 # most one round old.  The driver window is the sampling gate, not the
 # completeness gate.
 #
-# Round-5 window: the 42 queries whose last driver row is from round 3
-# lead (the r4 window rotated them out, so they are now the oldest
-# evidence — two rounds stale without this rotation), then the queries
-# whose implementation or a shared dependency changed THIS round are
-# forced in-window: q93 (BLAS Gram production path), q56/q86 (pair-cache
-# eviction+lock), q42/q44 (scorer-arity guard in lang_id_confusion),
-# q18/q29 (events-table consumers of the catalog TIMESTAMP_NTZ/UTC
-# shim fix; q19/q31/q32 already lead the window as r3-tail).  The
-# remaining r4-verified queries take the tail, q01 first as the
-# headline canary filling slot 50.
+# Round-5 window (driver verifies the FIRST 50):
+#   1. q97-q120 — the 24 operators NEW this round, never driver-verified.
+#   2. q94-q96 (new after the r4 driver run) and q93/q56/q86/q29 (impl or
+#      shared dependency changed after the r4 run) — 7 more rows whose
+#      current form has no driver evidence.
+#   3. The remaining 19 slots go to the oldest r3-verified queries.
+# The other 23 r3-verified queries (q35_rank_functions onward in the
+# stale block) plus
+# the r4-green tail sit outside the window this round; all of them are
+# re-proven by tests/test_oracle_parity.py on every pytest run (the
+# completeness gate) and lead the r6 rotation.  q42/q44/q18 changed this
+# round only in driver-invisible ways (misuse guard on a non-default
+# path; UTC pin that is a no-op under the driver's UTC session) and
+# deliberately yield their forced slots — q29 covers the same
+# events/catalog surface in-window with raw timestamp output.
 _PRIORITY = [
-    # --- NEW in round 5 (never driver-verified — lead the window).
-    # Final round-5 rotation is re-balanced at round close once the full
-    # set of new/changed queries is known. ---
+    # --- never driver-verified: new in round 5 ---
     "q97_funnel", "q98_cohort_retention", "q99_zscore_anomaly",
     "q100_time_weighted_avg", "q101_gap_fill_interpolate",
-    "q102_bottomk_sample",
-    "q103_order_count_distribution", "q104_large_volume_orders",
-    "q105_lone_returner", "q106_bloom_semi_join",
+    "q102_bottomk_sample", "q103_order_count_distribution",
+    "q104_large_volume_orders", "q105_lone_returner", "q106_bloom_semi_join",
     "q107_line_dedup", "q108_tfidf_keywords", "q109_triangle_count",
-    "q110_mmr_diversify", "q111_pq_adc_topk",
-    "q112_scd2_intervals", "q113_cms_heavy_hitters",
-    "q114_kmv_distinct", "q115_bfs_hops",
+    "q110_mmr_diversify", "q111_pq_adc_topk", "q112_scd2_intervals",
+    "q113_cms_heavy_hitters", "q114_kmv_distinct", "q115_bfs_hops",
     "q116_psi_drift", "q117_rolling_median", "q118_weighted_sample",
-    # --- last driver row: round 3 (oracled) — lead the window ---
-    "q47_minhash_lsh", "q67_overlap_dissolve",
-    "q60_point_in_polygon", "q61_zonal_histogram",
-    "q49_cosine_topk", "q43_fingerprint", "q54_dedup_materialize",
-    "q15_count_distinct", "q19_hourly_window", "q21_props_extract",
-    "q22_cube", "q23_unpivot", "q24_in_subquery", "q25_window_analytics",
-    "q26_median", "q27_first_limit", "q30_range_join", "q31_sliding_window",
-    "q32_session_window", "q35_rank_functions", "q36_full_outer",
-    "q37_array_agg", "q38_profile", "q39_local_supplier_revenue",
-    "q63_date_functions", "q64_bag_set_ops",
+    "q119_kmv_setops", "q120_asof_forward",
+    # --- never driver-verified in current form (late-r4 additions/changes) ---
+    "q94_dedup_canonical", "q95_stratified_split", "q96_doc_bigram_lift",
+    "q93_embedding_covariance", "q56_dedup_components",
+    "q86_pagerank_centrality", "q29_asof_join",
+    # --- last driver row: round 3 (oldest evidence); first 19 fill the window ---
+    "q47_minhash_lsh", "q67_overlap_dissolve", "q60_point_in_polygon",
+    "q61_zonal_histogram", "q49_cosine_topk", "q43_fingerprint",
+    "q54_dedup_materialize", "q15_count_distinct", "q19_hourly_window",
+    "q21_props_extract", "q22_cube", "q23_unpivot", "q24_in_subquery",
+    "q25_window_analytics", "q26_median", "q27_first_limit", "q30_range_join",
+    "q31_sliding_window", "q32_session_window", "q35_rank_functions",
+    "q36_full_outer", "q37_array_agg", "q38_profile",
+    "q39_local_supplier_revenue", "q63_date_functions", "q64_bag_set_ops",
     "q28_approx_distinct", "q34_approx_quantiles", "q52_ivf_ann",
-    "q55_kmeans",
-    "q76_ngram_jaccard_join", "q77_pack_sequences", "q79_decontaminate",
-    "q81_substring_dup", "q83_embedding_stats", "q84_sample_exact_k",
-    "q85_twophase_topk", "q10_row_number", "q71_frame_sample",
-    "q50_embedding_neardup", "q51_srp_lsh_buckets",
+    "q55_kmeans", "q76_ngram_jaccard_join", "q77_pack_sequences",
+    "q79_decontaminate", "q81_substring_dup", "q83_embedding_stats",
+    "q84_sample_exact_k", "q85_twophase_topk", "q10_row_number",
+    "q71_frame_sample", "q50_embedding_neardup", "q51_srp_lsh_buckets",
     "q53_embedding_centroids",
-    # --- implementation or dependency changed this round (forced in) ---
-    "q93_embedding_covariance",  # mapInArrow BLAS Gram production path
-    "q56_dedup_components",   # near_dup_pairs cache eviction + lock
-    "q86_pagerank_centrality",  # same shared pair-set dependency
-    "q29_asof_join",          # events table: catalog NTZ/UTC shim fix
-    # --- NEW this round (never driver-verified — forced in-window) ---
-    "q94_dedup_canonical",    # new: richest-member canonical per cluster
-    "q95_stratified_split",   # new: exact 80/10/10 per-lang split
-    "q96_doc_bigram_lift",    # new: per-doc LM-quality proxy
-    # ---- q42 below fills slot 50; q44/q18 fall just outside.  They
-    # yielded their forced slots to the new queries because their
-    # round-5 changes don't alter driver-visible behavior: q42/q44's is
-    # a misuse guard on the non-default scorer path (default bit-
-    # identical, r4-green, pytest-reproven), and q18's UTC pin only
-    # affects non-UTC sessions (the driver session is UTC; q29 covers
-    # the events/catalog surface in-window with raw timestamp output —
-    # the more TZ-sensitive of the two).  Everything from q44 down was
-    # driver-verified green in round 4 and rotates back next round. ----
-    "q42_lang_id",
-    "q44_quality_score",
-    "q18_sessionization",
-    "q01_pricing_summary",
-    "q45_dedup_exact", "q46_dedup_tokensort", "q48_simhash",
-    "q40_text_stats", "q41_token_count",
-    "q08_var_argmax",
-    "q33_percentiles", "q72_hierarchical_rollup",
-    "q57_normalize_text", "q58_edit_distance", "q65_blocklist_filter",
-    "q66_repetition", "q68_chunk_documents", "q69_embedding_quantize",
-    "q70_multimodal_meta", "q73_hash_split", "q74_vocab_topk",
-    "q02_ilike_filter", "q03_join_enrich", "q04_semi_join", "q05_anti_join",
-    "q06_monthly_revenue", "q07_month_spine", "q09_histogram",
-    "q11_topk_per_group", "q12_pivot", "q13_setops", "q14_rollup",
-    "q16_extent", "q17_case_thresholds",
-    "q20_above_avg",
-    "q75_golden_variance",
-    "q78_balance_corpus",
-    "q80_quality_filter",
-    "q82_incremental_dedup",
-    "q62_dissolve_area",
-    "q87_ngram_novelty",
-    "q88_containment_join",
-    "q89_bigram_lift",
-    "q90_pattern_redact",
-    "q91_temperature_sample",
-    "q92_random_projection",
+    # --- r4-verified tail (pytest-proven every run; lead r6 rotation) ---
+    "q42_lang_id", "q44_quality_score", "q18_sessionization",
+    "q01_pricing_summary", "q45_dedup_exact", "q46_dedup_tokensort",
+    "q48_simhash", "q40_text_stats", "q41_token_count", "q08_var_argmax",
+    "q33_percentiles", "q72_hierarchical_rollup", "q57_normalize_text",
+    "q58_edit_distance", "q65_blocklist_filter", "q66_repetition",
+    "q68_chunk_documents", "q69_embedding_quantize", "q70_multimodal_meta",
+    "q73_hash_split", "q74_vocab_topk", "q02_ilike_filter", "q03_join_enrich",
+    "q04_semi_join", "q05_anti_join", "q06_monthly_revenue",
+    "q07_month_spine", "q09_histogram", "q11_topk_per_group", "q12_pivot",
+    "q13_setops", "q14_rollup", "q16_extent", "q17_case_thresholds",
+    "q20_above_avg", "q75_golden_variance", "q78_balance_corpus",
+    "q80_quality_filter", "q82_incremental_dedup", "q62_dissolve_area",
+    "q87_ngram_novelty", "q88_containment_join", "q89_bigram_lift",
+    "q90_pattern_redact", "q91_temperature_sample", "q92_random_projection",
 ]
 
 
