@@ -489,3 +489,61 @@ def test_q106_bloom_prunes_before_shuffle(spark):
     # the bloom itself must prune: with ~2k keys in 128K bits / k=3 the
     # FPR is well under 1%, so the pruned frame should be close to exact
     assert 0 < exact_rows < total
+
+
+def test_q99_broadcasts_stats_no_corpus_shuffle(spark):
+    """The per-type stats frame must broadcast back onto events — the
+    events stream itself never shuffles for the join."""
+    plan = _plan(spark, "q99_zscore_anomaly")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q103_left_join_preserves_zero_counts(spark):
+    """Q13 shape: the priority predicate must live in the LEFT JOIN
+    condition (outer-preserving), not a post-join filter."""
+    plan = _plan(spark, "q103_order_count_distribution")
+    assert "LeftOuter" in plan
+    # zero-order customers must survive to the histogram
+    from spatial_data_engineering_spark.queries_registry import all_queries
+    rows = {r.c_count: r.n_customers
+            for r in all_queries()["q103_order_count_distribution"](
+                spark, SF_ORACLE).collect()}
+    assert 0 in rows and rows[0] > 0
+
+
+def test_q104_broadcasts_customer_dim(spark):
+    plan = _plan(spark, "q104_large_volume_orders")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q113_sketch_is_fixed_size(spark):
+    """The CMS counter table must be exactly d*w rows no matter the
+    corpus — the property that makes the shuffle fixed-size at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from spatial_data_engineering_spark.catalog import load
+    from spatial_data_engineering_spark.operators.sketches import (
+        _CMS_D, _CMS_W, _hex_fold, _pos_exprs)
+
+    d = load(spark, SF_ORACLE, "documents")
+    tf = (d.select(F.explode(F.split("text", " ")).alias("term"))
+          .filter(F.col("term") != "")
+          .groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+          .withColumn("h", F.expr(_hex_fold("spark", "md5(term)"))))
+    poss = _pos_exprs("spark", "h")
+    cells = tf.select(F.explode(F.array(*[
+        F.struct(F.lit(i).alias("row_i"), F.expr(poss[i]).alias("pos"))
+        for i in range(_CMS_D)])).alias("c")).select("c.row_i", "c.pos")
+    n_cells = cells.distinct().count()
+    assert n_cells <= _CMS_D * _CMS_W
+    # all four rows populated
+    assert cells.select("row_i").distinct().count() == _CMS_D
+
+
+def test_q120_is_single_window_no_join(spark):
+    """The forward as-of must be one window pass — zero joins in the
+    plan (the shape that cannot skew)."""
+    plan = _plan(spark, "q120_asof_forward")
+    assert "Join" not in plan
+    assert plan.count("Window") >= 1
