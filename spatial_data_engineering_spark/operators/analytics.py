@@ -498,3 +498,53 @@ def q120_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(within, F.col("next_err_us")).alias("error_us"),
                     F.when(within, F.col("next_err_us") - us)
                     .alias("gap_us")))
+
+
+# --------------------------------------------------------------------------
+# q123 — MAD-based robust outlier detection: per event_type, the median
+# absolute deviation and the count of events whose modified z-score
+# 0.6745*|x - median| / MAD exceeds 3.5 (Iglewicz-Hoaglin).  The robust
+# twin of q99 — a single wild value cannot move the cut the way it moves
+# mean/stddev.  Medians are exact (interpolated identically in both
+# engines); the threshold compare is per-row IEEE on identical inputs.
+#
+# Shape: two low-card groupBy passes (median, then MAD over |x - median|)
+# plus a broadcast-back filter — events never shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "q123_mad_outliers",
+    """
+    WITH med AS (
+        SELECT event_type, MEDIAN(value) AS med FROM events
+        GROUP BY event_type
+    ),
+    mad AS (
+        SELECT e.event_type, MEDIAN(ABS(e.value - m.med)) AS mad
+        FROM events e JOIN med m ON e.event_type = m.event_type
+        GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+           ROUND(m.med, 6) AS median_value,
+           ROUND(d.mad, 6) AS mad,
+           COUNT(CASE WHEN 0.6745 * ABS(e.value - m.med) / d.mad > 3.5
+                      THEN 1 END) AS n_outliers
+    FROM events e
+    JOIN med m ON e.event_type = m.event_type
+    JOIN mad d ON e.event_type = d.event_type
+    GROUP BY e.event_type, m.med, d.mad
+    """,
+)
+def q123_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med"))
+    mad = (e.join(F.broadcast(med), "event_type")
+           .groupBy("event_type")
+           .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+                F.first("med").alias("med")))
+    mz = 0.6745 * F.abs(F.col("value") - F.col("med")) / F.col("mad")
+    return (e.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type",
+                     F.round("med", 6).alias("median_value"),
+                     F.round("mad", 6).alias("mad"))
+            .agg(F.count(F.when(mz > 3.5, 1)).alias("n_outliers")))

@@ -1460,3 +1460,37 @@ def q72_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (grain(hourly, "hour")
             .unionByName(grain(daily, "day"))
             .unionByName(grain(monthly, "month")))
+
+
+# --------------------------------------------------------------------------
+# q121b/q122 — explicit GROUPING SETS with grouping() disambiguation: the
+# third member of the rollup family (q14 ROLLUP, q22 CUBE) — an arbitrary
+# set list {(returnflag, linestatus), (returnflag), ()} where NULL group
+# keys are distinguished from aggregated-away levels via GROUPING().
+# One pass, Expand-based — no re-scan per set.
+# --------------------------------------------------------------------------
+@query(
+    "q122_grouping_sets",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+           COUNT(*) AS n_items,
+           {sql_dsum('l_quantity', 'sum_qty')}
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+    """,
+)
+def q122_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("q122_lineitem")
+    return li.sparkSession.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+               COUNT(*) AS n_items,
+               {sql_dsum('l_quantity', 'sum_qty')}
+        FROM q122_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+    """)

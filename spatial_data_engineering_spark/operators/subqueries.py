@@ -257,3 +257,42 @@ def q106_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         dsum("l_extendedprice", "sum_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# q124 — incremental aggregate maintenance (the IVM merge pattern): a
+# standing per-customer revenue aggregate is REFRESHED with a delta batch
+# (orders arriving today, o_orderkey % 10 = 9) by merging partial states
+# — never re-scanning the base.  Correctness statement: merged state ==
+# full recompute, which is exactly what the oracle computes; the Spark
+# plan is base-agg ∪ delta-agg -> re-agg (sum/sum, count/count merge),
+# the same shape a materialized-view refresh runs at 100 TB where the
+# base aggregate is a stored table and only the delta touches raw data.
+# --------------------------------------------------------------------------
+@query(
+    "q124_incremental_agg_merge",
+    f"""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q124_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    is_delta = F.col("o_orderkey") % 10 == 9
+    # standing aggregate state (in production: a stored MV table)
+    base = (o.filter(~is_delta).groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+                 .alias("sum_dec")))
+    # today's delta batch: the only part that touches raw rows on refresh
+    delta = (o.filter(is_delta).groupBy("o_custkey")
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+                  .alias("sum_dec")))
+    # merge: partial states are (count, exact decimal sum) — associative,
+    # so union + re-agg is the refresh
+    return (base.unionByName(delta)
+            .groupBy("o_custkey")
+            .agg(F.sum("n_orders").alias("n_orders"),
+                 F.sum("sum_dec").cast("double").alias("sum_price")))

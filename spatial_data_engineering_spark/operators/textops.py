@@ -1658,3 +1658,47 @@ def q118_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (d.select("source", "doc_id", "n_chars",
                      F.row_number().over(w).alias("rk"))
             .filter(F.col("rk") <= 3).drop("rk"))
+
+
+# --------------------------------------------------------------------------
+# q121 — token-distribution Shannon entropy per language: H = -Σ p ln p
+# over each language's token frequencies, plus the perplexity-style
+# exp(H) "effective vocabulary".  The corpus-health metric next to PSI
+# (q116): entropy collapse flags template spam before training sees it.
+# ln rounding per the q108 rule; p is an exact rational.
+#
+# Shape: (lang, term) groupBy with map-side partials, then a per-lang
+# fold — the per-row p*ln(p) terms must be rounded BEFORE the sum (both
+# engines sum identical rounded doubles via decimal accumulation).
+# --------------------------------------------------------------------------
+@query(
+    "q121_token_entropy",
+    """
+    WITH tf AS (
+        SELECT lang, term, COUNT(*) AS n
+        FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS term
+              FROM documents)
+        WHERE term <> '' GROUP BY lang, term
+    ),
+    tot AS (SELECT lang, SUM(n) AS t FROM tf GROUP BY lang)
+    SELECT tf.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(CAST(-ROUND((CAST(tf.n AS DOUBLE) / tot.t)
+                                * ln(CAST(tf.n AS DOUBLE) / tot.t), 9)
+                         AS DECIMAL(30,9))) AS DOUBLE) AS entropy
+    FROM tf JOIN tot ON tf.lang = tot.lang
+    GROUP BY tf.lang
+    """,
+)
+def q121_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tf = (d.select("lang", F.explode(F.split("text", " ")).alias("term"))
+          .filter(F.col("term") != "")
+          .groupBy("lang", "term").agg(F.count(F.lit(1)).alias("n")))
+    tot = tf.groupBy("lang").agg(F.sum("n").alias("t"))
+    p = F.col("n").cast("double") / F.col("t")
+    term = (-F.round(p * F.log(p), 9)).cast("decimal(30,9)")
+    return (tf.join(F.broadcast(tot), "lang")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+                 F.sum(term).cast("double").alias("entropy")))
