@@ -208,3 +208,33 @@ def run_to_completion(stream_df: DataFrame, query_name: str,
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def stream_cms_sketch(stream_docs: DataFrame) -> DataFrame:
+    """Streaming count-min sketch maintenance: the q113 counter table kept
+    live over a document stream.  Because a CMS is an additive groupBy —
+    counters are (row, pos) -> SUM — the batch build IS the streaming
+    build: tokens explode to d (row, pos) cells and a streaming
+    aggregation in update/complete mode maintains the 4x1024 table
+    incrementally, with per-micro-batch deltas merged by the state store
+    exactly as map-side partials merge in batch.
+
+    State is bounded at d*w rows regardless of stream volume — the
+    sketch property that makes this the right frequency monitor for an
+    unbounded stream (an exact token count's state grows with |vocab|).
+    Parity with the batch sketch is pinned in test_streaming.
+    """
+    from ..operators.dedup import _hex_fold
+    from ..operators.sketches import _CMS_D, _pos_exprs
+
+    toks = (stream_docs
+            .select(F.explode(F.split("text", " ")).alias("term"))
+            .filter(F.col("term") != "")
+            .withColumn("h", F.expr(_hex_fold("spark", "md5(term)"))))
+    poss = _pos_exprs("spark", "h")
+    cells = (toks.select(F.explode(F.array(*[
+        F.expr(f"struct({i} AS row_i, {poss[i]} AS pos)")
+        for i in range(_CMS_D)])).alias("c"))
+        .select("c.row_i", "c.pos"))
+    return cells.groupBy("row_i", "pos").agg(
+        F.count(F.lit(1)).alias("cnt"))

@@ -379,3 +379,45 @@ def test_stream_sessionize_timeout_fires_across_batches(spark, tmp_path):
     # timeouts + cross-batch closures must flush most sessions: at least
     # half of all batch sessions emit on this 4-batch ordered replay
     assert len(emitted) >= len(sessions) // 2
+
+
+def test_stream_cms_matches_batch_sketch(spark, tmp_path):
+    """The streaming CMS counter table, driven over the documents corpus
+    in micro-batches, must equal the batch q113 sketch cell-for-cell —
+    the additive-merge property that makes sketches streaming-native."""
+    from pyspark.sql import functions as F
+
+    from spatial_data_engineering_spark.catalog import load
+    from spatial_data_engineering_spark.operators.dedup import _hex_fold
+    from spatial_data_engineering_spark.operators.sketches import (
+        _CMS_D, _pos_exprs)
+    from spatial_data_engineering_spark.streaming.windows import (
+        run_to_completion, stream_cms_sketch)
+
+    docs = load(spark, SF_SMOKE, "documents")
+    src = str(tmp_path / "cms_docs")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+
+    got = run_to_completion(stream_cms_sketch(stream), "t_cms",
+                            output_mode="complete").toPandas()
+
+    # batch reference: identical cell construction on the same rows
+    toks = (spark.read.parquet(src)
+            .select(F.explode(F.split("text", " ")).alias("term"))
+            .filter(F.col("term") != "")
+            .withColumn("h", F.expr(_hex_fold("spark", "md5(term)"))))
+    poss = _pos_exprs("spark", "h")
+    cells = (toks.select(F.explode(F.array(*[
+        F.expr(f"struct({i} AS row_i, {poss[i]} AS pos)")
+        for i in range(_CMS_D)])).alias("c"))
+        .select("c.row_i", "c.pos"))
+    exp = (cells.groupBy("row_i", "pos")
+           .agg(F.count(F.lit(1)).alias("cnt")).toPandas())
+
+    key = ["row_i", "pos"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    exp_s = exp.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(exp_s) > 0
+    assert (got_s["cnt"].to_numpy() == exp_s["cnt"].to_numpy()).all()
