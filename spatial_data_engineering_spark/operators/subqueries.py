@@ -296,3 +296,76 @@ def q124_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("o_custkey")
             .agg(F.sum("n_orders").alias("n_orders"),
                  F.sum("sum_dec").cast("double").alias("sum_price")))
+
+
+# --------------------------------------------------------------------------
+# q125 — correlated scalar-aggregate subquery (TPC-H Q17 shape): revenue
+# of small-quantity line items, "small" defined per part as
+# quantity < 0.5 * avg(quantity of that part).  The correlated
+# avg-subquery decorrelates into one per-part aggregate joined back —
+# Catalyst's standard rewrite, made explicit so the plan is one groupBy +
+# one join instead of a per-row rescan.  The 0.5*avg threshold is exact
+# decimal-avg cast to double — per-row IEEE compare, no boundary drift.
+#
+# Scale: per-part avg has map-side partials on the join key itself;
+# at |parts| << |lineitem| the avg frame broadcasts.
+# --------------------------------------------------------------------------
+@query(
+    "q125_small_quantity_revenue",
+    f"""
+    SELECT l.l_partkey, COUNT(*) AS n_small,
+           {sql_dsum('l.l_extendedprice', 'sum_price')}
+    FROM lineitem l
+    WHERE l.l_quantity < (
+        SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(30,6)))
+                           AS DOUBLE) / COUNT(l2.l_quantity))
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+    )
+    GROUP BY l.l_partkey
+    """,
+)
+def q125_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        davg("l_quantity", "avg_qty"))
+    return (
+        li.join(F.broadcast(per_part), li.l_partkey == per_part.pk)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_small"),
+             dsum("l_extendedprice", "sum_price"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q126 — global-scalar HAVING subquery (TPC-H Q11 shape): supplier
+# revenue shares, keeping suppliers whose revenue exceeds 0.1% of the
+# GLOBAL total.  The scalar total joins back as a broadcast 1-row frame;
+# the share and the cut use the same exact-decimal total on both
+# engines, so the 0.001 threshold cannot flip.
+# --------------------------------------------------------------------------
+@query(
+    "q126_revenue_share",
+    f"""
+    WITH per_supp AS (
+        SELECT l_suppkey, {sql_dsum('l_extendedprice * (1 - l_discount)',
+                                    'revenue')}
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    tot AS (SELECT {sql_dsum('revenue', 'total')} FROM per_supp)
+    SELECT p.l_suppkey, p.revenue,
+           ROUND(p.revenue / t.total, 9) AS share
+    FROM per_supp p CROSS JOIN tot t
+    WHERE p.revenue > 0.001 * t.total
+    """,
+)
+def q126_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_supp = li.groupBy("l_suppkey").agg(dsum(rev, "revenue"))
+    tot = per_supp.agg(dsum("revenue", "total"))
+    return (per_supp.crossJoin(F.broadcast(tot))  # 1-row scalar
+            .filter(F.col("revenue") > 0.001 * F.col("total"))
+            .select("l_suppkey", "revenue",
+                    F.round(F.col("revenue") / F.col("total"), 9)
+                    .alias("share")))
