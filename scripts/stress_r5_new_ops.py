@@ -93,6 +93,8 @@ def main() -> None:
     n_orders = n_li // 4
     spark.range(n_orders).select(
         F.col("id").alias("o_orderkey"),
+        F.pmod(F.xxhash64("id", F.lit(9)), F.lit(n_orders // 10))
+        .alias("o_custkey"),
         (F.pmod(F.xxhash64("id"), F.lit(300_000)) / 1.0 + 1000.0
          ).alias("o_totalprice"),
         F.element_at(F.array(*[F.lit(p) for p in
@@ -142,9 +144,20 @@ def main() -> None:
         & (F.col("valid_to_us") <= F.col("valid_from_us"))).count()
     assert bad == 0, "SCD2 intervals out of order"
 
+    # sketches at corpus scale
+    df114 = run("q114_kmv_distinct")
+    r = df114.collect()[0]
+    rel_err = abs(r.est_distinct - r.exact_distinct) / r.exact_distinct
+    out["q114_rel_err"] = round(rel_err, 4)
+    assert rel_err < 0.5, "KMV estimate wildly off"   # k=64 -> ~12% expected
+    run("q119_kmv_setops")
+    run("q121_token_entropy")
+
     # subquery/graph
     run("q106_bloom_semi_join")
     run("q109_triangle_count")
+    run("q115_bfs_hops")
+    run("q124_incremental_agg_merge")
 
     spark.stop()
     shutil.rmtree(tmp, ignore_errors=True)
