@@ -1702,3 +1702,165 @@ def q121_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("lang")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
                  F.sum(term).cast("double").alias("entropy")))
+
+
+# --------------------------------------------------------------------------
+# q127 — quality-score calibration curve: bucket the corpus into score
+# deciles (ntile over (quality, doc_id) — the doc_id tiebreak makes the
+# decile boundaries deterministic) and report each decile's mean score
+# and its rate of an independent "gold" proxy (docs longer than the
+# corpus median).  The standard check that a filter score is monotone
+# against an external signal before its threshold ships; reuses the
+# shared _SCORED_SQL relation, so the score is the production one.
+# --------------------------------------------------------------------------
+@query(
+    "q127_score_calibration",
+    f"""
+    {_SCORED_SQL},
+    med AS (SELECT quantile_cont(n_chars, 0.5) AS m FROM documents),
+    labeled AS (
+        SELECT s.doc_id, s.quality,
+               CASE WHEN d.n_chars > med.m THEN 1 ELSE 0 END AS gold
+        FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+        CROSS JOIN med
+    ),
+    bucketed AS (
+        SELECT quality, gold,
+               NTILE(10) OVER (ORDER BY quality, doc_id) AS decile
+        FROM labeled
+    )
+    SELECT decile, COUNT(*) AS n_docs,
+           ROUND(AVG(quality), 6) AS avg_quality,
+           ROUND(AVG(CAST(gold AS DOUBLE)), 6) AS gold_rate
+    FROM bucketed GROUP BY decile
+    """,
+)
+def q127_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    scored = _scored_quality(d)
+    med = d.agg(F.expr("percentile(n_chars, 0.5)").alias("m"))
+    labeled = (scored.join(d.select("doc_id", "n_chars"), "doc_id")
+               .crossJoin(F.broadcast(med))
+               .select("doc_id", "quality",
+                       F.when(F.col("n_chars") > F.col("m"), 1)
+                       .otherwise(0).alias("gold")))
+    bucketed = labeled.withColumn(
+        "decile", F.ntile(10).over(W.orderBy("quality", "doc_id")))
+    return (bucketed.groupBy("decile")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("quality"), 6).alias("avg_quality"),
+                 F.round(F.avg(F.col("gold").cast("double")), 6)
+                 .alias("gold_rate")))
+
+
+# --------------------------------------------------------------------------
+# q128 — dup-detector agreement (Cohen's kappa): how much do the SimHash
+# (q48) and MinHash-LSH (q47) near-dup detectors agree beyond chance?
+# Each doc is labeled "flagged" by a detector if it appears in any of
+# that detector's candidate pairs; kappa = (po - pe) / (1 - pe) from the
+# 2x2 confusion table.  Both detectors are deterministic hash pipelines,
+# so the whole diagnostic — table and kappa — hash-matches DuckDB.
+# The operator generalizes to any pair of labeling pipelines (model A vs
+# model B, heuristic vs classifier).
+# --------------------------------------------------------------------------
+def _q128_oracle() -> str:
+    from .dedup import (ORACLES as dedup_oracles, _SIMHASH_RECOMBINE,
+                        _bit_sum_exprs)
+
+    return f"""
+    WITH mh AS (
+        SELECT DISTINCT a_id AS doc_id
+        FROM ({dedup_oracles['q47_minhash_lsh']})
+        UNION SELECT DISTINCT b_id FROM ({dedup_oracles['q47_minhash_lsh']})
+    ),
+    tok128 AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents
+    ),
+    sums128 AS (
+        SELECT doc_id, {', '.join(_bit_sum_exprs('duckdb'))}
+        FROM tok128 GROUP BY doc_id
+    ),
+    sig128 AS (
+        SELECT doc_id, CAST({_SIMHASH_RECOMBINE} AS BIGINT) AS simhash
+        FROM sums128
+    ),
+    sh AS (
+        SELECT doc_id FROM sig128
+        WHERE simhash IN (SELECT simhash FROM sig128
+                          GROUP BY simhash HAVING COUNT(*) >= 2)
+    ),
+    lab AS (
+        SELECT d.doc_id,
+               CASE WHEN mh.doc_id IS NOT NULL THEN 1 ELSE 0 END AS a,
+               CASE WHEN sh.doc_id IS NOT NULL THEN 1 ELSE 0 END AS b
+        FROM documents d
+        LEFT JOIN mh ON d.doc_id = mh.doc_id
+        LEFT JOIN sh ON d.doc_id = sh.doc_id
+    ),
+    cm AS (
+        SELECT COUNT(*) AS n,
+               SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS n11,
+               SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS n10,
+               SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS n01,
+               SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS n00
+        FROM lab
+    )
+    SELECT CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+           CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+           ROUND((CAST(n11 + n00 AS DOUBLE) / n
+                  - (CAST((n11+n10) AS DOUBLE)*(n11+n01)
+                     + CAST((n01+n00) AS DOUBLE)*(n10+n00)) / (CAST(n AS DOUBLE)*n))
+                 / (1.0 - (CAST((n11+n10) AS DOUBLE)*(n11+n01)
+                           + CAST((n01+n00) AS DOUBLE)*(n10+n00))
+                          / (CAST(n AS DOUBLE)*n)), 6) AS kappa
+    FROM cm
+    """
+
+
+@query("q128_detector_agreement", _q128_oracle())
+def q128_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _SIMHASH_RECOMBINE, _bit_sum_exprs, q47_minhash_lsh
+
+    d = load(spark, sf_dir, "documents")
+    mh_pairs = q47_minhash_lsh(spark, sf_dir)
+    mh = (mh_pairs.select(F.col("a_id").alias("doc_id"))
+          .unionByName(mh_pairs.select(F.col("b_id").alias("doc_id")))
+          .distinct())
+    tok = (d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+           .distinct())
+    sig = (tok.groupBy("doc_id")
+           .agg(*[F.expr(e) for e in _bit_sum_exprs("spark")])
+           .select("doc_id",
+                   F.expr(f"CAST({_SIMHASH_RECOMBINE} AS BIGINT)")
+                   .alias("simhash")))
+    from pyspark.sql.window import Window as W
+    sh = (sig.withColumn("n_bucket",
+                         F.count(F.lit(1)).over(W.partitionBy("simhash")))
+          .filter(F.col("n_bucket") >= 2).select("doc_id"))
+    lab = (d.select("doc_id")
+           .join(mh.withColumn("a", F.lit(1)), "doc_id", "left")
+           .join(sh.withColumn("b", F.lit(1)), "doc_id", "left")
+           .select(F.coalesce("a", F.lit(0)).alias("a"),
+                   F.coalesce("b", F.lit(0)).alias("b")))
+    cm = lab.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0)).alias("n11"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0)).alias("n10"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 1), 1).otherwise(0)).alias("n01"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1).otherwise(0)).alias("n00"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / n
+    pe = ((F.col("n11") + F.col("n10")).cast("double")
+          * (F.col("n11") + F.col("n01"))
+          + (F.col("n01") + F.col("n00")).cast("double")
+          * (F.col("n10") + F.col("n00"))) / (n * n)
+    return cm.select(
+        F.col("n11").cast("bigint").alias("n11"),
+        F.col("n10").cast("bigint").alias("n10"),
+        F.col("n01").cast("bigint").alias("n01"),
+        F.col("n00").cast("bigint").alias("n00"),
+        F.round((po - pe) / (1.0 - pe), 6).alias("kappa"))
