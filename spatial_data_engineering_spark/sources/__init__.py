@@ -80,3 +80,31 @@ def write_table_replace(df: DataFrame, table: str) -> None:
 def write_csv_report(df: DataFrame, path: str) -> None:
     """B6 (load_report.py:447-448): single-file metric/value report."""
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+
+def write_sharded_corpus(df: DataFrame, path: str,
+                         rows_per_shard: int,
+                         order_col: str | None = None) -> None:
+    """Training-corpus shard writer: parquet output with a TARGET shard
+    size (rows_per_shard), the layout data loaders want — uniform shards,
+    deterministic membership, optional global order.
+
+    Mechanics: repartitionByRange on the order column (or a stable hash
+    of the first column when unordered) into ceil(n/rows_per_shard)
+    partitions gives near-uniform shard sizes from Spark's range sampler;
+    maxRecordsPerFile caps any sampler miss at exactly rows_per_shard, so
+    no shard ever exceeds the target.  At 100 TB this is the exact plan
+    shape — one range shuffle, then parallel file writes; the row count
+    here is a cheap distributed count.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    n = df.count()
+    n_shards = max(1, math.ceil(n / rows_per_shard))
+    key = F.col(order_col) if order_col else F.xxhash64(*df.columns[:1])
+    (df.repartitionByRange(n_shards, key)
+       .write.mode("overwrite")
+       .option("maxRecordsPerFile", rows_per_shard)
+       .parquet(path))

@@ -157,3 +157,102 @@ def sessionize_with_timeout(events: DataFrame, gap: str = "2 days",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ------------------------------------------------------------------------
+# The same sessionizer on the transformWithState API (Spark 4's successor
+# to applyInPandasWithState): typed per-key ValueState + event-time
+# timers via the StatefulProcessorHandle.  Functionally identical to
+# sessionize_with_timeout — the parity test pins both operators emitting
+# the same closed sessions — so the engine supports whichever stateful
+# API a deployment standardizes on.  transformWithState additionally
+# supports state schema evolution and multiple typed state variables per
+# key, which is where new stateful operators should land.
+# ------------------------------------------------------------------------
+
+
+def _session_processor(gap_us: int):
+    import pandas as pd  # noqa: F811 (executor-side import)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.state = handle.getValueState(
+                "session", "start_us LONG, end_us LONG, n LONG, v DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            pdfs = list(rows)
+            all_rows = pd.concat(pdfs, ignore_index=True)
+            if len(all_rows) == 0:
+                return
+            ts_us = all_rows["ts"].astype("int64") // 1000
+            order = ts_us.argsort(kind="stable")
+            ts_us = ts_us.iloc[order].to_numpy()
+            vals = all_rows["value"].iloc[order].to_numpy()
+            cur = list(self.state.get()) if self.state.exists() else None
+            closed = []
+            for t, val in zip(ts_us, vals):
+                t, val = int(t), float(val)
+                if cur is None:
+                    cur = [t, t, 1, val]
+                elif t - cur[1] <= gap_us:
+                    cur[1] = max(cur[1], t)
+                    cur[2] += 1
+                    cur[3] += val
+                else:
+                    closed.append(cur)
+                    cur = [t, t, 1, val]
+            self.state.update(tuple(cur))
+            # replace any prior timer with the new session-close horizon
+            for ts in self.handle.listTimers():
+                self.handle.deleteTimer(ts)
+            self.handle.registerTimer(cur[1] // 1000 + gap_us // 1000 + 1)
+            if closed:
+                yield pd.DataFrame({
+                    "user_id": [user_id] * len(closed),
+                    "session_start_us": [c[0] for c in closed],
+                    "session_end_us": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                    "sum_value": [c[3] for c in closed],
+                })
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            (user_id,) = key
+            if self.state.exists():
+                start_us, end_us, n, v = self.state.get()
+                self.state.clear()
+                yield pd.DataFrame({
+                    "user_id": [user_id], "session_start_us": [start_us],
+                    "session_end_us": [end_us], "n_events": [n],
+                    "sum_value": [v],
+                })
+
+        def close(self) -> None:
+            pass
+
+    return SessionProcessor()
+
+
+def sessionize_tws(events: DataFrame, gap: str = "2 days",
+                   watermark: str = "1 minute") -> DataFrame:
+    """sessionize_with_timeout on the transformWithStateInPandas API."""
+    import re
+
+    m = re.fullmatch(r"(\d+)\s*(minute|hour|day)s?", gap.strip())
+    if not m:
+        raise ValueError(f"gap must be 'N minutes/hours/days', got {gap!r}")
+    unit_us = {"minute": 60_000_000, "hour": 3_600_000_000,
+               "day": 86_400_000_000}[m.group(2)]
+    gap_us = int(m.group(1)) * unit_us
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_session_processor(gap_us),
+            outputStructType=SESSION_OUTPUT,
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )
