@@ -981,3 +981,67 @@ def q111_pq_adc_topk(spark: SparkSession, sf_dir: str, n_query: int = 10,
             .filter(F.col("rk") <= k)
             .select("query_id", "neighbor_id", "rk",
                     F.round("adc_dist", 6).alias("adc_dist")))
+
+
+# --------------------------------------------------------------------------
+# q129 — 1-bit (sign) quantization + Hamming-distance top-k: the extreme
+# end of the quantization family (q69 int8, q111 PQ): each 64-dim vector
+# compresses to ONE 64-bit word (sign bits), search is bit_count(xor) —
+# 256x compression and pure integer ops.  Unlike the trained PQ, the sign
+# code is a closed-form function of the vector, so the whole search —
+# codes, distances, ranks — hash-matches DuckDB exactly (an ORACLED
+# approximate search; recall vs exact cosine is pinned in test_ann).
+#
+# Scale: codes live columnar at 8 bytes/vector; the scan is
+# codegen-friendly integer xor/popcount with broadcast query codes, no
+# Python anywhere; two-phase rank under AQE.
+# --------------------------------------------------------------------------
+def _sign_code(engine: str, emb: str) -> str:
+    # bit i = 1 iff emb[i] > 0, folded to one BIGINT; 63 bits (dims 0-62)
+    # so the sign bit stays clear — DuckDB raises on 1::BIGINT << 63,
+    # and a 1-of-64-dim loss is noise at these recalls
+    if engine == "spark":
+        return (f"aggregate(sequence(0, 62), 0L, (acc, i) -> acc + "
+                f"CASE WHEN element_at({emb}, i + 1) > 0 "
+                f"THEN shiftleft(1L, i) ELSE 0L END)")
+    return (f"list_reduce(list_transform(generate_series(0, 62), i -> "
+            f"CASE WHEN {emb}[i + 1] > 0 THEN (1::BIGINT << i) "
+            f"ELSE 0::BIGINT END), (x, y) -> x + y)")
+
+
+_ORACLE_Q129 = f"""
+    WITH coded AS (
+        SELECT vec_id, {_sign_code('duckdb', 'embedding')} AS code
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, code AS qcode FROM coded
+          WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               bit_count(xor(q.qcode, c.code)) AS hamming
+        FROM q JOIN coded c ON c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, rk, CAST(hamming AS BIGINT) AS hamming
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY hamming, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= 3
+"""
+
+
+@query("q129_hamming_topk", _ORACLE_Q129)
+def q129_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    coded = e.select(
+        "vec_id", F.expr(_sign_code("spark", "embedding")).alias("code"))
+    q = (coded.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("code").alias("qcode")))
+    scored = (coded.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      F.bit_count(F.expr("qcode ^ code")).alias("hamming")))
+    w = W.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("query_id", "neighbor_id", "rk",
+                    F.col("hamming").cast("bigint").alias("hamming")))
