@@ -108,3 +108,54 @@ def write_sharded_corpus(df: DataFrame, path: str,
        .write.mode("overwrite")
        .option("maxRecordsPerFile", rows_per_shard)
        .parquet(path))
+
+
+def zorder_layout(df: DataFrame, cols: list[str], path: str,
+                  n_files: int = 16, bits: int = 16) -> None:
+    """Multi-dimensional data layout: write parquet range-partitioned on
+    the Z-order (Morton) interleave of two numeric columns, so files are
+    tight in BOTH dimensions and min/max footer stats prune 2-D box
+    predicates — the lakehouse OPTIMIZE ZORDER BY, as one range shuffle.
+
+    A linear sort clusters only its leading column: every file spans the
+    full range of the second, so a predicate on it prunes nothing.
+    Z-ordering bounds each file's extent in both columns — the layout
+    test measures WORST-CASE single-dimension pruning (max candidate
+    files over x-slab and y-slab queries) at least halving vs linear
+    sort.  Total bbox area is NOT the metric: for uniform data it is
+    layout-invariant (strips and squares both tile the domain); the win
+    is balance, not area.
+
+    Mechanics: each column min-max-normalizes to a ``bits``-bit integer
+    (one 1-row aggregate), the Morton code interleaves the bit planes —
+    pure codegen shifts/masks — and repartitionByRange on the code plus a
+    per-file sort gives monotone Z-runs per file.  Degenerate (constant)
+    columns quantize to 0 and drop out of the interleave harmlessly.
+    """
+    from pyspark.sql import functions as F
+
+    if len(cols) != 2:
+        raise ValueError("zorder_layout interleaves exactly 2 columns")
+    a, b = cols
+    mm = df.agg(F.min(a).alias("a0"), F.max(a).alias("a1"),
+                F.min(b).alias("b0"), F.max(b).alias("b1")).collect()[0]
+    span_a = (mm["a1"] - mm["a0"]) or 1
+    span_b = (mm["b1"] - mm["b0"]) or 1
+    top = (1 << bits) - 1
+    qa = F.least(
+        F.lit(top),
+        ((F.col(a) - F.lit(mm["a0"])) / F.lit(span_a) * top).cast("long"))
+    qb = F.least(
+        F.lit(top),
+        ((F.col(b) - F.lit(mm["b0"])) / F.lit(span_b) * top).cast("long"))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (z
+             + F.shiftleft(F.shiftright(qa, i).bitwiseAND(F.lit(1)), 2 * i)
+             + F.shiftleft(F.shiftright(qb, i).bitwiseAND(F.lit(1)),
+                           2 * i + 1))
+    (df.withColumn("__z", z)
+       .repartitionByRange(n_files, "__z")
+       .sortWithinPartitions("__z")
+       .drop("__z")
+       .write.mode("overwrite").parquet(path))

@@ -311,3 +311,45 @@ def test_write_sharded_corpus(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.select(F.sum("doc_id")).collect()[0][0] == \
         docs.select(F.sum("doc_id")).collect()[0][0]
+
+
+def test_zorder_layout_balances_pruning(spark, tmp_path):
+    """Z-order vs linear sort on 2-D point data.  The right metric is
+    WORST-CASE single-dimension pruning: a linear x-sort prunes x-slab
+    queries perfectly but y-slab queries not at all (every file spans the
+    full y range), while Z-order bounds both dimensions.  Assert the max
+    over {x-slab, y-slab} of candidate files (by footer min/max
+    intersection) is at least 2x smaller under Z-order, and the data
+    round-trips exactly."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from spatial_data_engineering_spark import sources
+
+    rng = np.random.RandomState(7)
+    pts = [(int(i), float(x), float(y)) for i, (x, y) in enumerate(
+        zip(rng.uniform(0, 1000, 20000), rng.uniform(0, 1000, 20000)))]
+    df = spark.createDataFrame(pts, ["id", "x", "y"])
+
+    zpath = str(tmp_path / "zorder")
+    lpath = str(tmp_path / "linear")
+    sources.zorder_layout(df, ["x", "y"], zpath, n_files=16)
+    (df.repartitionByRange(16, "x").sortWithinPartitions("x")
+       .write.mode("overwrite").parquet(lpath))
+
+    def candidates(path, col, lo, hi):
+        per_file = (spark.read.parquet(path)
+                    .groupBy(F.input_file_name().alias("f"))
+                    .agg(F.min(col).alias("lo"), F.max(col).alias("hi")))
+        return per_file.filter((F.col("hi") >= lo)
+                               & (F.col("lo") <= hi)).count()
+
+    z_worst = max(candidates(zpath, "x", 100, 150),
+                  candidates(zpath, "y", 100, 150))
+    l_worst = max(candidates(lpath, "x", 100, 150),
+                  candidates(lpath, "y", 100, 150))
+    assert z_worst * 2 <= l_worst, (z_worst, l_worst)
+    # exactness: nothing lost or duplicated
+    assert (spark.read.parquet(zpath).agg(F.sum("id")).collect()[0][0]
+            == df.agg(F.sum("id")).collect()[0][0])
+    assert spark.read.parquet(zpath).count() == 20000
