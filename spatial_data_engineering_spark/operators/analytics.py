@@ -548,3 +548,108 @@ def q123_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round("med", 6).alias("median_value"),
                      F.round("mad", 6).alias("mad"))
             .agg(F.count(F.when(mz > 3.5, 1)).alias("n_outliers")))
+
+
+# --------------------------------------------------------------------------
+# q130 — weighted median: per language, the document length whose
+# cumulative CHARACTER mass (not row count) crosses half the total — the
+# right "typical document" when documents differ by 100x in size.  Pure
+# window arithmetic: order by (n_chars, doc_id), running weight sum,
+# first row at or past half the exact integer total.  No engine has a
+# built-in weighted quantile; this is the canonical decomposition.
+# --------------------------------------------------------------------------
+@query(
+    "q130_weighted_median",
+    """
+    WITH w AS (
+        SELECT lang, doc_id, n_chars,
+               SUM(n_chars) OVER (PARTITION BY lang
+                                  ORDER BY n_chars, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(n_chars) OVER (PARTITION BY lang) AS tot
+        FROM documents
+    ),
+    hit AS (
+        SELECT lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY cum, doc_id) AS rk
+        FROM w WHERE 2 * cum >= tot
+    )
+    SELECT lang, CAST(n_chars AS BIGINT) AS weighted_median_chars
+    FROM hit WHERE rk = 1
+    """,
+)
+def q130_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    wcum = (W.partitionBy("lang").orderBy("n_chars", "doc_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wall = W.partitionBy("lang")
+    w = d.select(
+        "lang", "doc_id", "n_chars",
+        F.sum("n_chars").over(wcum).alias("cum"),
+        F.sum("n_chars").over(wall).alias("tot"))
+    hit = (w.filter(2 * F.col("cum") >= F.col("tot"))
+           .withColumn("rk", F.row_number().over(
+               W.partitionBy("lang").orderBy("cum", "doc_id"))))
+    return (hit.filter(F.col("rk") == 1)
+            .select("lang", F.col("n_chars").cast("bigint")
+                    .alias("weighted_median_chars")))
+
+
+# --------------------------------------------------------------------------
+# q131 — per-user OLS trend: slope and intercept of value against time
+# (days since the user's first event), closed form from exact decimal
+# moments — slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²).  x is exact
+# integer-derived days (double), per-row products are deterministic IEEE,
+# all four reductions are decimal-exact, and the final combination is the
+# identical expression in both engines; outputs ROUND(·,6).  Users need
+# >= 2 distinct timestamps (denominator > 0).
+#
+# One groupBy(user_id) with map-side partials — the single-shuffle
+# regression every metrics pipeline wants ("is this user's spend
+# trending up").
+# --------------------------------------------------------------------------
+@query(
+    "q131_user_trend",
+    f"""
+    WITH base AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) - MIN(epoch_us(ts)) OVER
+                        (PARTITION BY user_id) AS DOUBLE)
+                   / 86400000000.0 AS x,
+               value AS y
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, COUNT(*) AS n,
+               {sql_dsum_expr('x')} AS sx, {sql_dsum_expr('y')} AS sy,
+               {sql_dsum_expr('x * y')} AS sxy,
+               {sql_dsum_expr('x * x')} AS sxx
+        FROM base GROUP BY user_id
+    )
+    SELECT user_id,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n, 6) AS intercept
+    FROM m WHERE n * sxx - sx * sx > 0
+    """,
+)
+def q131_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    x = ((us - F.min(us).over(W.partitionBy("user_id"))).cast("double")
+         / 86400000000.0)
+    base = e.select("user_id", x.alias("x"), F.col("value").alias("y"))
+    ds = lambda c: F.sum(c.cast("decimal(30,6)")).cast("double")  # noqa: E731
+    m = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        ds(F.col("x")).alias("sx"), ds(F.col("y")).alias("sy"),
+        ds(F.col("x") * F.col("y")).alias("sxy"),
+        ds(F.col("x") * F.col("x")).alias("sxx"))
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+    return (m.filter(denom > 0)
+            .select("user_id",
+                    F.round(slope, 6).alias("slope"),
+                    F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"),
+                            6).alias("intercept")))
