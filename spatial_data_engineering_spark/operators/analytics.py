@@ -1,6 +1,8 @@
 """Event-stream analytics operators — funnel, cohort retention, anomaly
-scoring, time-weighted aggregation, gap-fill interpolation, deterministic
-per-key sampling.
+scoring (z-score and robust MAD), time-weighted aggregation, gap-fill
+interpolation, deterministic per-key sampling, SCD2 interval
+construction, rolling medians, forward as-of joins, weighted medians and
+per-group OLS trends.
 
 The reference's workload is batch geospatial reporting, but its `events`
 ingestion path (SURVEY.md A2/C4: load_data.py timestamped loads) implies the

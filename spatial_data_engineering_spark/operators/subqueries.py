@@ -1,5 +1,6 @@
-"""Decorrelated-subquery join patterns (TPC-H Q13/Q18/Q21 shapes) and an
-explicit bloom-filter runtime-pruned semi-join.
+"""Decorrelated-subquery join patterns (TPC-H Q13/Q18/Q21/Q17/Q11
+shapes), an explicit bloom-filter runtime-pruned semi-join, and
+incremental aggregate maintenance (the IVM merge).
 
 The reference's SQL surface (query/view_linked_data.sql, load_report.py
 inline SQL) stays at single-level joins; these queries add the classic
