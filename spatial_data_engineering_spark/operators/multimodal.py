@@ -242,3 +242,70 @@ def q71_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return sample_frames(payloads)
+
+
+# --------------------------------------------------------------------------
+# q133 — video near-dup via shared frame fingerprints: assets whose
+# sampled frames collide on >= 2 checksums are duplicate candidates —
+# the standard video-dedup recipe (per-frame perceptual hash -> inverted
+# index -> pairs by shared-frame count).  The plumbing is the q76
+# df-capped inverted index applied to the q71 frame stream: frames
+# explode (mapInPandas, no shuffle), the index groups by checksum with a
+# df cap bounding every block, pairs aggregate by shared-frame count.
+#
+# The fake codec makes checksums arithmetic in (payload length, frame
+# idx) — equal-length assets share frames — which degenerates the
+# SEMANTICS but exercises the full production PLUMBING, and makes the
+# operator fully oracled; a real perceptual hash drops into
+# sample_frames_batch behind the same gate as the Pillow decode.
+# --------------------------------------------------------------------------
+_FRAME_DF_CAP = 20   # max assets per checksum block (the q76 knob)
+_MIN_SHARED = 2
+
+
+@query(
+    "q133_video_neardup",
+    f"""
+    WITH frames AS (
+        SELECT doc_id,
+               (strlen(text) * 131 + fi * 17) % 1000003 AS frame_checksum
+        FROM documents,
+             UNNEST(generate_series(0, strlen(text) % 30,
+                                    {_FRAME_STRIDE})) AS t(fi)
+        WHERE fi < strlen(text) % 30 + 1
+    ),
+    df AS (
+        SELECT frame_checksum, COUNT(DISTINCT doc_id) AS n_docs
+        FROM frames GROUP BY frame_checksum
+    ),
+    keep AS (
+        SELECT DISTINCT f.doc_id, f.frame_checksum
+        FROM frames f JOIN df ON f.frame_checksum = df.frame_checksum
+        WHERE df.n_docs <= {_FRAME_DF_CAP}
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           COUNT(*) AS n_shared_frames
+    FROM keep a JOIN keep b
+      ON a.frame_checksum = b.frame_checksum AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {_MIN_SHARED}
+    """,
+)
+def q133_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    payloads = d.select("doc_id",
+                        F.encode("text", "utf-8").alias("payload"))
+    frames = (sample_frames(payloads)
+              .select("doc_id", "frame_checksum").distinct())
+    df_counts = (frames.groupBy("frame_checksum")
+                 .agg(F.count(F.lit(1)).alias("n_docs")))
+    keep = (frames.join(df_counts.filter(F.col("n_docs") <= _FRAME_DF_CAP),
+                        "frame_checksum")
+            .select("doc_id", "frame_checksum"))
+    a, b = keep.alias("a"), keep.alias("b")
+    return (a.join(b, (F.col("a.frame_checksum") == F.col("b.frame_checksum"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("a_id"),
+                     F.col("b.doc_id").alias("b_id"))
+            .agg(F.count(F.lit(1)).alias("n_shared_frames"))
+            .filter(F.col("n_shared_frames") >= _MIN_SHARED))

@@ -1494,3 +1494,42 @@ def q122_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                                 (l_returnflag), ())
     """)
+
+
+# --------------------------------------------------------------------------
+# q132 — join-key skew diagnostic: the heavy-hitter report that decides
+# whether a join needs the salting machinery (operators/skew.py).  For
+# the l_orderkey join key: top-10 keys by row count, each with its share
+# of the total and the ratio to a perfectly uniform key — the numbers a
+# planner (or an engineer reading an AQE skew warning) acts on.
+# --------------------------------------------------------------------------
+@query(
+    "q132_skew_report",
+    """
+    WITH freq AS (
+        SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY l_orderkey
+    ),
+    tot AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM freq)
+    SELECT l_orderkey, CAST(n AS BIGINT) AS n_rows,
+           ROUND(CAST(n AS DOUBLE) / tot.total, 9) AS share,
+           ROUND(CAST(n AS DOUBLE) * tot.n_keys / tot.total, 6)
+               AS x_uniform
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, l_orderkey) AS rk
+          FROM freq) f CROSS JOIN tot
+    WHERE rk <= 10
+    """,
+)
+def q132_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    freq = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.agg(F.sum("n").alias("total"),
+                   F.count(F.lit(1)).alias("n_keys"))
+    w = W.orderBy(F.desc("n"), "l_orderkey")
+    return (freq.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 10)
+            .crossJoin(F.broadcast(tot))
+            .select("l_orderkey", F.col("n").cast("bigint").alias("n_rows"),
+                    F.round(F.col("n").cast("double") / F.col("total"), 9)
+                    .alias("share"),
+                    F.round(F.col("n").cast("double") * F.col("n_keys")
+                            / F.col("total"), 6).alias("x_uniform")))
