@@ -655,3 +655,88 @@ def q131_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(slope, 6).alias("slope"),
                     F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"),
                             6).alias("intercept")))
+
+
+# --------------------------------------------------------------------------
+# q134 — EWMA over each user's trailing window: exponentially weighted
+# mean (alpha = 0.8 decay) of the LAST 20 event values.  The trailing-K
+# form keeps the weights bounded (0.8^19) — the full-history recursive
+# form rewritten as a^i*cumsum(v/a^i) overflows double at a^-600 and is
+# numerically unusable at stream length; trailing-K is what monitoring
+# systems actually compute.  pow() is transcendental -> terms are
+# pre-rounded (q121 rule) and the weighted sum is decimal-exact.
+# --------------------------------------------------------------------------
+_EWMA_A = 0.8
+_EWMA_K = 20
+
+
+@query(
+    "q134_ewma",
+    f"""
+    WITH tail AS (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rk
+        FROM events
+    )
+    SELECT user_id,
+           ROUND(CAST(SUM(CAST(ROUND(value * pow({_EWMA_A}, rk - 1), 9)
+                              AS DECIMAL(30,9))) AS DOUBLE)
+                 / CAST(SUM(CAST(ROUND(pow({_EWMA_A}, rk - 1), 9)
+                                AS DECIMAL(30,9))) AS DOUBLE), 6) AS ewma
+    FROM tail WHERE rk <= {_EWMA_K}
+    GROUP BY user_id
+    """,
+)
+def q134_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    tail = (e.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _EWMA_K))
+    wgt = F.pow(F.lit(_EWMA_A), F.col("rk") - 1)
+    num = F.sum(F.round(F.col("value") * wgt, 9).cast("decimal(30,9)")) \
+        .cast("double")
+    den = F.sum(F.round(wgt, 9).cast("decimal(30,9)")).cast("double")
+    return (tail.groupBy("user_id")
+            .agg(F.round(num / den, 6).alias("ewma")))
+
+
+# --------------------------------------------------------------------------
+# q136 — event-type transition matrix: per (prev_type, type) pair, the
+# count and row-normalized probability of each user-stream transition —
+# the first-order Markov model of user behavior (and the q112 SCD2 run
+# structure viewed as a chain).  Counts are exact; probabilities are one
+# deterministic division, rounded.
+# --------------------------------------------------------------------------
+@query(
+    "q136_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT LAG(event_type) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+               event_type
+        FROM events
+    ),
+    cnt AS (
+        SELECT prev_type, event_type, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, event_type, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE) /
+                 SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM cnt
+    """,
+)
+def q136_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (e.select(F.lag("event_type").over(w).alias("prev_type"),
+                    "event_type")
+           .filter(F.col("prev_type").isNotNull()))
+    cnt = seq.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n"))
+    return cnt.select(
+        "prev_type", "event_type", F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n").cast("double")
+                / F.sum("n").over(W.partitionBy("prev_type")), 6).alias("p"))

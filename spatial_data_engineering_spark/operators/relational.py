@@ -1533,3 +1533,51 @@ def q132_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("share"),
                     F.round(F.col("n").cast("double") * F.col("n_keys")
                             / F.col("total"), 6).alias("x_uniform")))
+
+
+# --------------------------------------------------------------------------
+# q135 — Benford's-law audit of o_totalprice: observed first-significant-
+# digit distribution vs the log10((d+1)/d) expectation, with each digit's
+# chi-square contribution — the classic fabricated-data screen for any
+# financial column.  Digit extraction is exact string arithmetic on the
+# absolute value; expected shares are transcendental -> rounded (q108
+# rule).  One scan, 9-key groupBy.
+# --------------------------------------------------------------------------
+@query(
+    "q135_benford_audit",
+    """
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(30,6)) AS VARCHAR),
+                           1, 1) AS BIGINT) AS d
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
+    tot AS (SELECT SUM(n) AS total FROM obs)
+    SELECT d, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE) / tot.total, 6) AS observed,
+           ROUND(ln((d + 1.0) / d) / ln(10.0), 6) AS expected,
+           ROUND(pow(CAST(n AS DOUBLE) / tot.total
+                     - ln((d + 1.0) / d) / ln(10.0), 2)
+                 / (ln((d + 1.0) / d) / ln(10.0)), 9) AS chi2_contrib
+    FROM obs CROSS JOIN tot
+    """,
+)
+def q135_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    # decimal cast first: double->string can render scientific notation,
+    # decimal never does, and both engines print decimals identically
+    d = F.substring(
+        F.col("o_totalprice").cast("decimal(30,6)").cast("string"), 1, 1
+    ).cast("bigint")
+    obs = (o.filter(F.col("o_totalprice") >= 1)
+           .groupBy(d.alias("d")).agg(F.count(F.lit(1)).alias("n")))
+    tot = obs.agg(F.sum("n").alias("total"))
+    observed = F.col("n").cast("double") / F.col("total")
+    import math
+    expected = F.log((F.col("d") + 1.0) / F.col("d")) / math.log(10.0)
+    return (obs.crossJoin(F.broadcast(tot))
+            .select("d", F.col("n").cast("bigint").alias("n"),
+                    F.round(observed, 6).alias("observed"),
+                    F.round(expected, 6).alias("expected"),
+                    F.round(F.pow(observed - expected, 2) / expected, 9)
+                    .alias("chi2_contrib")))
