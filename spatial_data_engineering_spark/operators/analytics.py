@@ -740,3 +740,120 @@ def q136_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_type", "event_type", F.col("n").cast("bigint").alias("n"),
         F.round(F.col("n").cast("double")
                 / F.sum("n").over(W.partitionBy("prev_type")), 6).alias("p"))
+
+
+# --------------------------------------------------------------------------
+# q137 — funnel latency: among users who converted (view -> first
+# purchase at/after first view), the distribution of time-to-convert —
+# count, mean (decimal-exact over integer micros), and exact p50/p90
+# (interpolated identically in both engines).  The metric product teams
+# actually read off the q97 funnel.
+# --------------------------------------------------------------------------
+@query(
+    "q137_time_to_convert",
+    f"""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id,
+               MIN(epoch_us(e.ts)) - MIN(epoch_us(v.t_view)) AS dt_us
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= v.t_view
+        GROUP BY e.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND({sql_dsum_expr('dt_us / 3600000000.0')} / COUNT(*), 6)
+               AS mean_hours,
+           ROUND(quantile_cont(dt_us, 0.5) / 3600000000.0, 6) AS p50_hours,
+           ROUND(quantile_cont(dt_us, 0.9) / 3600000000.0, 6) AS p90_hours
+    FROM p
+    """,
+)
+def q137_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    v = (e.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    p = (e.filter(F.col("event_type") == "purchase")
+         .join(v, "user_id")
+         .filter(F.col("ts") >= F.col("t_view"))
+         .groupBy("user_id")
+         .agg((F.min(F.unix_micros("ts"))
+               - F.min(F.unix_micros("t_view"))).alias("dt_us")))
+    hours = F.col("dt_us") / 3_600_000_000.0
+    return p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.round(F.sum(hours.cast("decimal(30,6)")).cast("double")
+                / F.count(F.lit(1)), 6).alias("mean_hours"),
+        F.round(F.expr("percentile(dt_us, 0.5)") / 3_600_000_000.0, 6)
+        .alias("p50_hours"),
+        F.round(F.expr("percentile(dt_us, 0.9)") / 3_600_000_000.0, 6)
+        .alias("p90_hours"))
+
+
+# --------------------------------------------------------------------------
+# q138 — session duration statistics: the q18 lag-gap sessions, reduced
+# to the numbers a product dashboard shows — sessions per user tier,
+# events per session, duration percentiles.  Single-event sessions have
+# zero duration and stay in (they are most sessions, and excluding them
+# silently is the classic dashboard lie).
+# --------------------------------------------------------------------------
+@query(
+    "q138_session_stats",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id)
+                         > 1800000000 OR
+                         LAG(epoch_us(ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, sid,
+               MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS dur_us,
+               COUNT(*) AS n_events
+        FROM (SELECT *, SUM(new_session) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+              FROM flagged)
+        GROUP BY user_id, sid
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           ROUND(AVG(CAST(n_events AS DOUBLE)), 6) AS avg_events,
+           ROUND(quantile_cont(dur_us, 0.5) / 60000000.0, 6)
+               AS p50_minutes,
+           ROUND(quantile_cont(dur_us, 0.9) / 60000000.0, 6)
+               AS p90_minutes,
+           CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) AS BIGINT)
+               AS n_single_event
+    FROM sess
+    """,
+)
+def q138_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    flagged = e.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1_800_000_000), 1)
+        .otherwise(0))
+    sess = (flagged.withColumn(
+        "sid", F.sum("new_session").over(
+            w.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg((F.max(us) - F.min(us)).alias("dur_us"),
+             F.count(F.lit(1)).alias("n_events")))
+    return sess.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.round(F.avg(F.col("n_events").cast("double")), 6)
+        .alias("avg_events"),
+        F.round(F.expr("percentile(dur_us, 0.5)") / 60_000_000.0, 6)
+        .alias("p50_minutes"),
+        F.round(F.expr("percentile(dur_us, 0.9)") / 60_000_000.0, 6)
+        .alias("p90_minutes"),
+        F.count(F.when(F.col("n_events") == 1, 1)).cast("bigint")
+        .alias("n_single_event"))

@@ -269,3 +269,42 @@ def distance_join(
     out = out.withColumnRenamed(lg, left_geom)
     name = right_geom if right_geom != left_geom else f"{right_geom}_right"
     return out.withColumnRenamed(rg, name)
+
+
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    d_max: float,
+    left_keys: list[str],
+    right_keys: list[str],
+    cell: float | None = None,
+    left_geom: str = "geom",
+    right_geom: str = "geom",
+) -> DataFrame:
+    """Nearest-neighbor spatial join (PostGIS `<->` KNN, distributed
+    form): for each left row, the single closest right row within
+    ``d_max``, with the exact distance as ``nn_distance``.
+
+    The radius cutoff is what makes KNN distributable: candidates come
+    from the padded-grid distance join (every within-d_max pair shares a
+    cell), then a per-left-key rank by (exact distance, right key) keeps
+    the closest.  Left rows with no right geometry within d_max drop out
+    (inner semantics) — an unbounded global KNN would need an all-pairs
+    fallback for isolated rows, which is exactly the plan shape that
+    dies at scale; widen d_max instead.  Ties at equal distance break by
+    the right key, so results are deterministic.
+    """
+    from pyspark.sql.window import Window as W
+
+    from ..functions.st_funcs import st_distance
+
+    cand = distance_join(left, right, d_max, left_keys, right_keys,
+                         cell=cell, left_geom=left_geom,
+                         right_geom=right_geom)
+    rname = right_geom if right_geom != left_geom else f"{right_geom}_right"
+    scored = cand.withColumn(
+        "nn_distance", st_distance(F.col(left_geom), F.col(rname)))
+    w = (W.partitionBy(*left_keys)
+         .orderBy(F.col("nn_distance"), *[F.col(k) for k in right_keys]))
+    return (scored.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1).drop("__rk"))

@@ -39,13 +39,13 @@ def _modules():
 # completeness gate.
 #
 # Round-5 window (driver verifies the FIRST 50):
-#   1. q97-q136 — the 40 operators NEW this round, never driver-verified.
+#   1. q97-q138 — the 42 operators NEW this round, never driver-verified.
 #   2. q94-q96 (new after the r4 driver run) and q93/q56/q86/q29 (impl or
 #      shared dependency changed after the r4 run) — 7 more rows whose
 #      current form has no driver evidence.
-#   3. The remaining 3 slots go to the oldest r3-verified queries
-#      (q47 minhash, q67 dissolve, q60 point-in-polygon).
-# The other 39 r3-verified queries (q61_zonal_histogram onward in the
+#   3. The remaining slot goes to the oldest r3-verified query
+#      (q47 minhash — the headline near-dup path).
+# The other 41 r3-verified queries (q67_overlap_dissolve onward in the
 # stale block) plus
 # the r4-green tail sit outside the window this round; all of them are
 # re-proven by tests/test_oracle_parity.py on every pytest run (the
@@ -71,11 +71,12 @@ _PRIORITY = [
     "q129_hamming_topk", "q130_weighted_median", "q131_user_trend",
     "q132_skew_report", "q133_video_neardup",
     "q134_ewma", "q135_benford_audit", "q136_transition_matrix",
+    "q137_time_to_convert", "q138_session_stats",
     # --- never driver-verified in current form (late-r4 additions/changes) ---
     "q94_dedup_canonical", "q95_stratified_split", "q96_doc_bigram_lift",
     "q93_embedding_covariance", "q56_dedup_components",
     "q86_pagerank_centrality", "q29_asof_join",
-    # --- last driver row: round 3 (oldest evidence); first 3 fill the window ---
+    # --- last driver row: round 3 (oldest evidence); q47 fills slot 50 ---
     "q47_minhash_lsh", "q67_overlap_dissolve", "q60_point_in_polygon",
     "q61_zonal_histogram", "q49_cosine_topk", "q43_fingerprint",
     "q54_dedup_materialize", "q15_count_distinct", "q19_hourly_window",

@@ -278,3 +278,29 @@ def test_distance_join_equals_bruteforce(spark, seed, d, cell):
     g = {(r.pt_id, r.box_id) for r in got.collect()}
     b = {(r.pt_id, r.box_id) for r in brute.collect()}
     assert g == b and len(b) > 0
+
+
+@pytest.mark.parametrize("seed,d", [(0, 10.0), (1, 25.0)])
+def test_nearest_join_equals_bruteforce(spark, seed, d):
+    """nearest_join must pick exactly the brute-force argmin (distance,
+    box_id) for every point that has any box within d."""
+    from spatial_data_engineering_spark.functions.st_funcs import st_distance
+    from spatial_data_engineering_spark.operators.spatial_join import (
+        nearest_join)
+
+    pts, boxes = _random_frames(spark, seed)
+    got = {(r.pt_id, r.box_id, round(r.nn_distance, 9))
+           for r in nearest_join(pts, boxes, d, ["pt_id"], ["box_id"])
+           .select("pt_id", "box_id", "nn_distance").collect()}
+
+    brute = (pts.crossJoin(boxes.select("box_id",
+                                        F.col("geom").alias("bgeom")))
+             .withColumn("dist", st_distance(F.col("geom"), F.col("bgeom")))
+             .filter(F.col("dist") <= d).collect())
+    best: dict = {}
+    for r in brute:
+        k = (r.dist, r.box_id)
+        if r.pt_id not in best or k < best[r.pt_id]:
+            best[r.pt_id] = k
+    exp = {(p, b, round(dist, 9)) for p, (dist, b) in best.items()}
+    assert got == exp and len(exp) > 0
