@@ -1045,3 +1045,108 @@ def q129_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") <= 3)
             .select("query_id", "neighbor_id", "rk",
                     F.col("hamming").cast("bigint").alias("hamming")))
+
+
+# --------------------------------------------------------------------------
+# q140 — embedding class-separation report: per label, the mean distance
+# of member vectors to their class centroid (intra) vs the distance to
+# the NEAREST other centroid (inter), and their ratio — the
+# silhouette-style health check of a labeled embedding space (ratio <= 1
+# means classes blur together, as they do on this near-random fixture —
+# the metric exists to say so).
+#
+# Every reduction uses the engine's determinism toolkit: centroids are
+# exact-decimal per-dimension means (the q53 contract), each squared
+# deviation is pre-rounded then decimal-summed (64-term double sums are
+# order-dependent otherwise), and the label-pair minimum breaks ties on
+# the other label's id.  Shape: posexplode (flatMap), two grouped
+# aggregations on (label[, pos]) keys, a 10x10 centroid self-join —
+# dimension-table sized at any corpus scale.
+# --------------------------------------------------------------------------
+_ORACLE_Q140 = f"""
+    WITH pos AS (
+        SELECT vec_id, label, i AS pos,
+               CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    cent AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS c
+        FROM pos GROUP BY label, pos
+    ),
+    intra AS (
+        SELECT p.label, p.vec_id,
+               sqrt(CAST(SUM(CAST(ROUND((p.x - c.c) * (p.x - c.c), 9)
+                                 AS DECIMAL(30,9))) AS DOUBLE)) AS d
+        FROM pos p JOIN cent c ON p.label = c.label AND p.pos = c.pos
+        GROUP BY p.label, p.vec_id
+    ),
+    intra_avg AS (
+        SELECT label, COUNT(*) AS n_vectors,
+               CAST(SUM(CAST(ROUND(d, 9) AS DECIMAL(30,9))) AS DOUBLE)
+                   / COUNT(*) AS avg_intra
+        FROM intra GROUP BY label
+    ),
+    cpair AS (
+        SELECT a.label AS la, b.label AS lb,
+               sqrt(CAST(SUM(CAST(ROUND((a.c - b.c) * (a.c - b.c), 9)
+                                 AS DECIMAL(30,9))) AS DOUBLE)) AS cd
+        FROM cent a JOIN cent b ON a.pos = b.pos AND a.label <> b.label
+        GROUP BY a.label, b.label
+    ),
+    nearest AS (
+        SELECT la AS label, cd AS min_inter
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY la
+                                           ORDER BY cd, lb) AS rk
+              FROM cpair)
+        WHERE rk = 1
+    )
+    SELECT i.label, CAST(i.n_vectors AS BIGINT) AS n_vectors,
+           ROUND(i.avg_intra, 6) AS avg_intra,
+           ROUND(n.min_inter, 6) AS min_inter,
+           ROUND(n.min_inter / i.avg_intra, 6) AS separation
+    FROM intra_avg i JOIN nearest n ON i.label = n.label
+"""
+
+
+@query("q140_class_separation", _ORACLE_Q140)
+def q140_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    pos = e.select("vec_id", "label",
+                   F.posexplode("embedding").alias("pos0", "xf")) \
+        .select("vec_id", "label", (F.col("pos0") + 1).alias("pos"),
+                F.col("xf").cast("double").alias("x"))
+    dec6 = lambda c: F.sum(c.cast("decimal(30,6)")).cast("double")  # noqa: E731
+    dec9 = lambda c: F.sum(F.round(c, 9).cast("decimal(30,9)")) \
+        .cast("double")  # noqa: E731
+    cent = (pos.groupBy("label", "pos")
+            .agg((dec6(F.col("x")) / F.count(F.lit(1))).alias("c")))
+    intra = (pos.join(cent, ["label", "pos"])
+             .groupBy("label", "vec_id")
+             .agg(F.sqrt(dec9((F.col("x") - F.col("c"))
+                              * (F.col("x") - F.col("c")))).alias("d")))
+    intra_avg = (intra.groupBy("label")
+                 .agg(F.count(F.lit(1)).alias("n_vectors"),
+                      (dec9(F.col("d")) / F.count(F.lit(1)))
+                      .alias("avg_intra")))
+    a = cent.select(F.col("label").alias("la"), "pos",
+                    F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("lb"), "pos",
+                    F.col("c").alias("cb"))
+    cpair = (a.join(b, "pos")
+             .filter(F.col("la") != F.col("lb"))
+             .groupBy("la", "lb")
+             .agg(F.sqrt(dec9((F.col("ca") - F.col("cb"))
+                              * (F.col("ca") - F.col("cb")))).alias("cd")))
+    w = W.partitionBy("la").orderBy("cd", "lb")
+    nearest = (cpair.withColumn("rk", F.row_number().over(w))
+               .filter(F.col("rk") == 1)
+               .select(F.col("la").alias("label"),
+                       F.col("cd").alias("min_inter")))
+    return (intra_avg.join(nearest, "label")
+            .select("label",
+                    F.col("n_vectors").cast("bigint").alias("n_vectors"),
+                    F.round("avg_intra", 6).alias("avg_intra"),
+                    F.round("min_inter", 6).alias("min_inter"),
+                    F.round(F.col("min_inter") / F.col("avg_intra"), 6)
+                    .alias("separation")))

@@ -35,6 +35,11 @@ _HEX_FOLD_SPARK = _fold("spark", "md5(cast(doc_id as string))")
 _HEX_FOLD_DUCK = _fold("duckdb", "md5(cast(doc_id as varchar))")
 
 
+from .dedup import _SHINGLES_SQL as _SHINGLES_SQL_T
+
+_SHINGLES_DUCK_Q139 = _SHINGLES_SQL_T.format(col="text")
+
+
 # Tokenization used across all text operators: plain space split.  The
 # documents fixture is space-separated ASCII; a BPE-ish regex tokenizer for
 # real corpora lives in token_count below.
@@ -1867,3 +1872,60 @@ def q128_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n01").cast("bigint").alias("n01"),
         F.col("n00").cast("bigint").alias("n00"),
         F.round((po - pe) / (1.0 - pe), 6).alias("kappa"))
+
+
+# --------------------------------------------------------------------------
+# q139 — split-contamination audit: after the q73 hash split, how much of
+# the held-out sets' char-8-gram shingle mass already appears in train?
+# The hygiene check a split must pass before eval numbers mean anything
+# (high overlap here = the template-duplicate structure leaking across
+# splits; the q79 decontamination operator is the remedy).  Shares the
+# q47/q76 shingle space and the q73 bucket function, so the audit
+# measures exactly what the production operators see.
+# --------------------------------------------------------------------------
+@query(
+    "q139_split_contamination",
+    f"""
+    WITH assigned AS (
+        SELECT doc_id, text,
+               CASE WHEN {_md5_bucket('duckdb', 'doc_id')} < 80 THEN 'train'
+                    WHEN {_md5_bucket('duckdb', 'doc_id')} < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ),
+    shingles AS (
+        SELECT DISTINCT split, UNNEST({_SHINGLES_DUCK_Q139}) AS sh
+        FROM assigned
+    ),
+    train_sh AS (SELECT sh FROM shingles WHERE split = 'train')
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(CASE WHEN sh IN (SELECT sh FROM train_sh)
+                           THEN 1 END) AS BIGINT) AS n_in_train,
+           ROUND(CAST(COUNT(CASE WHEN sh IN (SELECT sh FROM train_sh)
+                                 THEN 1 END) AS DOUBLE) / COUNT(*), 6)
+               AS contamination
+    FROM shingles WHERE split <> 'train'
+    GROUP BY split
+    """,
+)
+def q139_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _SHINGLES_SPARK
+
+    d = load(spark, sf_dir, "documents")
+    bucket = F.expr(_md5_bucket("spark", "doc_id"))
+    split = (F.when(bucket < 80, "train")
+             .when(bucket < 90, "val").otherwise("test"))
+    sh = (d.withColumn("split", split)
+          .select("split",
+                  F.explode(F.expr(_SHINGLES_SPARK.format(col="text")))
+                  .alias("sh"))
+          .distinct())
+    train = sh.filter(F.col("split") == "train").select("sh")
+    held = sh.filter(F.col("split") != "train")
+    hit = (held.join(train.withColumn("__t", F.lit(1)), "sh", "left"))
+    return (hit.groupBy("split")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+                 F.count(F.col("__t")).cast("bigint").alias("n_in_train"),
+                 F.round(F.count(F.col("__t")).cast("double")
+                         / F.count(F.lit(1)), 6).alias("contamination")))

@@ -39,14 +39,17 @@ def _modules():
 # completeness gate.
 #
 # Round-5 window (driver verifies the FIRST 50):
-#   1. q97-q138 — the 42 operators NEW this round, never driver-verified.
+#   1. q97-q140 — the 44 operators NEW this round, never driver-verified.
 #   2. q94-q96 (new after the r4 driver run) and q93/q56/q86/q29 (impl or
 #      shared dependency changed after the r4 run) — 7 more rows whose
 #      current form has no driver evidence.
-#   3. The remaining slot goes to the oldest r3-verified query
-#      (q47 minhash — the headline near-dup path).
-# The other 41 r3-verified queries (q67_overlap_dissolve onward in the
-# stale block) plus
+#   3. 44 new + 7 changed = 51 > 50: q29_asof_join (slot 51) is the one
+#      no-driver-evidence row outside the window — the least-risky
+#      member of the changed set (its round-5 change is the UTC session
+#      pin, a no-op under the driver's UTC session) and pytest-parity
+#      covered like everything else; it leads the r6 rotation.
+# All 42 r3-verified queries (q47_minhash_lsh onward in the stale
+# block) plus
 # the r4-green tail sit outside the window this round; all of them are
 # re-proven by tests/test_oracle_parity.py on every pytest run (the
 # completeness gate) and lead the r6 rotation.  q42/q44/q18 changed this
@@ -71,12 +74,13 @@ _PRIORITY = [
     "q129_hamming_topk", "q130_weighted_median", "q131_user_trend",
     "q132_skew_report", "q133_video_neardup",
     "q134_ewma", "q135_benford_audit", "q136_transition_matrix",
-    "q137_time_to_convert", "q138_session_stats",
+    "q137_time_to_convert", "q138_session_stats", "q139_split_contamination",
+    "q140_class_separation",
     # --- never driver-verified in current form (late-r4 additions/changes) ---
     "q94_dedup_canonical", "q95_stratified_split", "q96_doc_bigram_lift",
     "q93_embedding_covariance", "q56_dedup_components",
     "q86_pagerank_centrality", "q29_asof_join",
-    # --- last driver row: round 3 (oldest evidence); q47 fills slot 50 ---
+    # --- last driver row: round 3 (oldest evidence; all outside the window this round) ---
     "q47_minhash_lsh", "q67_overlap_dissolve", "q60_point_in_polygon",
     "q61_zonal_histogram", "q49_cosine_topk", "q43_fingerprint",
     "q54_dedup_materialize", "q15_count_distinct", "q19_hourly_window",
