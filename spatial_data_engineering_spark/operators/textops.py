@@ -1929,3 +1929,378 @@ def q139_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.col("__t")).cast("bigint").alias("n_in_train"),
                  F.round(F.count(F.col("__t")).cast("double")
                          / F.count(F.lit(1)), 6).alias("contamination")))
+
+
+# --------------------------------------------------------------------------
+# q141 — unigram-LM log-probability (perplexity proxy).  Train a unigram
+# model on the whole corpus (token relative frequencies), score every doc
+# as mean negative log-likelihood per token, report per-source corpus
+# perplexity statistics.  This is the classic CCNet-style quality signal,
+# minus the external KenLM: the LM is the corpus itself.
+#
+# Shape: one token explode -> vocab-sized groupBy (map-side partials);
+# token->freq join is an equi-join on the token (uniform key; at 100 TB
+# the vocab table is GBs and broadcast-able); the per-doc reduce shuffles
+# on doc_id once.  ln() per row is IEEE-identical across engines; the
+# cross-engine sum uses the round-9 + decimal trick from q121.
+# --------------------------------------------------------------------------
+@query(
+    "q141_unigram_logprob",
+    """
+    WITH tok AS (
+        SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS t
+        FROM documents
+    ),
+    tokf AS (SELECT doc_id, source, t FROM tok WHERE t <> ''),
+    freq AS (SELECT t, COUNT(*) AS n FROM tokf GROUP BY t),
+    tot AS (SELECT SUM(n) AS tot FROM freq),
+    perdoc AS (
+        SELECT doc_id, source,
+               CAST(SUM(CAST(ROUND(-ln(CAST(freq.n AS DOUBLE) / tot.tot), 9)
+                             AS DECIMAL(30,9))) AS DOUBLE)
+                   / COUNT(*) AS nll
+        FROM tokf JOIN freq ON tokf.t = freq.t CROSS JOIN tot
+        GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(ROUND(nll, 9) AS DECIMAL(30,9))) AS DOUBLE)
+               / COUNT(*) AS avg_nll,
+           ROUND(MIN(nll), 6) AS min_nll,
+           ROUND(MAX(nll), 6) AS max_nll
+    FROM perdoc GROUP BY source
+    """,
+)
+def q141_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = (d.select("doc_id", "source",
+                    F.explode(F.split("text", " ")).alias("t"))
+           .filter(F.col("t") != ""))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.agg(F.sum("n").alias("tot"))  # 1 row — broadcast crossJoin
+    p = F.col("n").cast("double") / F.col("tot")
+    term = F.round(-F.log(p), 9).cast("decimal(30,9)")
+    perdoc = (tok.join(freq, "t")
+              .crossJoin(F.broadcast(tot))
+              .groupBy("doc_id", "source")
+              .agg((F.sum(term).cast("double") / F.count(F.lit(1)))
+                   .alias("nll")))
+    return (perdoc.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 (F.sum(F.round(F.col("nll"), 9).cast("decimal(30,9)"))
+                  .cast("double") / F.count(F.lit(1))).alias("avg_nll"),
+                 F.round(F.min("nll"), 6).alias("min_nll"),
+                 F.round(F.max("nll"), 6).alias("max_nll")))
+
+
+# --------------------------------------------------------------------------
+# q142 — data-driven stopword discovery: tokens whose document frequency
+# exceeds half the corpus.  The output is the seed list a curation pipeline
+# feeds back into quality scoring (q40/q44 use a hand-picked list; this is
+# how that list is derived at corpus scale).
+#
+# Shape: explode -> DISTINCT (doc_id, token) -> vocab-sized groupBy.  The
+# distinct and the groupBy hash on the same key pair/prefix; the scalar
+# doc count broadcasts.  Integer counts only — no float drift.
+# --------------------------------------------------------------------------
+@query(
+    "q142_stopword_discovery",
+    """
+    WITH tok AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents
+    ),
+    df AS (
+        SELECT t, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS cf
+        FROM tok WHERE t <> '' GROUP BY t
+    ),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT t AS token, CAST(df AS BIGINT) AS df, CAST(cf AS BIGINT) AS cf,
+           ROUND(CAST(df AS DOUBLE) / nd.n_docs, 6) AS df_ratio
+    FROM df CROSS JOIN nd
+    WHERE df * 2 > nd.n_docs
+    """,
+)
+def q142_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = (d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+           .filter(F.col("t") != ""))
+    df = tok.groupBy("t").agg(
+        F.countDistinct("doc_id").alias("df"), F.count(F.lit(1)).alias("cf"))
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (df.crossJoin(F.broadcast(nd))
+            .filter(F.col("df") * 2 > F.col("n_docs"))
+            .select(F.col("t").alias("token"),
+                    F.col("df").cast("bigint").alias("df"),
+                    F.col("cf").cast("bigint").alias("cf"),
+                    F.round(F.col("df").cast("double") / F.col("n_docs"), 6)
+                    .alias("df_ratio")))
+
+
+# --------------------------------------------------------------------------
+# q143 — BPE merge-candidate counting: one iteration of byte-pair-encoding
+# vocabulary induction.  Every adjacent character pair inside every word,
+# counted corpus-wide; the top pair is the next BPE merge.  Tokenizer
+# training is a corpus-scale counting job — exactly this shape, iterated.
+#
+# Shape: two explodes (words, then positions via a codegen'd sequence —
+# no Python), one vocab-of-pairs groupBy, then a top-20 over the pair
+# vocabulary (ORDER BY count DESC with a lexicographic tiebreak; the pair
+# vocabulary is <= alphabet^2 rows, so the final window is trivially
+# small — the corpus-sized stages are all hash-partitioned).
+# --------------------------------------------------------------------------
+@query(
+    "q143_bpe_pair_counts",
+    """
+    WITH words AS (
+        SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    pairs AS (
+        SELECT UNNEST(list_transform(range(1, len(w)),
+                                     i -> substr(w, i, 2))) AS pair
+        FROM words WHERE len(w) >= 2
+    ),
+    counted AS (SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair)
+    SELECT pair, CAST(n AS BIGINT) AS n, CAST(rk AS INTEGER) AS rk
+    FROM (SELECT pair, n,
+                 ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rk
+          FROM counted)
+    WHERE rk <= 20
+    """,
+)
+def q143_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    words = (d.select(F.explode(F.split("text", " ")).alias("w"))
+             .filter(F.length("w") >= 2))
+    pairs = words.select(F.explode(F.expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"
+    )).alias("pair"))
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    rk = F.row_number().over(
+        W.orderBy(F.desc("n"), F.asc("pair"))).alias("rk")
+    return (counted.select("pair", F.col("n").cast("bigint").alias("n"), rk)
+            .filter(F.col("rk") <= 20)
+            .select("pair", "n", F.col("rk").cast("int").alias("rk")))
+
+
+# --------------------------------------------------------------------------
+# q144 — deterministic training order: the global document shuffle a
+# trainer consumes.  Each doc hashes to one of 8 shards; within a shard
+# docs are ordered by their md5 fold (doc_id tiebreak), and the global
+# step interleaves shards round-robin.  Pure hash arithmetic — re-running
+# on any partitioning or cluster yields byte-identical curricula.
+#
+# Shape: the window partitions BY SHARD, so at 100 TB each shard's sort is
+# an independent range-partitioned sort (shard count scales with the
+# cluster); no global single-partition window anywhere.
+# --------------------------------------------------------------------------
+@query(
+    "q144_training_order",
+    f"""
+    WITH h AS (
+        SELECT doc_id, {_HEX_FOLD_DUCK} AS hv FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, hv % 8 AS shard,
+               ROW_NUMBER() OVER (PARTITION BY hv % 8
+                                  ORDER BY hv, doc_id) AS rk
+        FROM h
+    )
+    SELECT doc_id, CAST(shard AS INTEGER) AS shard,
+           CAST((rk - 1) * 8 + shard AS BIGINT) AS step
+    FROM ranked
+    """,
+)
+def q144_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    h = d.select("doc_id", F.expr(_HEX_FOLD_SPARK).alias("hv"))
+    shard = (F.col("hv") % 8).alias("shard")
+    rk = F.row_number().over(
+        W.partitionBy(F.col("hv") % 8).orderBy("hv", "doc_id"))
+    return (h.select("doc_id", shard, rk.alias("rk"))
+            .select("doc_id", F.col("shard").cast("int").alias("shard"),
+                    ((F.col("rk") - 1) * 8 + F.col("shard"))
+                    .cast("bigint").alias("step")))
+
+
+# --------------------------------------------------------------------------
+# q145 — curriculum staging: order the corpus by the production quality
+# score (shared _SCORED relation) and cut it into 4 stages — train on
+# cleanest data first.  Stage boundaries come from NTILE over
+# (quality, doc_id); the doc_id tiebreak pins boundaries exactly, the
+# same determinism contract as q127's deciles.
+#
+# Scale note: NTILE over an unpartitioned window is the oracle-parity
+# form; the production cut at 100 TB is the two-phase quantile-boundary
+# bucket (compute 3 boundaries exactly via grouped_percentiles, then a
+# stateless range bucket per row) — same outputs when scores are distinct,
+# and the boundary form never materializes a global sort.
+# --------------------------------------------------------------------------
+@query(
+    "q145_curriculum_stages",
+    f"""
+    {_SCORED_SQL},
+    staged AS (
+        SELECT lang, quality,
+               NTILE(4) OVER (ORDER BY quality DESC, doc_id) AS stage
+        FROM scored
+    )
+    SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(MIN(quality), 6) AS min_q,
+           ROUND(MAX(quality), 6) AS max_q,
+           {sql_davg('quality', 'avg_q')}
+    FROM staged GROUP BY stage
+    """,
+)
+def q145_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    scored = _scored_quality(d)
+    stage = F.ntile(4).over(
+        W.orderBy(F.desc("quality"), F.asc("doc_id"))).alias("stage")
+    return (scored.select("lang", "quality", stage)
+            .groupBy("stage")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.round(F.min("quality"), 6).alias("min_q"),
+                 F.round(F.max("quality"), 6).alias("max_q"),
+                 davg("quality", "avg_q")))
+
+
+# --------------------------------------------------------------------------
+# q146 — cross-source vocabulary overlap: pairwise Jaccard between the
+# distinct-token sets of every source pair.  The corpus-mixing diagnostic:
+# two sources with near-identical vocabularies are redundant; near-zero
+# overlap flags a domain (or a language mislabel) the mix under-weights.
+#
+# Shape: one DISTINCT (source, token) projection (vocab-sized), then an
+# equi-join ON TOKEN between source pairs — never a cross join of
+# vocabularies.  Set sizes broadcast (one row per source).
+# --------------------------------------------------------------------------
+@query(
+    "q146_vocab_overlap",
+    """
+    WITH st AS (
+        SELECT DISTINCT source, UNNEST(string_split(text, ' ')) AS t
+        FROM documents
+    ),
+    stf AS (SELECT source, t FROM st WHERE t <> ''),
+    sizes AS (SELECT source, COUNT(*) AS sz FROM stf GROUP BY source),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+        FROM stf a JOIN stf b ON a.t = b.t AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT src_a, src_b, CAST(n_common AS BIGINT) AS n_common,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 6)
+               AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    """,
+)
+def q146_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    stf = (d.select("source", F.explode(F.split("text", " ")).alias("t"))
+           .filter(F.col("t") != "").distinct())
+    sizes = stf.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    a = stf.select(F.col("source").alias("src_a"), "t")
+    b = stf.select(F.col("source").alias("src_b"), "t")
+    inter = (a.join(b, ["t"])
+             .filter(F.col("src_a") < F.col("src_b"))
+             .groupBy("src_a", "src_b")
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    sa = F.broadcast(sizes.select(F.col("source").alias("src_a"),
+                                  F.col("sz").alias("sz_a")))
+    sb = F.broadcast(sizes.select(F.col("source").alias("src_b"),
+                                  F.col("sz").alias("sz_b")))
+    return (inter.join(sa, "src_a").join(sb, "src_b")
+            .select("src_a", "src_b",
+                    F.col("n_common").cast("bigint").alias("n_common"),
+                    F.round(F.col("n_common").cast("double")
+                            / (F.col("sz_a") + F.col("sz_b")
+                               - F.col("n_common")), 6).alias("jaccard")))
+
+
+# --------------------------------------------------------------------------
+# q147 — chi-squared keyword extraction: per language, the 5 tokens most
+# over-represented vs the rest of the corpus by the chi² statistic over
+# the 2x2 (token x language) contingency table.  The classic supervised
+# keyword / domain-signature extractor.
+#
+# Shape: one (lang, token) groupBy; marginals are lang-count (broadcast)
+# and token-count (vocab-sized equi-join).  chi² per row is fixed-order
+# double arithmetic — IEEE-identical on both engines; the top-5 window
+# partitions by lang over the vocab-sized score table.
+# --------------------------------------------------------------------------
+@query(
+    "q147_chi2_keywords",
+    """
+    WITH tok AS (
+        SELECT lang, UNNEST(string_split(text, ' ')) AS t FROM documents
+    ),
+    tokf AS (SELECT lang, t FROM tok WHERE t <> ''),
+    lt AS (SELECT lang, t, COUNT(*) AS a FROM tokf GROUP BY lang, t),
+    tmarg AS (SELECT t, COUNT(*) AS tn FROM tokf GROUP BY t),
+    lmarg AS (SELECT lang, COUNT(*) AS ln_ FROM tokf GROUP BY lang),
+    tot AS (SELECT COUNT(*) AS n FROM tokf),
+    cells AS (
+        SELECT lt.lang, lt.t,
+               CAST(lt.a AS DOUBLE) AS a,
+               CAST(tmarg.tn - lt.a AS DOUBLE) AS b,
+               CAST(lmarg.ln_ - lt.a AS DOUBLE) AS c,
+               CAST(tot.n - tmarg.tn - lmarg.ln_ + lt.a AS DOUBLE) AS d,
+               CAST(tot.n AS DOUBLE) AS n
+        FROM lt JOIN tmarg ON lt.t = tmarg.t
+                JOIN lmarg ON lt.lang = lmarg.lang
+                CROSS JOIN tot
+    ),
+    scored AS (
+        SELECT lang, t,
+               ROUND(n * (a * d - b * c) * (a * d - b * c)
+                     / ((a + b) * (c + d) * (a + c) * (b + d)), 6) AS chi2
+        FROM cells WHERE a * d > b * c
+    )
+    SELECT lang, t AS token, chi2, CAST(rk AS INTEGER) AS rk
+    FROM (SELECT lang, t, chi2,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY chi2 DESC, t) AS rk
+          FROM scored)
+    WHERE rk <= 5
+    """,
+)
+def q147_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    tokf = (d.select("lang", F.explode(F.split("text", " ")).alias("t"))
+            .filter(F.col("t") != ""))
+    lt = tokf.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("a0"))
+    tmarg = tokf.groupBy("t").agg(F.count(F.lit(1)).alias("tn"))
+    lmarg = tokf.groupBy("lang").agg(F.count(F.lit(1)).alias("ln_"))
+    tot = tokf.agg(F.count(F.lit(1)).alias("n0"))
+    cells = (lt.join(tmarg, "t").join(F.broadcast(lmarg), "lang")
+             .crossJoin(F.broadcast(tot))
+             .select("lang", "t",
+                     F.col("a0").cast("double").alias("a"),
+                     (F.col("tn") - F.col("a0")).cast("double").alias("b"),
+                     (F.col("ln_") - F.col("a0")).cast("double").alias("c"),
+                     (F.col("n0") - F.col("tn") - F.col("ln_") + F.col("a0"))
+                     .cast("double").alias("d"),
+                     F.col("n0").cast("double").alias("n")))
+    chi2 = F.round(
+        F.col("n") * (F.col("a") * F.col("d") - F.col("b") * F.col("c"))
+        * (F.col("a") * F.col("d") - F.col("b") * F.col("c"))
+        / ((F.col("a") + F.col("b")) * (F.col("c") + F.col("d"))
+           * (F.col("a") + F.col("c")) * (F.col("b") + F.col("d"))), 6)
+    scored = (cells.filter(F.col("a") * F.col("d") > F.col("b") * F.col("c"))
+              .select("lang", "t", chi2.alias("chi2")))
+    rk = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.desc("chi2"), F.asc("t")))
+    return (scored.select("lang", F.col("t").alias("token"), "chi2",
+                          rk.alias("rk"))
+            .filter(F.col("rk") <= 5)
+            .select("lang", "token", "chi2", F.col("rk").cast("int").alias("rk")))

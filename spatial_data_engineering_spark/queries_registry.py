@@ -58,6 +58,11 @@ def _modules():
 # deliberately yield their forced slots — q29 covers the same
 # events/catalog surface in-window with raw timestamp output.
 _PRIORITY = [
+    # --- never driver-verified: newest first (late round 5) ---
+    "q141_unigram_logprob", "q142_stopword_discovery",
+    "q143_bpe_pair_counts", "q144_training_order",
+    "q145_curriculum_stages", "q146_vocab_overlap",
+    "q147_chi2_keywords",
     # --- never driver-verified: new in round 5 ---
     "q97_funnel", "q98_cohort_retention", "q99_zscore_anomaly",
     "q100_time_weighted_avg", "q101_gap_fill_interpolate",
