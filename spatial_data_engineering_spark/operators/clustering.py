@@ -642,3 +642,34 @@ def q115_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         frontier = new
     sym.unpersist()
     return dist
+
+
+# --------------------------------------------------------------------------
+# q152 — duplicate-cluster size distribution: histogram of connected-
+# component sizes over the near-dup graph, with the duplicate overhead
+# (docs beyond the keeper) each size class contributes.  The curation
+# dashboard number: "how much of the corpus is 2-copies vs 50-copy spam".
+#
+# Shape: one extra vocab-of-sizes groupBy on top of q56's components —
+# reuses the session-shared near-dup pair set, so the LSH DAG is not
+# re-run.  Integer counts only.
+# --------------------------------------------------------------------------
+def _oracle_q152() -> str:
+    return f"""
+    WITH comps AS ({_oracle_q56()})
+    SELECT n_docs AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs_total,
+           CAST(SUM(n_docs - 1) AS BIGINT) AS n_dup_overhead
+    FROM comps GROUP BY n_docs
+    """
+
+
+@query("q152_dup_cluster_sizes", _oracle_q152())
+def q152_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comps = q56_dedup_components(spark, sf_dir)
+    return (comps.groupBy(F.col("n_docs").alias("cluster_size"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+                 F.sum("n_docs").cast("bigint").alias("n_docs_total"),
+                 F.sum(F.col("n_docs") - 1).cast("bigint")
+                 .alias("n_dup_overhead")))

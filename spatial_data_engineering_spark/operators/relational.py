@@ -1581,3 +1581,156 @@ def q135_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(expected, 6).alias("expected"),
                     F.round(F.pow(observed - expected, 2) / expected, 9)
                     .alias("chi2_contrib")))
+
+
+# --------------------------------------------------------------------------
+# q149 — winsorized and trimmed statistics: per return flag, the mean of
+# l_extendedprice after clamping to the exact [p05, p95] band (winsorized)
+# and after excluding values outside it (trimmed) — the robust-mean pair
+# every metrics pipeline wants once outliers appear.
+#
+# Shape: phase 1 computes the two exact percentiles per group (3 groups —
+# grouped_percentiles exact path, the oracle-parity percentile already
+# proven by q33); phase 2 re-scans with the 3-row boundary table
+# broadcast, clamps per row, and reduces with decimal sums.  At 100 TB
+# phase 1 flips to the GK sketch (exact=False) and phase 2 is unchanged.
+# --------------------------------------------------------------------------
+@query(
+    "q149_winsorized_stats",
+    f"""
+    WITH b AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.05) AS p05,
+               quantile_cont(l_extendedprice, 0.95) AS p95
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_davg('least(greatest(l.l_extendedprice, b.p05), b.p95)',
+                     'winsorized_mean')},
+           {sql_davg('CASE WHEN l.l_extendedprice BETWEEN b.p05 AND b.p95 '
+                     'THEN l.l_extendedprice END', 'trimmed_mean')},
+           CAST(COUNT(CASE WHEN l.l_extendedprice NOT BETWEEN b.p05 AND b.p95
+                           THEN 1 END) AS BIGINT) AS n_clamped
+    FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def q149_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    b = grouped_percentiles(li, ["l_returnflag"], "l_extendedprice",
+                            [0.05, 0.95], ["p05", "p95"], exact=True)
+    x = F.col("l_extendedprice")
+    clamped = F.least(F.greatest(x, F.col("p05")), F.col("p95"))
+    inband = x.between(F.col("p05"), F.col("p95"))
+    return (li.join(F.broadcast(b), "l_returnflag")
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 davg(clamped, "winsorized_mean"),
+                 davg(F.when(inband, x), "trimmed_mean"),
+                 F.count(F.when(~inband, 1)).cast("bigint")
+                 .alias("n_clamped")))
+
+
+# --------------------------------------------------------------------------
+# q150 — revenue concentration (Herfindahl–Hirschman index) per market
+# segment: sum over customers of squared revenue share, plus the top
+# customer's share.  The standard "is this segment one whale or a long
+# tail" diagnostic.
+#
+# Shape: per-customer revenue is one orders groupBy (decimal-exact);
+# segment totals are an aggregate OF that aggregate (tiny); shares and
+# their squares are per-row doubles summed through round-9 decimals —
+# order-independent end to end.  customer joins orders pre-aggregated,
+# the dim side broadcasts.
+# --------------------------------------------------------------------------
+@query(
+    "q150_hhi_concentration",
+    f"""
+    WITH cr AS (
+        SELECT c.c_mktsegment, o.o_custkey,
+               {sql_dsum('o.o_totalprice', 'rev')}
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, o.o_custkey
+    ),
+    seg AS (
+        SELECT c_mktsegment, {sql_dsum('rev', 'tot')},
+               COUNT(*) AS n_customers
+        FROM cr GROUP BY c_mktsegment
+    )
+    SELECT cr.c_mktsegment,
+           CAST(seg.n_customers AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(ROUND((cr.rev / seg.tot) * (cr.rev / seg.tot), 9)
+                         AS DECIMAL(30,9))) AS DOUBLE) AS hhi,
+           ROUND(MAX(cr.rev / seg.tot), 6) AS top_share
+    FROM cr JOIN seg ON cr.c_mktsegment = seg.c_mktsegment
+    GROUP BY cr.c_mktsegment, seg.n_customers
+    """,
+)
+def q150_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cr = (o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+                 o.o_custkey == c.c_custkey)
+          .groupBy("c_mktsegment", "o_custkey")
+          .agg(dsum("o_totalprice", "rev")))
+    seg = cr.groupBy("c_mktsegment").agg(
+        dsum("rev", "tot"), F.count(F.lit(1)).alias("n_customers"))
+    share = F.col("rev") / F.col("tot")
+    return (cr.join(F.broadcast(seg), "c_mktsegment")
+            .groupBy("c_mktsegment", "n_customers")
+            .agg(F.sum(F.round(share * share, 9).cast("decimal(30,9)"))
+                 .cast("double").alias("hhi"),
+                 F.round(F.max(share), 6).alias("top_share"))
+            .select("c_mktsegment",
+                    F.col("n_customers").cast("bigint").alias("n_customers"),
+                    "hhi", "top_share"))
+
+
+# --------------------------------------------------------------------------
+# q151 — returned-item revenue report (TPC-H Q10 shape): the 20 customers
+# who returned the most revenue, with their nation.  Joins the fact table
+# filtered to returnflag='R' through orders to the customer/nation dims.
+#
+# Shape: the returnflag filter pushes to the lineitem scan; the
+# lineitem->orders join shuffles on orderkey; per-customer aggregation
+# shuffles once on custkey; dims broadcast.  The final top-20 is a window
+# over the per-customer aggregate (customer-sized, not fact-sized) — at
+# 100 TB swap in the two-phase top-K (q85) if even that table is huge.
+# --------------------------------------------------------------------------
+@query(
+    "q151_returned_revenue",
+    f"""
+    WITH agg AS (
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+               COUNT(*) AS n_items
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+    )
+    SELECT c_custkey, c_name, n_name, revenue,
+           CAST(n_items AS BIGINT) AS n_items
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey) AS rk
+          FROM agg)
+    WHERE rk <= 20
+    """,
+)
+def q151_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+           .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+           .groupBy("c_custkey", "c_name", "n_name")
+           .agg(dsum(rev, "revenue"), F.count(F.lit(1)).alias("n_items")))
+    rk = F.row_number().over(W.orderBy(F.desc("revenue"), F.asc("c_custkey")))
+    return (agg.withColumn("rk", rk).filter(F.col("rk") <= 20)
+            .select("c_custkey", "c_name", "n_name", "revenue",
+                    F.col("n_items").cast("bigint").alias("n_items")))

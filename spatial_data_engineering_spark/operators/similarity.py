@@ -1150,3 +1150,98 @@ def q140_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("min_inter", 6).alias("min_inter"),
                     F.round(F.col("min_inter") / F.col("avg_intra"), 6)
                     .alias("separation")))
+
+
+# --------------------------------------------------------------------------
+# q148 — SemDeDup (semantic dedup by cluster-then-prune, after Abbas et
+# al. 2023): coarse-cluster the corpus, then drop any vector whose
+# cluster contains a more-senior (lower-id) vector within cosine >= 0.8.
+# The point of the design is scale: the O(n^2) pruning pass runs WITHIN
+# clusters only, so candidate pairs come from an equi-join on the cluster
+# id — cost is sum over clusters of |c|^2, not n^2 — and cluster count is
+# the knob that bounds |c|.
+#
+# Determinism: clusters come from the q52 training-free coarse quantizer
+# (16 lowest-vec_id non-zero vectors as centroids) and every cosine is
+# the strict left-fold dot (JVM codegen), bit-identical to the oracle's
+# list_reduce — so unlike q52's BLAS argmax, the assignment IS
+# SQL-reproducible and the operator gets a full value oracle.  Argmax tie
+# broken by centroid id; prune seniority by vec_id.
+# --------------------------------------------------------------------------
+_SEMDEDUP_TAU = 0.8
+_SEMDEDUP_K = 16
+
+_ORACLE_Q148 = f"""
+    WITH nz AS (
+        SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm
+        FROM embeddings WHERE {_norm_sql('embedding')} > 0
+    ),
+    cent AS (
+        SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+        FROM nz ORDER BY vec_id LIMIT {_SEMDEDUP_K}
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, nrm, cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY {_dot_sql('embedding', 'cemb')} / (nrm * cnrm)
+                            DESC, cid) AS rk
+        FROM nz CROSS JOIN cent
+    ),
+    member AS (SELECT vec_id, embedding, nrm, cid FROM assigned WHERE rk = 1),
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM member a JOIN member b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE {_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
+              >= {_SEMDEDUP_TAU}
+    )
+    SELECT m.cid, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(d.vec_id) AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) - COUNT(d.vec_id) AS BIGINT) AS n_kept
+    FROM member m LEFT JOIN dropped d ON m.vec_id = d.vec_id
+    GROUP BY m.cid
+"""
+
+
+@query("q148_semdedup", _ORACLE_Q148)
+def q148_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load(spark, sf_dir, "embeddings")
+    nz = (e.select("vec_id", "embedding",
+                   F.expr(_norm_spark("embedding")).alias("nrm"))
+          .filter(F.col("nrm") > 0))
+    cent = (nz.orderBy("vec_id").limit(_SEMDEDUP_K)
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("cemb"),
+                    F.col("nrm").alias("cnrm")))
+    cos = (F.expr(_dot_spark("embedding", "cemb"))
+           / (F.col("nrm") * F.col("cnrm")))
+    rk = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(F.desc(cos), F.asc("cid")))
+    member = (nz.crossJoin(F.broadcast(cent))
+              .withColumn("rk", rk)
+              .filter(F.col("rk") == 1)
+              .select("vec_id", "embedding", "nrm", "cid"))
+    a = member.select(F.col("cid").alias("cid"),
+                      F.col("vec_id").alias("a_id"),
+                      F.col("embedding").alias("aemb"),
+                      F.col("nrm").alias("anrm"))
+    b = member.select(F.col("cid").alias("cid"),
+                      F.col("vec_id").alias("b_id"),
+                      F.col("embedding").alias("bemb"),
+                      F.col("nrm").alias("bnrm"))
+    pcos = (F.expr(_dot_spark("aemb", "bemb"))
+            / (F.col("anrm") * F.col("bnrm")))
+    dropped = (a.join(b, "cid")
+               .filter(F.col("a_id") < F.col("b_id"))
+               .filter(pcos >= _SEMDEDUP_TAU)
+               .select(F.col("b_id").alias("vec_id")).distinct()
+               .withColumn("__d", F.lit(1)))
+    return (member.join(dropped, "vec_id", "left")
+            .groupBy("cid")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+                 F.count("__d").cast("bigint").alias("n_dropped"),
+                 (F.count(F.lit(1)) - F.count("__d"))
+                 .cast("bigint").alias("n_kept")))

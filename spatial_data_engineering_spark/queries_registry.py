@@ -62,7 +62,9 @@ _PRIORITY = [
     "q141_unigram_logprob", "q142_stopword_discovery",
     "q143_bpe_pair_counts", "q144_training_order",
     "q145_curriculum_stages", "q146_vocab_overlap",
-    "q147_chi2_keywords",
+    "q147_chi2_keywords", "q148_semdedup", "q149_winsorized_stats",
+    "q150_hhi_concentration", "q151_returned_revenue",
+    "q152_dup_cluster_sizes",
     # --- never driver-verified: new in round 5 ---
     "q97_funnel", "q98_cohort_retention", "q99_zscore_anomaly",
     "q100_time_weighted_avg", "q101_gap_fill_interpolate",
