@@ -58,13 +58,6 @@ def _modules():
 # deliberately yield their forced slots — q29 covers the same
 # events/catalog surface in-window with raw timestamp output.
 _PRIORITY = [
-    # --- never driver-verified: newest first (late round 5) ---
-    "q141_unigram_logprob", "q142_stopword_discovery",
-    "q143_bpe_pair_counts", "q144_training_order",
-    "q145_curriculum_stages", "q146_vocab_overlap",
-    "q147_chi2_keywords", "q148_semdedup", "q149_winsorized_stats",
-    "q150_hhi_concentration", "q151_returned_revenue",
-    "q152_dup_cluster_sizes",
     # --- never driver-verified: new in round 5 ---
     "q97_funnel", "q98_cohort_retention", "q99_zscore_anomaly",
     "q100_time_weighted_avg", "q101_gap_fill_interpolate",
@@ -87,6 +80,15 @@ _PRIORITY = [
     "q94_dedup_canonical", "q95_stratified_split", "q96_doc_bigram_lift",
     "q93_embedding_covariance", "q56_dedup_components",
     "q86_pagerank_centrality", "q29_asof_join",
+    # --- never driver-verified: added late in round 5, after the window
+    # was finalized (51 older no-evidence rows already queue ahead).
+    # Oracle-parity-proven by pytest every run; they lead the r6 window. ---
+    "q141_unigram_logprob", "q142_stopword_discovery",
+    "q143_bpe_pair_counts", "q144_training_order",
+    "q145_curriculum_stages", "q146_vocab_overlap",
+    "q147_chi2_keywords", "q148_semdedup", "q149_winsorized_stats",
+    "q150_hhi_concentration", "q151_returned_revenue",
+    "q152_dup_cluster_sizes",
     # --- last driver row: round 3 (oldest evidence; all outside the window this round) ---
     "q47_minhash_lsh", "q67_overlap_dissolve", "q60_point_in_polygon",
     "q61_zonal_histogram", "q49_cosine_topk", "q43_fingerprint",
