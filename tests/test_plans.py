@@ -547,3 +547,46 @@ def test_q120_is_single_window_no_join(spark):
     plan = _plan(spark, "q120_asof_forward")
     assert "Join" not in plan
     assert plan.count("Window") >= 1
+
+
+def test_q148_semdedup_no_cartesian_prune_is_equijoin(spark):
+    plan = _plan(spark, "q148_semdedup")
+    # assignment crossJoin is a broadcast NLJ of the 16-row centroid
+    # table (appears once per self-join branch of `member` — 3 sites, all
+    # 16-row builds); the O(|c|^2) prune phase must be an equi-join on
+    # the cluster id, never a corpus-level cartesian product
+    assert "CartesianProduct" not in plan
+    # formatted explain prints each site twice (tree + details): 3 sites
+    assert plan.count("BroadcastNestedLoopJoin") <= 6
+    assert "SortMergeJoin Inner" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+
+
+def test_q151_returnflag_pushdown_and_dim_broadcast(spark):
+    plan = _plan(spark, "q151_returned_revenue")
+    # the returnflag filter reaches the lineitem scan; customer/nation
+    # dims broadcast rather than shuffling the fact side
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q141_vocab_join_not_cartesian(spark):
+    plan = _plan(spark, "q141_unigram_logprob")
+    # token->freq lookup is an equi-join on the token; the only NLJ-ish
+    # site is the 1-row total broadcast
+    assert "CartesianProduct" not in plan
+
+
+def test_q144_training_order_no_global_single_partition_sort(spark):
+    plan = _plan(spark, "q144_training_order")
+    # the window partitions by shard — there must be no SinglePartition
+    # exchange anywhere (the global-sort trap)
+    assert "SinglePartition" not in plan
+
+
+def test_q146_vocab_overlap_equijoin_on_token(spark):
+    plan = _plan(spark, "q146_vocab_overlap")
+    # the pairwise-overlap join keys on the token column (hash or SMJ by
+    # size; at sf0.01 one side broadcasts) — never a vocab cross product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
