@@ -714,3 +714,83 @@ def q82_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(corpus.select("fh").distinct(), "fh", "left_anti")
         .select("doc_id", "lang", "source")
     )
+
+
+# --------------------------------------------------------------------------
+# q153 — SimHash Hamming-distance join (Manku et al., WWW'07): find all
+# doc pairs whose 16-bit SimHash signatures differ in <= 3 bits.  q48
+# only buckets EXACT signature matches (Hamming 0); real near-dups
+# perturb a few bits, and the production trick is the pigeonhole band
+# join — split the signature into 4 x 4-bit bands; any pair within
+# Hamming 3 must agree exactly on >= 1 band, so candidates come from an
+# equi-join on (band_idx, band_value) and only candidates pay the
+# bit_count(xor) verification.
+#
+# Scale shape: candidate blocks are bounded by band-value frequency (the
+# same df-cap argument as q76); no all-pairs stage anywhere.  A 64-bit
+# signature at 100 TB uses 6-bit bands + two-stage pigeonhole, same
+# plan.  Output is the Hamming histogram over verified pairs — bounded
+# (4 rows) regardless of corpus size.
+# --------------------------------------------------------------------------
+_HAM_BANDS = 4  # 4 bands x 4 bits over the 16-bit q48 signature
+_HAM_MAX = 3
+
+_ORACLE_Q153 = f"""
+    WITH sig AS (
+        SELECT doc_id, simsig FROM (
+            WITH tok AS (
+                SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents
+            ),
+            sums AS (
+                SELECT doc_id, {', '.join(_bit_sum_exprs('duckdb'))}
+                FROM tok GROUP BY doc_id
+            )
+            SELECT doc_id, CAST({_SIMHASH_RECOMBINE} AS BIGINT) AS simsig
+            FROM sums
+        )
+    ),
+    bands AS (
+        SELECT doc_id, simsig, b.band,
+               (simsig // CAST(pow(16, b.band) AS BIGINT)) % 16 AS bv
+        FROM sig CROSS JOIN
+             (SELECT UNNEST(range(0, {_HAM_BANDS})) AS band) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, c.doc_id AS b_id,
+               bit_count(xor(a.simsig, c.simsig)) AS hamming
+        FROM bands a JOIN bands c
+          ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id
+        WHERE bit_count(xor(a.simsig, c.simsig)) <= {_HAM_MAX}
+    )
+    SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM cand GROUP BY hamming
+"""
+
+
+@query("q153_simhash_hamming_join", _ORACLE_Q153)
+def q153_simhash_hamming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = (d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+           .distinct())
+    sums = tok.groupBy("doc_id").agg(
+        *[F.expr(e) for e in _bit_sum_exprs("spark")])
+    sig = sums.select(
+        "doc_id",
+        F.expr(f"CAST({_SIMHASH_RECOMBINE} AS BIGINT)").alias("simsig"))
+    bands = (sig.withColumn("band", F.explode(
+                 F.expr(f"sequence(0, {_HAM_BANDS - 1})")))
+             .withColumn("bv", F.expr(
+                 "(simsig div CAST(pow(16, band) AS BIGINT)) % 16")))
+    a = bands.select(F.col("doc_id").alias("a_id"),
+                     F.col("simsig").alias("asig"), "band", "bv")
+    c = bands.select(F.col("doc_id").alias("b_id"),
+                     F.col("simsig").alias("bsig"), "band", "bv")
+    ham = F.expr("bit_count(asig ^ bsig)")
+    cand = (a.join(c, ["band", "bv"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .withColumn("hamming", ham)
+            .filter(F.col("hamming") <= _HAM_MAX)
+            .select("a_id", "b_id", "hamming").distinct())
+    return cand.groupBy("hamming").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"))

@@ -1245,3 +1245,134 @@ def q148_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("__d").cast("bigint").alias("n_dropped"),
                  (F.count(F.lit(1)) - F.count("__d"))
                  .cast("bigint").alias("n_kept")))
+
+
+# --------------------------------------------------------------------------
+# q154 — leave-one-out 1-NN label accuracy: for every vector, find its
+# nearest neighbor by cosine (excluding itself) and score whether the
+# neighbor's label matches — the standard embedding-quality probe run
+# before a model trains on retrieved neighbors.
+#
+# Physical strategy: the q50 block-pair BLAS tiling (bounded task memory,
+# sqrt-replication shuffle) with a per-tile top-1 partial reduce — each
+# tile emits at most |tile_a| rows, then a global (cos desc, b_id) argmax
+# per vector.  Determinism across BLAS-vs-SQL: cosines are rounded to 6
+# before the argmax and ties break by neighbor id, the q50 contract.
+# Output is per-label accuracy — label-count rows, corpus-size invariant.
+# --------------------------------------------------------------------------
+_ORACLE_Q154 = f"""
+    WITH nz AS (
+        SELECT vec_id, label, embedding, {_norm_sql('embedding')} AS nrm
+        FROM embeddings WHERE {_norm_sql('embedding')} > 0
+    ),
+    scored AS (
+        SELECT a.vec_id, a.label,
+               b.label AS nlabel,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY ROUND({_dot_sql('a.embedding', 'b.embedding')}
+                                  / (a.nrm * b.nrm), 6) DESC, b.vec_id) AS rk
+        FROM nz a JOIN nz b ON a.vec_id <> b.vec_id
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(CASE WHEN nlabel = label THEN 1 END) AS BIGINT)
+               AS n_correct,
+           ROUND(CAST(COUNT(CASE WHEN nlabel = label THEN 1 END) AS DOUBLE)
+                 / COUNT(*), 6) AS accuracy
+    FROM scored WHERE rk = 1
+    GROUP BY label
+"""
+
+
+@query("q154_knn_label_accuracy", _ORACLE_Q154)
+def q154_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window as W
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label",
+                                                 "embedding")
+    n = e.count()
+    n_blocks = max(1, math.ceil(n / _Q50_BLOCK_ROWS))
+    blocked = e.withColumn(
+        "blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int"))
+    pairs = F.expr(
+        f"transform(sequence(0, {n_blocks - 1}),"
+        f" o -> struct(least(blk, o) AS i, greatest(blk, o) AS j))")
+    rep = (blocked.withColumn("p", F.explode(pairs))
+           .select("vec_id", "label", "embedding", "blk",
+                   F.col("p.i").alias("bi"), F.col("p.j").alias("bj")))
+
+    def tile_top1(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = key
+        empty = pd.DataFrame({
+            "vec_id": pd.Series([], dtype="int64"),
+            "label": pd.Series([], dtype="int32"),
+            "cosine": pd.Series([], dtype="float64"),
+            "n_id": pd.Series([], dtype="int64"),
+            "n_label": pd.Series([], dtype="int32")})
+
+        def side(mask):
+            ids = pdf["vec_id"].to_numpy()[mask]
+            lbl = pdf["label"].to_numpy()[mask]
+            if len(ids) == 0:
+                return ids, lbl, None, None
+            m = np.stack(pdf["embedding"].to_numpy()[mask]).astype(np.float64)
+            nrm = np.sqrt((m * m).sum(axis=1))
+            keep = nrm > 0
+            return ids[keep], lbl[keep], m[keep], nrm[keep]
+
+        blk = pdf["blk"].to_numpy()
+        a_ids, a_lbl, a_mat, a_nrm = side(blk == bi)
+        if bi == bj:
+            b_ids, b_lbl, b_mat, b_nrm = a_ids, a_lbl, a_mat, a_nrm
+        else:
+            b_ids, b_lbl, b_mat, b_nrm = side(blk == bj)
+        if len(a_ids) == 0 or len(b_ids) == 0:
+            return empty
+        sims = np.round((a_mat @ b_mat.T) / np.outer(a_nrm, b_nrm), 6)
+
+        def local_top1(q_ids, q_lbl, s, c_ids, c_lbl):
+            # mask self-pairs, then per row: max cosine, tie -> min b_id
+            self_mask = q_ids[:, None] == c_ids[None, :]
+            s = np.where(self_mask, -np.inf, s)
+            best = s.max(axis=1)
+            out = []
+            for r in range(s.shape[0]):
+                if not np.isfinite(best[r]):
+                    continue
+                tie = np.where(s[r] == best[r])[0]
+                j = tie[np.argmin(c_ids[tie])]
+                out.append((q_ids[r], q_lbl[r], best[r],
+                            c_ids[j], c_lbl[j]))
+            return out
+
+        rows = local_top1(a_ids, a_lbl, sims, b_ids, b_lbl)
+        if bi != bj:
+            rows += local_top1(b_ids, b_lbl, sims.T, a_ids, a_lbl)
+        if not rows:
+            return empty
+        v, l, c, ni, nl = zip(*rows)
+        return pd.DataFrame({"vec_id": np.array(v, dtype="int64"),
+                             "label": np.array(l, dtype="int32"),
+                             "cosine": np.array(c, dtype="float64"),
+                             "n_id": np.array(ni, dtype="int64"),
+                             "n_label": np.array(nl, dtype="int32")})
+
+    partials = rep.groupBy("bi", "bj").applyInPandas(
+        tile_top1,
+        schema="vec_id bigint, label int, cosine double, n_id bigint, "
+               "n_label int")
+    rk = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("n_id")))
+    best = partials.withColumn("rk", rk).filter(F.col("rk") == 1)
+    return (best.groupBy("label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+                 F.count(F.when(F.col("n_label") == F.col("label"), 1))
+                 .cast("bigint").alias("n_correct"),
+                 F.round(F.count(F.when(F.col("n_label") == F.col("label"),
+                                        1)).cast("double")
+                         / F.count(F.lit(1)), 6).alias("accuracy")))

@@ -2304,3 +2304,95 @@ def q147_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                           rk.alias("rk"))
             .filter(F.col("rk") <= 5)
             .select("lang", "token", "chi2", F.col("rk").cast("int").alias("rk")))
+
+
+# --------------------------------------------------------------------------
+# q155 — windowed PMI co-occurrence (the word2vec/GloVe preprocessing
+# counts): token pairs co-occurring within a forward window of 3
+# positions, scored by pointwise mutual information against the unigram
+# margins; top-20 collocations with support >= 5.
+#
+# Shape: posexplode -> self-equi-join ON doc_id with a position-band
+# predicate (each doc contributes O(len * window) pairs — linear in
+# corpus size for fixed window); pair and margin tables are vocab-sized
+# with map-side partials.  PMI's ln() is rounded to 6 for cross-engine
+# parity (identical doubles in, identical rounds out); top-20 is a
+# window over the vocab²-bounded pair table with (pmi, pair) tiebreak.
+# --------------------------------------------------------------------------
+_PMI_WINDOW = 3
+_PMI_MIN_N = 5
+
+_ORACLE_Q155 = f"""
+    WITH pos AS (
+        SELECT doc_id, t.i AS i, t.tok AS tok
+        FROM (SELECT doc_id,
+                     UNNEST(list_transform(string_split(text, ' '),
+                                           (x, i) -> struct_pack(i := i,
+                                                                 tok := x)))
+                         AS t
+              FROM documents)
+        WHERE t.tok <> ''
+    ),
+    pairs AS (
+        SELECT a.tok AS w1, b.tok AS w2, COUNT(*) AS n_ab
+        FROM pos a JOIN pos b
+          ON a.doc_id = b.doc_id
+         AND b.i > a.i AND b.i <= a.i + {_PMI_WINDOW}
+        GROUP BY a.tok, b.tok
+    ),
+    marg AS (SELECT tok, COUNT(*) AS n FROM pos GROUP BY tok),
+    tot AS (SELECT SUM(n_ab) AS t_pairs FROM pairs),
+    totm AS (SELECT SUM(n) AS t_tok FROM marg),
+    scored AS (
+        SELECT w1, w2, n_ab,
+               ROUND(ln((CAST(n_ab AS DOUBLE) / tot.t_pairs)
+                        / ((CAST(ma.n AS DOUBLE) / totm.t_tok)
+                           * (CAST(mb.n AS DOUBLE) / totm.t_tok))), 6)
+                   AS pmi
+        FROM pairs
+        JOIN marg ma ON pairs.w1 = ma.tok
+        JOIN marg mb ON pairs.w2 = mb.tok
+        CROSS JOIN tot CROSS JOIN totm
+        WHERE n_ab >= {_PMI_MIN_N}
+    )
+    SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab, pmi,
+           CAST(rk AS INTEGER) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS rk
+          FROM scored)
+    WHERE rk <= 20
+"""
+
+
+@query("q155_pmi_collocations", _ORACLE_Q155)
+def q155_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    pos = (d.select("doc_id",
+                    F.posexplode(F.split("text", " ")).alias("i", "tok"))
+           .filter(F.col("tok") != ""))
+    a = pos.select("doc_id", F.col("i").alias("ia"), F.col("tok").alias("w1"))
+    b = pos.select("doc_id", F.col("i").alias("ib"), F.col("tok").alias("w2"))
+    all_pairs = (a.join(b, "doc_id")
+                 .filter((F.col("ib") > F.col("ia"))
+                         & (F.col("ib") <= F.col("ia") + _PMI_WINDOW))
+                 .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab")))
+    # margins/totals are over ALL pairs; min-support only gates the output
+    pairs = all_pairs.filter(F.col("n_ab") >= _PMI_MIN_N)
+    marg = pos.groupBy(F.col("tok")).agg(F.count(F.lit(1)).alias("n"))
+    tot = all_pairs.agg(F.sum("n_ab").alias("t_pairs"))
+    totm = marg.agg(F.sum("n").alias("t_tok"))
+    ma = marg.select(F.col("tok").alias("w1"), F.col("n").alias("na"))
+    mb = marg.select(F.col("tok").alias("w2"), F.col("n").alias("nb"))
+    pmi = F.round(F.log(
+        (F.col("n_ab").cast("double") / F.col("t_pairs"))
+        / ((F.col("na").cast("double") / F.col("t_tok"))
+           * (F.col("nb").cast("double") / F.col("t_tok")))), 6)
+    scored = (pairs.join(ma, "w1").join(mb, "w2")
+              .crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(totm))
+              .select("w1", "w2", "n_ab", pmi.alias("pmi")))
+    rk = F.row_number().over(
+        W.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")))
+    return (scored.withColumn("rk", rk).filter(F.col("rk") <= 20)
+            .select("w1", "w2", F.col("n_ab").cast("bigint").alias("n_ab"),
+                    "pmi", F.col("rk").cast("int").alias("rk")))

@@ -88,7 +88,8 @@ _PRIORITY = [
     "q145_curriculum_stages", "q146_vocab_overlap",
     "q147_chi2_keywords", "q148_semdedup", "q149_winsorized_stats",
     "q150_hhi_concentration", "q151_returned_revenue",
-    "q152_dup_cluster_sizes",
+    "q152_dup_cluster_sizes", "q153_simhash_hamming_join",
+    "q154_knn_label_accuracy", "q155_pmi_collocations",
     # --- last driver row: round 3 (oldest evidence; all outside the window this round) ---
     "q47_minhash_lsh", "q67_overlap_dissolve", "q60_point_in_polygon",
     "q61_zonal_histogram", "q49_cosine_topk", "q43_fingerprint",
