@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""Late-round-5 operator scale stress: corpus ops (q141-q147, q153,
+q155), embedding ops (q148, q154) and the relational trio (q149-q151),
+driven at 10-100x bench scale through the REGISTERED query functions on
+synthetic parquet tables shaped like the testdata.
+
+Invariants checked on outputs (not just timings): training order is a
+permutation, curriculum stages are quality-monotone, SemDeDup masses
+conserve, HHI lands in (0, 1], Hamming histogram respects the band
+guarantee.
+
+Usage: python scripts/stress_late_r5.py [n_docs] [n_emb] [n_lineitem]
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
+    n_emb = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
+    n_li = int(sys.argv[3]) if len(sys.argv) > 3 else 3_000_000
+
+    from pyspark.sql import functions as F
+
+    from spatial_data_engineering_spark.queries_registry import all_queries
+    from spatial_data_engineering_spark.session import build_session
+
+    spark = build_session(app_name="stress_late_r5")
+    qs = all_queries()
+    out: dict = {"n_docs": n_docs, "n_emb": n_emb, "n_lineitem": n_li,
+                 "loadavg": open("/proc/loadavg").read().split()[0]}
+    tmp = tempfile.mkdtemp(prefix="stress_lr5_")
+
+    # ---- documents: 40 shared-template words + unique tail (same shape as
+    # stress_r5_new_ops so dedup-family ops see real duplicate mass)
+    words = ("the fast key order sort table scan merge part window small "
+             "hash join query row data slow filter customer line batch "
+             "value agg group stream column vector").split()
+    arr = "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+    terms = ", ".join(
+        f"element_at({arr}, pmod(hash(id DIV 5, {i}), {len(words)}) + 1)"
+        for i in range(40))
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.expr(f"concat(concat_ws(' ', {terms}), ' v', CAST(id AS STRING))"
+               ).alias("text"),
+        F.element_at(F.array(*[F.lit(x) for x in
+                               ("en", "de", "fr", "es", "zh")]),
+                     (F.pmod(F.xxhash64("id"), F.lit(5)) + 1).cast("int")
+                     ).alias("lang"),
+        F.concat(F.lit("src"),
+                 F.pmod(F.xxhash64("id", F.lit(5)), F.lit(20)).cast("string")
+                 ).alias("source"),
+        F.lit(200).cast("bigint").alias("n_chars"),
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+
+    # ---- embeddings: 10 label clusters, center + hash noise, a few
+    # exact-duplicate rows per cluster so SemDeDup has prune mass
+    dims = ", ".join(
+        f"CAST((CASE WHEN {d} % 10 = pmod(id, 10) THEN 3.0 ELSE 0.0 END)"
+        f" + pmod(hash(id DIV 8, {d}), 200) / 100.0 AS FLOAT)"
+        for d in range(64))
+    emb = spark.range(n_emb).select(
+        F.col("id").alias("vec_id"),
+        F.expr(f"array({dims})").alias("embedding"),
+        F.pmod(F.col("id"), F.lit(10)).cast("int").alias("label"),
+    )
+    emb.write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+
+    # ---- orders/lineitem/customer/nation for q149-q151
+    n_orders = n_li // 4
+    n_cust = max(1000, n_orders // 10)
+    spark.range(n_orders).select(
+        F.col("id").alias("o_orderkey"),
+        F.pmod(F.xxhash64("id", F.lit(9)), F.lit(n_cust)).alias("o_custkey"),
+        (F.pmod(F.xxhash64("id"), F.lit(300_000)) / 1.0 + 1000.0
+         ).alias("o_totalprice"),
+        F.element_at(F.array(*[F.lit(p) for p in
+                               ("1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW")]),
+                     (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(4)) + 1)
+                     .cast("int")).alias("o_orderpriority"),
+    ).write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+    spark.range(n_li).select(
+        (F.col("id") / 4).cast("bigint").alias("l_orderkey"),
+        F.when(F.pmod(F.xxhash64("id", F.lit(2)), F.lit(4)) == 0, "R")
+        .otherwise("N").alias("l_returnflag"),
+        (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(5000)) / 100.0
+         ).alias("l_extendedprice"),
+        (F.pmod(F.xxhash64("id", F.lit(4)), F.lit(100)) / 1000.0
+         ).alias("l_discount"),
+    ).write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet")
+    spark.range(n_cust).select(
+        F.col("id").alias("c_custkey"),
+        F.concat(F.lit("c"), F.col("id").cast("string")).alias("c_name"),
+        F.pmod(F.col("id"), F.lit(25)).alias("c_nationkey"),
+        F.element_at(F.array(*[F.lit(s) for s in
+                               ("AUTO", "BUILD", "HOUSE", "MACH", "FURN")]),
+                     (F.pmod(F.xxhash64("id"), F.lit(5)) + 1).cast("int")
+                     ).alias("c_mktsegment"),
+    ).write.mode("overwrite").parquet(f"{tmp}/customer.parquet")
+    spark.range(25).select(
+        F.col("id").alias("n_nationkey"),
+        F.concat(F.lit("n"), F.col("id").cast("string")).alias("n_name"),
+    ).write.mode("overwrite").parquet(f"{tmp}/nation.parquet")
+
+    def run(name):
+        t0 = time.perf_counter()
+        df = qs[name](spark, tmp)
+        rows = df.count()
+        out[name] = {"rows": rows, "sec": round(time.perf_counter() - t0, 2)}
+        return df
+
+    # corpus ops
+    df141 = run("q141_unigram_logprob")
+    r = df141.collect()
+    assert sum(x.n_docs for x in r) == n_docs, "q141 lost docs"
+    assert all(x.avg_nll > 0 for x in r), "q141 non-positive NLL"
+
+    df142 = run("q142_stopword_discovery")
+    assert all(0.5 < x.df_ratio <= 1.0 for x in df142.collect()), "q142 ratio"
+
+    df143 = run("q143_bpe_pair_counts")
+    r = sorted(df143.collect(), key=lambda x: x.rk)
+    assert len(r) == 20 and all(
+        r[i].n >= r[i + 1].n for i in range(19)), "q143 top-20 not sorted"
+
+    df144 = run("q144_training_order")
+    agg = df144.agg(F.count("*").alias("n"),
+                    F.countDistinct("step").alias("ns")).collect()[0]
+    assert agg.n == n_docs and agg.ns == n_docs, "q144 not a permutation"
+
+    df145 = run("q145_curriculum_stages")
+    r = sorted(df145.collect(), key=lambda x: x.stage)
+    assert len(r) == 4 and sum(x.n_docs for x in r) == n_docs, "q145 stages"
+    assert all(r[i].avg_q >= r[i + 1].avg_q for i in range(3)), \
+        "q145 stages not quality-monotone"
+
+    df146 = run("q146_vocab_overlap")
+    assert all(0.0 <= x.jaccard <= 1.0 for x in df146.collect()), "q146"
+
+    df147 = run("q147_chi2_keywords")
+    per_lang = df147.groupBy("lang").count().collect()
+    assert all(x["count"] == 5 for x in per_lang), "q147 top-5 per lang"
+
+    df153 = run("q153_simhash_hamming_join")
+    assert all(0 <= x.hamming <= 3 for x in df153.collect()), "q153 hamming"
+
+    df155 = run("q155_pmi_collocations")
+    assert df155.count() == 20, "q155 top-20"
+
+    # embedding ops
+    df148 = run("q148_semdedup")
+    r = df148.collect()
+    assert all(x.n_kept + x.n_dropped == x.n_vectors for x in r), "q148 mass"
+    assert sum(x.n_vectors for x in r) == n_emb, "q148 lost vectors"
+    out["q148_drop_frac"] = round(
+        sum(x.n_dropped for x in r) / n_emb, 4)
+
+    df154 = run("q154_knn_label_accuracy")
+    r = df154.collect()
+    assert all(0.0 <= x.accuracy <= 1.0 for x in r), "q154 accuracy range"
+    assert sum(x.n_vectors for x in r) == n_emb, "q154 lost vectors"
+    out["q154_macro_acc"] = round(
+        sum(x.accuracy for x in r) / len(r), 4)
+
+    # relational trio
+    df149 = run("q149_winsorized_stats")
+    for x in df149.collect():
+        assert x.n_clamped < x.n, "q149 clamped everything"
+
+    df150 = run("q150_hhi_concentration")
+    assert all(0.0 < x.hhi <= 1.0 for x in df150.collect()), "q150 hhi"
+
+    df151 = run("q151_returned_revenue")
+    r = df151.collect()
+    assert len(r) == 20, "q151 top-20"
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

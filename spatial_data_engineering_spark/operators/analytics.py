@@ -857,3 +857,79 @@ def q138_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p90_minutes"),
         F.count(F.when(F.col("n_events") == 1, 1)).cast("bigint")
         .alias("n_single_event"))
+
+
+# --------------------------------------------------------------------------
+# q158 — top session paths: the 10 most common openings (first 3 event
+# types, in order) across q18's lag-gap sessions.  The product-analytics
+# "what do users do first" query, and the n-gram generalization of q136's
+# single-step transition matrix.
+#
+# Shape: two user-partitioned windows (session assignment + in-session
+# rank — same shuffle), then a path-sized groupBy and a top-10 window
+# over the path vocabulary.  The path string is built from an
+# array_sort'ed (rank, type) struct list, so its order is deterministic
+# regardless of aggregation order.
+# --------------------------------------------------------------------------
+@query(
+    "q158_session_paths",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id)
+                         > 1800000000 OR
+                         LAG(epoch_us(ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_session) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ),
+    ranked AS (
+        SELECT user_id, sid, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                  ORDER BY ts, event_id) AS rn
+        FROM sess
+    ),
+    paths AS (
+        SELECT user_id, sid,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM ranked WHERE rn <= 3 GROUP BY user_id, sid
+    ),
+    counted AS (SELECT path, COUNT(*) AS n FROM paths GROUP BY path)
+    SELECT path, CAST(n AS BIGINT) AS n_sessions, CAST(rk AS INTEGER) AS rk
+    FROM (SELECT path, n, ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rk
+          FROM counted)
+    WHERE rk <= 10
+    """,
+)
+def q158_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0))
+    sess = flagged.withColumn(
+        "sid", F.sum("new_session").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    w2 = W.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    ranked = (sess.withColumn("rn", F.row_number().over(w2))
+              .filter(F.col("rn") <= 3))
+    paths = (ranked.groupBy("user_id", "sid")
+             .agg(F.expr(
+                 "array_join(transform(array_sort(collect_list("
+                 "struct(rn, event_type))), x -> x.event_type), '>')")
+                 .alias("path")))
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    rk = F.row_number().over(W.orderBy(F.desc("n"), F.asc("path")))
+    return (counted.withColumn("rk", rk).filter(F.col("rk") <= 10)
+            .select("path", F.col("n").cast("bigint").alias("n_sessions"),
+                    F.col("rk").cast("int").alias("rk")))

@@ -794,3 +794,114 @@ def q153_simhash_hamming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("a_id", "b_id", "hamming").distinct())
     return cand.groupBy("hamming").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+
+
+# --------------------------------------------------------------------------
+# q156 — MinHash estimator audit: for every LSH candidate pair, compare
+# the signature-agreement estimate (matching components / 16) against the
+# exact shingle Jaccard, grouped by agreement count.  This is the
+# calibration report that justifies q47's banded threshold: it shows the
+# estimator's bias/MAE on exactly the pairs the bands surface, and it is
+# the number to re-check whenever _N_HASHES/_BAND_SIZE change.
+#
+# Shape: reuses the q47 DAG up to candidates, then two signature lookups
+# (16-int rows) and two shingle-set lookups join candidate-side only —
+# never corpus x corpus.  Output is <= 17 rows (one per agreement count).
+# Cross-engine floats: jaccard and |est - jac| are identical per-row
+# doubles, summed through round-9 decimals.
+# --------------------------------------------------------------------------
+def _q156_oracle() -> str:
+    n_match = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(_N_HASHES))
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {_SHINGLES_SQL.format(col='text')} AS tl
+        FROM documents
+    ),
+    hx AS (
+        SELECT doc_id, {_hex_fold('duckdb', 'md5(t)')} AS h
+        FROM (SELECT doc_id, unnest(tl) AS t FROM sh)
+    ),
+    sig AS (
+        SELECT doc_id, {', '.join(_sig_aggs('duckdb'))}
+        FROM hx GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, unnest([{', '.join(_band_keys('duckdb'))}]) AS band
+        FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    ),
+    est AS (
+        SELECT c.a_id, c.b_id, ({n_match}) AS n_match
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.a_id
+        JOIN sig sb ON sb.doc_id = c.b_id
+    ),
+    ex AS (
+        SELECT e.n_match,
+               len(list_intersect(ta.tl, tb.tl)) * 1.0
+                   / len(list_distinct(list_concat(ta.tl, tb.tl))) AS jac
+        FROM est e
+        JOIN sh ta ON ta.doc_id = e.a_id
+        JOIN sh tb ON tb.doc_id = e.b_id
+    )
+    SELECT n_match, ROUND(n_match / {_N_HASHES}.0, 6) AS estimate,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CAST(ROUND(jac, 9) AS DECIMAL(30,9))) AS DOUBLE)
+               / COUNT(*) AS avg_exact,
+           CAST(SUM(CAST(ROUND(abs(n_match / {_N_HASHES}.0 - jac), 9)
+                         AS DECIMAL(30,9))) AS DOUBLE) / COUNT(*) AS mae
+    FROM ex GROUP BY n_match
+    """
+
+
+@query("q156_minhash_estimate_audit", _q156_oracle())
+def q156_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread_docs(load(spark, sf_dir, "documents"))
+    # sh joins back twice (ta/tb) and sig three times (bands + sa/sb) —
+    # without pinning, each self-join re-runs the whole shingle/explode
+    # DAG (measured 12.8 s -> ~5 s at sf0.1).  Both are doc-count-sized
+    # (shingle arrays / 16-int signatures), so localCheckpoint is cheap;
+    # at 100 TB they are written tables (the near_dup_pairs pattern).
+    sh = d.select(
+        "doc_id", F.expr(_SHINGLES_SPARK.format(col="text")).alias("tl")
+    ).localCheckpoint()
+    hx = (sh.select("doc_id", F.explode("tl").alias("t"))
+          .select("doc_id", F.expr(_hex_fold("spark", "md5(t)")).alias("h")))
+    sig = hx.groupBy("doc_id").agg(
+        *[F.expr(e) for e in _sig_aggs("spark")]).localCheckpoint()
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.expr(f"array({', '.join(_band_keys('spark'))})"))
+        .alias("band"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("a_id"),
+                    F.col("b.doc_id").alias("b_id")).distinct())
+    n_match = sum(
+        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
+        for i in range(_N_HASHES))
+    est = (cand.join(sig.alias("sa"), F.col("sa.doc_id") == F.col("a_id"))
+           .join(sig.alias("sb"), F.col("sb.doc_id") == F.col("b_id"))
+           .select("a_id", "b_id", n_match.alias("n_match")))
+    jac = (F.size(F.array_intersect(F.col("ta.tl"), F.col("tb.tl"))) * 1.0
+           / F.size(F.array_distinct(F.concat(F.col("ta.tl"),
+                                              F.col("tb.tl")))))
+    ex = (est.join(sh.alias("ta"), F.col("ta.doc_id") == F.col("a_id"))
+          .join(sh.alias("tb"), F.col("tb.doc_id") == F.col("b_id"))
+          .select("n_match", jac.alias("jac")))
+    estimate = F.col("n_match") / float(_N_HASHES)
+    dec9 = lambda c: (F.sum(F.round(c, 9).cast("decimal(30,9)"))  # noqa: E731
+                      .cast("double"))
+    return (ex.groupBy("n_match")
+            .agg(F.round(F.max(estimate), 6).alias("estimate"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                 (dec9(F.col("jac")) / F.count(F.lit(1))).alias("avg_exact"),
+                 (dec9(F.abs(estimate - F.col("jac")))
+                  / F.count(F.lit(1))).alias("mae"))
+            .select("n_match", "estimate", "n_pairs", "avg_exact", "mae"))

@@ -2396,3 +2396,53 @@ def q155_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rk", rk).filter(F.col("rk") <= 20)
             .select("w1", "w2", F.col("n_ab").cast("bigint").alias("n_ab"),
                     "pmi", F.col("rk").cast("int").alias("rk")))
+
+
+# --------------------------------------------------------------------------
+# q157 — source-mix rebalancing plan: given a uniform target mix across
+# sources, compute each source's keep rate (cap 1.0 — never upsample) and
+# the resulting expected token counts/shares.  This is the planning step
+# that feeds q78/q91's hash-rate thinning: the rates computed here ARE
+# the thresholds those operators apply statelessly, so the plan and the
+# sampler share one definition of "share".
+#
+# Shape: one token-count groupBy (source-sized), then arithmetic on the
+# 5-row aggregate with 1-row totals broadcast.  Integer token counts;
+# the only doubles are per-row ratios rounded to 6.
+# --------------------------------------------------------------------------
+@query(
+    "q157_mix_rebalance",
+    """
+    WITH st AS (
+        SELECT source,
+               SUM(len(list_filter(string_split(text, ' '),
+                                   x -> x <> ''))) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_tokens) AS t, COUNT(*) AS k FROM st)
+    SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE) / tot.t, 6) AS share,
+           ROUND(LEAST(1.0, (CAST(tot.t AS DOUBLE) / tot.k) / n_tokens), 6)
+               AS keep_rate,
+           CAST(LEAST(CAST(n_tokens AS DOUBLE),
+                      CAST(tot.t AS DOUBLE) / tot.k) AS BIGINT)
+               AS expected_tokens
+    FROM st CROSS JOIN tot
+    """,
+)
+def q157_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    st = (d.groupBy("source")
+          .agg(F.sum(F.expr(
+              f"size(filter({_TOKENS}, x -> x <> ''))")).alias("n_tokens")))
+    tot = st.agg(F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("k"))
+    target = F.col("t").cast("double") / F.col("k")
+    return (st.crossJoin(F.broadcast(tot))
+            .select("source",
+                    F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                    F.round(F.col("n_tokens").cast("double") / F.col("t"), 6)
+                    .alias("share"),
+                    F.round(F.least(F.lit(1.0), target / F.col("n_tokens")),
+                            6).alias("keep_rate"),
+                    F.least(F.col("n_tokens").cast("double"), target)
+                    .cast("bigint").alias("expected_tokens")))
