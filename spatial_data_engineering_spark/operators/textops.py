@@ -35,6 +35,7 @@ _HEX_FOLD_SPARK = _fold("spark", "md5(cast(doc_id as string))")
 _HEX_FOLD_DUCK = _fold("duckdb", "md5(cast(doc_id as varchar))")
 
 
+from .dedup import _FP_SQL as _FP_SQL_T
 from .dedup import _SHINGLES_SQL as _SHINGLES_SQL_T
 
 _SHINGLES_DUCK_Q139 = _SHINGLES_SQL_T.format(col="text")
@@ -2446,3 +2447,134 @@ def q157_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
                             6).alias("keep_rate"),
                     F.least(F.col("n_tokens").cast("double"), target)
                     .cast("bigint").alias("expected_tokens")))
+
+
+# --------------------------------------------------------------------------
+# q159 — BM25 retrieval scoring: Okapi BM25 (k1=1.2, b=0.75) for the
+# fixed query {hash, join, merge}, top-10 documents.  The retrieval
+# ranker a RAG training pipeline runs to mine positives — q108's TF-IDF
+# with the saturation and length normalization that make it the
+# production default.
+#
+# Shape: the term filter lands BEFORE any aggregation, so the per-doc tf
+# table holds only query-term postings (|q| * df rows, not the corpus);
+# df and avgdl are tiny broadcast aggregates; doc lengths come from the
+# same single corpus scan.  ln/pow per row are IEEE-identical; scores
+# round to 6 with doc_id tiebreak.
+# --------------------------------------------------------------------------
+_BM25_TERMS = ("hash", "join", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_Q159_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+_ORACLE_Q159 = f"""
+    WITH dl AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS dlen
+        FROM documents
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, t, COUNT(*) AS tf
+        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t
+              FROM documents)
+        WHERE t IN ({_Q159_TERMS_SQL}) GROUP BY doc_id, t
+    ),
+    df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+    scored AS (
+        SELECT tf.doc_id,
+               SUM(CAST(ROUND(
+                   ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * (tf.tf * ({_BM25_K1} + 1.0))
+                   / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                      + {_BM25_B} * dl.dlen / stats.avgdl)), 9)
+                   AS DECIMAL(30,9))) AS s
+        FROM tf
+        JOIN df ON tf.t = df.t
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, ROUND(CAST(s AS DOUBLE), 6) AS bm25,
+           CAST(rk AS INTEGER) AS rk
+    FROM (SELECT doc_id, s,
+                 ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rk
+          FROM scored)
+    WHERE rk <= 10
+"""
+
+
+@query("q159_bm25_topk", _ORACLE_Q159)
+def q159_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    dl = d.select("doc_id", F.expr(
+        f"size(filter({_TOKENS}, x -> x <> ''))").alias("dlen"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   (F.sum("dlen").cast("double")
+                    / F.count(F.lit(1))).alias("avgdl"))
+    tf = (d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+          .filter(F.col("t").isin(*_BM25_TERMS))
+          .groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf")))
+    df = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    term = F.round(
+        idf * (F.col("tf") * (_BM25_K1 + 1.0))
+        / (F.col("tf") + _BM25_K1 * (1.0 - _BM25_B
+           + _BM25_B * F.col("dlen") / F.col("avgdl"))), 9
+    ).cast("decimal(30,9)")
+    scored = (tf.join(F.broadcast(df), "t")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(stats))
+              .groupBy("doc_id").agg(F.sum(term).alias("s")))
+    rk = F.row_number().over(W.orderBy(F.desc("s"), F.asc("doc_id")))
+    return (scored.withColumn("rk", rk).filter(F.col("rk") <= 10)
+            .select("doc_id",
+                    F.round(F.col("s").cast("double"), 6).alias("bm25"),
+                    F.col("rk").cast("int").alias("rk")))
+
+
+# --------------------------------------------------------------------------
+# q160 — language-label consistency audit: token-fingerprint groups (the
+# q46 key — shared definition) that carry MORE THAN ONE language label.
+# Exact/near copies with conflicting lang metadata are mislabels: they
+# poison per-language statistics (q40/q121) and let contamination slip
+# through language-filtered decontamination.  Cross-lang duplicate
+# detection by hash is exactly how these are caught at corpus scale.
+#
+# Shape: one fingerprint groupBy (the q46 shuffle), HAVING over per-group
+# distinct-lang counts; output is the conflict groups only (sorted label
+# list, so aggregation order cannot leak into the value hash).
+# --------------------------------------------------------------------------
+@query(
+    "q160_lang_mislabel",
+    f"""
+    SELECT {_FP_SQL_T} AS fp,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           array_to_string(list_sort(list_distinct(list(lang))), ',')
+               AS langs,
+           MIN(doc_id) AS keeper_doc_id
+    FROM documents
+    GROUP BY 1 HAVING COUNT(DISTINCT lang) > 1
+    """,
+)
+def q160_lang_mislabel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _fp_spark
+
+    d = load(spark, sf_dir, "documents")
+    return (d.groupBy(_fp_spark().alias("fp"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.countDistinct("lang").cast("bigint").alias("n_langs"),
+                 F.array_join(F.array_sort(F.collect_set("lang")), ",")
+                 .alias("langs"),
+                 F.min("doc_id").alias("keeper_doc_id"))
+            .filter(F.col("n_langs") > 1))
