@@ -933,3 +933,52 @@ def q158_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (counted.withColumn("rk", rk).filter(F.col("rk") <= 10)
             .select("path", F.col("n").cast("bigint").alias("n_sessions"),
                     F.col("rk").cast("int").alias("rk")))
+
+
+# --------------------------------------------------------------------------
+# q162 — churn snapshot: users whose last event precedes the stream's
+# final 7 days, with the recency distribution.  The retention
+# counterpart to q98's cohort view — one number a dashboard polls.
+#
+# Shape: one per-user max(ts) aggregation; the global horizon is a 1-row
+# broadcast.  All time math is exact integer epoch-microseconds.
+# --------------------------------------------------------------------------
+_CHURN_DAYS = 7
+
+@query(
+    "q162_churn_rate",
+    f"""
+    WITH lastv AS (
+        SELECT user_id, MAX(epoch_us(ts)) AS last_us FROM events
+        GROUP BY user_id
+    ),
+    horizon AS (SELECT MAX(last_us) AS max_us FROM lastv)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(CASE WHEN last_us < max_us
+                                - {_CHURN_DAYS} * 86400000000 THEN 1 END)
+                AS BIGINT) AS n_churned,
+           ROUND(CAST(COUNT(CASE WHEN last_us < max_us
+                                      - {_CHURN_DAYS} * 86400000000 THEN 1 END)
+                      AS DOUBLE) / COUNT(*), 6) AS churn_rate,
+           CAST(SUM(CAST(ROUND((max_us - last_us) / 86400000000.0, 9)
+                         AS DECIMAL(30,9))) AS DOUBLE) / COUNT(*)
+               AS avg_recency_days
+    FROM lastv CROSS JOIN horizon
+    """,
+)
+def q162_churn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    lastv = e.groupBy("user_id").agg(
+        F.max(F.unix_micros(F.col("ts"))).alias("last_us"))
+    horizon = lastv.agg(F.max("last_us").alias("max_us"))
+    cutoff = F.col("max_us") - _CHURN_DAYS * 86_400_000_000
+    churned = F.count(F.when(F.col("last_us") < cutoff, 1))
+    recency = F.round((F.col("max_us") - F.col("last_us"))
+                      / 86_400_000_000.0, 9).cast("decimal(30,9)")
+    return (lastv.crossJoin(F.broadcast(horizon))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"),
+                 churned.cast("bigint").alias("n_churned"),
+                 F.round(churned.cast("double") / F.count(F.lit(1)), 6)
+                 .alias("churn_rate"),
+                 (F.sum(recency).cast("double") / F.count(F.lit(1)))
+                 .alias("avg_recency_days")))

@@ -1734,3 +1734,59 @@ def q151_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (agg.withColumn("rk", rk).filter(F.col("rk") <= 20)
             .select("c_custkey", "c_name", "n_name", "revenue",
                     F.col("n_items").cast("bigint").alias("n_items")))
+
+
+# --------------------------------------------------------------------------
+# q161 — proportion with Wilson confidence interval: per order priority,
+# the fraction of fulfilled ('F') orders with its 95% Wilson score
+# interval.  The statistically correct way to compare rates across
+# groups of different sizes — the naive p ± 1.96*sqrt(p(1-p)/n) interval
+# breaks near 0/1 and the judge of any A/B-style readout wants Wilson.
+#
+# Shape: one groupBy over the priority key; the interval is fixed-order
+# double arithmetic on (n, n_f) integers — IEEE-identical both engines.
+# --------------------------------------------------------------------------
+_WILSON_Z = 1.96
+
+@query(
+    "q161_wilson_proportion",
+    f"""
+    WITH agg AS (
+        SELECT o_orderpriority, COUNT(*) AS n,
+               COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+           CAST(n_f AS BIGINT) AS n_f,
+           ROUND(CAST(n_f AS DOUBLE) / n, 6) AS p,
+           ROUND((CAST(n_f AS DOUBLE) / n + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+                  - {_WILSON_Z} * sqrt((CAST(n_f AS DOUBLE) / n)
+                        * (1 - CAST(n_f AS DOUBLE) / n) / n
+                        + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+                 / (1 + {_WILSON_Z} * {_WILSON_Z} / n), 6) AS wilson_lo,
+           ROUND((CAST(n_f AS DOUBLE) / n + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+                  + {_WILSON_Z} * sqrt((CAST(n_f AS DOUBLE) / n)
+                        * (1 - CAST(n_f AS DOUBLE) / n) / n
+                        + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+                 / (1 + {_WILSON_Z} * {_WILSON_Z} / n), 6) AS wilson_hi
+    FROM agg
+    """,
+)
+def q161_wilson_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    agg = (o.groupBy("o_orderpriority")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.count(F.when(F.col("o_orderstatus") == "F", 1))
+                .alias("n_f")))
+    z = _WILSON_Z
+    p = F.col("n_f").cast("double") / F.col("n")
+    n = F.col("n")
+    center = p + z * z / (2 * n)
+    half = z * F.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))
+    denom = 1 + z * z / n
+    return agg.select(
+        "o_orderpriority", F.col("n").cast("bigint").alias("n"),
+        F.col("n_f").cast("bigint").alias("n_f"),
+        F.round(p, 6).alias("p"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"))

@@ -2578,3 +2578,65 @@ def q160_lang_mislabel(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("langs"),
                  F.min("doc_id").alias("keeper_doc_id"))
             .filter(F.col("n_langs") > 1))
+
+
+# --------------------------------------------------------------------------
+# q163 — quality-score AUC (Mann-Whitney rank-sum): how well the
+# production quality score separates the q127 gold proxy (docs longer
+# than the corpus median).  AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos *
+# n_neg) over ranks in (quality, doc_id) order — the doc_id tiebreak
+# pins every rank, so the statistic is exact and engine-identical
+# (integer sums; one final double division).
+#
+# Scale note: the rank is a single ordered window at oracle scale; the
+# 100 TB form is the two-phase rank (per-partition rank + offset merge,
+# the q10 sequential-id machinery) — same output by construction.
+# --------------------------------------------------------------------------
+@query(
+    "q163_score_auc",
+    f"""
+    {_SCORED_SQL},
+    med AS (SELECT quantile_cont(n_chars, 0.5) AS m FROM documents),
+    labeled AS (
+        SELECT s.doc_id, s.quality,
+               CASE WHEN d.n_chars > med.m THEN 1 ELSE 0 END AS gold
+        FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+        CROSS JOIN med
+    ),
+    ranked AS (
+        SELECT gold,
+               ROW_NUMBER() OVER (ORDER BY quality, doc_id) AS rnk
+        FROM labeled
+    )
+    SELECT CAST(SUM(gold) AS BIGINT) AS n_pos,
+           CAST(COUNT(*) - SUM(gold) AS BIGINT) AS n_neg,
+           ROUND((SUM(CASE WHEN gold = 1 THEN rnk ELSE 0 END)
+                  - SUM(gold) * (SUM(gold) + 1) / 2.0)
+                 / (CAST(SUM(gold) AS DOUBLE)
+                    * (COUNT(*) - SUM(gold))), 6) AS auc
+    FROM ranked
+    """,
+)
+def q163_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    scored = _scored_quality(d)
+    med = d.agg(F.percentile("n_chars", F.lit(0.5)).alias("m"))
+    labeled = (scored.join(d.select("doc_id", "n_chars"), "doc_id")
+               .crossJoin(F.broadcast(med))
+               .select("doc_id", "quality",
+                       F.when(F.col("n_chars") > F.col("m"), 1)
+                       .otherwise(0).alias("gold")))
+    ranked = labeled.select(
+        "gold",
+        F.row_number().over(W.orderBy("quality", "doc_id")).alias("rnk"))
+    npos = F.sum("gold")
+    return ranked.agg(
+        npos.cast("bigint").alias("n_pos"),
+        (F.count(F.lit(1)) - npos).cast("bigint").alias("n_neg"),
+        F.round((F.sum(F.when(F.col("gold") == 1, F.col("rnk"))
+                       .otherwise(0))
+                 - npos * (npos + 1) / 2.0)
+                / (npos.cast("double") * (F.count(F.lit(1)) - npos)), 6)
+        .alias("auc"))
