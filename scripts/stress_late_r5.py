@@ -117,10 +117,14 @@ def main() -> None:
     ).write.mode("overwrite").parquet(f"{tmp}/nation.parquet")
 
     def run(name):
+        print(f"stress: {name} ...", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         df = qs[name](spark, tmp)
         rows = df.count()
-        out[name] = {"rows": rows, "sec": round(time.perf_counter() - t0, 2)}
+        dt = round(time.perf_counter() - t0, 2)
+        out[name] = {"rows": rows, "sec": dt}
+        print(f"stress: {name} rows={rows} sec={dt}", file=sys.stderr,
+              flush=True)
         return df
 
     # corpus ops

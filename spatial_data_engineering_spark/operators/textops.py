@@ -2313,12 +2313,17 @@ def q147_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 # positions, scored by pointwise mutual information against the unigram
 # margins; top-20 collocations with support >= 5.
 #
-# Shape: posexplode -> self-equi-join ON doc_id with a position-band
-# predicate (each doc contributes O(len * window) pairs — linear in
-# corpus size for fixed window); pair and margin tables are vocab-sized
-# with map-side partials.  PMI's ln() is rounded to 6 for cross-engine
-# parity (identical doubles in, identical rounds out); top-20 is a
-# window over the vocab²-bounded pair table with (pmi, pair) tiebreak.
+# Shape: posexplode -> offset equi-join ON (doc_id, position + k) for
+# k in 1..window.  This produces EXACTLY the O(len * window) pairs —
+# never the O(len²) per-doc enumeration a band-predicate self-join pays
+# before filtering (measured at 300k x 41-token docs: the predicate form
+# enumerates 504M pairs, the offset form emits 37M).  Pair and margin
+# tables are vocab-sized with map-side partials.  PMI's ln() is rounded
+# to 6 for cross-engine parity (identical doubles in, identical rounds
+# out); top-20 is a window over the vocab²-bounded pair table with
+# (pmi, pair) tiebreak.  The oracle keeps the equivalent band-predicate
+# SQL (positions are unique per doc, so the two forms emit the same
+# pair multiset).
 # --------------------------------------------------------------------------
 _PMI_WINDOW = 3
 _PMI_MIN_N = 5
@@ -2372,11 +2377,13 @@ def q155_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = (d.select("doc_id",
                     F.posexplode(F.split("text", " ")).alias("i", "tok"))
            .filter(F.col("tok") != ""))
-    a = pos.select("doc_id", F.col("i").alias("ia"), F.col("tok").alias("w1"))
+    a = (pos.select("doc_id", F.col("i").alias("ia"),
+                    F.col("tok").alias("w1"),
+                    F.explode(F.expr(f"sequence(1, {_PMI_WINDOW})"))
+                    .alias("k"))
+         .withColumn("ib", F.col("ia") + F.col("k")))
     b = pos.select("doc_id", F.col("i").alias("ib"), F.col("tok").alias("w2"))
-    all_pairs = (a.join(b, "doc_id")
-                 .filter((F.col("ib") > F.col("ia"))
-                         & (F.col("ib") <= F.col("ia") + _PMI_WINDOW))
+    all_pairs = (a.join(b, ["doc_id", "ib"])
                  .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab")))
     # margins/totals are over ALL pairs; min-support only gates the output
     pairs = all_pairs.filter(F.col("n_ab") >= _PMI_MIN_N)
