@@ -718,50 +718,87 @@ def q82_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q153 — SimHash Hamming-distance join (Manku et al., WWW'07): find all
-# doc pairs whose 16-bit SimHash signatures differ in <= 3 bits.  q48
+# doc pairs whose 64-bit SimHash signatures differ in <= 3 bits.  q48
 # only buckets EXACT signature matches (Hamming 0); real near-dups
 # perturb a few bits, and the production trick is the pigeonhole band
-# join — split the signature into 4 x 4-bit bands; any pair within
-# Hamming 3 must agree exactly on >= 1 band, so candidates come from an
-# equi-join on (band_idx, band_value) and only candidates pay the
+# join — split the signature into 4 x 16-bit words; any pair within
+# Hamming 3 must agree exactly on >= 1 word, so candidates come from an
+# equi-join on (word_idx, word_value) and only candidates pay the
 # bit_count(xor) verification.
 #
-# Scale shape: candidate blocks are bounded by band-value frequency (the
-# same df-cap argument as q76); no all-pairs stage anywhere.  A 64-bit
-# signature at 100 TB uses 6-bit bands + two-stage pigeonhole, same
-# plan.  Output is the Hamming histogram over verified pairs — bounded
-# (4 rows) regardless of corpus size.
+# Band-width is the scale knob, and it is NOT free: the first cut used
+# q48's 16-bit signature with 4-bit bands, and at a 300k-doc stress the
+# 16-value band space collapsed into ~19k-doc buckets -> billions of
+# candidate pairs (measured 328 s).  16-bit words give 65,536 values per
+# band, so bucket size tracks true near-dup density instead of the
+# corpus (same stress: seconds).  The signature lives as four 16-bit
+# WORDS rather than one packed int64 — bands need no bit-slicing, and
+# the 2^63 sign bit of a packed representation never becomes a problem.
+#
+# Scale shape: candidate blocks are bounded by word-value frequency (the
+# same df-cap argument as q76); no all-pairs stage anywhere.  Output is
+# the Hamming histogram over verified pairs — bounded (4 rows)
+# regardless of corpus size.
 # --------------------------------------------------------------------------
-_HAM_BANDS = 4  # 4 bands x 4 bits over the 16-bit q48 signature
-_HAM_MAX = 3
+_HAM_WORDS = 4   # 4 words x 16 bits = 64-bit signature
+_HAM_MAX = 3     # pigeonhole: ham <= 3 pairs share >= 1 of 4 words
+
+
+def _q153_word_sums(engine: str) -> list[str]:
+    """64 per-bit vote sums: word w bit k <- md5 hex char 4w + k//4 + 1,
+    bit k%4 — the q48 _digit arithmetic extended to 16 hex chars."""
+    div = "div" if engine == "spark" else "//"
+    out = []
+    for w in range(_HAM_WORDS):
+        for k in range(16):
+            c = 4 * w + k // 4 + 1
+            j = k % 4
+            d = _digit(engine, c)
+            out.append(f"SUM(2 * (({d} {div} {2 ** j}) % 2) - 1) AS s{w}_{k}")
+    return out
+
+
+def _q153_words() -> list[str]:
+    return [
+        " + ".join(f"(CASE WHEN s{w}_{k} > 0 THEN {2 ** k} ELSE 0 END)"
+                   for k in range(16))
+        for w in range(_HAM_WORDS)
+    ]
+
+
+_Q153_HAM_SQL = " + ".join(
+    f"bit_count(xor(a.w{w}, c.w{w}))" for w in range(_HAM_WORDS))
+_Q153_HAM_SPARK = " + ".join(
+    f"bit_count(aw{w} ^ bw{w})" for w in range(_HAM_WORDS))
 
 _ORACLE_Q153 = f"""
-    WITH sig AS (
-        SELECT doc_id, simsig FROM (
-            WITH tok AS (
-                SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
-                FROM documents
-            ),
-            sums AS (
-                SELECT doc_id, {', '.join(_bit_sum_exprs('duckdb'))}
-                FROM tok GROUP BY doc_id
-            )
-            SELECT doc_id, CAST({_SIMHASH_RECOMBINE} AS BIGINT) AS simsig
-            FROM sums
-        )
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents
+    ),
+    sums AS (
+        SELECT doc_id, {', '.join(_q153_word_sums('duckdb'))}
+        FROM tok GROUP BY doc_id
+    ),
+    sig AS (
+        SELECT doc_id,
+               {', '.join(f'CAST({e} AS BIGINT) AS w{w}'
+                          for w, e in enumerate(_q153_words()))}
+        FROM sums
     ),
     bands AS (
-        SELECT doc_id, simsig, b.band,
-               (simsig // CAST(pow(16, b.band) AS BIGINT)) % 16 AS bv
+        SELECT doc_id, w0, w1, w2, w3, b.band,
+               CASE b.band WHEN 0 THEN w0 WHEN 1 THEN w1
+                           WHEN 2 THEN w2 ELSE w3 END AS bv
         FROM sig CROSS JOIN
-             (SELECT UNNEST(range(0, {_HAM_BANDS})) AS band) b
+             (SELECT UNNEST(range(0, {_HAM_WORDS})) AS band) b
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS a_id, c.doc_id AS b_id,
-               bit_count(xor(a.simsig, c.simsig)) AS hamming
+               {_Q153_HAM_SQL} AS hamming
         FROM bands a JOIN bands c
           ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id
-        WHERE bit_count(xor(a.simsig, c.simsig)) <= {_HAM_MAX}
+        WHERE {_Q153_HAM_SQL} <= {_HAM_MAX}
     )
     SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs
     FROM cand GROUP BY hamming
@@ -770,26 +807,29 @@ _ORACLE_Q153 = f"""
 
 @query("q153_simhash_hamming_join", _ORACLE_Q153)
 def q153_simhash_hamming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = _spread_docs(load(spark, sf_dir, "documents"))
     tok = (d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
            .distinct())
     sums = tok.groupBy("doc_id").agg(
-        *[F.expr(e) for e in _bit_sum_exprs("spark")])
+        *[F.expr(e) for e in _q153_word_sums("spark")])
     sig = sums.select(
         "doc_id",
-        F.expr(f"CAST({_SIMHASH_RECOMBINE} AS BIGINT)").alias("simsig"))
+        *[F.expr(f"CAST({e} AS BIGINT)").alias(f"w{w}")
+          for w, e in enumerate(_q153_words())])
     bands = (sig.withColumn("band", F.explode(
-                 F.expr(f"sequence(0, {_HAM_BANDS - 1})")))
+                 F.expr(f"sequence(0, {_HAM_WORDS - 1})")))
              .withColumn("bv", F.expr(
-                 "(simsig div CAST(pow(16, band) AS BIGINT)) % 16")))
-    a = bands.select(F.col("doc_id").alias("a_id"),
-                     F.col("simsig").alias("asig"), "band", "bv")
-    c = bands.select(F.col("doc_id").alias("b_id"),
-                     F.col("simsig").alias("bsig"), "band", "bv")
-    ham = F.expr("bit_count(asig ^ bsig)")
+                 "CASE band WHEN 0 THEN w0 WHEN 1 THEN w1"
+                 " WHEN 2 THEN w2 ELSE w3 END")))
+    a = bands.select(F.col("doc_id").alias("a_id"), "band", "bv",
+                     *[F.col(f"w{w}").alias(f"aw{w}")
+                       for w in range(_HAM_WORDS)])
+    c = bands.select(F.col("doc_id").alias("b_id"), "band", "bv",
+                     *[F.col(f"w{w}").alias(f"bw{w}")
+                       for w in range(_HAM_WORDS)])
     cand = (a.join(c, ["band", "bv"])
             .filter(F.col("a_id") < F.col("b_id"))
-            .withColumn("hamming", ham)
+            .withColumn("hamming", F.expr(_Q153_HAM_SPARK))
             .filter(F.col("hamming") <= _HAM_MAX)
             .select("a_id", "b_id", "hamming").distinct())
     return cand.groupBy("hamming").agg(
