@@ -92,6 +92,9 @@ def main() -> None:
                                ("1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW")]),
                      (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(4)) + 1)
                      .cast("int")).alias("o_orderpriority"),
+        F.element_at(F.array(F.lit("P"), F.lit("O"), F.lit("F")),
+                     (F.pmod(F.xxhash64("id", F.lit(6)), F.lit(3)) + 1)
+                     .cast("int")).alias("o_orderstatus"),
     ).write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
     spark.range(n_li).select(
         (F.col("id") / 4).cast("bigint").alias("l_orderkey"),
@@ -115,6 +118,27 @@ def main() -> None:
         F.col("id").alias("n_nationkey"),
         F.concat(F.lit("n"), F.col("id").cast("string")).alias("n_name"),
     ).write.mode("overwrite").parquet(f"{tmp}/nation.parquet")
+
+    # ---- events for q158/q162 (shape from stress_r5_new_ops)
+    n_events = 2_000_000
+    n_users = max(200, n_events // 1000)
+    spark.range(n_events).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            F.lit(1704067200000000)
+            + F.pmod(F.xxhash64("id"), F.lit(60 * 86400)) * 1_000_000
+            + F.pmod(F.xxhash64("id", F.lit(7)), F.lit(1_000_000))
+        ).alias("ts"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_users)).alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in
+                      ("view", "click", "purchase", "signup", "error")]),
+            (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(5)) + 1).cast("int")
+        ).alias("event_type"),
+        (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(10_000)) / 100.0
+         ).alias("value"),
+        F.lit('{"k": 1}').alias("props"),
+    ).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
 
     def run(name):
         print(f"stress: {name} ...", file=sys.stderr, flush=True)
@@ -191,6 +215,34 @@ def main() -> None:
     df151 = run("q151_returned_revenue")
     r = df151.collect()
     assert len(r) == 20, "q151 top-20"
+
+    # wave-4/5/6 additions
+    df156 = run("q156_minhash_estimate_audit")
+    assert all(0.0 <= x.mae <= 1.0 for x in df156.collect()), "q156 mae"
+
+    df157 = run("q157_mix_rebalance")
+    assert all(x.keep_rate <= 1.0 and x.expected_tokens <= x.n_tokens
+               for x in df157.collect()), "q157 rates"
+
+    df158 = run("q158_session_paths")
+    assert df158.count() == 10, "q158 top-10"
+
+    df159 = run("q159_bm25_topk")
+    assert df159.count() == 10, "q159 top-10"
+
+    run("q160_lang_mislabel")  # template corpus: conflicts expected
+
+    df161 = run("q161_wilson_proportion")
+    for x in df161.collect():
+        assert x.wilson_lo <= x.p <= x.wilson_hi, "q161 interval"
+
+    df162 = run("q162_churn_rate")
+    r = df162.collect()[0]
+    assert 0.0 <= r.churn_rate <= 1.0, "q162 range"
+
+    df163 = run("q163_score_auc")
+    r = df163.collect()[0]
+    assert 0.0 <= r.auc <= 1.0, "q163 auc range"
 
     shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps(out))

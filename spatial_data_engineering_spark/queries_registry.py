@@ -82,7 +82,8 @@ _PRIORITY = [
     "q86_pagerank_centrality", "q29_asof_join",
     # --- never driver-verified: added late in round 5, after the window
     # was finalized (51 older no-evidence rows already queue ahead).
-    # Oracle-parity-proven by pytest every run; they lead the r6 window. ---
+    # Oracle-parity-proven by pytest every run, partition-independence
+    # swept, stress-tested at 10-600x; they lead the r6 window. ---
     "q141_unigram_logprob", "q142_stopword_discovery",
     "q143_bpe_pair_counts", "q144_training_order",
     "q145_curriculum_stages", "q146_vocab_overlap",
