@@ -1790,3 +1790,66 @@ def q161_wilson_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, 6).alias("p"),
         F.round((center - half) / denom, 6).alias("wilson_lo"),
         F.round((center + half) / denom, 6).alias("wilson_hi"))
+
+
+# --------------------------------------------------------------------------
+# q164 — RFM segmentation: quartile-score each customer on Recency (days
+# since last order), Frequency (order count) and Monetary (total spend),
+# then report the population and spend of each R-F-M cell.  The classic
+# customer-base segmentation readout over pure aggregates.
+#
+# Shape: one per-customer groupBy (exact integer recency via epoch
+# days, decimal spend), three NTILE windows over the customer-sized
+# aggregate (never the fact table), and a cell-sized final rollup.
+# Ties in every NTILE break by c_custkey — both engines rank
+# identically.
+# --------------------------------------------------------------------------
+@query(
+    "q164_rfm_segments",
+    f"""
+    WITH horizon AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+    rfm AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', MAX(o_orderdate), horizon.mx)
+                    AS BIGINT) AS recency_days,
+               COUNT(*) AS frequency,
+               {sql_dsum('o_totalprice', 'monetary')}
+        FROM orders CROSS JOIN horizon
+        GROUP BY o_custkey, horizon.mx
+    ),
+    scored AS (
+        SELECT o_custkey, recency_days, frequency, monetary,
+               NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS r,
+               NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+               NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
+        FROM rfm
+    )
+    SELECT r, f, m, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           {sql_dsum('monetary', 'total_spend')},
+           CAST(MIN(recency_days) AS BIGINT) AS min_recency,
+           CAST(MAX(recency_days) AS BIGINT) AS max_recency
+    FROM scored GROUP BY r, f, m
+    """,
+)
+def q164_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    horizon = o.agg(F.max("o_orderdate").alias("mx"))
+    rfm = (o.crossJoin(F.broadcast(horizon))
+           .groupBy("o_custkey", "mx")
+           .agg(F.max("o_orderdate").alias("last_order"),
+                F.count(F.lit(1)).alias("frequency"),
+                dsum("o_totalprice", "monetary"))
+           .select("o_custkey",
+                   F.datediff(F.col("mx"), F.col("last_order"))
+                   .cast("bigint").alias("recency_days"),
+                   "frequency", "monetary"))
+    r = F.ntile(4).over(W.orderBy("recency_days", "o_custkey"))
+    f_ = F.ntile(4).over(W.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+    m = F.ntile(4).over(W.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+    scored = rfm.select("o_custkey", "recency_days", "frequency", "monetary",
+                        r.alias("r"), f_.alias("f"), m.alias("m"))
+    return (scored.groupBy("r", "f", "m")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+                 dsum("monetary", "total_spend"),
+                 F.min("recency_days").cast("bigint").alias("min_recency"),
+                 F.max("recency_days").cast("bigint").alias("max_recency")))

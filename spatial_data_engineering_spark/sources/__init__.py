@@ -159,3 +159,36 @@ def zorder_layout(df: DataFrame, cols: list[str], path: str,
        .sortWithinPartitions("__z")
        .drop("__z")
        .write.mode("overwrite").parquet(path))
+
+
+def write_jsonl_corpus(df: DataFrame, path: str,
+                       compression: str | None = "gzip") -> None:
+    """JSONL corpus sink — the interchange format training corpora ship
+    in (one JSON object per line, optionally gzip member-per-file, which
+    concatenates into a valid .jsonl.gz).
+
+    Spark's json writer IS JSONL (one object per line per file part), so
+    this is a thin, named wrapper that pins the two decisions that
+    matter: explicit compression (splittable-at-file-granularity) and
+    ignoreNullFields=false so absent vs null survive a round trip —
+    loaders distinguish a missing key from an explicit null.
+    """
+    w = df.write.mode("overwrite").option("ignoreNullFields", "false")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def scan_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSONL corpus scan.  An explicit schema skips the whole-corpus
+    inference pass (at 100 TB, schema inference IS a full extra read);
+    corrupt lines land in _corrupt_record under the default PERMISSIVE
+    mode instead of failing the scan, mirroring how curation pipelines
+    quarantine bad lines rather than abort.
+    """
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    else:
+        r = r.option("columnNameOfCorruptRecord", "_corrupt_record")
+    return r.json(path)

@@ -353,3 +353,56 @@ def test_zorder_layout_balances_pruning(spark, tmp_path):
     assert (spark.read.parquet(zpath).agg(F.sum("id")).collect()[0][0]
             == df.agg(F.sum("id")).collect()[0][0])
     assert spark.read.parquet(zpath).count() == 20000
+
+
+def test_jsonl_round_trip_preserves_nulls(spark, tmp_path):
+    """JSONL sink/scan: byte-level JSONL layout, explicit nulls survive,
+    schema'd scan returns the exact input."""
+    import gzip
+    import json
+    import os
+
+    from pyspark.sql import Row
+
+    from spatial_data_engineering_spark import sources
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="hello world", lang="en"),
+        Row(doc_id=2, text="bonjour", lang=None),  # explicit null
+        Row(doc_id=3, text='quote " and \n newline', lang="de"),
+    ])
+    path = str(tmp_path / "corpus_jsonl")
+    sources.write_jsonl_corpus(df, path)
+
+    # raw layout: every non-empty line parses as one JSON object, and the
+    # null field is PRESENT (ignoreNullFields=false)
+    lines = []
+    for fn in os.listdir(path):
+        if fn.startswith("part-"):
+            with gzip.open(os.path.join(path, fn), "rt") as fh:
+                lines += [ln for ln in fh.read().splitlines() if ln]
+    assert len(lines) == 3
+    objs = {json.loads(ln)["doc_id"]: json.loads(ln) for ln in lines}
+    assert "lang" in objs[2] and objs[2]["lang"] is None
+
+    back = sources.scan_jsonl(spark, path, schema=df.schema)
+    assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_jsonl_scan_quarantines_corrupt_lines(spark, tmp_path):
+    import os
+
+    from spatial_data_engineering_spark import sources
+
+    p = tmp_path / "bad"
+    os.makedirs(p)
+    (p / "part-0.json").write_text(
+        '{"doc_id": 1, "text": "ok"}\nNOT JSON AT ALL\n'
+        '{"doc_id": 2, "text": "also ok"}\n')
+    df = sources.scan_jsonl(spark, str(p))
+    rows = df.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(bad) == 1 and "NOT JSON" in bad[0]["_corrupt_record"]
+    assert sorted(r["doc_id"] for r in rows if r["doc_id"] is not None) \
+        == [1, 2]
