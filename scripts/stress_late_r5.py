@@ -63,7 +63,8 @@ def main() -> None:
         F.concat(F.lit("src"),
                  F.pmod(F.xxhash64("id", F.lit(5)), F.lit(20)).cast("string")
                  ).alias("source"),
-        F.lit(200).cast("bigint").alias("n_chars"),
+        F.length(F.expr(f"concat(concat_ws(' ', {terms}), ' v', CAST(id AS STRING))")).cast("bigint")
+        .alias("n_chars"),
     )
     docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
 
@@ -95,6 +96,9 @@ def main() -> None:
         F.element_at(F.array(F.lit("P"), F.lit("O"), F.lit("F")),
                      (F.pmod(F.xxhash64("id", F.lit(6)), F.lit(3)) + 1)
                      .cast("int")).alias("o_orderstatus"),
+        F.expr("CAST(date_add(DATE '1995-01-01', "
+               "CAST(pmod(xxhash64(id, 8), 2000) AS INT)) AS TIMESTAMP)")
+        .alias("o_orderdate"),
     ).write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
     spark.range(n_li).select(
         (F.col("id") / 4).cast("bigint").alias("l_orderkey"),
@@ -242,7 +246,14 @@ def main() -> None:
 
     df163 = run("q163_score_auc")
     r = df163.collect()[0]
-    assert 0.0 <= r.auc <= 1.0, "q163 auc range"
+    assert r.auc is None or 0.0 <= r.auc <= 1.0, "q163 auc range"
+    out["q163_auc"] = r.auc
+
+    df164 = run("q164_rfm_segments")
+    r = df164.collect()
+    assert len(r) <= 64, "q164 cell count"
+    assert all(1 <= x.r <= 4 and 1 <= x.f <= 4 and 1 <= x.m <= 4
+               for x in r), "q164 scores"
 
     shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps(out))

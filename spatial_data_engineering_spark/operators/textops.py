@@ -2617,10 +2617,13 @@ def q160_lang_mislabel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(SUM(gold) AS BIGINT) AS n_pos,
            CAST(COUNT(*) - SUM(gold) AS BIGINT) AS n_neg,
-           ROUND((SUM(CASE WHEN gold = 1 THEN rnk ELSE 0 END)
-                  - SUM(gold) * (SUM(gold) + 1) / 2.0)
-                 / (CAST(SUM(gold) AS DOUBLE)
-                    * (COUNT(*) - SUM(gold))), 6) AS auc
+           -- AUC is undefined when either class is empty (a degenerate
+           -- gold proxy, e.g. constant doc length): NULL, never an error
+           CASE WHEN SUM(gold) = 0 OR COUNT(*) = SUM(gold) THEN NULL
+                ELSE ROUND((SUM(CASE WHEN gold = 1 THEN rnk ELSE 0 END)
+                            - SUM(gold) * (SUM(gold) + 1) / 2.0)
+                           / (CAST(SUM(gold) AS DOUBLE)
+                              * (COUNT(*) - SUM(gold))), 6) END AS auc
     FROM ranked
     """,
 )
@@ -2639,11 +2642,14 @@ def q163_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gold",
         F.row_number().over(W.orderBy("quality", "doc_id")).alias("rnk"))
     npos = F.sum("gold")
+    nneg = F.count(F.lit(1)) - npos
+    auc = F.round((F.sum(F.when(F.col("gold") == 1, F.col("rnk"))
+                         .otherwise(0))
+                   - npos * (npos + 1) / 2.0)
+                  / (npos.cast("double") * nneg), 6)
     return ranked.agg(
         npos.cast("bigint").alias("n_pos"),
-        (F.count(F.lit(1)) - npos).cast("bigint").alias("n_neg"),
-        F.round((F.sum(F.when(F.col("gold") == 1, F.col("rnk"))
-                       .otherwise(0))
-                 - npos * (npos + 1) / 2.0)
-                / (npos.cast("double") * (F.count(F.lit(1)) - npos)), 6)
-        .alias("auc"))
+        nneg.cast("bigint").alias("n_neg"),
+        # degenerate gold proxy (one class empty) -> NULL, never a
+        # divide-by-zero under ANSI mode
+        F.when((npos > 0) & (nneg > 0), auc).alias("auc"))
