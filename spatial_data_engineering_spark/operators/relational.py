@@ -1853,3 +1853,136 @@ def q164_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                  dsum("monetary", "total_spend"),
                  F.min("recency_days").cast("bigint").alias("min_recency"),
                  F.max("recency_days").cast("bigint").alias("max_recency")))
+
+
+# --------------------------------------------------------------------------
+# q165 — nation-pair trade volume (TPC-H Q7 shape): revenue shipped
+# between two nations per year, both directions, over a two-year
+# window.  Exercises the double-dimension join pattern — the same dim
+# table (nation) joined twice under different roles.
+#
+# Shape: shipdate range pushes to the lineitem scan; orders joins on
+# orderkey (fact-fact, one shuffle); customer/supplier/nation all
+# broadcast.  The nation-pair filter keeps only the 2x2 pair block.
+# --------------------------------------------------------------------------
+@query(
+    "q165_nation_trade_volume",
+    f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND ((sn.n_nationkey = 1 AND cn.n_nationkey = 2)
+           OR (sn.n_nationkey = 2 AND cn.n_nationkey = 1))
+    GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+    """,
+)
+def q165_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1997-01-01"))
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+         .filter(((F.col("s_nk") == 1) & (F.col("c_nk") == 2))
+                 | ((F.col("s_nk") == 2) & (F.col("c_nk") == 1))))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").cast("bigint").alias("l_year"))
+            .agg(dsum(rev, "revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+# --------------------------------------------------------------------------
+# q166 — regional market share (TPC-H Q8 shape): within one region's
+# customers and one part type, the share of yearly revenue supplied by
+# one chosen nation.  The share-of-aggregate-within-aggregate pattern.
+#
+# Shape: the p_type filter prunes the part dim before its broadcast;
+# the two fact joins (lineitem-orders on orderkey, lineitem-part on
+# partkey) shuffle on uniform keys; every dim broadcasts.  The yearly
+# share divides two decimal-exact sums of identical per-row doubles.
+# --------------------------------------------------------------------------
+@query(
+    "q166_market_share",
+    f"""
+    WITH base AS (
+        SELECT year(o.o_orderdate) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               sn.n_nationkey AS supp_nk
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN part p     ON l.l_partkey = p.p_partkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+        JOIN region r   ON cn.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+        WHERE r.r_name = (SELECT MIN(r_name) FROM region)
+          AND p.p_type = (SELECT MIN(p_type) FROM part)
+    )
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           {sql_dsum('CASE WHEN supp_nk = 1 THEN volume ELSE 0 END',
+                     'nation_volume')},
+           {sql_dsum('volume', 'total_volume')},
+           ROUND({sql_dsum_expr('CASE WHEN supp_nk = 1 THEN volume'
+                                ' ELSE 0 END')}
+                 / {sql_dsum_expr('volume')}, 6) AS mkt_share
+    FROM base GROUP BY o_year
+    """,
+)
+def q166_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    p = load(spark, sf_dir, "part")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    first_region = r.agg(F.min("r_name").alias("rn"))
+    first_type = p.agg(F.min("p_type").alias("pt"))
+    cn = n.select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_regionkey").alias("c_rk"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(
+                p.join(F.broadcast(first_type),
+                       F.col("p_type") == F.col("pt")).select("p_partkey")),
+                li.l_partkey == F.col("p_partkey"))
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+            .join(F.broadcast(
+                r.join(F.broadcast(first_region),
+                       F.col("r_name") == F.col("rn"))
+                .select("r_regionkey")),
+                F.col("c_rk") == F.col("r_regionkey"))
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+            .select(F.year("o_orderdate").alias("o_year"),
+                    vol.alias("volume"), F.col("s_nk").alias("supp_nk")))
+    nv = F.when(F.col("supp_nk") == 1, F.col("volume")).otherwise(0.0)
+    return (base.groupBy(F.col("o_year").cast("bigint").alias("o_year"))
+            .agg(dsum(nv, "nation_volume"),
+                 dsum("volume", "total_volume"))
+            .select("o_year", "nation_volume", "total_volume",
+                    F.round(F.col("nation_volume")
+                            / F.col("total_volume"), 6).alias("mkt_share")))

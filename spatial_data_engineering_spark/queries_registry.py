@@ -94,7 +94,8 @@ _PRIORITY = [
     "q156_minhash_estimate_audit", "q157_mix_rebalance",
     "q158_session_paths", "q159_bm25_topk", "q160_lang_mislabel",
     "q161_wilson_proportion", "q162_churn_rate", "q163_score_auc",
-    "q164_rfm_segments",
+    "q164_rfm_segments", "q165_nation_trade_volume",
+    "q166_market_share",
     # --- last driver row: round 3 (oldest evidence; all outside the window this round) ---
     "q47_minhash_lsh", "q67_overlap_dissolve", "q60_point_in_polygon",
     "q61_zonal_histogram", "q49_cosine_topk", "q43_fingerprint",
