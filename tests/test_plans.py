@@ -590,3 +590,55 @@ def test_q146_vocab_overlap_equijoin_on_token(spark):
     # size; at sf0.01 one side broadcasts) — never a vocab cross product
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q159_bm25_term_filter_before_aggregation(spark):
+    plan = _plan(spark, "q159_bm25_topk")
+    # the IN-list term filter must appear (pushed toward the scan), so
+    # the postings table is |q|-sized, and no join may be a cartesian
+    assert "hash" in plan and "join" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_q164_rfm_windows_over_aggregate_not_fact(spark):
+    plan = _plan(spark, "q164_rfm_segments")
+    # NTILE windows must sit above the per-customer aggregate: exactly
+    # one aggregate pass over the fact table feeding the windows
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # 1-row horizon x2
+
+
+def test_q165_dims_broadcast_fact_join_on_orderkey(spark):
+    plan = _plan(spark, "q165_nation_trade_volume")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    # shipdate range reaches the lineitem scan
+    assert "l_shipdate" in [ln for ln in plan.splitlines()
+                            if "PushedFilters" in ln][0]
+
+
+def test_q166_part_type_prunes_before_broadcast(spark):
+    plan = _plan(spark, "q166_market_share")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+
+
+def test_q153_band_join_is_equijoin(spark):
+    plan = _plan(spark, "q153_simhash_hamming_join")
+    # candidates come from the (band, bv) equi-join — any build strategy,
+    # never a nested-loop over signatures
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q155_pmi_offset_equijoin_no_band_predicate(spark):
+    plan = _plan(spark, "q155_pmi_collocations")
+    # the offset explode makes the pair join a pure equi-join on
+    # (doc_id, position): a range predicate in the join condition would
+    # resurrect the len^2 enumeration.  The only NLJ sites allowed are
+    # the two 1-row total crossJoins (x2 in formatted explain's
+    # tree+details double print).
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 4
+    # the pair join itself is an equi-join carrying both keys
+    assert "doc_id" in plan and plan.count("BroadcastHashJoin") >= 2
