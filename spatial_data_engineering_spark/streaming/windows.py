@@ -238,3 +238,36 @@ def stream_cms_sketch(stream_docs: DataFrame) -> DataFrame:
         .select("c.row_i", "c.pos"))
     return cells.groupBy("row_i", "pos").agg(
         F.count(F.lit(1)).alias("cnt"))
+
+
+def stream_type_moments(events: DataFrame) -> DataFrame:
+    """Live per-type moments (n, Σv, Σv²) for the q99 anomaly scorer.
+
+    q99 itself is two chained aggregations (stats, then outlier counts) —
+    not expressible as one streaming query (multiple stateful aggs).  The
+    production decomposition: this streaming aggregation maintains the
+    MOMENTS incrementally — they are additive, so micro-batch deltas merge
+    in the state store exactly like batch map-side partials, and the
+    decimal casts keep the sums order-independent (merge order is
+    arbitrary under streaming) — while the scorer joins a periodically
+    refreshed broadcast snapshot of ``zscore_finalize`` of this table
+    against the live stream.  State is bounded at one row per event type.
+    """
+    dec = "decimal(30,6)"
+    v = F.col("value")
+    return (events.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(v.cast(dec)).alias("s1"),
+                 F.sum((v * v).cast(dec)).alias("s2")))
+
+
+def zscore_finalize(moments: DataFrame) -> DataFrame:
+    """(event_type, mu, sigma) from the moments table — the broadcast
+    side of the anomaly scorer.  Pure projection; identical math to
+    q99's batch stats (closed-form sample variance over exact sums)."""
+    n = F.col("n")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    var = F.greatest(s2 - s1 * s1 / n, F.lit(0)) / (n - 1)
+    return moments.select(
+        "event_type", (s1 / n).alias("mu"), F.sqrt(var).alias("sigma"))

@@ -457,3 +457,27 @@ def test_transform_with_state_sessionizer_parity(spark, tmp_path):
     a = emitted(sessionize_with_timeout, "t_tws_a")
     b = emitted(sessionize_tws, "t_tws_b")
     assert a == b and len(a) > 0
+
+
+def test_stream_moments_match_batch_q99_stats(spark, events_dir):
+    """The incrementally maintained moments (and the finalized mu/sigma)
+    must equal the batch computation on the same rows — the contract
+    that lets the q99 scorer consume a live broadcast snapshot."""
+    from spatial_data_engineering_spark.streaming.windows import (
+        read_events_stream, run_to_completion, stream_type_moments,
+        zscore_finalize)
+
+    stream = read_events_stream(spark, events_dir)
+    got = run_to_completion(
+        stream_type_moments(stream), "t_moments", output_mode="complete"
+    )
+    exp = stream_type_moments(_batch_events(spark, events_dir))
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert key(got) == key(exp)  # decimal sums -> exact cell equality
+
+    fin_s = {r["event_type"]: (r["mu"], r["sigma"])
+             for r in zscore_finalize(got).collect()}
+    fin_b = {r["event_type"]: (r["mu"], r["sigma"])
+             for r in zscore_finalize(exp).collect()}
+    assert fin_s == fin_b
+    assert all(sig > 0 for _, sig in fin_s.values())
