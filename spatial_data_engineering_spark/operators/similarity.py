@@ -1336,31 +1336,34 @@ def q154_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         sims = np.round((a_mat @ b_mat.T) / np.outer(a_nrm, b_nrm), 6)
 
         def local_top1(q_ids, q_lbl, s, c_ids, c_lbl):
-            # mask self-pairs, then per row: max cosine, tie -> min b_id
+            # mask self-pairs, then per row: max cosine, tie -> min b_id.
+            # Vectorized tiebreak: reorder candidate COLUMNS by ascending
+            # id — np.argmax returns the FIRST max, which is then the
+            # minimum id among ties.  (The original per-row Python loop
+            # was the q154 stress hotspot.)
+            order = np.argsort(c_ids, kind="stable")
+            c_ids, c_lbl, s = c_ids[order], c_lbl[order], s[:, order]
             self_mask = q_ids[:, None] == c_ids[None, :]
             s = np.where(self_mask, -np.inf, s)
-            best = s.max(axis=1)
-            out = []
-            for r in range(s.shape[0]):
-                if not np.isfinite(best[r]):
-                    continue
-                tie = np.where(s[r] == best[r])[0]
-                j = tie[np.argmin(c_ids[tie])]
-                out.append((q_ids[r], q_lbl[r], best[r],
-                            c_ids[j], c_lbl[j]))
-            return out
+            j = np.argmax(s, axis=1)
+            best = s[np.arange(s.shape[0]), j]
+            keep = np.isfinite(best)
+            return (q_ids[keep], q_lbl[keep], best[keep],
+                    c_ids[j[keep]], c_lbl[j[keep]])
 
-        rows = local_top1(a_ids, a_lbl, sims, b_ids, b_lbl)
+        parts = [local_top1(a_ids, a_lbl, sims, b_ids, b_lbl)]
         if bi != bj:
-            rows += local_top1(b_ids, b_lbl, sims.T, a_ids, a_lbl)
-        if not rows:
+            parts.append(local_top1(b_ids, b_lbl, sims.T, a_ids, a_lbl))
+        v = np.concatenate([p[0] for p in parts])
+        if len(v) == 0:
             return empty
-        v, l, c, ni, nl = zip(*rows)
-        return pd.DataFrame({"vec_id": np.array(v, dtype="int64"),
-                             "label": np.array(l, dtype="int32"),
-                             "cosine": np.array(c, dtype="float64"),
-                             "n_id": np.array(ni, dtype="int64"),
-                             "n_label": np.array(nl, dtype="int32")})
+        return pd.DataFrame({
+            "vec_id": v.astype("int64"),
+            "label": np.concatenate([p[1] for p in parts]).astype("int32"),
+            "cosine": np.concatenate([p[2] for p in parts]).astype("float64"),
+            "n_id": np.concatenate([p[3] for p in parts]).astype("int64"),
+            "n_label": np.concatenate([p[4] for p in parts]).astype("int32"),
+        })
 
     partials = rep.groupBy("bi", "bj").applyInPandas(
         tile_top1,
