@@ -945,3 +945,77 @@ def q156_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (dec9(F.abs(estimate - F.col("jac")))
                   / F.count(F.lit(1))).alias("mae"))
             .select("n_match", "estimate", "n_pairs", "avg_exact", "mae"))
+
+
+# --------------------------------------------------------------------------
+# q167 — dedup-strategy Venn audit: per document, whether each of the
+# three cheap dedup tiers flags it (exact text hash, token-sort
+# fingerprint, SimHash bucket), aggregated into the 2³ Venn cells.  The
+# dashboard that justifies a tier ordering: cells where a looser tier
+# fires without the stricter ones measure what each tier uniquely
+# catches (q128's kappa summarizes two detectors; this is the full
+# contingency over three).
+#
+# Shape: three window-free groupBy-count lookups over the same corpus
+# scan, joined back by their own keys (all uniform hashes), then an
+# 8-cell aggregate.  Integer counts only.
+# --------------------------------------------------------------------------
+def _q167_oracle() -> str:
+    return f"""
+    WITH base AS (
+        SELECT doc_id, md5(text) AS eh, {_FP_SQL} AS fh
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id, CAST({_SIMHASH_RECOMBINE} AS BIGINT) AS sh FROM (
+            SELECT doc_id, {', '.join(_bit_sum_exprs('duckdb'))}
+            FROM (SELECT DISTINCT doc_id,
+                         unnest(string_split(text, ' ')) AS t
+                  FROM documents)
+            GROUP BY doc_id
+        )
+    ),
+    ec AS (SELECT eh, COUNT(*) AS n FROM base GROUP BY eh),
+    fc AS (SELECT fh, COUNT(*) AS n FROM base GROUP BY fh),
+    sc AS (SELECT sh, COUNT(*) AS n FROM sig GROUP BY sh),
+    flags AS (
+        SELECT b.doc_id,
+               CASE WHEN ec.n > 1 THEN 1 ELSE 0 END AS f_exact,
+               CASE WHEN fc.n > 1 THEN 1 ELSE 0 END AS f_tokensort,
+               CASE WHEN sc.n > 1 THEN 1 ELSE 0 END AS f_simhash
+        FROM base b
+        JOIN ec ON b.eh = ec.eh
+        JOIN fc ON b.fh = fc.fh
+        JOIN sig ON b.doc_id = sig.doc_id
+        JOIN sc ON sig.sh = sc.sh
+    )
+    SELECT f_exact, f_tokensort, f_simhash,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM flags GROUP BY f_exact, f_tokensort, f_simhash
+    """
+
+
+@query("q167_dedup_strategy_venn", _q167_oracle())
+def q167_dedup_strategy_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.md5("text").alias("eh"),
+                    _fp_spark().alias("fh"))
+    sig = (d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+           .distinct()
+           .groupBy("doc_id")
+           .agg(*[F.expr(e) for e in _bit_sum_exprs("spark")])
+           .select("doc_id", F.expr(
+               f"CAST({_SIMHASH_RECOMBINE} AS BIGINT)").alias("sh")))
+    ec = base.groupBy("eh").agg(F.count(F.lit(1)).alias("en"))
+    fc = base.groupBy("fh").agg(F.count(F.lit(1)).alias("fn"))
+    sc = sig.groupBy("sh").agg(F.count(F.lit(1)).alias("sn"))
+    flags = (base.join(ec, "eh").join(fc, "fh")
+             .join(sig, "doc_id").join(sc, "sh")
+             .select(
+                 F.when(F.col("en") > 1, 1).otherwise(0).alias("f_exact"),
+                 F.when(F.col("fn") > 1, 1).otherwise(0)
+                 .alias("f_tokensort"),
+                 F.when(F.col("sn") > 1, 1).otherwise(0)
+                 .alias("f_simhash")))
+    return (flags.groupBy("f_exact", "f_tokensort", "f_simhash")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")))

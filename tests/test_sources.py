@@ -406,3 +406,27 @@ def test_jsonl_scan_quarantines_corrupt_lines(spark, tmp_path):
     assert len(bad) == 1 and "NOT JSON" in bad[0]["_corrupt_record"]
     assert sorted(r["doc_id"] for r in rows if r["doc_id"] is not None) \
         == [1, 2]
+
+
+def test_merge_upsert_replaces_and_inserts(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from spatial_data_engineering_spark import sources
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([
+        Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c"),
+    ]).write.parquet(path)
+    updates = spark.createDataFrame([
+        Row(k=2, v="B2"),   # matched -> replaced
+        Row(k=9, v="new"),  # unmatched -> inserted
+    ])
+    stats = sources.merge_upsert(spark, path, updates, "k")
+    assert stats == {"matched": 1, "inserted": 1, "total": 4}
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 9: "new"}
+    # idempotent re-merge of the same updates changes nothing but stats
+    stats2 = sources.merge_upsert(spark, path, updates, "k")
+    assert stats2 == {"matched": 2, "inserted": 0, "total": 4}
+    got2 = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got2 == got
