@@ -1019,3 +1019,54 @@ def q167_dedup_strategy_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("f_simhash")))
     return (flags.groupBy("f_exact", "f_tokensort", "f_simhash")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")))
+
+
+# --------------------------------------------------------------------------
+# q168 — df-cap cost model for the exact set-similarity join: for each
+# candidate df cap, the shingle-df histogram implies exactly how many
+# index blocks survive and an upper bound on candidate pairs
+# (sum over shingles of C(min(df, cap), 2)).  This is the planner query
+# run BEFORE q76 at a new scale to pick its cap — predicted cost from a
+# one-pass histogram instead of a trial run.
+#
+# Shape: one inverted-index groupBy (shingle-df), then a 4-row explode
+# of cap values over the vocab-sized df table with a decimal-safe
+# integer sum.  Nothing quadratic runs — the quadratic is only PREDICTED.
+# --------------------------------------------------------------------------
+_Q168_CAPS = (5, 10, 20, 50)
+
+_ORACLE_Q168 = f"""
+    WITH df AS (
+        SELECT sh, COUNT(DISTINCT doc_id) AS df
+        FROM (SELECT doc_id,
+                     UNNEST({_SHINGLES_SQL.format(col='text')}) AS sh
+              FROM documents)
+        GROUP BY sh
+    ),
+    caps AS (SELECT UNNEST([{', '.join(map(str, _Q168_CAPS))}]) AS cap)
+    SELECT cap,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(CASE WHEN df > cap THEN 1 END) AS BIGINT)
+               AS n_blocked,
+           CAST(SUM(LEAST(df, cap) * (LEAST(df, cap) - 1) / 2) AS BIGINT)
+               AS max_candidate_pairs
+    FROM df CROSS JOIN caps
+    GROUP BY cap
+"""
+
+
+@query("q168_dedup_cost_model", _ORACLE_Q168)
+def q168_dedup_cost_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread_docs(load(spark, sf_dir, "documents"))
+    df = (d.select("doc_id", F.explode(F.expr(
+              _SHINGLES_SPARK.format(col="text"))).alias("sh"))
+          .groupBy("sh").agg(F.countDistinct("doc_id").alias("df")))
+    caps = F.explode(F.array(*[F.lit(c) for c in _Q168_CAPS])).alias("cap")
+    m = F.least(F.col("df"), F.col("cap"))
+    return (df.select("df", caps)
+            .groupBy("cap")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+                 F.count(F.when(F.col("df") > F.col("cap"), 1))
+                 .cast("bigint").alias("n_blocked"),
+                 F.sum((m * (m - 1) / 2).cast("long")).cast("bigint")
+                 .alias("max_candidate_pairs")))

@@ -2653,3 +2653,69 @@ def q163_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         # degenerate gold proxy (one class empty) -> NULL, never a
         # divide-by-zero under ANSI mode
         F.when((npos > 0) & (nneg > 0), auc).alias("auc"))
+
+
+# --------------------------------------------------------------------------
+# q169 — vocabulary coverage curve: what fraction of corpus token MASS
+# the top-k most frequent types cover, for the candidate vocab sizes a
+# tokenizer would pick.  The vocab-size planning number: where this
+# curve flattens is where a bigger vocabulary stops paying.
+#
+# Shape: vocab-sized frequency table, one rank window over it (vocab,
+# not corpus — the scale note that makes the single ORDER BY acceptable;
+# rank ties break by token), cumulative mass via running decimal-exact
+# integer sums, evaluated at fixed cutoffs.
+# --------------------------------------------------------------------------
+_Q169_CUTOFFS = (10, 100, 1000, 10000)
+
+_ORACLE_Q169 = f"""
+    WITH tf AS (
+        SELECT t, COUNT(*) AS n
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents)
+        WHERE t <> '' GROUP BY t
+    ),
+    ranked AS (
+        SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, t) AS rk,
+               SUM(n) OVER (ORDER BY n DESC, t
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM tf
+    ),
+    tot AS (SELECT SUM(n) AS total, COUNT(*) AS n_types FROM tf)
+    SELECT k.k AS vocab_size,
+           CAST(MAX(CASE WHEN rk <= k.k THEN cum END) AS BIGINT)
+               AS tokens_covered,
+           ROUND(CAST(MAX(CASE WHEN rk <= k.k THEN cum END) AS DOUBLE)
+                 / tot.total, 6) AS coverage,
+           CAST(tot.n_types AS BIGINT) AS n_types
+    FROM ranked
+    CROSS JOIN (SELECT UNNEST([{', '.join(map(str, _Q169_CUTOFFS))}]) AS k) k
+    CROSS JOIN tot
+    GROUP BY k.k, tot.total, tot.n_types
+"""
+
+
+@query("q169_vocab_coverage", _ORACLE_Q169)
+def q169_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    tf = (d.select(F.explode(F.split("text", " ")).alias("t"))
+          .filter(F.col("t") != "")
+          .groupBy("t").agg(F.count(F.lit(1)).alias("n")))
+    w = W.orderBy(F.desc("n"), F.asc("t"))
+    ranked = tf.select(
+        "n", F.row_number().over(w).alias("rk"),
+        F.sum("n").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum"))
+    tot = tf.agg(F.sum("n").alias("total"),
+                 F.count(F.lit(1)).alias("n_types"))
+    ks = F.explode(F.array(*[F.lit(k) for k in _Q169_CUTOFFS])).alias("k")
+    covered = F.max(F.when(F.col("rk") <= F.col("k"), F.col("cum")))
+    return (ranked.select("rk", "cum", ks)
+            .crossJoin(F.broadcast(tot))
+            .groupBy(F.col("k").alias("vocab_size"), "total", "n_types")
+            .agg(covered.cast("bigint").alias("tokens_covered"),
+                 F.round(covered.cast("double") / F.col("total"), 6)
+                 .alias("coverage"))
+            .select("vocab_size", "tokens_covered", "coverage",
+                    F.col("n_types").cast("bigint").alias("n_types")))
