@@ -982,3 +982,59 @@ def q162_churn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("churn_rate"),
                  (F.sum(recency).cast("double") / F.count(F.lit(1)))
                  .alias("avg_recency_days")))
+
+
+# --------------------------------------------------------------------------
+# q170 — burst detection: minutes whose event count exceeds the type's
+# mean + 3σ across minutes.  The count-based counterpart to q99's
+# value-based z-score — rate spikes (crawler bursts, incident traffic)
+# show up here when per-event values look normal.
+#
+# Shape: minute-bucket groupBy (calendar arithmetic only), then the
+# per-type moment stats are a tiny broadcast back onto the bucket table
+# — the q99 global-stat filter pattern one level up.  All stats flow
+# through exact decimal sums of integer counts.
+# --------------------------------------------------------------------------
+@query(
+    "q170_burst_detection",
+    f"""
+    WITH buckets AS (
+        SELECT event_type, date_trunc('minute', ts) AS minute,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type, date_trunc('minute', ts)
+    ),
+    stats AS (
+        SELECT event_type,
+               {sql_davg('n', 'mu')},
+               SQRT({sql_dvar_expr('n')}) AS sigma
+        FROM buckets GROUP BY event_type
+    )
+    SELECT b.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_minutes,
+           CAST(COUNT(CASE WHEN b.n > s.mu + 3 * s.sigma THEN 1 END)
+                AS BIGINT) AS n_burst_minutes,
+           CAST(MAX(CASE WHEN b.n > s.mu + 3 * s.sigma THEN b.n END)
+                AS BIGINT) AS peak_burst_count,
+           ROUND(MAX(s.mu), 6) AS mu,
+           ROUND(MAX(s.sigma), 6) AS sigma
+    FROM buckets b JOIN stats s ON b.event_type = s.event_type
+    GROUP BY b.event_type
+    """,
+)
+def q170_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    buckets = (e.groupBy("event_type",
+                         F.date_trunc("minute", "ts").alias("minute"))
+               .agg(F.count(F.lit(1)).alias("n")))
+    stats = buckets.groupBy("event_type").agg(
+        davg("n", "mu"), F.sqrt(dvar_samp("n")).alias("sigma"))
+    burst = F.col("n") > F.col("mu") + 3 * F.col("sigma")
+    return (buckets.join(F.broadcast(stats), "event_type")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_minutes"),
+                 F.count(F.when(burst, 1)).cast("bigint")
+                 .alias("n_burst_minutes"),
+                 F.max(F.when(burst, F.col("n"))).cast("bigint")
+                 .alias("peak_burst_count"),
+                 F.round(F.max("mu"), 6).alias("mu"),
+                 F.round(F.max("sigma"), 6).alias("sigma")))

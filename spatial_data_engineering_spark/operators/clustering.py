@@ -673,3 +673,42 @@ def q152_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_docs").cast("bigint").alias("n_docs_total"),
                  F.sum(F.col("n_docs") - 1).cast("bigint")
                  .alias("n_dup_overhead")))
+
+
+# --------------------------------------------------------------------------
+# q171 — near-dup graph degree distribution: how many documents have k
+# near-duplicates.  Complements q152 (component sizes): degree is the
+# LOCAL view — a power-law tail here with small components means many
+# pairwise-similar docs that do not chain, the signature of template
+# spam vs true copies.  Reuses the session-shared pair set.
+# --------------------------------------------------------------------------
+def _oracle_q171() -> str:
+    from .dedup import ORACLES as dedup_oracles
+
+    return f"""
+    WITH pairs AS (
+        SELECT a_id, b_id FROM ({dedup_oracles['q47_minhash_lsh']}) q47
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS degree FROM (
+            SELECT a_id AS node FROM pairs
+            UNION ALL
+            SELECT b_id FROM pairs
+        ) GROUP BY node
+    )
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM deg GROUP BY degree
+    """
+
+
+@query("q171_dup_degree_distribution", _oracle_q171())
+def q171_dup_degree_distribution(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from .dedup import near_dup_pairs
+
+    pairs = near_dup_pairs(spark, sf_dir)
+    deg = (pairs.selectExpr("a_id AS node")
+           .unionAll(pairs.selectExpr("b_id AS node"))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"))
