@@ -2719,3 +2719,81 @@ def q169_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("coverage"))
             .select("vocab_size", "tokens_covered", "coverage",
                     F.col("n_types").cast("bigint").alias("n_types")))
+
+
+# --------------------------------------------------------------------------
+# q172 — Zipf fit: OLS of ln(freq) on ln(rank) over the top-1000 token
+# types.  Natural language sits near slope -1; synthetic/templated
+# corpora (like this fixture) sit much shallower — the "does this look
+# like real text" forensic, run before training on a scraped source.
+#
+# Shape: vocab-sized rank window, then a 5-moment closed-form OLS (the
+# q131 pattern): every ln() is rounded to 9 and summed through decimals,
+# so the slope/intercept/r² are engine-identical.
+# --------------------------------------------------------------------------
+_Q172_TOP = 1000
+
+_D9 = "CAST(SUM(CAST(ROUND({x}, 9) AS DECIMAL(30,9))) AS DOUBLE)"
+
+_ORACLE_Q172 = f"""
+    WITH tf AS (
+        SELECT t, COUNT(*) AS n
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents)
+        WHERE t <> '' GROUP BY t
+    ),
+    ranked AS (
+        SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, t) AS DOUBLE))
+                   AS x,
+               ln(CAST(n AS DOUBLE)) AS y,
+               ROW_NUMBER() OVER (ORDER BY n DESC, t) AS rk
+        FROM tf
+    ),
+    m AS (
+        SELECT COUNT(*) AS n,
+               {_D9.format(x='x')} AS sx, {_D9.format(x='y')} AS sy,
+               {_D9.format(x='x * x')} AS sxx,
+               {_D9.format(x='y * y')} AS syy,
+               {_D9.format(x='x * y')} AS sxy
+        FROM ranked WHERE rk <= {_Q172_TOP}
+    )
+    SELECT CAST(n AS BIGINT) AS n_types,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n, 6) AS intercept,
+           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM m
+"""
+
+
+@query("q172_zipf_fit", _ORACLE_Q172)
+def q172_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    tf = (d.select(F.explode(F.split("text", " ")).alias("t"))
+          .filter(F.col("t") != "")
+          .groupBy("t").agg(F.count(F.lit(1)).alias("n")))
+    rk = F.row_number().over(W.orderBy(F.desc("n"), F.asc("t")))
+    ranked = (tf.select(rk.alias("rk"), F.col("n"))
+              .filter(F.col("rk") <= _Q172_TOP)
+              .select(F.log(F.col("rk").cast("double")).alias("x"),
+                      F.log(F.col("n").cast("double")).alias("y")))
+    d9 = lambda c: (F.sum(F.round(c, 9).cast("decimal(30,9)"))  # noqa: E731
+                    .cast("double"))
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        d9(F.col("x")).alias("sx"), d9(F.col("y")).alias("sy"),
+        d9(F.col("x") * F.col("x")).alias("sxx"),
+        d9(F.col("y") * F.col("y")).alias("syy"),
+        d9(F.col("x") * F.col("y")).alias("sxy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        n.cast("bigint").alias("n_types"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        .alias("r2"))
