@@ -1986,3 +1986,71 @@ def q166_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_year", "nation_volume", "total_volume",
                     F.round(F.col("nation_volume")
                             / F.col("total_volume"), 6).alias("mkt_share")))
+
+
+# --------------------------------------------------------------------------
+# q173 — order-total reconciliation audit: does o_totalprice equal the
+# order's lineitem net (extprice x (1-disc) x (1+tax))?  The classic
+# cross-table consistency check an ingest pipeline runs before trusting
+# a denormalized column.  On this synthetic fixture the answer is
+# "mostly no" (avg relative delta ~2.3) — which is precisely the report:
+# reconciliation rate, delta distribution, and orphan orders.
+#
+# Shape: one lineitem groupBy on orderkey, one join back to orders on
+# the same key (co-partitioned — AQE reuses the exchange), then a
+# status-sized rollup.  Per-row deltas are identical IEEE doubles; means
+# flow through round-9 decimals.
+# --------------------------------------------------------------------------
+@query(
+    "q173_order_reconciliation",
+    """
+    WITH ln AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE)
+                   AS net
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    joined AS (
+        SELECT o.o_orderstatus, o.o_totalprice, ln.net,
+               CASE WHEN ln.l_orderkey IS NULL THEN 1 ELSE 0 END
+                   AS orphan,
+               CASE WHEN ln.l_orderkey IS NOT NULL
+                    THEN abs(o.o_totalprice - ln.net) / o.o_totalprice
+                    END AS rel_delta
+        FROM orders o LEFT JOIN ln ON o.o_orderkey = ln.l_orderkey
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(orphan) AS BIGINT) AS n_orphans,
+           CAST(COUNT(CASE WHEN rel_delta < 0.01 THEN 1 END) AS BIGINT)
+               AS n_reconciled,
+           CAST(SUM(CAST(ROUND(rel_delta, 9) AS DECIMAL(30,9))) AS DOUBLE)
+               / COUNT(rel_delta) AS avg_rel_delta,
+           ROUND(MAX(rel_delta), 6) AS max_rel_delta
+    FROM joined GROUP BY o_orderstatus
+    """,
+)
+def q173_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    net = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+           * (1 + F.col("l_tax"))).cast("decimal(30,6)")
+    ln = (li.groupBy("l_orderkey")
+          .agg(F.sum(net).cast("double").alias("net")))
+    joined = (o.join(ln, o.o_orderkey == ln.l_orderkey, "left")
+              .select("o_orderstatus", "o_totalprice", "net",
+                      F.when(F.col("l_orderkey").isNull(), 1).otherwise(0)
+                      .alias("orphan"),
+                      F.when(F.col("l_orderkey").isNotNull(),
+                             F.abs(F.col("o_totalprice") - F.col("net"))
+                             / F.col("o_totalprice")).alias("rel_delta")))
+    return (joined.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                 F.sum("orphan").cast("bigint").alias("n_orphans"),
+                 F.count(F.when(F.col("rel_delta") < 0.01, 1))
+                 .cast("bigint").alias("n_reconciled"),
+                 (F.sum(F.round(F.col("rel_delta"), 9)
+                        .cast("decimal(30,9)")).cast("double")
+                  / F.count("rel_delta")).alias("avg_rel_delta"),
+                 F.round(F.max("rel_delta"), 6).alias("max_rel_delta")))
