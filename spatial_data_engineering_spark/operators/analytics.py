@@ -1038,3 +1038,97 @@ def q170_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("peak_burst_count"),
                  F.round(F.max("mu"), 6).alias("mu"),
                  F.round(F.max("sigma"), 6).alias("sigma")))
+
+
+# --------------------------------------------------------------------------
+# q174 — value-concentration Gini: inequality of total event value
+# across users, from the rank form G = 2*Σ(i·x_i)/(n·Σx) - (n+1)/n over
+# ascending per-user totals.  Pairs with q150's HHI: HHI weights the
+# whales, Gini reads the whole curve.
+#
+# Shape: per-user totals (one groupBy), then ONE rank window over the
+# user-sized aggregate with id tiebreak; the i·x_i products flow through
+# round-9 decimals so the rank-weighted sum is order-independent.
+# --------------------------------------------------------------------------
+@query(
+    "q174_value_gini",
+    """
+    WITH uv AS (
+        SELECT user_id,
+               CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v
+        FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY v, user_id) AS i FROM uv
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(2.0 * CAST(SUM(CAST(ROUND(i * v, 9) AS DECIMAL(30,9)))
+                            AS DOUBLE)
+                 / (COUNT(*) * CAST(SUM(CAST(ROUND(v, 9) AS DECIMAL(30,9)))
+                                    AS DOUBLE))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+    FROM ranked
+    """,
+)
+def q174_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    uv = e.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+        .alias("v"))
+    ranked = uv.select(
+        "v", F.row_number().over(W.orderBy("v", "user_id")).alias("i"))
+    d9 = lambda c: (F.sum(F.round(c, 9).cast("decimal(30,9)"))  # noqa: E731
+                    .cast("double"))
+    n = F.count(F.lit(1))
+    return ranked.agg(
+        n.cast("bigint").alias("n_users"),
+        F.round(2.0 * d9(F.col("i") * F.col("v"))
+                / (n * d9(F.col("v"))) - (n + 1.0) / n, 6).alias("gini"))
+
+
+# --------------------------------------------------------------------------
+# q175 — daily error-rate timeline with day-over-day delta: the share of
+# 'error' events per day and its lag difference — the SLO dashboard
+# query.  Distinct from q170 (burst minutes): this tracks a RATIO
+# trend, robust to overall traffic swings.
+#
+# Shape: day-bucket groupBy with a conditional count, then one lag
+# window over the day-sized series.  Ratios are per-row doubles rounded
+# to 6 BEFORE the lag so the delta subtracts identical quantized values.
+# --------------------------------------------------------------------------
+@query(
+    "q175_error_rate_timeline",
+    """
+    WITH days AS (
+        SELECT date_trunc('day', ts) AS day,
+               COUNT(*) AS n,
+               COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_err
+        FROM events GROUP BY date_trunc('day', ts)
+    ),
+    rated AS (
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               CAST(n AS BIGINT) AS n_events,
+               ROUND(CAST(n_err AS DOUBLE) / n, 6) AS error_rate
+        FROM days
+    )
+    SELECT day, n_events, error_rate,
+           ROUND(error_rate - LAG(error_rate) OVER (ORDER BY day), 6)
+               AS dod_delta
+    FROM rated
+    """,
+)
+def q175_error_rate_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    days = (e.groupBy(F.date_trunc("day", "ts").alias("day"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count(F.when(F.col("event_type") == "error", 1))
+                 .alias("n_err")))
+    rated = days.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round(F.col("n_err").cast("double") / F.col("n"), 6)
+        .alias("error_rate"))
+    lag = F.lag("error_rate").over(W.orderBy("day"))
+    return rated.select(
+        "day", "n_events", "error_rate",
+        F.round(F.col("error_rate") - lag, 6).alias("dod_delta"))
