@@ -2797,3 +2797,49 @@ def q172_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((n * sxy - sx * sy) * (n * sxy - sx * sy)
                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
         .alias("r2"))
+
+
+# --------------------------------------------------------------------------
+# q176 — cross-source score calibration: percent_rank-normalize the
+# production quality score WITHIN each source, then report how raw
+# scores at fixed normalized quantiles differ across sources.  When the
+# same raw threshold means "top 10%" for one source and "top 60%" for
+# another, a global cut silently skews the mix — this is the query that
+# shows it, and percent_rank is the fix (quantile normalization).
+#
+# Shape: one window per source over the doc-sized score table (source
+# is the partition key — parallel across sources), then exact per-source
+# quantiles of the raw score at the q33-proven interpolation.
+# --------------------------------------------------------------------------
+@query(
+    "q176_score_normalization",
+    f"""
+    {_SCORED_SQL},
+    src AS (
+        SELECT d.source, s.quality
+        FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           quantile_cont(quality, 0.5) AS raw_p50,
+           quantile_cont(quality, 0.9) AS raw_p90,
+           ROUND(MIN(quality), 6) AS raw_min,
+           ROUND(MAX(quality), 6) AS raw_max
+    FROM src GROUP BY source
+    """,
+)
+def q176_score_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import grouped_percentiles
+
+    d = load(spark, sf_dir, "documents")
+    scored = _scored_quality(d)
+    src = scored.join(d.select("doc_id", "source"), "doc_id")
+    q = grouped_percentiles(src, ["source"], "quality",
+                            [0.5, 0.9], ["raw_p50", "raw_p90"], exact=True)
+    stats = (src.groupBy("source")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                  F.round(F.min("quality"), 6).alias("raw_min"),
+                  F.round(F.max("quality"), 6).alias("raw_max")))
+    return (stats.join(q, "source")
+            .select("source", "n_docs", "raw_p50", "raw_p90",
+                    "raw_min", "raw_max"))
