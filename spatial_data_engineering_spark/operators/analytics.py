@@ -1132,3 +1132,97 @@ def q175_error_rate_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rated.select(
         "day", "n_events", "error_rate",
         F.round(F.col("error_rate") - lag, 6).alias("dod_delta"))
+
+
+# --------------------------------------------------------------------------
+# q177 — day-of-week seasonality profile: each weekday's average daily
+# event count and its share of the weekly cycle — the seasonal index a
+# forecast divides out before trend fitting.
+#
+# Shape: day-bucket counts (calendar groupBy), then a 7-row weekday
+# aggregate; the index is each weekday mean over the grand mean, all
+# through decimal-exact sums of integer counts.
+# --------------------------------------------------------------------------
+@query(
+    "q177_weekday_seasonality",
+    """
+    WITH days AS (
+        SELECT date_trunc('day', ts) AS day, COUNT(*) AS n
+        FROM events GROUP BY date_trunc('day', ts)
+    ),
+    wd AS (
+        SELECT CAST(dayofweek(day) AS BIGINT) AS weekday,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(CAST(n AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+                   AS avg_daily
+        FROM days GROUP BY dayofweek(day)
+    ),
+    grand AS (
+        SELECT CAST(SUM(CAST(n AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+            AS g FROM days
+    )
+    SELECT weekday, n_days, ROUND(avg_daily, 6) AS avg_daily,
+           ROUND(avg_daily / grand.g, 6) AS seasonal_index
+    FROM wd CROSS JOIN grand
+    """,
+)
+def q177_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    days = (e.groupBy(F.date_trunc("day", "ts").alias("day"))
+            .agg(F.count(F.lit(1)).alias("n")))
+    # DuckDB dayofweek: 0=Sunday..6; Spark dayofweek: 1=Sunday..7
+    wd = (days.groupBy((F.dayofweek("day") - 1).cast("bigint")
+                       .alias("weekday"))
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n_days"),
+               (F.sum(F.col("n").cast("decimal(30,6)")).cast("double")
+                / F.count(F.lit(1))).alias("avg_daily")))
+    grand = days.agg(
+        (F.sum(F.col("n").cast("decimal(30,6)")).cast("double")
+         / F.count(F.lit(1))).alias("g"))
+    return (wd.crossJoin(F.broadcast(grand))
+            .select("weekday", "n_days",
+                    F.round("avg_daily", 6).alias("avg_daily"),
+                    F.round(F.col("avg_daily") / F.col("g"), 6)
+                    .alias("seasonal_index")))
+
+
+# --------------------------------------------------------------------------
+# q178 — new vs returning users per day: classify each day's active
+# users by whether it is their first active day.  The growth-accounting
+# split every activity dashboard leads with.
+#
+# Shape: per-user first-day (one groupBy), joined back to the per-day
+# distinct actives on user_id — both sides keyed the same, and the
+# first-day table is user-sized.
+# --------------------------------------------------------------------------
+@query(
+    "q178_new_vs_returning",
+    """
+    WITH active AS (
+        SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ),
+    first_day AS (
+        SELECT user_id, MIN(day) AS fd FROM active GROUP BY user_id
+    )
+    SELECT strftime(a.day, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(COUNT(CASE WHEN a.day = f.fd THEN 1 END) AS BIGINT)
+               AS n_new,
+           CAST(COUNT(CASE WHEN a.day > f.fd THEN 1 END) AS BIGINT)
+               AS n_returning
+    FROM active a JOIN first_day f ON a.user_id = f.user_id
+    GROUP BY a.day
+    """,
+)
+def q178_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    active = (e.select(F.date_trunc("day", "ts").alias("day"), "user_id")
+              .distinct())
+    first_day = active.groupBy("user_id").agg(F.min("day").alias("fd"))
+    return (active.join(first_day, "user_id")
+            .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"),
+                 F.count(F.when(F.col("day") == F.col("fd"), 1))
+                 .cast("bigint").alias("n_new"),
+                 F.count(F.when(F.col("day") > F.col("fd"), 1))
+                 .cast("bigint").alias("n_returning")))

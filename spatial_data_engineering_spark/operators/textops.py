@@ -2843,3 +2843,46 @@ def q176_score_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (stats.join(q, "source")
             .select("source", "n_docs", "raw_p50", "raw_p90",
                     "raw_min", "raw_max"))
+
+
+# --------------------------------------------------------------------------
+# q179 — hapax ratio per source: the share of a source's token
+# occurrences that are corpus-wide hapax legomena (frequency 1).  High
+# hapax mass means unique long-tail content (or OCR noise); near-zero
+# means templated text.  Pairs with q172's Zipf slope as the
+# naturalness forensics.
+#
+# Shape: corpus-wide frequency table (vocab-sized) joined back to the
+# per-source token stream on the token — the q141 join shape; counts
+# only, no float drift.
+# --------------------------------------------------------------------------
+@query(
+    "q179_hapax_ratio",
+    """
+    WITH tok AS (
+        SELECT source, UNNEST(string_split(text, ' ')) AS t FROM documents
+    ),
+    tokf AS (SELECT source, t FROM tok WHERE t <> ''),
+    freq AS (SELECT t, COUNT(*) AS n FROM tokf GROUP BY t)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(CASE WHEN freq.n = 1 THEN 1 END) AS BIGINT)
+               AS n_hapax,
+           ROUND(CAST(COUNT(CASE WHEN freq.n = 1 THEN 1 END) AS DOUBLE)
+                 / COUNT(*), 6) AS hapax_ratio
+    FROM tokf JOIN freq ON tokf.t = freq.t
+    GROUP BY source
+    """,
+)
+def q179_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tokf = (d.select("source", F.explode(F.split("text", " ")).alias("t"))
+            .filter(F.col("t") != ""))
+    freq = tokf.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    return (tokf.join(freq, "t")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                 F.count(F.when(F.col("n") == 1, 1)).cast("bigint")
+                 .alias("n_hapax"),
+                 F.round(F.count(F.when(F.col("n") == 1, 1)).cast("double")
+                         / F.count(F.lit(1)), 6).alias("hapax_ratio")))

@@ -98,7 +98,8 @@ _PRIORITY = [
     "q166_market_share", "q167_dedup_strategy_venn", "q168_dedup_cost_model",
     "q169_vocab_coverage", "q170_burst_detection",
     "q171_dup_degree_distribution", "q172_zipf_fit", "q173_order_reconciliation", "q174_value_gini",
-    "q175_error_rate_timeline", "q176_score_normalization",
+    "q175_error_rate_timeline", "q176_score_normalization", "q177_weekday_seasonality",
+    "q178_new_vs_returning", "q179_hapax_ratio",
     # --- last driver row: round 3 (oldest evidence; all outside the window this round) ---
     "q47_minhash_lsh", "q67_overlap_dissolve", "q60_point_in_polygon",
     "q61_zonal_histogram", "q49_cosine_topk", "q43_fingerprint",
