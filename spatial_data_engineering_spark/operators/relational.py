@@ -2054,3 +2054,114 @@ def q173_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .cast("decimal(30,9)")).cast("double")
                   / F.count("rel_delta")).alias("avg_rel_delta"),
                  F.round(F.max("rel_delta"), 6).alias("max_rel_delta")))
+
+
+# --------------------------------------------------------------------------
+# q180 — market-basket association (one Apriori iteration): part pairs
+# co-purchased in the same order, scored by lift vs independence; top
+# 15 by lift with minimum support.  The q109 co-purchase graph read as
+# association RULES rather than topology.
+#
+# Shape: pair generation is the within-order self-equi-join ON
+# l_orderkey (orders hold a handful of lines -> C(k,2) pairs per order,
+# linear overall); margins are part-sized; lift per row is fixed-order
+# double arithmetic on integer counts.
+# --------------------------------------------------------------------------
+_Q180_MIN_SUPPORT = 3
+
+@query(
+    "q180_basket_lift",
+    f"""
+    WITH lp AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM lp),
+    pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_ab
+        FROM lp a JOIN lp b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING COUNT(*) >= {_Q180_MIN_SUPPORT}
+    ),
+    marg AS (SELECT l_partkey, COUNT(*) AS n FROM lp GROUP BY l_partkey),
+    scored AS (
+        SELECT pa, pb, n_ab,
+               ROUND(CAST(n_ab AS DOUBLE) * no.n
+                     / (ma.n * CAST(mb.n AS DOUBLE)), 6) AS lift
+        FROM pairs
+        JOIN marg ma ON pairs.pa = ma.l_partkey
+        JOIN marg mb ON pairs.pb = mb.l_partkey
+        CROSS JOIN n_orders no
+    )
+    SELECT pa, pb, CAST(n_ab AS BIGINT) AS n_ab, lift,
+           CAST(rk AS INTEGER) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, pa, pb) AS rk
+          FROM scored)
+    WHERE rk <= 15
+    """,
+)
+def q180_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = lp.agg(F.countDistinct("l_orderkey").alias("n"))
+    a = lp.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = lp.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pairs = (a.join(b, "l_orderkey")
+             .filter(F.col("pa") < F.col("pb"))
+             .groupBy("pa", "pb").agg(F.count(F.lit(1)).alias("n_ab"))
+             .filter(F.col("n_ab") >= _Q180_MIN_SUPPORT))
+    marg = lp.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    ma = marg.select(F.col("l_partkey").alias("pa"), F.col("n").alias("na"))
+    mb = marg.select(F.col("l_partkey").alias("pb"), F.col("n").alias("nb"))
+    lift = F.round(F.col("n_ab").cast("double") * F.col("n")
+                   / (F.col("na") * F.col("nb").cast("double")), 6)
+    scored = (pairs.join(ma, "pa").join(mb, "pb")
+              .crossJoin(F.broadcast(n_orders))
+              .select("pa", "pb", "n_ab", lift.alias("lift")))
+    rk = F.row_number().over(
+        W.orderBy(F.desc("lift"), F.asc("pa"), F.asc("pb")))
+    return (scored.withColumn("rk", rk).filter(F.col("rk") <= 15)
+            .select("pa", "pb", F.col("n_ab").cast("bigint").alias("n_ab"),
+                    "lift", F.col("rk").cast("int").alias("rk")))
+
+
+# --------------------------------------------------------------------------
+# q181 — order interarrival distribution: per-customer gaps between
+# consecutive orders, summarized as exact percentiles and repeat-rate.
+# The purchase-cadence number behind q164's recency quartiles.
+#
+# Shape: one lag window per customer (customer-partitioned — parallel),
+# then a global exact-percentile aggregate over the gap table
+# (order-count-sized); day arithmetic is exact integers.
+# --------------------------------------------------------------------------
+@query(
+    "q181_order_interarrival",
+    """
+    WITH gaps AS (
+        SELECT o_custkey,
+               date_diff('day',
+                         LAG(o_orderdate) OVER
+                             (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey),
+                         o_orderdate) AS gap_days
+        FROM orders
+    ),
+    g AS (SELECT gap_days FROM gaps WHERE gap_days IS NOT NULL)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           quantile_cont(gap_days, 0.5) AS p50_days,
+           quantile_cont(gap_days, 0.9) AS p90_days,
+           CAST(MAX(gap_days) AS BIGINT) AS max_days
+    FROM g
+    """,
+)
+def q181_order_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff(F.col("o_orderdate"),
+                     F.lag("o_orderdate").over(w))
+    g = o.select(gap.alias("gap_days")).filter(F.col("gap_days").isNotNull())
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.percentile("gap_days", F.lit(0.5)).alias("p50_days"),
+        F.percentile("gap_days", F.lit(0.9)).alias("p90_days"),
+        F.max("gap_days").cast("bigint").alias("max_days"))

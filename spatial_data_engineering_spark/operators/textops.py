@@ -2886,3 +2886,52 @@ def q179_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_hapax"),
                  F.round(F.count(F.when(F.col("n") == 1, 1)).cast("double")
                          / F.count(F.lit(1)), 6).alias("hapax_ratio")))
+
+
+# --------------------------------------------------------------------------
+# q182 — sub-word diversity (compression-ratio proxy): per source, the
+# average ratio of distinct char-4-grams to total 4-grams per document.
+# Low diversity = highly compressible = repeated boilerplate, the
+# sub-word complement of q66's word-level repetition rules.
+#
+# Shape: pure per-row array expressions inside codegen (no explode —
+# the 4-gram sets never leave the row), one source-sized groupBy with
+# decimal-exact means.
+# --------------------------------------------------------------------------
+_Q182_GRAMS_SPARK = ("transform(sequence(1, greatest(length(text) - 3, 1)),"
+                     " i -> substring(text, i, 4))")
+_Q182_GRAMS_DUCK = ("list_transform(generate_series(1, "
+                    "greatest(length(text) - 3, 1)), "
+                    "i -> substr(text, CAST(i AS INTEGER), 4))")
+
+
+@query(
+    "q182_subword_diversity",
+    f"""
+    WITH per_doc AS (
+        SELECT source,
+               ROUND(CAST(len(list_distinct({_Q182_GRAMS_DUCK})) AS DOUBLE)
+                     / len({_Q182_GRAMS_DUCK}), 9) AS diversity
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(diversity AS DECIMAL(30,9))) AS DOUBLE)
+               / COUNT(*) AS avg_diversity,
+           ROUND(MIN(diversity), 6) AS min_diversity
+    FROM per_doc GROUP BY source
+    """,
+)
+def q182_subword_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    grams = _Q182_GRAMS_SPARK
+    diversity = F.round(
+        F.expr(f"size(array_distinct({grams}))").cast("double")
+        / F.expr(f"size({grams})"), 9)
+    per_doc = d.select("source", diversity.alias("diversity"))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 (F.sum(F.col("diversity").cast("decimal(30,9)"))
+                  .cast("double") / F.count(F.lit(1)))
+                 .alias("avg_diversity"),
+                 F.round(F.min("diversity"), 6).alias("min_diversity")))

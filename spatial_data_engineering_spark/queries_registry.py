@@ -100,6 +100,8 @@ _PRIORITY = [
     "q171_dup_degree_distribution", "q172_zipf_fit", "q173_order_reconciliation", "q174_value_gini",
     "q175_error_rate_timeline", "q176_score_normalization", "q177_weekday_seasonality",
     "q178_new_vs_returning", "q179_hapax_ratio",
+    "q180_basket_lift", "q181_order_interarrival",
+    "q182_subword_diversity",
     # --- last driver row: round 3 (oldest evidence; all outside the window this round) ---
     "q47_minhash_lsh", "q67_overlap_dissolve", "q60_point_in_polygon",
     "q61_zonal_histogram", "q49_cosine_topk", "q43_fingerprint",
