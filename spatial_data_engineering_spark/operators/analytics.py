@@ -1226,3 +1226,69 @@ def q178_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("bigint").alias("n_new"),
                  F.count(F.when(F.col("day") > F.col("fd"), 1))
                  .cast("bigint").alias("n_returning")))
+
+
+# --------------------------------------------------------------------------
+# q184 — bounce rate per day: share of q18-definition sessions holding
+# exactly one event, by session start day.  The engagement-quality
+# counterpart to q138's duration stats, sharing the same session
+# machinery so definitions cannot drift.
+#
+# Shape: the two q18 windows (assignment), one per-session aggregate,
+# one day-sized rollup.
+# --------------------------------------------------------------------------
+@query(
+    "q184_bounce_rate",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id)
+                         > 1800000000 OR
+                         LAG(epoch_us(ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ),
+    per_session AS (
+        SELECT user_id, sid, MIN(ts) AS start_ts, COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT strftime(date_trunc('day', start_ts), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) AS BIGINT)
+               AS n_bounces,
+           ROUND(CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) AS DOUBLE)
+                 / COUNT(*), 6) AS bounce_rate
+    FROM per_session GROUP BY date_trunc('day', start_ts)
+    """,
+)
+def q184_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0))
+    sess = flagged.withColumn(
+        "sid", F.sum("new_session").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    per_session = (sess.groupBy("user_id", "sid")
+                   .agg(F.min("ts").alias("start_ts"),
+                        F.count(F.lit(1)).alias("n_events")))
+    bounce = F.count(F.when(F.col("n_events") == 1, 1))
+    return (per_session
+            .groupBy(F.date_format(F.date_trunc("day", "start_ts"),
+                                   "yyyy-MM-dd").alias("day"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+                 bounce.cast("bigint").alias("n_bounces"),
+                 F.round(bounce.cast("double") / F.count(F.lit(1)), 6)
+                 .alias("bounce_rate")))

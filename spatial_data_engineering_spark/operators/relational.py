@@ -2165,3 +2165,79 @@ def q181_order_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("gap_days", F.lit(0.5)).alias("p50_days"),
         F.percentile("gap_days", F.lit(0.9)).alias("p90_days"),
         F.max("gap_days").cast("bigint").alias("max_days"))
+
+
+# --------------------------------------------------------------------------
+# q183 — referential-integrity audit: orphan counts across every foreign
+# key of the star schema in one report (lineitem->orders/part/supplier,
+# orders->customer, customer->nation).  The ingest gate run before any
+# join-based metric is trusted; q173 checks values, this checks keys.
+#
+# Shape: each FK is one left-anti-join COUNT against a distinct key
+# projection — dim keys broadcast, the two fact-side checks hash on
+# uniform keys.  Assembled via a tiny UNION of 1-row aggregates.
+# --------------------------------------------------------------------------
+@query(
+    "q183_fk_audit",
+    """
+    SELECT 'lineitem->orders' AS fk,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'lineitem->part',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                   WHERE s.s_suppkey = l.l_suppkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'customer->nation',
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT)
+    """,
+)
+def q183_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+
+    def audit(name, child, ckey, parent, pkey):
+        orphans = child.join(
+            parent.select(pkey).distinct(),
+            child[ckey] == F.col(pkey), "left_anti")
+        return (orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+                .crossJoin(child.agg(F.count(F.lit(1)).alias("n_rows")))
+                .select(F.lit(name).alias("fk"),
+                        F.col("n_orphans").cast("bigint").alias("n_orphans"),
+                        F.col("n_rows").cast("bigint").alias("n_rows")))
+
+    out = audit("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+    for args in (("lineitem->part", li, "l_partkey", p, "p_partkey"),
+                 ("lineitem->supplier", li, "l_suppkey", s, "s_suppkey"),
+                 ("orders->customer", o, "o_custkey", c, "c_custkey"),
+                 ("customer->nation", c, "c_nationkey", n, "n_nationkey")):
+        out = out.unionByName(audit(*args))
+    return out

@@ -2935,3 +2935,64 @@ def q182_subword_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .cast("double") / F.count(F.lit(1)))
                  .alias("avg_diversity"),
                  F.round(F.min("diversity"), 6).alias("min_diversity")))
+
+
+# --------------------------------------------------------------------------
+# q185 — bigram conditional entropy H(next | prev): how predictable the
+# next token is given the current one.  Natural text sits well below
+# its unigram entropy (q121); templated corpora collapse toward zero.
+# Completes the information-theoretic forensics triple with q121
+# (unigram H) and q172 (Zipf).
+#
+# Shape: adjacent-pair counts via the q155 offset equi-join (window=1),
+# vocab-sized margins, round-9 decimal ln sums.
+# --------------------------------------------------------------------------
+@query(
+    "q185_bigram_cond_entropy",
+    """
+    WITH pos AS (
+        SELECT doc_id, t.i AS i, t.tok AS tok
+        FROM (SELECT doc_id,
+                     UNNEST(list_transform(string_split(text, ' '),
+                                           (x, i) -> struct_pack(i := i,
+                                                                 tok := x)))
+                         AS t
+              FROM documents)
+        WHERE t.tok <> ''
+    ),
+    big AS (
+        SELECT a.tok AS w1, b.tok AS w2, COUNT(*) AS n_ab
+        FROM pos a JOIN pos b
+          ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        GROUP BY a.tok, b.tok
+    ),
+    marg AS (SELECT w1, SUM(n_ab) AS n_a FROM big GROUP BY w1),
+    tot AS (SELECT SUM(n_ab) AS t FROM big)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(ROUND(-(CAST(n_ab AS DOUBLE) / tot.t)
+                                * ln(CAST(n_ab AS DOUBLE) / marg.n_a), 9)
+                         AS DECIMAL(30,9))) AS DOUBLE) AS cond_entropy
+    FROM big JOIN marg ON big.w1 = marg.w1 CROSS JOIN tot
+    """,
+)
+def q185_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pos = (d.select("doc_id",
+                    F.posexplode(F.split("text", " ")).alias("i", "tok"))
+           .filter(F.col("tok") != ""))
+    a = (pos.select("doc_id", F.col("i").alias("ia"),
+                    F.col("tok").alias("w1"))
+         .withColumn("ib", F.col("ia") + 1))
+    b = pos.select("doc_id", F.col("i").alias("ib"),
+                   F.col("tok").alias("w2"))
+    big = (a.join(b, ["doc_id", "ib"])
+           .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab")))
+    marg = big.groupBy("w1").agg(F.sum("n_ab").alias("n_a"))
+    tot = big.agg(F.sum("n_ab").alias("t"))
+    term = F.round(
+        -(F.col("n_ab").cast("double") / F.col("t"))
+        * F.log(F.col("n_ab").cast("double") / F.col("n_a")), 9
+    ).cast("decimal(30,9)")
+    return (big.join(marg, "w1").crossJoin(F.broadcast(tot))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+                 F.sum(term).cast("double").alias("cond_entropy")))
