@@ -100,8 +100,14 @@ def main() -> None:
                "CAST(pmod(xxhash64(id, 8), 2000) AS INT)) AS TIMESTAMP)")
         .alias("o_orderdate"),
     ).write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+    n_parts = max(200, n_li // 100)
+    n_supp = max(50, n_li // 1000)
     spark.range(n_li).select(
         (F.col("id") / 4).cast("bigint").alias("l_orderkey"),
+        F.pmod(F.xxhash64("id", F.lit(11)), F.lit(n_parts))
+        .alias("l_partkey"),
+        F.pmod(F.xxhash64("id", F.lit(12)), F.lit(n_supp))
+        .alias("l_suppkey"),
         F.when(F.pmod(F.xxhash64("id", F.lit(2)), F.lit(4)) == 0, "R")
         .otherwise("N").alias("l_returnflag"),
         (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(5000)) / 100.0
@@ -118,6 +124,14 @@ def main() -> None:
                      (F.pmod(F.xxhash64("id"), F.lit(5)) + 1).cast("int")
                      ).alias("c_mktsegment"),
     ).write.mode("overwrite").parquet(f"{tmp}/customer.parquet")
+    spark.range(n_parts).select(
+        F.col("id").alias("p_partkey"),
+        F.concat(F.lit("p"), F.col("id").cast("string")).alias("p_name"),
+    ).write.mode("overwrite").parquet(f"{tmp}/part.parquet")
+    spark.range(n_supp).select(
+        F.col("id").alias("s_suppkey"),
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("s_name"),
+    ).write.mode("overwrite").parquet(f"{tmp}/supplier.parquet")
     spark.range(25).select(
         F.col("id").alias("n_nationkey"),
         F.concat(F.lit("n"), F.col("id").cast("string")).alias("n_name"),
@@ -254,6 +268,43 @@ def main() -> None:
     assert len(r) <= 64, "q164 cell count"
     assert all(1 <= x.r <= 4 and 1 <= x.f <= 4 and 1 <= x.m <= 4
                for x in r), "q164 scores"
+
+    # waves 11-18
+    df167 = run("q167_dedup_strategy_venn")
+    assert sum(x.n_docs for x in df167.collect()) == n_docs, "q167 mass"
+
+    df168 = run("q168_dedup_cost_model")
+    r = sorted(df168.collect(), key=lambda x: x.cap)
+    assert all(r[i].max_candidate_pairs <= r[i + 1].max_candidate_pairs
+               for i in range(len(r) - 1)), "q168 monotone in cap"
+
+    df169 = run("q169_vocab_coverage")
+    r = sorted(df169.collect(), key=lambda x: x.vocab_size)
+    assert all(r[i].coverage <= r[i + 1].coverage + 1e-9
+               for i in range(len(r) - 1)), "q169 monotone"
+
+    df172 = run("q172_zipf_fit")
+    assert df172.collect()[0].slope < 0, "q172 slope sign"
+
+    df179 = run("q179_hapax_ratio")
+    assert all(0.0 <= x.hapax_ratio <= 1.0 for x in df179.collect())
+
+    df182 = run("q182_subword_diversity")
+    assert all(0.0 < x.avg_diversity <= 1.0 for x in df182.collect())
+
+    df185 = run("q185_bigram_cond_entropy")
+    assert df185.collect()[0].cond_entropy >= 0, "q185 entropy sign"
+
+    df180 = run("q180_basket_lift")
+    assert df180.count() == 15, "q180 top-15"
+
+    df183 = run("q183_fk_audit")
+    assert {x.fk for x in df183.collect()} == {
+        "lineitem->orders", "lineitem->part", "lineitem->supplier",
+        "orders->customer", "customer->nation"}, "q183 coverage"
+
+    df184 = run("q184_bounce_rate")
+    assert all(0.0 <= x.bounce_rate <= 1.0 for x in df184.collect())
 
     shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps(out))

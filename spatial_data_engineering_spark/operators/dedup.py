@@ -1070,3 +1070,63 @@ def q168_dedup_cost_model(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("bigint").alias("n_blocked"),
                  F.sum((m * (m - 1) / 2).cast("long")).cast("bigint")
                  .alias("max_candidate_pairs")))
+
+
+# --------------------------------------------------------------------------
+# q187 — dedup survivor bias report: do the documents dedup REMOVES
+# differ systematically from the keepers?  Per language: removal rate
+# under the q46 token-sort fingerprint policy plus mean length of
+# removed vs kept.  A dedup pass that disproportionately drops one
+# language silently reshapes the mix — this is the check before
+# shipping a dedup config.
+#
+# Shape: the q46 keeper rule (min doc_id per fingerprint) as a window
+# flag, then one lang-sized rollup.  Counts and exact integer lengths.
+# --------------------------------------------------------------------------
+@query(
+    "q187_dedup_survivor_bias",
+    f"""
+    WITH fp AS (
+        SELECT doc_id, lang, n_chars, {_FP_SQL} AS h FROM documents
+    ),
+    flagged AS (
+        SELECT lang, n_chars,
+               CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY h)
+                    THEN 1 ELSE 0 END AS kept
+        FROM fp
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) - SUM(kept) AS BIGINT) AS n_removed,
+           ROUND(CAST(COUNT(*) - SUM(kept) AS DOUBLE) / COUNT(*), 6)
+               AS removal_rate,
+           CAST(SUM(CASE WHEN kept = 1 THEN n_chars END) AS DOUBLE)
+               / SUM(kept) AS avg_len_kept,
+           CASE WHEN COUNT(*) - SUM(kept) > 0
+                THEN CAST(SUM(CASE WHEN kept = 0 THEN n_chars END)
+                          AS DOUBLE) / (COUNT(*) - SUM(kept)) END
+               AS avg_len_removed
+    FROM flagged GROUP BY lang
+    """,
+)
+def q187_dedup_survivor_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    fp = d.select("doc_id", "lang", "n_chars", _fp_spark().alias("h"))
+    kept = F.when(
+        F.col("doc_id") == F.min("doc_id").over(W.partitionBy("h")), 1
+    ).otherwise(0)
+    flagged = fp.select("lang", "n_chars", kept.alias("kept"))
+    removed = F.count(F.lit(1)) - F.sum("kept")
+    return (flagged.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 removed.cast("bigint").alias("n_removed"),
+                 F.round(removed.cast("double") / F.count(F.lit(1)), 6)
+                 .alias("removal_rate"),
+                 (F.sum(F.when(F.col("kept") == 1, F.col("n_chars")))
+                  .cast("double") / F.sum("kept")).alias("avg_len_kept"),
+                 F.when(removed > 0,
+                        F.sum(F.when(F.col("kept") == 0, F.col("n_chars")))
+                        .cast("double") / removed)
+                 .alias("avg_len_removed")))

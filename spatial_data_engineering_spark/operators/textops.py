@@ -2996,3 +2996,58 @@ def q185_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (big.join(marg, "w1").crossJoin(F.broadcast(tot))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
                  F.sum(term).cast("double").alias("cond_entropy")))
+
+
+# --------------------------------------------------------------------------
+# q186 — negative-sampling distribution (word2vec's unigram^0.75): each
+# token's smoothed sampling probability, top-20 by probability.  The
+# table a contrastive trainer draws negatives from; the 3/4 power is the
+# standard frequency flattening.
+#
+# Cross-engine float note: pow(n, 0.75) is libm- vs JVM-dependent at the
+# last ulp, so each term is rounded to 9 decimals BEFORE the decimal
+# normalization sum — the q50 round-before-compare contract applied to
+# pow.
+# --------------------------------------------------------------------------
+@query(
+    "q186_negative_sampling",
+    """
+    WITH tf AS (
+        SELECT t, COUNT(*) AS n
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents)
+        WHERE t <> '' GROUP BY t
+    ),
+    powed AS (
+        SELECT t, n, ROUND(pow(CAST(n AS DOUBLE), 0.75), 9) AS w
+        FROM tf
+    ),
+    z AS (SELECT CAST(SUM(CAST(w AS DECIMAL(30,9))) AS DOUBLE) AS z
+          FROM powed)
+    SELECT t AS token, CAST(n AS BIGINT) AS n,
+           ROUND(w / z.z, 9) AS p_negative,
+           CAST(rk AS INTEGER) AS rk
+    FROM (SELECT t, n, w,
+                 ROW_NUMBER() OVER (ORDER BY w DESC, t) AS rk
+          FROM powed) CROSS JOIN z
+    WHERE rk <= 20
+    """,
+)
+def q186_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    tf = (d.select(F.explode(F.split("text", " ")).alias("t"))
+          .filter(F.col("t") != "")
+          .groupBy("t").agg(F.count(F.lit(1)).alias("n")))
+    powed = tf.select(
+        "t", "n", F.round(F.pow(F.col("n").cast("double"), 0.75), 9)
+        .alias("w"))
+    z = powed.agg(
+        F.sum(F.col("w").cast("decimal(30,9)")).cast("double").alias("z"))
+    rk = F.row_number().over(W.orderBy(F.desc("w"), F.asc("t")))
+    return (powed.withColumn("rk", rk).filter(F.col("rk") <= 20)
+            .crossJoin(F.broadcast(z))
+            .select(F.col("t").alias("token"),
+                    F.col("n").cast("bigint").alias("n"),
+                    F.round(F.col("w") / F.col("z"), 9).alias("p_negative"),
+                    F.col("rk").cast("int").alias("rk")))
