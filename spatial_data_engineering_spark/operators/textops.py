@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from .common import davg, sql_davg
+from .common import davg, sql_davg, sql_dvar_expr
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -3051,3 +3051,143 @@ def q186_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n").cast("bigint").alias("n"),
                     F.round(F.col("w") / F.col("z"), 9).alias("p_negative"),
                     F.col("rk").cast("int").alias("rk")))
+
+
+# --------------------------------------------------------------------------
+# q188 — A/A test of the hash splitter: split documents into two arms by
+# md5 parity (the q73 machinery) and compare mean quality with Welch's
+# t-statistic.  An honest splitter yields |t| ~ O(1); a biased hash (or
+# a score correlated with the key) shows up here BEFORE an A/B test
+# ships on the same splitter.
+#
+# Shape: one scan, per-arm decimal moments, closed-form t — the q08/q75
+# variance contract on two partitions of the corpus.
+# --------------------------------------------------------------------------
+@query(
+    "q188_aa_test",
+    f"""
+    {_SCORED_SQL},
+    armed AS (
+        SELECT CAST({_md5_bucket('duckdb', 'doc_id')} % 2 AS BIGINT) AS arm,
+               quality
+        FROM scored
+    ),
+    m AS (
+        SELECT arm, COUNT(*) AS n,
+               {sql_davg('quality', 'mu')},
+               {sql_dvar_expr('quality')} AS var
+        FROM armed GROUP BY arm
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           ROUND(a.mu, 6) AS mean_a, ROUND(b.mu, 6) AS mean_b,
+           ROUND((a.mu - b.mu)
+                 / sqrt(a.var / a.n + b.var / b.n), 6) AS t_stat
+    FROM m a JOIN m b ON a.arm = 0 AND b.arm = 1
+    """,
+)
+def q188_aa_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .common import davg, dvar_samp
+
+    d = load(spark, sf_dir, "documents")
+    scored = _scored_quality(d)
+    arm = (F.expr(_md5_bucket("spark", "doc_id")) % 2).cast("bigint")
+    armed = (scored.join(d.select("doc_id"), "doc_id")
+             .select(arm.alias("arm"), "quality"))
+    m = armed.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        davg("quality", "mu"),
+        dvar_samp("quality").alias("var"))
+    a = m.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("mu").alias("mu_a"),
+        F.col("var").alias("var_a"))
+    b = m.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("mu").alias("mu_b"),
+        F.col("var").alias("var_b"))
+    t = ((F.col("mu_a") - F.col("mu_b"))
+         / F.sqrt(F.col("var_a") / F.col("n_a")
+                  + F.col("var_b") / F.col("n_b")))
+    return (a.crossJoin(b)
+            .select("n_a", "n_b",
+                    F.round("mu_a", 6).alias("mean_a"),
+                    F.round("mu_b", 6).alias("mean_b"),
+                    F.round(t, 6).alias("t_stat")))
+
+
+# --------------------------------------------------------------------------
+# q189 — Wald–Wolfowitz runs test on ingestion order: is the language
+# sequence over doc_id random, or did ingestion batch one language at a
+# time?  Batched layouts break sampled-prefix assumptions (a "random"
+# head sample of a batched corpus is monolingual) — this is the check.
+# Binarized to the majority language; z = (R - E[R]) / sd(R).
+#
+# Shape: one lag window over doc_id (run boundaries), counts only until
+# the closed-form moments.  The doc_id global window is doc-sized at
+# oracle scale; at 100 TB the same statistic accumulates per ordered
+# shard and merges (runs split at shard joints, a documented +shards-1
+# correction).
+# --------------------------------------------------------------------------
+@query(
+    "q189_runs_test",
+    """
+    WITH maj AS (
+        SELECT lang FROM (
+            SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang
+            ORDER BY c DESC, lang LIMIT 1)
+    ),
+    seq AS (
+        SELECT doc_id,
+               CASE WHEN lang = (SELECT lang FROM maj) THEN 1 ELSE 0 END
+                   AS x
+        FROM documents
+    ),
+    runs AS (
+        SELECT x, CASE WHEN LAG(x) OVER (ORDER BY doc_id) IS NULL
+                         OR LAG(x) OVER (ORDER BY doc_id) <> x
+                       THEN 1 ELSE 0 END AS boundary
+        FROM seq
+    ),
+    m AS (
+        SELECT CAST(SUM(boundary) AS DOUBLE) AS r,
+               CAST(SUM(x) AS DOUBLE) AS n1,
+               CAST(COUNT(*) - SUM(x) AS DOUBLE) AS n2
+        FROM runs
+    )
+    SELECT CAST(r AS BIGINT) AS n_runs,
+           CAST(n1 AS BIGINT) AS n_majority,
+           CAST(n2 AS BIGINT) AS n_other,
+           ROUND(1.0 + 2.0 * n1 * n2 / (n1 + n2), 6) AS expected_runs,
+           ROUND((r - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 6)
+               AS z_stat
+    FROM m
+    """,
+)
+def q189_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    maj = (d.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+           .orderBy(F.desc("c"), F.asc("lang")).limit(1)
+           .select(F.col("lang").alias("mlang")))
+    seq = (d.crossJoin(F.broadcast(maj))
+           .select("doc_id",
+                   F.when(F.col("lang") == F.col("mlang"), 1).otherwise(0)
+                   .alias("x")))
+    lx = F.lag("x").over(W.orderBy("doc_id"))
+    runs = seq.select(
+        "x", F.when(lx.isNull() | (lx != F.col("x")), 1).otherwise(0)
+        .alias("boundary"))
+    m = runs.agg(F.sum("boundary").cast("double").alias("r"),
+                 F.sum("x").cast("double").alias("n1"),
+                 (F.count(F.lit(1)) - F.sum("x")).cast("double")
+                 .alias("n2"))
+    r, n1, n2 = F.col("r"), F.col("n1"), F.col("n2")
+    er = 1.0 + 2.0 * n1 * n2 / (n1 + n2)
+    sd = F.sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))
+    return m.select(r.cast("bigint").alias("n_runs"),
+                    n1.cast("bigint").alias("n_majority"),
+                    n2.cast("bigint").alias("n_other"),
+                    F.round(er, 6).alias("expected_runs"),
+                    F.round((r - er) / sd, 6).alias("z_stat"))
