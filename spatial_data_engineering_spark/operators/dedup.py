@@ -1130,3 +1130,40 @@ def q187_dedup_survivor_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.sum(F.when(F.col("kept") == 0, F.col("n_chars")))
                         .cast("double") / removed)
                  .alias("avg_len_removed")))
+
+
+# --------------------------------------------------------------------------
+# q190 — prefix-duplicate detection: documents sharing their first 80
+# characters.  Catches shared boilerplate headers (site templates, OCR
+# covers) that full-text and token-set hashing both miss once bodies
+# diverge — the complement to q81's substring scheme at the cheapest
+# possible price (one hash per doc).
+#
+# Shape: exactly the q45 groupBy on a prefix hash; integer counts and a
+# length-of-overlap report per group.
+# --------------------------------------------------------------------------
+_PREFIX_LEN = 80
+
+@query(
+    "q190_prefix_dup",
+    f"""
+    SELECT md5(substr(text, 1, {_PREFIX_LEN})) AS ph,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS keeper_doc_id,
+           CAST(MIN(length(text)) AS BIGINT) AS min_len,
+           CAST(MAX(length(text)) AS BIGINT) AS max_len
+    FROM documents
+    WHERE length(text) >= {_PREFIX_LEN}
+    GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def q190_prefix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(
+        F.length("text") >= _PREFIX_LEN)
+    return (d.groupBy(F.md5(F.substring("text", 1, _PREFIX_LEN))
+                      .alias("ph"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.min("doc_id").alias("keeper_doc_id"),
+                 F.min(F.length("text")).cast("bigint").alias("min_len"),
+                 F.max(F.length("text")).cast("bigint").alias("max_len"))
+            .filter(F.col("n_docs") > 1))

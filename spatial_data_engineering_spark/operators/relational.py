@@ -2241,3 +2241,63 @@ def q183_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ("customer->nation", c, "c_nationkey", n, "n_nationkey")):
         out = out.unionByName(audit(*args))
     return out
+
+
+# --------------------------------------------------------------------------
+# q192 — customer segment migration: value-quartile in 1996 vs 1997,
+# as a transition matrix (from_q, to_q, n_customers) including churned
+# (active 1996 only) and acquired (1997 only) rows as quartile 0.  The
+# year-over-year version of q164's snapshot — the retention team's
+# "where did our whales go" query.
+#
+# Shape: two year-filtered per-customer aggregates (same scan, pushed
+# predicates), quartiles by NTILE over the customer-sized tables
+# (custkey-pinned ties), one full outer join on custkey, 5x5 rollup.
+# --------------------------------------------------------------------------
+@query(
+    "q192_segment_migration",
+    f"""
+    WITH y1 AS (
+        SELECT o_custkey, {sql_dsum('o_totalprice', 'v')}
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY o_custkey
+    ),
+    y2 AS (
+        SELECT o_custkey, {sql_dsum('o_totalprice', 'v')}
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY o_custkey
+    ),
+    q1 AS (SELECT o_custkey,
+                  NTILE(4) OVER (ORDER BY v DESC, o_custkey) AS q
+           FROM y1),
+    q2 AS (SELECT o_custkey,
+                  NTILE(4) OVER (ORDER BY v DESC, o_custkey) AS q
+           FROM y2)
+    SELECT COALESCE(q1.q, 0) AS from_q, COALESCE(q2.q, 0) AS to_q,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM q1 FULL OUTER JOIN q2 ON q1.o_custkey = q2.o_custkey
+    GROUP BY COALESCE(q1.q, 0), COALESCE(q2.q, 0)
+    """,
+)
+def q192_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+
+    def year_q(y):
+        yv = (o.filter((F.col("o_orderdate") >= f"{y}-01-01")
+                       & (F.col("o_orderdate") < f"{y + 1}-01-01"))
+              .groupBy("o_custkey").agg(dsum("o_totalprice", "v")))
+        return yv.select(
+            "o_custkey",
+            F.ntile(4).over(W.orderBy(F.desc("v"), F.asc("o_custkey")))
+            .alias("q"))
+
+    q1 = year_q(1996).withColumnsRenamed({"o_custkey": "k1", "q": "qa"})
+    q2 = year_q(1997).withColumnsRenamed({"o_custkey": "k2", "q": "qb"})
+    return (q1.join(q2, q1.k1 == q2.k2, "full_outer")
+            .groupBy(F.coalesce(F.col("qa"), F.lit(0)).alias("from_q"),
+                     F.coalesce(F.col("qb"), F.lit(0)).alias("to_q"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers")))

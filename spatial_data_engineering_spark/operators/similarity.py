@@ -1379,3 +1379,48 @@ def q154_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.count(F.when(F.col("n_label") == F.col("label"),
                                         1)).cast("double")
                          / F.count(F.lit(1)), 6).alias("accuracy")))
+
+
+# --------------------------------------------------------------------------
+# q191 — dimension-redundancy index: off-diagonal covariance mass over
+# on-diagonal variance mass, from the q93 covariance (production Gram
+# path).  Near-0 means dimensions carry independent signal; large means
+# the embedding wastes width — the one-number screen before paying for
+# a JL projection (q92) or PQ (q111).
+#
+# Shape: a 2,080-row aggregate over q93's output — corpus cost IS q93;
+# this adds one tiny reduce with round-9 decimal |cov| sums.
+# --------------------------------------------------------------------------
+_ORACLE_Q191 = f"""
+    WITH cov AS ({_ORACLE_Q93})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(CASE WHEN i = j
+                         THEN CAST(ROUND(abs(cov), 9) AS DECIMAL(30,9))
+                         END) AS DOUBLE) AS diag_mass,
+           CAST(SUM(CASE WHEN i < j
+                         THEN CAST(ROUND(2 * abs(cov), 9) AS DECIMAL(30,9))
+                         END) AS DOUBLE) AS offdiag_mass,
+           ROUND(CAST(SUM(CASE WHEN i < j
+                               THEN CAST(ROUND(2 * abs(cov), 9)
+                                         AS DECIMAL(30,9)) END) AS DOUBLE)
+                 / CAST(SUM(CASE WHEN i = j
+                                 THEN CAST(ROUND(abs(cov), 9)
+                                           AS DECIMAL(30,9)) END)
+                        AS DOUBLE), 6) AS redundancy_index
+    FROM cov
+"""
+
+
+@query("q191_dim_redundancy", _ORACLE_Q191)
+def q191_dim_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cov = q93_embedding_covariance(spark, sf_dir)
+    diag = F.when(F.col("i") == F.col("j"),
+                  F.round(F.abs(F.col("cov")), 9).cast("decimal(30,9)"))
+    off = F.when(F.col("i") < F.col("j"),
+                 F.round(2 * F.abs(F.col("cov")), 9).cast("decimal(30,9)"))
+    return (cov.agg(F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+                    F.sum(diag).cast("double").alias("diag_mass"),
+                    F.sum(off).cast("double").alias("offdiag_mass"))
+            .select("n_cells", "diag_mass", "offdiag_mass",
+                    F.round(F.col("offdiag_mass") / F.col("diag_mass"), 6)
+                    .alias("redundancy_index")))

@@ -104,7 +104,8 @@ _PRIORITY = [
     "q182_subword_diversity", "q183_fk_audit",
     "q184_bounce_rate", "q185_bigram_cond_entropy",
     "q186_negative_sampling", "q187_dedup_survivor_bias",
-    "q188_aa_test", "q189_runs_test",
+    "q188_aa_test", "q189_runs_test", "q190_prefix_dup",
+    "q191_dim_redundancy", "q192_segment_migration",
     # --- last driver row: round 3 (oldest evidence; all outside the window this round) ---
     "q47_minhash_lsh", "q67_overlap_dissolve", "q60_point_in_polygon",
     "q61_zonal_histogram", "q49_cosine_topk", "q43_fingerprint",
