@@ -3191,3 +3191,165 @@ def q189_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                     n2.cast("bigint").alias("n_other"),
                     F.round(er, 6).alias("expected_runs"),
                     F.round((r - er) / sd, 6).alias("z_stat"))
+
+
+# --------------------------------------------------------------------------
+# q193 — vocabulary growth (Heaps' law): distinct types seen within the
+# first k token occurrences (doc_id, position order) at doubling
+# cutoffs.  Natural corpora grow V ~ k^0.7; a flattening curve means
+# the source has exhausted its vocabulary (template spam).  Completes
+# the q172/q179/q185 naturalness forensics.
+#
+# Shape: one global occurrence index (rank window at oracle scale; the
+# q10 two-pass id is the 100 TB form), then per-cutoff first-occurrence
+# counting — a token's contribution is decided by its FIRST index only,
+# so the distinct-per-prefix reduces to one vocab-sized aggregate, not
+# a per-cutoff distinct scan.
+# --------------------------------------------------------------------------
+_Q193_CUTOFFS = (1000, 2000, 4000, 8000, 16000)
+
+_ORACLE_Q193 = f"""
+    WITH pos AS (
+        SELECT doc_id, t.i AS i, t.tok AS tok
+        FROM (SELECT doc_id,
+                     UNNEST(list_transform(string_split(text, ' '),
+                                           (x, i) -> struct_pack(i := i,
+                                                                 tok := x)))
+                         AS t
+              FROM documents)
+        WHERE t.tok <> ''
+    ),
+    idx AS (
+        SELECT tok, ROW_NUMBER() OVER (ORDER BY doc_id, i) AS rn FROM pos
+    ),
+    firsts AS (SELECT tok, MIN(rn) AS first_rn FROM idx GROUP BY tok)
+    SELECT k.k AS n_tokens,
+           CAST(COUNT(CASE WHEN first_rn <= k.k THEN 1 END) AS BIGINT)
+               AS n_types
+    FROM firsts
+    CROSS JOIN (SELECT UNNEST([{', '.join(map(str, _Q193_CUTOFFS))}]) AS k) k
+    GROUP BY k.k
+"""
+
+
+@query("q193_heaps_law", _ORACLE_Q193)
+def q193_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    pos = (d.select("doc_id",
+                    F.posexplode(F.split("text", " ")).alias("i", "tok"))
+           .filter(F.col("tok") != ""))
+    rn = F.row_number().over(W.orderBy("doc_id", "i"))
+    firsts = (pos.select("tok", rn.alias("rn"))
+              .groupBy("tok").agg(F.min("rn").alias("first_rn")))
+    ks = F.explode(F.array(*[F.lit(k) for k in _Q193_CUTOFFS])).alias("k")
+    return (firsts.select("first_rn", ks)
+            .groupBy("k")
+            .agg(F.count(F.when(F.col("first_rn") <= F.col("k"), 1))
+                 .cast("bigint").alias("n_types"))
+            .select(F.col("k").alias("n_tokens"), "n_types"))
+
+
+# --------------------------------------------------------------------------
+# q194 — context-length planning: token mass lost if every document is
+# truncated at T tokens, per source, for candidate context lengths.
+# The number that picks a training sequence length — pair with q77's
+# packing, which then fills the chosen T.
+#
+# Shape: per-row length arithmetic only (no explode), a source x T
+# rollup of decimal-exact integer sums.
+# --------------------------------------------------------------------------
+_Q194_LENGTHS = (32, 64, 128)
+
+@query(
+    "q194_truncation_loss",
+    f"""
+    WITH dl AS (
+        SELECT source,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS n_tok
+        FROM documents
+    )
+    SELECT source, t.t AS max_len,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN n_tok > t.t THEN n_tok - t.t ELSE 0 END)
+                AS BIGINT) AS lost_tokens,
+           ROUND(CAST(SUM(CASE WHEN n_tok > t.t THEN n_tok - t.t
+                               ELSE 0 END) AS DOUBLE) / SUM(n_tok), 6)
+               AS loss_frac,
+           CAST(COUNT(CASE WHEN n_tok > t.t THEN 1 END) AS BIGINT)
+               AS n_truncated
+    FROM dl
+    CROSS JOIN (SELECT UNNEST([{', '.join(map(str, _Q194_LENGTHS))}]) AS t) t
+    GROUP BY source, t.t
+    """,
+)
+def q194_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    dl = d.select("source", F.expr(
+        f"size(filter({_TOKENS}, x -> x <> ''))").alias("n_tok"))
+    ts = F.explode(F.array(*[F.lit(t) for t in _Q194_LENGTHS])).alias("t")
+    lost = F.sum(F.when(F.col("n_tok") > F.col("t"),
+                        F.col("n_tok") - F.col("t")).otherwise(0))
+    return (dl.select("source", "n_tok", ts)
+            .groupBy("source", F.col("t").alias("max_len"))
+            .agg(F.sum("n_tok").cast("bigint").alias("total_tokens"),
+                 lost.cast("bigint").alias("lost_tokens"),
+                 F.round(lost.cast("double") / F.sum("n_tok"), 6)
+                 .alias("loss_frac"),
+                 F.count(F.when(F.col("n_tok") > F.col("t"), 1))
+                 .cast("bigint").alias("n_truncated")))
+
+
+# --------------------------------------------------------------------------
+# q195 — dedup-aware effective token budget: per language, raw vs
+# post-dedup (q46 keeper rule) token counts — the number that converts
+# "we crawled N tokens" into "we can train on M".  Token-mass twin of
+# q187's doc-count bias view, same keeper definition by construction.
+# --------------------------------------------------------------------------
+@query(
+    "q195_effective_tokens",
+    f"""
+    WITH fp AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS n_tok,
+               {_FP_SQL_T} AS h
+        FROM documents
+    ),
+    flagged AS (
+        SELECT lang, n_tok,
+               CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY h)
+                    THEN 1 ELSE 0 END AS kept
+        FROM fp
+    )
+    SELECT lang,
+           CAST(SUM(n_tok) AS BIGINT) AS raw_tokens,
+           CAST(SUM(CASE WHEN kept = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+               AS effective_tokens,
+           ROUND(CAST(SUM(CASE WHEN kept = 1 THEN n_tok ELSE 0 END)
+                      AS DOUBLE) / SUM(n_tok), 6) AS retention
+    FROM flagged GROUP BY lang
+    """,
+)
+def q195_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from .dedup import _fp_spark
+
+    d = load(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id", "lang",
+        F.expr(f"size(filter({_TOKENS}, x -> x <> ''))").alias("n_tok"),
+        _fp_spark().alias("h"))
+    kept = F.when(
+        F.col("doc_id") == F.min("doc_id").over(W.partitionBy("h")), 1
+    ).otherwise(0)
+    flagged = fp.select("lang", "n_tok", kept.alias("kept"))
+    eff = F.sum(F.when(F.col("kept") == 1, F.col("n_tok")).otherwise(0))
+    return (flagged.groupBy("lang")
+            .agg(F.sum("n_tok").cast("bigint").alias("raw_tokens"),
+                 eff.cast("bigint").alias("effective_tokens"),
+                 F.round(eff.cast("double") / F.sum("n_tok"), 6)
+                 .alias("retention")))
