@@ -3353,3 +3353,80 @@ def q195_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                  eff.cast("bigint").alias("effective_tokens"),
                  F.round(eff.cast("double") / F.sum("n_tok"), 6)
                  .alias("retention")))
+
+
+# --------------------------------------------------------------------------
+# q196 — cross-split LM transfer: train a unigram LM on the q73 train
+# split only, score the val split.  The leakage-free version of q141's
+# corpus-as-LM: train/val NLL gap and val OOV rate are the actual
+# generalization signals (q141's self-scoring flatters every source).
+# OOV tokens are excluded from NLL and reported as their own rate —
+# explicit, rather than hidden behind a smoothing constant.
+#
+# Shape: two passes over one scan (split assignment is the stateless q73
+# hash); the train-vocab table is vocab-sized and joins the val token
+# stream on the token.  Round-9 decimal ln sums as everywhere.
+# --------------------------------------------------------------------------
+@query(
+    "q196_crosssplit_perplexity",
+    f"""
+    WITH assigned AS (
+        SELECT doc_id, text,
+               CASE WHEN {_md5_bucket('duckdb', 'doc_id')} < 80 THEN 'train'
+                    WHEN {_md5_bucket('duckdb', 'doc_id')} < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ),
+    tok AS (
+        SELECT split, doc_id, UNNEST(string_split(text, ' ')) AS t
+        FROM assigned
+    ),
+    tokf AS (SELECT split, doc_id, t FROM tok WHERE t <> ''),
+    freq AS (
+        SELECT t, COUNT(*) AS n FROM tokf WHERE split = 'train' GROUP BY t
+    ),
+    tot AS (SELECT SUM(n) AS tot FROM freq),
+    val AS (
+        SELECT v.t, freq.n FROM tokf v
+        LEFT JOIN freq ON v.t = freq.t
+        WHERE v.split = 'val'
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_val_tokens,
+           CAST(COUNT(CASE WHEN n IS NULL THEN 1 END) AS BIGINT)
+               AS n_oov,
+           ROUND(CAST(COUNT(CASE WHEN n IS NULL THEN 1 END) AS DOUBLE)
+                 / COUNT(*), 6) AS oov_rate,
+           CAST(SUM(CASE WHEN n IS NOT NULL THEN
+                CAST(ROUND(-ln(CAST(n AS DOUBLE) / tot.tot), 9)
+                     AS DECIMAL(30,9)) END) AS DOUBLE) / COUNT(n)
+               AS val_nll
+    FROM val CROSS JOIN tot
+    """,
+)
+def q196_crosssplit_perplexity(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bucket = F.expr(_md5_bucket("spark", "doc_id"))
+    split = (F.when(bucket < 80, "train")
+             .when(bucket < 90, "val").otherwise("test"))
+    tokf = (d.withColumn("split", split)
+            .select("split", "doc_id",
+                    F.explode(F.split("text", " ")).alias("t"))
+            .filter(F.col("t") != ""))
+    freq = (tokf.filter(F.col("split") == "train")
+            .groupBy("t").agg(F.count(F.lit(1)).alias("n")))
+    tot = freq.agg(F.sum("n").alias("tot"))
+    val = (tokf.filter(F.col("split") == "val")
+           .join(freq, "t", "left")
+           .crossJoin(F.broadcast(tot)))
+    nll_term = F.when(
+        F.col("n").isNotNull(),
+        F.round(-F.log(F.col("n").cast("double") / F.col("tot")), 9)
+        .cast("decimal(30,9)"))
+    return val.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_val_tokens"),
+        F.count(F.when(F.col("n").isNull(), 1)).cast("bigint")
+        .alias("n_oov"),
+        F.round(F.count(F.when(F.col("n").isNull(), 1)).cast("double")
+                / F.count(F.lit(1)), 6).alias("oov_rate"),
+        (F.sum(nll_term).cast("double") / F.count("n")).alias("val_nll"))
