@@ -306,6 +306,40 @@ def main() -> None:
     df184 = run("q184_bounce_rate")
     assert all(0.0 <= x.bounce_rate <= 1.0 for x in df184.collect())
 
+    # waves 19-23
+    df186 = run("q186_negative_sampling")
+    assert df186.count() == 20, "q186 top-20"
+
+    df187 = run("q187_dedup_survivor_bias")
+    assert all(0.0 <= x.removal_rate < 1.0 for x in df187.collect())
+
+    df188 = run("q188_aa_test")
+    r = df188.collect()[0]
+    assert abs(r.t_stat) < 10, "q188 A/A blew up: splitter bias?"
+
+    df189 = run("q189_runs_test")
+    r = df189.collect()[0]
+    assert r.n_runs >= 1 and r.n_majority + r.n_other == n_docs
+
+    df190 = run("q190_prefix_dup")
+    assert all(x.n_docs > 1 for x in df190.collect())
+
+    df193 = run("q193_heaps_law")
+    r = sorted(df193.collect(), key=lambda x: x.n_tokens)
+    assert all(r[i].n_types <= r[i + 1].n_types for i in range(len(r) - 1))
+
+    df194 = run("q194_truncation_loss")
+    for x in df194.collect():
+        assert 0.0 <= x.loss_frac < 1.0
+
+    df195 = run("q195_effective_tokens")
+    for x in df195.collect():
+        assert x.effective_tokens <= x.raw_tokens and x.retention <= 1.0
+
+    df196 = run("q196_crosssplit_perplexity")
+    r = df196.collect()[0]
+    assert 0.0 <= r.oov_rate <= 1.0 and (r.val_nll is None or r.val_nll > 0)
+
     shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps(out))
 

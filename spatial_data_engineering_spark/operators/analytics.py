@@ -1292,3 +1292,138 @@ def q184_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                  bounce.cast("bigint").alias("n_bounces"),
                  F.round(bounce.cast("double") / F.count(F.lit(1)), 6)
                  .alias("bounce_rate")))
+
+
+# --------------------------------------------------------------------------
+# q197 — session survival curve: P(session reaches >= k events) and the
+# conditional continue rate P(>=k | >=k-1), for k = 1..5.  The
+# engagement funnel INSIDE a session — q184 reports only the k=1 bounce
+# cell of this curve.
+#
+# Shape: the q18 session machinery, one per-session count, then a
+# 5-row cutoff rollup over the session-sized table.
+# --------------------------------------------------------------------------
+@query(
+    "q197_session_survival",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id)
+                         > 1800000000 OR
+                         LAG(epoch_us(ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id,
+               SUM(new_session) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ),
+    sizes AS (
+        SELECT COUNT(*) AS n_events FROM sess GROUP BY user_id, sid
+    ),
+    tot AS (SELECT COUNT(*) AS n_sessions FROM sizes)
+    SELECT k.k AS k,
+           CAST(COUNT(CASE WHEN n_events >= k.k THEN 1 END) AS BIGINT)
+               AS n_reaching,
+           ROUND(CAST(COUNT(CASE WHEN n_events >= k.k THEN 1 END)
+                      AS DOUBLE) / tot.n_sessions, 6) AS p_reach,
+           ROUND(CAST(COUNT(CASE WHEN n_events >= k.k THEN 1 END)
+                      AS DOUBLE)
+                 / NULLIF(COUNT(CASE WHEN n_events >= k.k - 1 THEN 1 END),
+                          0), 6) AS p_continue
+    FROM sizes
+    CROSS JOIN (SELECT UNNEST([1, 2, 3, 4, 5]) AS k) k
+    CROSS JOIN tot
+    GROUP BY k.k, tot.n_sessions
+    """,
+)
+def q197_session_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0))
+    sess = flagged.withColumn(
+        "sid", F.sum("new_session").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    sizes = (sess.groupBy("user_id", "sid")
+             .agg(F.count(F.lit(1)).alias("n_events")))
+    tot = sizes.agg(F.count(F.lit(1)).alias("n_sessions"))
+    ks = F.explode(F.array(*[F.lit(k) for k in (1, 2, 3, 4, 5)])).alias("k")
+    reach = F.count(F.when(F.col("n_events") >= F.col("k"), 1))
+    reach_prev = F.count(
+        F.when(F.col("n_events") >= F.col("k") - 1, 1))
+    return (sizes.select("n_events", ks)
+            .crossJoin(F.broadcast(tot))
+            .groupBy("k", "n_sessions")
+            .agg(reach.cast("bigint").alias("n_reaching"),
+                 F.round(reach.cast("double") / F.col("n_sessions"), 6)
+                 .alias("p_reach"),
+                 F.round(reach.cast("double")
+                         / F.nullif(reach_prev, F.lit(0)), 6)
+                 .alias("p_continue"))
+            .select("k", "n_reaching", "p_reach", "p_continue"))
+
+
+# --------------------------------------------------------------------------
+# q198 — in-session value decay: mean event value by in-session position
+# (1..5) — does engagement value fade within a session?  The per-event
+# refinement of q197's count-level curve; shares the session machinery.
+# --------------------------------------------------------------------------
+@query(
+    "q198_position_value_decay",
+    f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id)
+                         > 1800000000 OR
+                         LAG(epoch_us(ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id, value,
+               SUM(new_session) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ),
+    ranked AS (
+        SELECT value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                  ORDER BY ts, event_id) AS pos
+        FROM sess
+    )
+    SELECT CAST(pos AS BIGINT) AS pos,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_davg('value', 'avg_value')}
+    FROM ranked WHERE pos <= 5 GROUP BY pos
+    """,
+)
+def q198_position_value_decay(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0))
+    sess = flagged.withColumn(
+        "sid", F.sum("new_session").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    w2 = W.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    ranked = (sess.withColumn("pos", F.row_number().over(w2))
+              .filter(F.col("pos") <= 5))
+    return (ranked.groupBy(F.col("pos").cast("bigint").alias("pos"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 davg("value", "avg_value")))
