@@ -340,6 +340,14 @@ def main() -> None:
     r = df196.collect()[0]
     assert 0.0 <= r.oov_rate <= 1.0 and (r.val_nll is None or r.val_nll > 0)
 
+    df197 = run("q197_session_survival")
+    r = sorted(df197.collect(), key=lambda x: x.k)
+    assert all(r[i].n_reaching >= r[i + 1].n_reaching
+               for i in range(len(r) - 1)), "q197 survival not monotone"
+
+    df198 = run("q198_position_value_decay")
+    assert df198.count() == 5, "q198 positions"
+
     shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps(out))
 
