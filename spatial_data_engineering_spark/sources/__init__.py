@@ -228,3 +228,33 @@ def merge_upsert(spark: SparkSession, target_path: str, updates: DataFrame,
     shutil.rmtree(target_path)
     os.rename(tmp, target_path)
     return {"matched": matched, "inserted": inserted, "total": n_after}
+
+
+def observed_write(df: DataFrame, path: str, metrics: dict | None = None,
+                   fmt: str = "parquet") -> dict:
+    """Write a table while collecting pipeline metrics IN THE SAME JOB
+    via Spark's Observation API — no second scan.
+
+    `metrics` maps metric name -> aggregate Column (default: row count).
+    The observation rides the write's single pass over the data, so at
+    100 TB the "how many rows/tokens did we just ship" dashboard numbers
+    are free, instead of a full re-read (the usual post-write COUNT(*)
+    doubles the job's I/O).  Returns the observed metric dict.
+
+    Caveats (documented Spark semantics): metrics must be single-pass
+    aggregates — DISTINCT aggregates are rejected by the analyzer (use
+    approx_count_distinct, a mergeable sketch); and observed metrics
+    reflect the rows the write actually processed — if the write fails
+    partway they are undefined, so read them only after a successful
+    commit.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    if metrics is None:
+        metrics = {"n_rows": F.count(F.lit(1))}
+    obs = Observation("observed_write")
+    named = [c.alias(n) for n, c in metrics.items()]
+    observed = df.observe(obs, *named)
+    observed.write.mode("overwrite").format(fmt).save(path)
+    return dict(obs.get)

@@ -430,3 +430,26 @@ def test_merge_upsert_replaces_and_inserts(spark, tmp_path):
     assert stats2 == {"matched": 2, "inserted": 0, "total": 4}
     got2 = {r.k: r.v for r in spark.read.parquet(path).collect()}
     assert got2 == got
+
+
+def test_observed_write_metrics_match_separate_aggregation(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from spatial_data_engineering_spark import sources
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("k"),
+        F.concat(F.lit("w "), F.col("id").cast("string")).alias("text"))
+    path = str(tmp_path / "observed")
+    got = sources.observed_write(
+        df, path,
+        metrics={"n_rows": F.count(F.lit(1)),
+                 "sum_id": F.sum("id"),
+                 "n_keys": F.approx_count_distinct("k")})
+    assert got["n_rows"] == 1000 and got["sum_id"] == 499500
+    assert got["n_keys"] == 7  # 7 distinct values, far under sketch error
+    # the write itself is intact
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert back.agg(F.sum("id")).collect()[0][0] == 499500
