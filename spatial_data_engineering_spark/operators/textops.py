@@ -3430,3 +3430,63 @@ def q196_crosssplit_perplexity(spark: SparkSession,
         F.round(F.count(F.when(F.col("n").isNull(), 1)).cast("double")
                 / F.count(F.lit(1)), 6).alias("oov_rate"),
         (F.sum(nll_term).cast("double") / F.count("n")).alias("val_nll"))
+
+
+# --------------------------------------------------------------------------
+# q199 — duplicate/quality linkage: mean production quality score for
+# docs that are near-duplicated (member of any q47 pair) vs unique.
+# If duplicates score LOWER, dedup doubles as a quality filter; if they
+# score the same, the two filters are independent and both earn their
+# cost.  The measured answer to "can we skip one of them".
+#
+# Shape: the doc-sized dup-member set (distinct over the shared q47
+# pair list) semi/anti-splits the scored table; decimal-exact means and
+# a variance-scaled gap for judgment.
+# --------------------------------------------------------------------------
+def _q199_oracle() -> str:
+    from .dedup import ORACLES as dedup_oracles
+
+    return f"""
+    WITH pairs AS (
+        SELECT a_id, b_id FROM ({dedup_oracles['q47_minhash_lsh']}) q
+    ),
+    members AS (
+        SELECT DISTINCT a_id AS doc_id FROM pairs
+        UNION
+        SELECT DISTINCT b_id FROM pairs
+    ),
+    {_SCORED_SQL.replace('WITH ', '')},
+    labeled AS (
+        SELECT s.quality,
+               CASE WHEN m.doc_id IS NOT NULL THEN 'dup' ELSE 'unique' END
+                   AS status
+        FROM scored s LEFT JOIN members m ON s.doc_id = m.doc_id
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {sql_davg('quality', 'avg_quality')},
+           ROUND(MIN(quality), 6) AS min_quality,
+           ROUND(MAX(quality), 6) AS max_quality
+    FROM labeled GROUP BY status
+    """
+
+
+@query("q199_dup_quality_link", _q199_oracle())
+def q199_dup_quality_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import near_dup_pairs
+
+    d = load(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(spark, sf_dir)
+    members = (pairs.selectExpr("a_id AS doc_id")
+               .union(pairs.selectExpr("b_id AS doc_id")).distinct()
+               .withColumn("__m", F.lit(1)))
+    scored = _scored_quality(d)
+    labeled = (scored.join(members, "doc_id", "left")
+               .select("quality",
+                       F.when(F.col("__m").isNotNull(), "dup")
+                       .otherwise("unique").alias("status")))
+    return (labeled.groupBy("status")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 davg("quality", "avg_quality"),
+                 F.round(F.min("quality"), 6).alias("min_quality"),
+                 F.round(F.max("quality"), 6).alias("max_quality")))

@@ -108,7 +108,7 @@ _PRIORITY = [
     "q191_dim_redundancy", "q192_segment_migration",
     "q193_heaps_law", "q194_truncation_loss", "q195_effective_tokens",
     "q196_crosssplit_perplexity", "q197_session_survival",
-    "q198_position_value_decay",
+    "q198_position_value_decay", "q199_dup_quality_link",
     # --- last driver row: round 3 (oldest evidence; all outside the window this round) ---
     "q47_minhash_lsh", "q67_overlap_dissolve", "q60_point_in_polygon",
     "q61_zonal_histogram", "q49_cosine_topk", "q43_fingerprint",
