@@ -3490,3 +3490,81 @@ def q199_dup_quality_link(spark: SparkSession, sf_dir: str) -> DataFrame:
                  davg("quality", "avg_quality"),
                  F.round(F.min("quality"), 6).alias("min_quality"),
                  F.round(F.max("quality"), 6).alias("max_quality")))
+
+
+# --------------------------------------------------------------------------
+# q200 — corpus stats summary: the SHOW STATS table every engine fronts
+# its catalog with — documents, token mass, distinct types, languages,
+# sources, exact-dup groups and length moments in one (stat, value)
+# relation.  One scan for the row-level stats plus one vocab-sized
+# aggregate; everything integer-exact.
+# --------------------------------------------------------------------------
+@query(
+    "q200_corpus_stats",
+    """
+    WITH base AS (
+        SELECT doc_id, lang, source, length(text) AS n_chars_real,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS n_tok,
+               md5(text) AS eh
+        FROM documents
+    ),
+    vocab AS (
+        SELECT COUNT(DISTINCT t) AS n_types
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents)
+        WHERE t <> ''
+    )
+    SELECT 'n_documents' AS stat, CAST(COUNT(*) AS BIGINT) AS value
+    FROM base
+    UNION ALL
+    SELECT 'n_tokens', CAST(SUM(n_tok) AS BIGINT) FROM base
+    UNION ALL
+    SELECT 'n_types', CAST(n_types AS BIGINT) FROM vocab
+    UNION ALL
+    SELECT 'n_languages', CAST(COUNT(DISTINCT lang) AS BIGINT) FROM base
+    UNION ALL
+    SELECT 'n_sources', CAST(COUNT(DISTINCT source) AS BIGINT) FROM base
+    UNION ALL
+    SELECT 'n_exact_dup_groups',
+           CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT eh FROM base GROUP BY eh HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'max_doc_tokens', CAST(MAX(n_tok) AS BIGINT) FROM base
+    UNION ALL
+    SELECT 'min_doc_tokens', CAST(MIN(n_tok) AS BIGINT) FROM base
+    UNION ALL
+    SELECT 'total_chars', CAST(SUM(n_chars_real) AS BIGINT) FROM base
+    """,
+)
+def q200_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "lang", "source",
+        F.length("text").alias("n_chars_real"),
+        F.expr(f"size(filter({_TOKENS}, x -> x <> ''))").alias("n_tok"),
+        F.md5("text").alias("eh"))
+    vocab = (d.select(F.explode(F.split("text", " ")).alias("t"))
+             .filter(F.col("t") != "")
+             .agg(F.countDistinct("t").alias("n_types")))
+    dupg = (base.groupBy("eh").agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1)
+            .agg(F.count(F.lit(1)).alias("g")))
+
+    def stat(name, col):
+        return F.lit(name).alias("stat"), col.cast("bigint").alias("value")
+
+    rows = [
+        base.agg(F.count(F.lit(1)).alias("v")).select(*stat("n_documents", F.col("v"))),
+        base.agg(F.sum("n_tok").alias("v")).select(*stat("n_tokens", F.col("v"))),
+        vocab.select(*stat("n_types", F.col("n_types"))),
+        base.agg(F.countDistinct("lang").alias("v")).select(*stat("n_languages", F.col("v"))),
+        base.agg(F.countDistinct("source").alias("v")).select(*stat("n_sources", F.col("v"))),
+        dupg.select(*stat("n_exact_dup_groups", F.col("g"))),
+        base.agg(F.max("n_tok").alias("v")).select(*stat("max_doc_tokens", F.col("v"))),
+        base.agg(F.min("n_tok").alias("v")).select(*stat("min_doc_tokens", F.col("v"))),
+        base.agg(F.sum("n_chars_real").alias("v")).select(*stat("total_chars", F.col("v"))),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
