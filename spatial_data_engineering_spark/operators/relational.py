@@ -2301,3 +2301,74 @@ def q192_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.coalesce(F.col("qa"), F.lit(0)).alias("from_q"),
                      F.coalesce(F.col("qb"), F.lit(0)).alias("to_q"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers")))
+
+
+# --------------------------------------------------------------------------
+# q202 — categorical association (Cramér's V): market segment x order
+# priority over the joined orders/customer table.  The global "are these
+# two dimensions related at all" statistic (q147's chi2 ranks cells;
+# this is the normalized whole-table number in [0, 1]).
+#
+# Shape: one contingency groupBy (segments x priorities — tiny), margins
+# from the same aggregate, chi2 summed through round-9 decimals.
+# --------------------------------------------------------------------------
+@query(
+    "q202_cramers_v",
+    """
+    WITH joined AS (
+        SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    cells AS (
+        SELECT seg, pri, COUNT(*) AS n FROM joined GROUP BY seg, pri
+    ),
+    rm AS (SELECT seg, SUM(n) AS rn FROM cells GROUP BY seg),
+    cm AS (SELECT pri, SUM(n) AS cn FROM cells GROUP BY pri),
+    tot AS (SELECT SUM(n) AS t,
+                   COUNT(DISTINCT seg) AS r, COUNT(DISTINCT pri) AS c
+            FROM cells),
+    chi AS (
+        SELECT CAST(SUM(CAST(ROUND(
+                   (cells.n - CAST(rm.rn AS DOUBLE) * cm.cn / tot.t)
+                   * (cells.n - CAST(rm.rn AS DOUBLE) * cm.cn / tot.t)
+                   / (CAST(rm.rn AS DOUBLE) * cm.cn / tot.t), 9)
+                   AS DECIMAL(30,9))) AS DOUBLE) AS chi2,
+               MAX(tot.t) AS t, MAX(tot.r) AS r, MAX(tot.c) AS c
+        FROM cells
+        JOIN rm ON cells.seg = rm.seg
+        JOIN cm ON cells.pri = cm.pri
+        CROSS JOIN tot
+    )
+    SELECT CAST(t AS BIGINT) AS n_rows,
+           ROUND(chi2, 6) AS chi2,
+           ROUND(sqrt(chi2 / (t * (LEAST(r, c) - 1.0))), 6) AS cramers_v
+    FROM chi
+    """,
+)
+def q202_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    joined = (o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+                     o.o_custkey == c.c_custkey)
+              .select(F.col("c_mktsegment").alias("seg"),
+                      F.col("o_orderpriority").alias("pri")))
+    cells = joined.groupBy("seg", "pri").agg(F.count(F.lit(1)).alias("n"))
+    rm = cells.groupBy("seg").agg(F.sum("n").alias("rn"))
+    cm = cells.groupBy("pri").agg(F.sum("n").alias("cn"))
+    tot = cells.agg(F.sum("n").alias("t"),
+                    F.countDistinct("seg").alias("r"),
+                    F.countDistinct("pri").alias("c"))
+    expected = F.col("rn").cast("double") * F.col("cn") / F.col("t")
+    term = F.round((F.col("n") - expected) * (F.col("n") - expected)
+                   / expected, 9).cast("decimal(30,9)")
+    chi = (cells.join(F.broadcast(rm), "seg").join(F.broadcast(cm), "pri")
+           .crossJoin(F.broadcast(tot))
+           .agg(F.sum(term).cast("double").alias("chi2"),
+                F.max("t").alias("t"), F.max("r").alias("r"),
+                F.max("c").alias("c")))
+    return chi.select(
+        F.col("t").cast("bigint").alias("n_rows"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(F.sqrt(F.col("chi2")
+                       / (F.col("t") * (F.least("r", "c") - 1.0))), 6)
+        .alias("cramers_v"))

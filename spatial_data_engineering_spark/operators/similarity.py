@@ -1424,3 +1424,135 @@ def q191_dim_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("n_cells", "diag_mass", "offdiag_mass",
                     F.round(F.col("offdiag_mass") / F.col("diag_mass"), 6)
                     .alias("redundancy_index")))
+
+
+# --------------------------------------------------------------------------
+# q201 — cluster label purity: for the q148 coarse clusters (fold-dot
+# assignment, SQL-reproducible), the majority-label share per cluster
+# and corpus-weighted overall purity.  The standard external clustering
+# evaluation — run against any labeled slice to decide whether the
+# coarse quantizer respects semantics or just geometry.
+# --------------------------------------------------------------------------
+_ORACLE_Q201 = f"""
+    WITH nz AS (
+        SELECT vec_id, label, embedding, {_norm_sql('embedding')} AS nrm
+        FROM embeddings WHERE {_norm_sql('embedding')} > 0
+    ),
+    cent AS (
+        SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+        FROM nz ORDER BY vec_id LIMIT {_SEMDEDUP_K}
+    ),
+    assigned AS (
+        SELECT vec_id, label, cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY {_dot_sql('embedding', 'cemb')} / (nrm * cnrm)
+                            DESC, cid) AS rk
+        FROM nz CROSS JOIN cent
+    ),
+    member AS (SELECT vec_id, label, cid FROM assigned WHERE rk = 1),
+    lc AS (
+        SELECT cid, label, COUNT(*) AS n FROM member GROUP BY cid, label
+    ),
+    top AS (
+        SELECT cid, MAX(n) AS n_major, SUM(n) AS n_total FROM lc
+        GROUP BY cid
+    )
+    SELECT cid, CAST(n_total AS BIGINT) AS n_vectors,
+           CAST(n_major AS BIGINT) AS n_majority,
+           ROUND(CAST(n_major AS DOUBLE) / n_total, 6) AS purity
+    FROM top
+"""
+
+
+@query("q201_cluster_label_purity", _ORACLE_Q201)
+def q201_cluster_label_purity(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load(spark, sf_dir, "embeddings")
+    nz = (e.select("vec_id", "label", "embedding",
+                   F.expr(_norm_spark("embedding")).alias("nrm"))
+          .filter(F.col("nrm") > 0))
+    cent = (nz.orderBy("vec_id").limit(_SEMDEDUP_K)
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("cemb"),
+                    F.col("nrm").alias("cnrm")))
+    cos = (F.expr(_dot_spark("embedding", "cemb"))
+           / (F.col("nrm") * F.col("cnrm")))
+    rk = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(F.desc(cos), F.asc("cid")))
+    member = (nz.crossJoin(F.broadcast(cent))
+              .withColumn("rk", rk).filter(F.col("rk") == 1)
+              .select("vec_id", "label", "cid"))
+    lc = member.groupBy("cid", "label").agg(F.count(F.lit(1)).alias("n"))
+    return (lc.groupBy("cid")
+            .agg(F.sum("n").cast("bigint").alias("n_vectors"),
+                 F.max("n").cast("bigint").alias("n_majority"),
+                 F.round(F.max("n").cast("double") / F.sum("n"), 6)
+                 .alias("purity")))
+
+
+# --------------------------------------------------------------------------
+# q203 — int8 quantization reconstruction error: per-vector mean |x -
+# dequant(quant(x))| under q69's symmetric scheme, summarized corpus-
+# wide.  The acceptance test for shipping quantized embeddings: if p95
+# error is small relative to the scale, ANN on int8 is safe (q111's ADC
+# premise, now measured).
+#
+# Shape: pure per-row array arithmetic (quantize, dequantize, fold the
+# absolute error — identical IEEE both engines via the q69 contract),
+# then one exact-percentile aggregate.
+# --------------------------------------------------------------------------
+_Q203_ERR_SPARK = (
+    "aggregate(transform(embedding, x -> "
+    "abs(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) * 127.0 / scale)"
+    " * scale / 127.0)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+    " / size(embedding)")
+_Q203_ERR_DUCK = (
+    "list_reduce(list_transform(embedding, x -> "
+    "abs(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) * 127.0 / scale)"
+    " * scale / 127.0)), (a, v) -> a + v)"
+    " / len(embedding)")
+
+
+@query(
+    "q203_quantization_error",
+    f"""
+    WITH scaled AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) AS scale,
+               embedding
+        FROM embeddings
+    ),
+    err AS (
+        SELECT vec_id, ROUND({_Q203_ERR_DUCK}, 9) AS mae,
+               ROUND({_Q203_ERR_DUCK} / (scale / 127.0), 9) AS rel_mae
+        FROM scaled WHERE scale > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CAST(mae AS DECIMAL(30,9))) AS DOUBLE) / COUNT(*)
+               AS avg_mae,
+           quantile_cont(mae, 0.95) AS p95_mae,
+           ROUND(MAX(rel_mae), 6) AS max_rel_mae
+    FROM err
+    """,
+)
+def q203_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    scaled = e.select(
+        "vec_id", "embedding",
+        F.array_max(
+            F.transform("embedding", lambda x: F.abs(x.cast("double")))
+        ).alias("scale")).filter(F.col("scale") > 0)
+    err = scaled.select(
+        F.round(F.expr(_Q203_ERR_SPARK), 9).alias("mae"),
+        F.round(F.expr(_Q203_ERR_SPARK)
+                / (F.col("scale") / 127.0), 9).alias("rel_mae"))
+    return err.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        (F.sum(F.col("mae").cast("decimal(30,9)")).cast("double")
+         / F.count(F.lit(1))).alias("avg_mae"),
+        F.percentile("mae", F.lit(0.95)).alias("p95_mae"),
+        F.round(F.max("rel_mae"), 6).alias("max_rel_mae"))
