@@ -2372,3 +2372,66 @@ def q202_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.col("chi2")
                        / (F.col("t") * (F.least("r", "c") - 1.0))), 6)
         .alias("cramers_v"))
+
+
+# --------------------------------------------------------------------------
+# q204 — forecast revenue change (TPC-H Q6 shape): revenue that would
+# have been gained by eliminating discounts in a band, over a year and
+# quantity cut.  The canonical single-scan predicate + aggregate — every
+# predicate must reach the parquet scan (pinned in test_plans).
+# --------------------------------------------------------------------------
+@query(
+    "q204_forecast_revenue",
+    f"""
+    SELECT COUNT(*) AS n_items,
+           {sql_dsum('l_extendedprice * l_discount', 'potential_revenue')}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.05
+      AND l_quantity < 24
+    """,
+)
+def q204_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_shipdate") >= "1996-01-01")
+                      & (F.col("l_shipdate") < "1997-01-01")
+                      & (F.col("l_discount").between(0.02, 0.05))
+                      & (F.col("l_quantity") < 24))
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 dsum(F.col("l_extendedprice") * F.col("l_discount"),
+                      "potential_revenue")))
+
+
+# --------------------------------------------------------------------------
+# q205 — supplier-coverage risk: how many distinct suppliers serve each
+# part, as a histogram.  Parts with one supplier are the supply-chain
+# single points of failure; the fact-side distinct-count histogram is
+# the standard risk readout.
+#
+# Shape: distinct (part, supplier) projection, part-sized distinct
+# count, tiny histogram rollup — all uniform keys.
+# --------------------------------------------------------------------------
+@query(
+    "q205_supplier_coverage",
+    """
+    WITH ps AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    per_part AS (
+        SELECT l_partkey, COUNT(*) AS n_suppliers FROM ps
+        GROUP BY l_partkey
+    )
+    SELECT CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM per_part GROUP BY n_suppliers
+    """,
+)
+def q205_supplier_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    per_part = ps.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"))
+    return (per_part.groupBy(F.col("n_suppliers").cast("bigint")
+                             .alias("n_suppliers"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts")))

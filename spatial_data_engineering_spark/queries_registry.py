@@ -111,6 +111,7 @@ _PRIORITY = [
     "q198_position_value_decay", "q199_dup_quality_link",
     "q200_corpus_stats", "q201_cluster_label_purity",
     "q202_cramers_v", "q203_quantization_error",
+    "q204_forecast_revenue", "q205_supplier_coverage",
     # --- last driver row: round 3 (oldest evidence; all outside the window this round) ---
     "q47_minhash_lsh", "q67_overlap_dissolve", "q60_point_in_polygon",
     "q61_zonal_histogram", "q49_cosine_topk", "q43_fingerprint",
