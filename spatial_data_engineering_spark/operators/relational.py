@@ -2435,3 +2435,81 @@ def q205_supplier_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (per_part.groupBy(F.col("n_suppliers").cast("bigint")
                              .alias("n_suppliers"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts")))
+
+
+# --------------------------------------------------------------------------
+# q206 — order-to-ship latency: days between order date and line ship
+# date, exact percentiles per order priority.  The fulfillment SLA
+# readout — and the check that 'URGENT' actually ships faster.
+#
+# Shape: fact-fact join on orderkey (one shuffle), integer day deltas,
+# exact percentiles per priority (5 groups).
+# --------------------------------------------------------------------------
+@query(
+    "q206_ship_latency",
+    """
+    WITH lat AS (
+        SELECT o.o_orderpriority,
+               date_diff('day', o.o_orderdate, l.l_shipdate) AS days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= o.o_orderdate
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           quantile_cont(days, 0.5) AS p50_days,
+           quantile_cont(days, 0.95) AS p95_days,
+           CAST(MAX(days) AS BIGINT) AS max_days
+    FROM lat GROUP BY o_orderpriority
+    """,
+)
+def q206_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    lat = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+           .select("o_orderpriority",
+                   F.datediff("l_shipdate", "o_orderdate").alias("days")))
+    return (lat.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_items"),
+                 F.percentile("days", F.lit(0.5)).alias("p50_days"),
+                 F.percentile("days", F.lit(0.95)).alias("p95_days"),
+                 F.max("days").cast("bigint").alias("max_days")))
+
+
+# --------------------------------------------------------------------------
+# q207 — return rate by part brand: share of returned ('R') lineitems
+# per brand, with the returned-revenue exposure.  The product-quality
+# rollup that q151 (customer view) and q105 (lone-returner view) leave
+# uncovered: the BRAND axis.
+# --------------------------------------------------------------------------
+@query(
+    "q207_brand_return_rate",
+    f"""
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(COUNT(CASE WHEN l.l_returnflag = 'R' THEN 1 END)
+                AS BIGINT) AS n_returned,
+           ROUND(CAST(COUNT(CASE WHEN l.l_returnflag = 'R' THEN 1 END)
+                      AS DOUBLE) / COUNT(*), 6) AS return_rate,
+           {sql_dsum("CASE WHEN l.l_returnflag = 'R' "
+                     "THEN l.l_extendedprice * (1 - l.l_discount) "
+                     "ELSE 0 END", 'returned_revenue')}
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q207_brand_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    ret = F.count(F.when(F.col("l_returnflag") == "R", 1))
+    rrev = F.when(F.col("l_returnflag") == "R",
+                  F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                  ).otherwise(0.0)
+    return (li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                    li.l_partkey == F.col("p_partkey"))
+            .groupBy("p_brand")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_items"),
+                 ret.cast("bigint").alias("n_returned"),
+                 F.round(ret.cast("double") / F.count(F.lit(1)), 6)
+                 .alias("return_rate"),
+                 dsum(rrev, "returned_revenue")))

@@ -1556,3 +1556,40 @@ def q203_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.count(F.lit(1))).alias("avg_mae"),
         F.percentile("mae", F.lit(0.95)).alias("p95_mae"),
         F.round(F.max("rel_mae"), 6).alias("max_rel_mae"))
+
+
+# --------------------------------------------------------------------------
+# q208 — embedding-norm QA per label: mean/min/max L2 norm and the
+# zero-norm count for each class.  Norm drift across classes breaks
+# dot-product rankers silently (unnormalized retrieval favors the
+# long-norm class) — this is the one-scan check; fold-norm arithmetic
+# keeps it oracle-exact.
+# --------------------------------------------------------------------------
+_ORACLE_Q208 = f"""
+    WITH n AS (
+        SELECT label, {_norm_sql('embedding')} AS nrm FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(CASE WHEN nrm = 0 THEN 1 END) AS BIGINT)
+               AS n_zero_norm,
+           CAST(SUM(CAST(ROUND(nrm, 9) AS DECIMAL(30,9))) AS DOUBLE)
+               / COUNT(*) AS avg_norm,
+           ROUND(MIN(nrm), 6) AS min_norm,
+           ROUND(MAX(nrm), 6) AS max_norm
+    FROM n GROUP BY label
+"""
+
+
+@query("q208_embedding_norm_qa", _ORACLE_Q208)
+def q208_embedding_norm_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    n = e.select("label", F.expr(_norm_spark("embedding")).alias("nrm"))
+    return (n.groupBy("label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+                 F.count(F.when(F.col("nrm") == 0, 1)).cast("bigint")
+                 .alias("n_zero_norm"),
+                 (F.sum(F.round(F.col("nrm"), 9).cast("decimal(30,9)"))
+                  .cast("double") / F.count(F.lit(1))).alias("avg_norm"),
+                 F.round(F.min("nrm"), 6).alias("min_norm"),
+                 F.round(F.max("nrm"), 6).alias("max_norm")))

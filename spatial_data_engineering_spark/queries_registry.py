@@ -112,6 +112,8 @@ _PRIORITY = [
     "q200_corpus_stats", "q201_cluster_label_purity",
     "q202_cramers_v", "q203_quantization_error",
     "q204_forecast_revenue", "q205_supplier_coverage",
+    "q206_ship_latency", "q207_brand_return_rate",
+    "q208_embedding_norm_qa",
     # --- last driver row: round 3 (oldest evidence; all outside the window this round) ---
     "q47_minhash_lsh", "q67_overlap_dissolve", "q60_point_in_polygon",
     "q61_zonal_histogram", "q49_cosine_topk", "q43_fingerprint",
