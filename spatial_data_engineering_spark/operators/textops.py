@@ -3568,3 +3568,105 @@ def q200_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# --------------------------------------------------------------------------
+# q209 — per-source scorecard: the side-by-side table a curation review
+# reads — token mass and share, hapax ratio, sub-word diversity, mean
+# quality and mean NLL per source, in one relation.  Each column is the
+# same definition its standalone query uses (shared expressions), so
+# the scorecard cannot drift from the per-metric reports.
+#
+# Shape: two corpus scans (row-level stats; token-level joins for hapax
+# and NLL margins) feeding one source-sized join tree — all the heavy
+# lifting is reused aggregate machinery.
+# --------------------------------------------------------------------------
+@query(
+    "q209_source_scorecard",
+    f"""
+    WITH tokf AS (
+        SELECT source, doc_id, t
+        FROM (SELECT source, doc_id,
+                     UNNEST(string_split(text, ' ')) AS t
+              FROM documents)
+        WHERE t <> ''
+    ),
+    freq AS (SELECT t, COUNT(*) AS n FROM tokf GROUP BY t),
+    tot AS (SELECT SUM(n) AS tot FROM freq),
+    tokstats AS (
+        SELECT source,
+               COUNT(*) AS n_tokens,
+               COUNT(CASE WHEN freq.n = 1 THEN 1 END) AS n_hapax,
+               CAST(SUM(CAST(ROUND(-ln(CAST(freq.n AS DOUBLE) / tot.tot),
+                                   9) AS DECIMAL(30,9))) AS DOUBLE)
+                   / COUNT(*) AS avg_nll
+        FROM tokf JOIN freq ON tokf.t = freq.t CROSS JOIN tot
+        GROUP BY source
+    ),
+    {_SCORED_SQL.replace('WITH ', '')},
+    rowstats AS (
+        SELECT d.source,
+               COUNT(*) AS n_docs,
+               {sql_davg('s.quality', 'avg_quality')},
+               CAST(SUM(CAST(ROUND(
+                   CAST(len(list_distinct({_Q182_GRAMS_DUCK})) AS DOUBLE)
+                   / len({_Q182_GRAMS_DUCK}), 9) AS DECIMAL(30,9)))
+                   AS DOUBLE) / COUNT(*) AS avg_diversity
+        FROM documents d JOIN scored s ON d.doc_id = s.doc_id
+        GROUP BY d.source
+    ),
+    alltok AS (SELECT SUM(n_tokens) AS t FROM tokstats)
+    SELECT r.source,
+           CAST(r.n_docs AS BIGINT) AS n_docs,
+           CAST(tk.n_tokens AS BIGINT) AS n_tokens,
+           ROUND(CAST(tk.n_tokens AS DOUBLE) / alltok.t, 6)
+               AS token_share,
+           ROUND(CAST(tk.n_hapax AS DOUBLE) / tk.n_tokens, 6)
+               AS hapax_ratio,
+           ROUND(r.avg_diversity, 6) AS avg_diversity,
+           ROUND(r.avg_quality, 6) AS avg_quality,
+           ROUND(tk.avg_nll, 6) AS avg_nll
+    FROM rowstats r
+    JOIN tokstats tk ON r.source = tk.source
+    CROSS JOIN alltok
+    """,
+)
+def q209_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tokf = (d.select("source", "doc_id",
+                     F.explode(F.split("text", " ")).alias("t"))
+            .filter(F.col("t") != ""))
+    freq = tokf.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.agg(F.sum("n").alias("tot"))
+    nll_term = F.round(
+        -F.log(F.col("n").cast("double") / F.col("tot")), 9
+    ).cast("decimal(30,9)")
+    tokstats = (tokf.join(freq, "t").crossJoin(F.broadcast(tot))
+                .groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n_tokens"),
+                     F.count(F.when(F.col("n") == 1, 1)).alias("n_hapax"),
+                     (F.sum(nll_term).cast("double")
+                      / F.count(F.lit(1))).alias("avg_nll")))
+    scored = _scored_quality(d)
+    diversity = F.round(
+        F.expr(f"size(array_distinct({_Q182_GRAMS_SPARK}))").cast("double")
+        / F.expr(f"size({_Q182_GRAMS_SPARK})"), 9).cast("decimal(30,9)")
+    rowstats = (d.join(scored, "doc_id")
+                .groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     davg("quality", "avg_quality"),
+                     (F.sum(diversity).cast("double")
+                      / F.count(F.lit(1))).alias("avg_diversity")))
+    alltok = tokstats.agg(F.sum("n_tokens").alias("t"))
+    return (rowstats.join(tokstats, "source")
+            .crossJoin(F.broadcast(alltok))
+            .select("source",
+                    F.col("n_docs").cast("bigint").alias("n_docs"),
+                    F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                    F.round(F.col("n_tokens").cast("double")
+                            / F.col("t"), 6).alias("token_share"),
+                    F.round(F.col("n_hapax").cast("double")
+                            / F.col("n_tokens"), 6).alias("hapax_ratio"),
+                    F.round("avg_diversity", 6).alias("avg_diversity"),
+                    F.round("avg_quality", 6).alias("avg_quality"),
+                    F.round("avg_nll", 6).alias("avg_nll")))
