@@ -2513,3 +2513,46 @@ def q207_brand_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(ret.cast("double") / F.count(F.lit(1)), 6)
                  .alias("return_rate"),
                  dsum(rrev, "returned_revenue")))
+
+
+# --------------------------------------------------------------------------
+# q211 — Pearson correlation (discount vs quantity): the normalized twin
+# of q131's OLS slope, from the same five decimal-exact moments — do
+# bigger orders get bigger discounts?  Completes the correlation/
+# regression/association family (q131 OLS, q202 Cramér's V, this r).
+# --------------------------------------------------------------------------
+@query(
+    "q211_discount_quantity_corr",
+    f"""
+    WITH m AS (
+        SELECT COUNT(*) AS n,
+               {sql_dsum_expr('l_discount')} AS sx,
+               {sql_dsum_expr('l_quantity')} AS sy,
+               {sql_dsum_expr('l_discount * l_discount')} AS sxx,
+               {sql_dsum_expr('l_quantity * l_quantity')} AS syy,
+               {sql_dsum_expr('l_discount * l_quantity')} AS sxy
+        FROM lineitem
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               AS pearson_r
+    FROM m
+    """,
+)
+def q211_discount_quantity_corr(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    dec = lambda c: F.sum(c.cast("decimal(30,6)")).cast("double")  # noqa: E731
+    x, y = F.col("l_discount"), F.col("l_quantity")
+    m = li.agg(F.count(F.lit(1)).alias("n"),
+               dec(x).alias("sx"), dec(y).alias("sy"),
+               dec(x * x).alias("sxx"), dec(y * y).alias("syy"),
+               dec(x * y).alias("sxy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        n.cast("bigint").alias("n_rows"),
+        F.round((n * sxy - sx * sy)
+                / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        .alias("pearson_r"))

@@ -3670,3 +3670,28 @@ def q209_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("avg_diversity", 6).alias("avg_diversity"),
                     F.round("avg_quality", 6).alias("avg_quality"),
                     F.round("avg_nll", 6).alias("avg_nll")))
+
+
+# --------------------------------------------------------------------------
+# q210 — word-length distribution: corpus-wide histogram of token
+# lengths.  The byte-per-token planning stat (tokenizer compression
+# starts from this curve) and an OCR-noise tell (a fat tail of 1-char
+# tokens).  One explode, one tiny histogram groupBy.
+# --------------------------------------------------------------------------
+@query(
+    "q210_word_length_hist",
+    """
+    WITH tok AS (
+        SELECT UNNEST(string_split(text, ' ')) AS t FROM documents
+    )
+    SELECT CAST(length(t) AS BIGINT) AS word_len,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM tok WHERE t <> '' GROUP BY length(t)
+    """,
+)
+def q210_word_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (d.select(F.explode(F.split("text", " ")).alias("t"))
+            .filter(F.col("t") != "")
+            .groupBy(F.length("t").cast("bigint").alias("word_len"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens")))

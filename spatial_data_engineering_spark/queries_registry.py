@@ -114,6 +114,7 @@ _PRIORITY = [
     "q204_forecast_revenue", "q205_supplier_coverage",
     "q206_ship_latency", "q207_brand_return_rate",
     "q208_embedding_norm_qa", "q209_source_scorecard",
+    "q210_word_length_hist", "q211_discount_quantity_corr",
     # --- last driver row: round 3 (oldest evidence; all outside the window this round) ---
     "q47_minhash_lsh", "q67_overlap_dissolve", "q60_point_in_polygon",
     "q61_zonal_histogram", "q49_cosine_topk", "q43_fingerprint",
