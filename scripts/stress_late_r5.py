@@ -114,6 +114,8 @@ def main() -> None:
          ).alias("l_extendedprice"),
         (F.pmod(F.xxhash64("id", F.lit(4)), F.lit(100)) / 1000.0
          ).alias("l_discount"),
+        (F.pmod(F.xxhash64("id", F.lit(5)), F.lit(50)) + 1.0
+         ).alias("l_quantity"),
     ).write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet")
     spark.range(n_cust).select(
         F.col("id").alias("c_custkey"),
@@ -127,6 +129,9 @@ def main() -> None:
     spark.range(n_parts).select(
         F.col("id").alias("p_partkey"),
         F.concat(F.lit("p"), F.col("id").cast("string")).alias("p_name"),
+        F.concat(F.lit("Brand#"),
+                 F.pmod(F.xxhash64("id"), F.lit(25)).cast("string"))
+        .alias("p_brand"),
     ).write.mode("overwrite").parquet(f"{tmp}/part.parquet")
     spark.range(n_supp).select(
         F.col("id").alias("s_suppkey"),
@@ -347,6 +352,45 @@ def main() -> None:
 
     df198 = run("q198_position_value_decay")
     assert df198.count() == 5, "q198 positions"
+
+    df199 = run("q199_dup_quality_link")
+    assert {x.status for x in df199.collect()} <= {"dup", "unique"}
+
+    df200 = run("q200_corpus_stats")
+    stats = {r.stat: r.value for r in df200.collect()}
+    assert stats["n_documents"] == n_docs and stats["n_tokens"] > 0
+
+    df201 = run("q201_cluster_label_purity")
+    r = df201.collect()
+    assert sum(x.n_vectors for x in r) == n_emb, "q201 lost vectors"
+    assert all(0.0 < x.purity <= 1.0 for x in r)
+
+    df202 = run("q202_cramers_v")
+    assert 0.0 <= df202.collect()[0].cramers_v <= 1.0
+
+    df203 = run("q203_quantization_error")
+    r = df203.collect()[0]
+    assert r.n_vectors == n_emb and r.max_rel_mae <= 0.5 + 1e-9, \
+        "q203 int8 error above half-step"
+
+    df205 = run("q205_supplier_coverage")
+    assert sum(x.n_parts for x in df205.collect()) > 0
+
+    df207 = run("q207_brand_return_rate")
+    assert all(0.0 <= x.return_rate <= 1.0 for x in df207.collect())
+
+    df208 = run("q208_embedding_norm_qa")
+    assert sum(x.n_vectors for x in df208.collect()) == n_emb
+
+    df209 = run("q209_source_scorecard")
+    r = df209.collect()
+    assert abs(sum(x.token_share for x in r) - 1.0) < 1e-3, "q209 shares"
+
+    df210 = run("q210_word_length_hist")
+    assert all(x.word_len >= 1 for x in df210.collect())
+
+    df211 = run("q211_discount_quantity_corr")
+    assert abs(df211.collect()[0].pearson_r) <= 1.0
 
     shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps(out))
