@@ -389,8 +389,14 @@ def q102_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ),
     grp AS (
-        SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS run_id
+        -- DuckDB SUM over integers returns HUGEINT, which lands in pandas
+        -- as float64 and hash-mismatches Spark's BIGINT run_id even when
+        -- every value is identical (the round-5 driver red row).  CAST
+        -- pins the oracle to the engine-portable type.
+        SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS run_id
         FROM runs
     ),
     agg AS (

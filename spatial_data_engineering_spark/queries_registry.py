@@ -38,84 +38,74 @@ def _modules():
 # most one round old.  The driver window is the sampling gate, not the
 # completeness gate.
 #
-# Round-5 window (driver verifies the FIRST 50):
-#   1. q97-q140 — the 44 operators NEW this round, never driver-verified.
-#   2. q94-q96 (new after the r4 driver run) and q93/q56/q86/q29 (impl or
-#      shared dependency changed after the r4 run) — 7 more rows whose
-#      current form has no driver evidence.
-#   3. 44 new + 7 changed = 51 > 50: q29_asof_join (slot 51) is the one
-#      no-driver-evidence row outside the window — the least-risky
-#      member of the changed set (its round-5 change is the UTC session
-#      pin, a no-op under the driver's UTC session) and pytest-parity
-#      covered like everything else; it leads the r6 rotation.
-# All 42 r3-verified queries (q47_minhash_lsh onward in the stale
-# block) plus
-# the r4-green tail sit outside the window this round; all of them are
-# re-proven by tests/test_oracle_parity.py on every pytest run (the
-# completeness gate) and lead the r6 rotation.  q42/q44/q18 changed this
-# round only in driver-invisible ways (misuse guard on a non-default
-# path; UTC pin that is a no-op under the driver's UTC session) and
-# deliberately yield their forced slots — q29 covers the same
-# events/catalog surface in-window with raw timestamp output.
+# Round-6 window (driver verifies the FIRST 50).  INVENTORY FROZEN at 210
+# this round per the r5 verdict — the round's job is burning down the
+# driver-verification debt, not growth:
+#   1. q112_scd2_intervals — r5's one red row; oracle fixed this round
+#      (CAST the DuckDB HUGEINT window SUM to BIGINT).  Forced in-window.
+#   2. q29_asof_join — r5's slot-51 casualty, never driver-verified.
+#   3. The 14 never-verified queries the r5 judge flagged as highest-risk
+#      (nontrivial math): q153 q154 q155 q156 q163 q172 q185 q186 q188
+#      q189 q193 q196 q202 q211.
+#   4. q199_dup_quality_link — implementation changed this round (the
+#      persistent pair-table cache), forced in-window per policy rule (2).
+#   5. Numeric fill from the remaining never-verified q141-q211 block:
+#      q141-q152, q157-q162, q164-q171, q173-q179 (33 rows).
+# WRITTEN SCHEDULE to driver-evidence <= 2 rounds old everywhere:
+#   - r6 (this file): 48 of the 71 never-verified + q112 + q29 -> after the
+#     r6 driver run, 23 never-verified rows remain (q180-q211 leftovers).
+#   - r7: those 23 leftovers (they lead the list right after the window)
+#     + the 27 oldest r3-verified rows (q47_minhash_lsh onward).
+#   - r8: the remaining 15 r3-verified + the r4-verified tail; from r8 on
+#     the steady state is 210 queries / 50 slots = full rotation every
+#     ceil(210/50) + forced-change slots ~= 5 rounds, and the policy gains
+#     a standing rule: NEW queries may not exceed (50 - stale backlog)
+#     per round so the window never falls behind again.
+# tests/test_driver_window.py pins the first 50 names to this plan so the
+# rotation is reviewed code, not comment policy.  The FULL inventory is
+# still re-proven by tests/test_oracle_parity.py on every pytest run (the
+# completeness gate); the driver window is the sampling gate.
 _PRIORITY = [
-    # --- never driver-verified: new in round 5 ---
-    "q97_funnel", "q98_cohort_retention", "q99_zscore_anomaly",
-    "q100_time_weighted_avg", "q101_gap_fill_interpolate",
-    "q102_bottomk_sample", "q103_order_count_distribution",
-    "q104_large_volume_orders", "q105_lone_returner", "q106_bloom_semi_join",
-    "q107_line_dedup", "q108_tfidf_keywords", "q109_triangle_count",
-    "q110_mmr_diversify", "q111_pq_adc_topk", "q112_scd2_intervals",
-    "q113_cms_heavy_hitters", "q114_kmv_distinct", "q115_bfs_hops",
-    "q116_psi_drift", "q117_rolling_median", "q118_weighted_sample",
-    "q119_kmv_setops", "q120_asof_forward", "q121_token_entropy",
-    "q122_grouping_sets", "q123_mad_outliers", "q124_incremental_agg_merge",
-    "q125_small_quantity_revenue", "q126_revenue_share",
-    "q127_score_calibration", "q128_detector_agreement",
-    "q129_hamming_topk", "q130_weighted_median", "q131_user_trend",
-    "q132_skew_report", "q133_video_neardup",
-    "q134_ewma", "q135_benford_audit", "q136_transition_matrix",
-    "q137_time_to_convert", "q138_session_stats", "q139_split_contamination",
-    "q140_class_separation",
-    # --- never driver-verified in current form (late-r4 additions/changes) ---
-    "q94_dedup_canonical", "q95_stratified_split", "q96_doc_bigram_lift",
-    "q93_embedding_covariance", "q56_dedup_components",
-    "q86_pagerank_centrality", "q29_asof_join",
-    # --- never driver-verified: added late in round 5, after the window
-    # was finalized (51 older no-evidence rows already queue ahead).
-    # Oracle-parity-proven by pytest every run, partition-independence
-    # swept, stress-tested at 10-600x; they lead the r6 window. ---
-    "q141_unigram_logprob", "q142_stopword_discovery",
-    "q143_bpe_pair_counts", "q144_training_order",
-    "q145_curriculum_stages", "q146_vocab_overlap",
+    # --- ROUND-6 DRIVER WINDOW (first 50) ---
+    # slot 1: oracle fixed this round (r5's one red row; HUGEINT cast)
+    "q112_scd2_intervals",
+    # slot 2: round-5 slot-51 casualty, never driver-verified
+    "q29_asof_join",
+    # slots 3-16: judge-flagged nontrivial-math never-verified queries
+    "q153_simhash_hamming_join", "q154_knn_label_accuracy",
+    "q155_pmi_collocations", "q156_minhash_estimate_audit", "q163_score_auc",
+    "q172_zipf_fit", "q185_bigram_cond_entropy", "q186_negative_sampling",
+    "q188_aa_test", "q189_runs_test", "q193_heaps_law",
+    "q196_crosssplit_perplexity", "q202_cramers_v",
+    "q211_discount_quantity_corr",
+    # slot 17: implementation changed this round (persistent pair-table
+    # cache for the shared LSH upstream) -> forced in-window per policy
+    "q199_dup_quality_link",
+    # slots 18-50: remaining never-driver-verified q141-q211, numeric order
+    "q141_unigram_logprob", "q142_stopword_discovery", "q143_bpe_pair_counts",
+    "q144_training_order", "q145_curriculum_stages", "q146_vocab_overlap",
     "q147_chi2_keywords", "q148_semdedup", "q149_winsorized_stats",
     "q150_hhi_concentration", "q151_returned_revenue",
-    "q152_dup_cluster_sizes", "q153_simhash_hamming_join",
-    "q154_knn_label_accuracy", "q155_pmi_collocations",
-    "q156_minhash_estimate_audit", "q157_mix_rebalance",
-    "q158_session_paths", "q159_bm25_topk", "q160_lang_mislabel",
-    "q161_wilson_proportion", "q162_churn_rate", "q163_score_auc",
-    "q164_rfm_segments", "q165_nation_trade_volume",
+    "q152_dup_cluster_sizes", "q157_mix_rebalance", "q158_session_paths",
+    "q159_bm25_topk", "q160_lang_mislabel", "q161_wilson_proportion",
+    "q162_churn_rate", "q164_rfm_segments", "q165_nation_trade_volume",
     "q166_market_share", "q167_dedup_strategy_venn", "q168_dedup_cost_model",
     "q169_vocab_coverage", "q170_burst_detection",
-    "q171_dup_degree_distribution", "q172_zipf_fit", "q173_order_reconciliation", "q174_value_gini",
-    "q175_error_rate_timeline", "q176_score_normalization", "q177_weekday_seasonality",
-    "q178_new_vs_returning", "q179_hapax_ratio",
-    "q180_basket_lift", "q181_order_interarrival",
-    "q182_subword_diversity", "q183_fk_audit",
-    "q184_bounce_rate", "q185_bigram_cond_entropy",
-    "q186_negative_sampling", "q187_dedup_survivor_bias",
-    "q188_aa_test", "q189_runs_test", "q190_prefix_dup",
-    "q191_dim_redundancy", "q192_segment_migration",
-    "q193_heaps_law", "q194_truncation_loss", "q195_effective_tokens",
-    "q196_crosssplit_perplexity", "q197_session_survival",
-    "q198_position_value_decay", "q199_dup_quality_link",
-    "q200_corpus_stats", "q201_cluster_label_purity",
-    "q202_cramers_v", "q203_quantization_error",
-    "q204_forecast_revenue", "q205_supplier_coverage",
-    "q206_ship_latency", "q207_brand_return_rate",
-    "q208_embedding_norm_qa", "q209_source_scorecard",
-    "q210_word_length_hist", "q211_discount_quantity_corr",
-    # --- last driver row: round 3 (oldest evidence; all outside the window this round) ---
+    "q171_dup_degree_distribution", "q173_order_reconciliation",
+    "q174_value_gini", "q175_error_rate_timeline", "q176_score_normalization",
+    "q177_weekday_seasonality", "q178_new_vs_returning", "q179_hapax_ratio",
+    # --- never-driver-verified leftovers (23): LEAD THE ROUND-7 WINDOW ---
+    "q180_basket_lift", "q181_order_interarrival", "q182_subword_diversity",
+    "q183_fk_audit", "q184_bounce_rate", "q187_dedup_survivor_bias",
+    "q190_prefix_dup", "q191_dim_redundancy", "q192_segment_migration",
+    "q194_truncation_loss", "q195_effective_tokens", "q197_session_survival",
+    "q198_position_value_decay", "q200_corpus_stats",
+    "q201_cluster_label_purity", "q203_quantization_error",
+    "q204_forecast_revenue", "q205_supplier_coverage", "q206_ship_latency",
+    "q207_brand_return_rate", "q208_embedding_norm_qa",
+    "q209_source_scorecard", "q210_word_length_hist",
+    # --- last driver row round 3 (oldest evidence): fill round-7 slots 24-50,
+    # then rotate through round 8 ---
     "q47_minhash_lsh", "q67_overlap_dissolve", "q60_point_in_polygon",
     "q61_zonal_histogram", "q49_cosine_topk", "q43_fingerprint",
     "q54_dedup_materialize", "q15_count_distinct", "q19_hourly_window",
@@ -130,7 +120,7 @@ _PRIORITY = [
     "q84_sample_exact_k", "q85_twophase_topk", "q10_row_number",
     "q71_frame_sample", "q50_embedding_neardup", "q51_srp_lsh_buckets",
     "q53_embedding_centroids",
-    # --- r4-verified tail (pytest-proven every run; lead r6 rotation) ---
+    # --- last driver row round 4 ---
     "q42_lang_id", "q44_quality_score", "q18_sessionization",
     "q01_pricing_summary", "q45_dedup_exact", "q46_dedup_tokensort",
     "q48_simhash", "q40_text_stats", "q41_token_count", "q08_var_argmax",
@@ -145,6 +135,26 @@ _PRIORITY = [
     "q80_quality_filter", "q82_incremental_dedup", "q62_dissolve_area",
     "q87_ngram_novelty", "q88_containment_join", "q89_bigram_lift",
     "q90_pattern_redact", "q91_temperature_sample", "q92_random_projection",
+    # --- last driver row round 5 (newest evidence; rotate last) ---
+    "q97_funnel", "q98_cohort_retention", "q99_zscore_anomaly",
+    "q100_time_weighted_avg", "q101_gap_fill_interpolate",
+    "q102_bottomk_sample", "q103_order_count_distribution",
+    "q104_large_volume_orders", "q105_lone_returner", "q106_bloom_semi_join",
+    "q107_line_dedup", "q108_tfidf_keywords", "q109_triangle_count",
+    "q110_mmr_diversify", "q111_pq_adc_topk", "q113_cms_heavy_hitters",
+    "q114_kmv_distinct", "q115_bfs_hops", "q116_psi_drift",
+    "q117_rolling_median", "q118_weighted_sample", "q119_kmv_setops",
+    "q120_asof_forward", "q121_token_entropy", "q122_grouping_sets",
+    "q123_mad_outliers", "q124_incremental_agg_merge",
+    "q125_small_quantity_revenue", "q126_revenue_share",
+    "q127_score_calibration", "q128_detector_agreement", "q129_hamming_topk",
+    "q130_weighted_median", "q131_user_trend", "q132_skew_report",
+    "q133_video_neardup", "q134_ewma", "q135_benford_audit",
+    "q136_transition_matrix", "q137_time_to_convert", "q138_session_stats",
+    "q139_split_contamination", "q140_class_separation",
+    "q94_dedup_canonical", "q95_stratified_split", "q96_doc_bigram_lift",
+    "q93_embedding_covariance", "q56_dedup_components",
+    "q86_pagerank_centrality",
 ]
 
 

@@ -4,6 +4,13 @@ Mirrors BASELINE.md t2: row count + column-name schema + order-insensitive
 value comparison (columns sorted by name).  Stricter than the driver on
 values (exact equality after canonicalization) so that passing here implies
 passing any reasonable hash.
+
+DRIVER-FAITHFUL TYPES (round 6): ints are NOT coerced to float.  The round-5
+driver red row (q112) was exactly an int64-vs-float64 divergence — DuckDB
+SUM over integers returns HUGEINT, which pandas renders as float64 — that
+the old int->float canonicalization masked.  An int 1 and a float 1.0 now
+compare UNEQUAL here, same as the driver's value hash.  Oracles must CAST
+integer-typed aggregates (DuckDB HUGEINT/DECIMAL promotions) to BIGINT.
 """
 
 from __future__ import annotations
@@ -39,7 +46,7 @@ def _canon_value(v):
     if isinstance(v, (bool,)):
         return bool(v)
     if isinstance(v, int):
-        return float(v)
+        return int(v)
     if isinstance(v, (_dt.datetime, _dt.date)):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
@@ -48,7 +55,7 @@ def _canon_value(v):
         import numpy as np
 
         if isinstance(v, np.integer):
-            return float(v)
+            return int(v)
         if isinstance(v, np.floating):
             return "NaN" if math.isnan(float(v)) else float(v)
         if isinstance(v, np.ndarray):
