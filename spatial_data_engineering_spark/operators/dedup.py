@@ -17,6 +17,9 @@ every query here is fully oracle-checkable — including MinHash-LSH.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import shutil
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
@@ -251,24 +254,60 @@ def q47_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # than the corpus — so an eager localCheckpoint pins it cheaply and
 # truncates the LSH lineage.  At 100 TB the same role is played by
 # writing the pair table once and reading it back (the bucketed-table
-# pattern); in-session localCheckpoint is the local twin of that.
+# pattern) — and since round 6 that IS what this does: the pair table is
+# persisted to parquet once per source corpus and read back by every
+# later session, so no consumer ever pays the LSH cold start twice
+# across sessions (r5 verdict task 5: q199-cold was >12 s at sf0.1; a
+# disk-hit session reads a KB-sized parquet instead).
+#
+# Invalidation is by content fingerprint of the source documents.parquet
+# (path + size + mtime), so a regenerated testdata dir can never serve a
+# stale pair set.  Writes are write-to-tmp + atomic rename; a concurrent
+# writer losing the race just discards its tmp dir.
 # --------------------------------------------------------------------------
 _PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
-_PAIR_CACHE_COMPUTES = 0  # test hook: cold materialization count
+_PAIR_CACHE_COMPUTES = 0   # test hook: cold LSH materialization count
+_PAIR_CACHE_DISK_HITS = 0  # test hook: parquet read-back count
 _PAIR_CACHE_LOCK = threading.Lock()
+
+# Repo-local cache root (gitignored).  Overridable for tests and for
+# deployments where the pair table belongs next to the data lake rather
+# than the code checkout — at 100 TB this would be a warehouse table
+# path, not a local directory.
+_PAIR_CACHE_ROOT_ENV = "SPARK_GRAFT_PAIR_CACHE"
+_DEFAULT_PAIR_CACHE_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".pair_cache",
+)
+
+
+def _pair_cache_path(sf_dir: str) -> str | None:
+    """Stable on-disk location for sf_dir's pair table, or None if the
+    source corpus can't be fingerprinted (non-local sf_dir)."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+    except OSError:
+        return None  # e.g. an hdfs:// or s3:// sf_dir — in-session cache only
+    fp = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}|v1".encode()
+    ).hexdigest()
+    root = os.environ.get(_PAIR_CACHE_ROOT_ENV, _DEFAULT_PAIR_CACHE_ROOT)
+    return os.path.join(root, f"pairs-{fp}.parquet")
 
 
 def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(a_id, b_id) confirmed near-dup pairs, materialized once per
-    (applicationId, sf_dir) — keyed on the application so a stopped
-    session's dead handles can never be returned to a new one.
+    source corpus: in-memory per (applicationId, sf_dir), and on disk
+    per documents.parquet fingerprint so later SESSIONS read the pair
+    table back instead of re-running the LSH DAG.
 
-    Entries from other applications are evicted on each call (the cache
-    is bounded by the live application's sf_dirs, never grows across
-    session restarts) and the cold materialization is serialized under a
-    lock so concurrent first callers can't run the LSH DAG twice.
+    In-memory entries from other applications are evicted on each call
+    (the cache is bounded by the live application's sf_dirs, never grows
+    across session restarts) and the cold materialization is serialized
+    under a lock so concurrent first callers can't run the LSH DAG twice.
     """
-    global _PAIR_CACHE_COMPUTES
+    global _PAIR_CACHE_COMPUTES, _PAIR_CACHE_DISK_HITS
     app = spark.sparkContext.applicationId
     key = (app, sf_dir)
     with _PAIR_CACHE_LOCK:
@@ -277,9 +316,29 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         hit = _PAIR_CACHE.get(key)
         if hit is not None:
             return hit
+
+        disk = _pair_cache_path(sf_dir)
+        if disk is not None and os.path.isdir(disk):
+            pairs = spark.read.parquet(disk)
+            _PAIR_CACHE_DISK_HITS += 1
+            _PAIR_CACHE[key] = pairs
+            return pairs
+
         pairs = (q47_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
                  .localCheckpoint(eager=True))
         _PAIR_CACHE_COMPUTES += 1
+        if disk is not None:
+            tmp = f"{disk}.tmp-{os.getpid()}"
+            try:
+                (pairs.coalesce(1)  # edge-sized table; one file reads fastest
+                 .write.mode("overwrite").parquet(tmp))
+                os.makedirs(os.path.dirname(disk), exist_ok=True)
+                try:
+                    os.rename(tmp, disk)
+                except OSError:
+                    shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+            except Exception:
+                shutil.rmtree(tmp, ignore_errors=True)  # cache is best-effort
         _PAIR_CACHE[key] = pairs
         return pairs
 

@@ -85,10 +85,11 @@ def test_near_dup_pairs_materialized_once(spark):
     key = (spark.sparkContext.applicationId, SF_ORACLE)
     dedup._PAIR_CACHE.pop(key, None)
     before = dedup._PAIR_CACHE_COMPUTES
+    before_disk = dedup._PAIR_CACHE_DISK_HITS
 
     first = dedup.near_dup_pairs(spark, SF_ORACLE)
-    # the cached frame is checkpointed: lineage truncated, so consumers
-    # plan against the materialized rows, not the LSH DAG
+    # the cached frame is materialized (checkpoint or parquet read-back):
+    # consumers plan against rows, not the LSH DAG
     assert first.rdd.getNumPartitions() >= 1
     assert dedup.near_dup_pairs(spark, SF_ORACLE) is first
 
@@ -96,7 +97,11 @@ def test_near_dup_pairs_materialized_once(spark):
     n86 = q86_pagerank_centrality(spark, SF_ORACLE).count()
     assert n56 > 0 and n86 > 0
 
-    assert dedup._PAIR_CACHE_COMPUTES == before + 1
+    # exactly ONE expensive event for the whole consumer family: either a
+    # cold LSH materialization or (round 6+) a disk read-back of the
+    # persisted pair table from an earlier session
+    assert (dedup._PAIR_CACHE_COMPUTES - before) + (
+        dedup._PAIR_CACHE_DISK_HITS - before_disk) == 1
 
 
 def test_embedding_covariance_matches_numpy(spark):

@@ -1,0 +1,79 @@
+"""Cross-session persistence of the shared near-dup pair table.
+
+Round-5 verdict task 5: q199's cold path (>12 s at sf0.1) was the shared
+LSH upstream materializing from scratch in every NEW session.  The 100 TB
+pattern documented in SCALE_NOTES — write the pair table once, read it
+back — is now implemented locally: ``near_dup_pairs`` persists its output
+to parquet keyed by a fingerprint of the source ``documents.parquet``
+(path + size + mtime), and any later session reads the KB-sized parquet
+instead of re-running shingle -> minhash -> band join -> verify.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from spatial_data_engineering_spark.operators import dedup
+
+SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+
+
+@pytest.fixture()
+def cache_root(tmp_path, monkeypatch):
+    root = tmp_path / "pair_cache"
+    monkeypatch.setenv(dedup._PAIR_CACHE_ROOT_ENV, str(root))
+    yield str(root)
+
+
+def _rows(df):
+    return sorted((r.a_id, r.b_id) for r in df.collect())
+
+
+def test_second_session_reads_parquet_not_lsh(spark, cache_root):
+    """Simulate two sessions: pop the in-memory handle (what a process
+    restart does) and prove the second build is a disk read-back with
+    identical content and zero LSH recompute."""
+    key = (spark.sparkContext.applicationId, SF_ORACLE)
+
+    dedup._PAIR_CACHE.pop(key, None)
+    c0, d0 = dedup._PAIR_CACHE_COMPUTES, dedup._PAIR_CACHE_DISK_HITS
+    first = dedup.near_dup_pairs(spark, SF_ORACLE)
+    assert dedup._PAIR_CACHE_COMPUTES == c0 + 1  # cold: LSH ran once
+    disk = dedup._pair_cache_path(SF_ORACLE)
+    assert disk is not None and os.path.isdir(disk), "pair table not persisted"
+
+    # "new session": in-memory handle gone, parquet survives
+    dedup._PAIR_CACHE.pop(key, None)
+    second = dedup.near_dup_pairs(spark, SF_ORACLE)
+    assert dedup._PAIR_CACHE_COMPUTES == c0 + 1  # NO second LSH run
+    assert dedup._PAIR_CACHE_DISK_HITS == d0 + 1
+    assert _rows(second) == _rows(first)  # parity unchanged
+
+
+def test_fingerprint_invalidates_on_source_change(tmp_path, monkeypatch):
+    """A regenerated documents.parquet (new mtime/size) must map to a NEW
+    cache path, so a stale pair set can never be served."""
+    monkeypatch.setenv(dedup._PAIR_CACHE_ROOT_ENV, str(tmp_path / "pc"))
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    src = os.path.join(SF_ORACLE, "documents.parquet")
+    dst = sf / "documents.parquet"
+    shutil.copyfile(src, dst)
+    p1 = dedup._pair_cache_path(str(sf))
+    os.utime(dst, ns=(1, 1))  # simulate regeneration
+    p2 = dedup._pair_cache_path(str(sf))
+    assert p1 != p2
+
+    # non-local / missing source: no disk path, in-session cache only
+    assert dedup._pair_cache_path(str(tmp_path / "nope")) is None
+
+
+def test_cache_write_is_atomic_no_tmp_left(spark, cache_root):
+    key = (spark.sparkContext.applicationId, SF_ORACLE)
+    dedup._PAIR_CACHE.pop(key, None)
+    dedup.near_dup_pairs(spark, SF_ORACLE)
+    leftovers = [p for p in os.listdir(cache_root) if ".tmp-" in p]
+    assert leftovers == []
