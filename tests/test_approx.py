@@ -85,3 +85,64 @@ def test_weighted_sample_biases_toward_heavy_docs(spark):
     # per-stratum shape: exactly min(3, |stratum|) rows each
     sizes = sampled.groupBy("source").count().collect()
     assert all(r["count"] <= 3 for r in sizes)
+
+
+def test_q149_sketch_boundaries_bound(spark):
+    """q149's documented 100 TB default (exact=False: GK-sketch p05/p95
+    boundaries) must have MEASURED error vs the exact oracle path, not
+    just a docstring claim (round-5 verdict task 7).
+
+    Two-level contract:
+    1. Rank bound (the GK guarantee itself): each sketch boundary's
+       empirical rank is within 2/accuracy of the target probability
+       (1/accuracy guaranteed; doubled for boundary-tie slack).
+    2. Propagation bound: the winsorized mean moves by at most the
+       clamped-tail mass (5% per side, +rank slack) times the boundary
+       value shift — i.e. the sketch error cannot be amplified by the
+       clamp, only scaled down by the tail fraction.
+    """
+    from pyspark.sql import functions as F
+
+    from spatial_data_engineering_spark.catalog import load
+    from spatial_data_engineering_spark.operators.relational import (
+        grouped_percentiles, winsorized_stats)
+
+    ACC = 10000
+    li = load(spark, SF_ORACLE, "lineitem")
+    exact = {r.l_returnflag: r for r in
+             winsorized_stats(li, exact=True).collect()}
+    sketch = {r.l_returnflag: r for r in
+              winsorized_stats(li, exact=False, accuracy=ACC).collect()}
+    b_ex = {r.l_returnflag: r for r in grouped_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", [0.05, 0.95],
+        ["p05", "p95"], exact=True).collect()}
+    b_ap = {r.l_returnflag: r for r in grouped_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", [0.05, 0.95],
+        ["p05", "p95"], exact=False, accuracy=ACC).collect()}
+    assert set(exact) == set(sketch) == set(b_ap)
+
+    # 1. rank bound for every sketch boundary
+    rank_tol = 2.0 / ACC
+    x = F.col("l_extendedprice")
+    for k, row in b_ap.items():
+        g = li.filter(F.col("l_returnflag") == k)
+        n = g.count()
+        for p, b in ((0.05, row.p05), (0.95, row.p95)):
+            lo = g.filter(x < b).count() / n   # rank of b, open
+            hi = g.filter(x <= b).count() / n  # rank of b, closed
+            assert lo - rank_tol <= p <= hi + rank_tol, (
+                f"{k} p{int(p*100)}: sketch boundary {b} has rank "
+                f"[{lo:.5f}, {hi:.5f}], target {p} (tol {rank_tol})")
+
+    # 2. propagation bound: |win_sketch - win_exact| <=
+    #    (tail mass + rank slack) * sum of boundary shifts
+    for k in exact:
+        d05 = abs(b_ap[k].p05 - b_ex[k].p05)
+        d95 = abs(b_ap[k].p95 - b_ex[k].p95)
+        bound = (0.05 + rank_tol) * (d05 + d95) + 1e-9
+        err = abs(sketch[k].winsorized_mean - exact[k].winsorized_mean)
+        assert err <= bound, (k, err, bound)
+        # and the blunt user-facing contract: well under 0.1% relative
+        assert err / exact[k].winsorized_mean < 1e-3
+        assert (abs(sketch[k].trimmed_mean - exact[k].trimmed_mean)
+                / exact[k].trimmed_mean < 1e-3)
