@@ -1583,6 +1583,34 @@ def q135_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("chi2_contrib")))
 
 
+def winsorized_stats(li: DataFrame, exact: bool = True,
+                     accuracy: int = 10000) -> DataFrame:
+    """q149's body with the percentile-boundary toggle exposed.
+
+    exact=True is the oracle-parity path (bit-exact quantile_cont twin);
+    exact=False is the documented 100 TB default — GK-sketch boundaries
+    (rank error <= 1/accuracy, bounded memory per group).  Phase 2 (the
+    clamp-and-reduce scan) is IDENTICAL on both paths; only the 3-row
+    boundary table differs, so the sketch path's error is exactly the
+    boundary rank error propagated through the clamp — measured and
+    bounded by tests/test_approx.py::test_q149_sketch_boundaries_bound.
+    """
+    b = grouped_percentiles(li, ["l_returnflag"], "l_extendedprice",
+                            [0.05, 0.95], ["p05", "p95"], exact=exact,
+                            accuracy=accuracy)
+    x = F.col("l_extendedprice")
+    clamped = F.least(F.greatest(x, F.col("p05")), F.col("p95"))
+    inband = x.between(F.col("p05"), F.col("p95"))
+    return (li.join(F.broadcast(b), "l_returnflag")
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 davg(clamped, "winsorized_mean"),
+                 davg(F.when(inband, x), "trimmed_mean"),
+                 F.count(F.when(~inband, 1)).cast("bigint")
+                 .alias("n_clamped")))
+
+
+
 # --------------------------------------------------------------------------
 # q149 — winsorized and trimmed statistics: per return flag, the mean of
 # l_extendedprice after clamping to the exact [p05, p95] band (winsorized)
@@ -1616,33 +1644,6 @@ def q135_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l.l_returnflag
     """,
 )
-def winsorized_stats(li: DataFrame, exact: bool = True,
-                     accuracy: int = 10000) -> DataFrame:
-    """q149's body with the percentile-boundary toggle exposed.
-
-    exact=True is the oracle-parity path (bit-exact quantile_cont twin);
-    exact=False is the documented 100 TB default — GK-sketch boundaries
-    (rank error <= 1/accuracy, bounded memory per group).  Phase 2 (the
-    clamp-and-reduce scan) is IDENTICAL on both paths; only the 3-row
-    boundary table differs, so the sketch path's error is exactly the
-    boundary rank error propagated through the clamp — measured and
-    bounded by tests/test_approx.py::test_q149_sketch_boundaries_bound.
-    """
-    b = grouped_percentiles(li, ["l_returnflag"], "l_extendedprice",
-                            [0.05, 0.95], ["p05", "p95"], exact=exact,
-                            accuracy=accuracy)
-    x = F.col("l_extendedprice")
-    clamped = F.least(F.greatest(x, F.col("p05")), F.col("p95"))
-    inband = x.between(F.col("p05"), F.col("p95"))
-    return (li.join(F.broadcast(b), "l_returnflag")
-            .groupBy("l_returnflag")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
-                 davg(clamped, "winsorized_mean"),
-                 davg(F.when(inband, x), "trimmed_mean"),
-                 F.count(F.when(~inband, 1)).cast("bigint")
-                 .alias("n_clamped")))
-
-
 def q149_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorized_stats(load(spark, sf_dir, "lineitem"), exact=True)
 
