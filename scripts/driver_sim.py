@@ -1,0 +1,68 @@
+"""Local replica of the driver's CORRECTNESS_r{N} run.
+
+Runs the FIRST 50 registry queries (the driver window) under a VANILLA
+SparkSession — the driver's session, not the repo factory — at sf0.01,
+and applies the driver-faithful compare from tests/parity.py (row count,
+column names, order-insensitive values with int/float distinguished).
+
+Usage: python scripts/driver_sim.py [n_queries]  (default 50)
+Exit code 0 iff every window row is green or no-oracle-by-design.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+
+
+def main() -> int:
+    n_window = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+
+    from pyspark.sql import SparkSession
+
+    spark = (SparkSession.builder.master("local[8]")
+             .appName("driver-sim")
+             .config("spark.ui.enabled", "false")
+             .config("spark.sql.session.timeZone", "UTC")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as E
+    from parity import compare, duckdb_connection
+
+    qs, osql = E.queries(), E.oracle_sql()
+    con = duckdb_connection(SF)
+
+    failures: list[str] = []
+    for i, name in enumerate(list(qs)[:n_window], 1):
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, SF)
+            if name not in osql:
+                n = sdf.count()
+                status = f"no-oracle rows={n}"
+                assert n >= 0
+            else:
+                compare(sdf, con.sql(osql[name]).df(), name)
+                status = "PASS"
+        except Exception as exc:  # keep going; report all reds at once
+            status = f"FAIL {type(exc).__name__}: {str(exc)[:160]}"
+            failures.append(name)
+        print(f"[{i:2d}/{n_window}] {name:36s} {status}  "
+              f"({time.time() - t0:.1f}s)", file=sys.stderr)
+
+    print(f"driver-sim: {n_window - len(failures)}/{n_window} green; "
+          f"failures={failures}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

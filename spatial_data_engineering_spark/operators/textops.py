@@ -3106,7 +3106,10 @@ def q188_aa_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = ((F.col("mu_a") - F.col("mu_b"))
          / F.sqrt(F.col("var_a") / F.col("n_a")
                   + F.col("var_b") / F.col("n_b")))
-    return (a.crossJoin(b)
+    # both sides are 1-row aggregates; the broadcast hint keeps the plan
+    # a BroadcastNestedLoopJoin instead of a CartesianProduct (harmless
+    # at 1x1 but the wrong default under unknown stats at scale)
+    return (a.crossJoin(F.broadcast(b))
             .select("n_a", "n_b",
                     F.round("mu_a", 6).alias("mean_a"),
                     F.round("mu_b", 6).alias("mean_b"),
