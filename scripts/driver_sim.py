@@ -5,8 +5,9 @@ SparkSession — the driver's session, not the repo factory — at sf0.01,
 and applies the driver-faithful compare from tests/parity.py (row count,
 column names, order-insensitive values with int/float distinguished).
 
-Usage: python scripts/driver_sim.py [n_queries]  (default 50)
-Exit code 0 iff every window row is green or no-oracle-by-design.
+Usage: python scripts/driver_sim.py [n_queries] [start]  (default 50 0;
+pass e.g. "210 0" to sweep the full inventory, "160 50" for the tail)
+Exit code 0 iff every checked row is green or no-oracle-by-design.
 """
 
 from __future__ import annotations
@@ -24,6 +25,7 @@ SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 
 def main() -> int:
     n_window = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    start = int(sys.argv[2]) if len(sys.argv) > 2 else 0
 
     from pyspark.sql import SparkSession
 
@@ -41,7 +43,7 @@ def main() -> int:
     con = duckdb_connection(SF)
 
     failures: list[str] = []
-    for i, name in enumerate(list(qs)[:n_window], 1):
+    for i, name in enumerate(list(qs)[start:start + n_window], 1):
         t0 = time.time()
         try:
             sdf = qs[name](spark, SF)
