@@ -1077,12 +1077,15 @@ def q170_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q174_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import global_row_number
+
     e = load(spark, sf_dir, "events")
     uv = e.groupBy("user_id").agg(
         F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
         .alias("v"))
-    ranked = uv.select(
-        "v", F.row_number().over(W.orderBy("v", "user_id")).alias("i"))
+    # scale-safe global rank over the user-sized aggregate (two-pass
+    # range partition above 1M users, plain window below)
+    ranked = global_row_number(uv, [("v", True), ("user_id", True)], "i")
     d9 = lambda c: (F.sum(F.round(c, 9).cast("decimal(30,9)"))  # noqa: E731
                     .cast("double"))
     n = F.count(F.lit(1))

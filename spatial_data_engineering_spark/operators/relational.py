@@ -409,36 +409,98 @@ _ROW_ID_WINDOW_THRESHOLD = 1_000_000  # rows; below this one task wins
 
 def sequential_row_id(df: DataFrame, key: str, out_col: str = "id",
                       nparts: int | None = None) -> DataFrame:
-    import pandas as pd
-    from pyspark import TaskContext
+    return global_row_number(df, [(key, True)], out_col=out_col,
+                             nparts=nparts, id_first=True)
 
-    spark = df.sparkSession
-    if nparts is None:
-        # bounded probe, not a full count: limit(T+1) early-exits the scan
-        # once T+1 rows exist, so an expensive upstream plan is not fully
-        # evaluated twice just to pick a strategy
-        probe = df.limit(_ROW_ID_WINDOW_THRESHOLD + 1).count()
-        if probe <= _ROW_ID_WINDOW_THRESHOLD:
-            w = W.orderBy(F.col(key).asc())
-            return df.select(
-                F.row_number().over(w).cast("bigint").alias(out_col), "*")
-        # big path (>threshold rows): full parallelism is always right —
-        # at >=1M rows every core has >=30k rows to enumerate, so no
-        # second (full) count is needed just to size the exchange
-        nparts = spark.sparkContext.defaultParallelism
-    part = (df.repartitionByRange(nparts, F.col(key).asc())
-            .sortWithinPartitions(F.col(key).asc())
+
+# --------------------------------------------------------------------------
+# Generalized global-order kernel (round-7 verdict task 2).
+#
+# `row_number() / ntile(n) / lag(x) OVER (ORDER BY ...)` with no
+# partitionBy funnels the entire input through ONE task — correct and
+# even fastest below ~1M rows, a scale-killer above it.  These helpers
+# keep the plain window on small inputs (same bounded limit(T+1) probe
+# as sequential_row_id) and switch to the two-pass range-partitioned
+# scheme above the threshold:
+#
+#   1. repartitionByRange on the full sort spec (parallel sampled
+#      exchange — Spark's range partitioner preserves the total order
+#      ACROSS partitions), sortWithinPartitions, localCheckpoint to pin
+#      partition identity between jobs.
+#   2. a P-row per-partition count -> cumulative offsets (driver-side,
+#      O(nparts) ints riding the task closure).
+#   3. enumerate / bucket / shift inside mapInPandas with
+#      TaskContext.partitionId().
+#
+# Outputs are bit-identical to the window form because every caller
+# supplies a DETERMINISTIC total order (tiebreaker columns) — asserted
+# by tests/test_global_rank.py on both paths.  NTILE bucket boundaries
+# use the exact SQL-standard rule (first c%n buckets get one extra
+# row), derived from the global row number plus the total count the
+# offset pass already produced.  LAG crosses partition boundaries by
+# collecting each partition's last value (P rows) and injecting
+# partition p-1's into partition p's first row.
+#
+# order_by is a list of (column_name, ascending) pairs; names must be
+# real columns of df (the range exchange partitions on them).
+# --------------------------------------------------------------------------
+
+
+def _sort_exprs(order_by):
+    return [F.col(c).asc() if asc else F.col(c).desc()
+            for c, asc in order_by]
+
+
+def _range_sorted(df: DataFrame, order_by, nparts: int):
+    """Range-partition + sort by the total order; pin partition ids.
+
+    Returns (part, offsets, total) where offsets[pid] = number of rows
+    in partitions before pid (ascending pid == ascending sort order).
+    """
+    exprs = _sort_exprs(order_by)
+    part = (df.repartitionByRange(nparts, *exprs)
+            .sortWithinPartitions(*exprs)
             .localCheckpoint(eager=True))
     counts = {r["pid"]: r["n"] for r in
               part.select(F.spark_partition_id().alias("pid"))
               .groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()}
     offsets, acc = {}, 0
-    for pid in sorted(counts):  # ascending pid == ascending key range
+    for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    return part, offsets, acc
 
-    out_fields = f"`{out_col}` bigint, " + ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+
+def _probe_small(df: DataFrame) -> bool:
+    # bounded probe, not a full count: limit(T+1) early-exits the scan
+    # once T+1 rows exist, so an expensive upstream plan is not fully
+    # evaluated twice just to pick a strategy
+    t = _ROW_ID_WINDOW_THRESHOLD
+    return df.limit(t + 1).count() <= t
+
+
+def global_row_number(df: DataFrame, order_by, out_col: str = "rn",
+                      nparts: int | None = None,
+                      id_first: bool = False) -> DataFrame:
+    """row_number() OVER (ORDER BY order_by) — scale-safe above 1M rows."""
+    import pandas as pd
+    from pyspark import TaskContext
+
+    if nparts is None:
+        if _probe_small(df):
+            w = W.orderBy(*_sort_exprs(order_by))
+            rn = F.row_number().over(w).cast("bigint").alias(out_col)
+            cols = [rn, "*"] if id_first else ["*", rn]
+            return df.select(*cols)
+        # big path (>threshold rows): full parallelism is always right —
+        # at >=1M rows every core has >=30k rows to enumerate
+        nparts = df.sparkSession.sparkContext.defaultParallelism
+    part, offsets, _ = _range_sorted(df, order_by, nparts)
+
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    out_fields = (f"`{out_col}` bigint, {fields}" if id_first
+                  else f"{fields}, `{out_col}` bigint")
 
     def number(batches):
         base = offsets.get(TaskContext.get().partitionId(), 0)
@@ -448,10 +510,119 @@ def sequential_row_id(df: DataFrame, key: str, out_col: str = "id",
                             dtype="int64")
             seen += len(pdf)
             pdf = pdf.copy()
-            pdf.insert(0, out_col, ids)
+            pdf.insert(0 if id_first else len(pdf.columns), out_col, ids)
             yield pdf
 
     return part.mapInPandas(number, schema=out_fields)
+
+
+def _ntile_from_rn(rn, total: int, n: int):
+    """SQL-standard NTILE(n) bucket from a 1-based global row number.
+
+    With c rows, q = c // n and r = c % n: the first r buckets hold
+    q + 1 rows, the rest q — exactly Spark's and DuckDB's rule.
+    """
+    q, r = divmod(total, n)
+    head = r * (q + 1)
+    big = (F.floor((rn - 1) / (q + 1)) + 1)
+    # max(q, 1) only guards the never-taken branch when q == 0 (then
+    # every row satisfies rn <= head and the small-bucket arm is dead)
+    small = (F.lit(r) + F.floor((rn - 1 - head) / max(q, 1)) + 1)
+    return F.when(rn <= head, big).otherwise(small).cast("int")
+
+
+def global_ntile(df: DataFrame, n: int, order_by,
+                 out_col: str = "tile") -> DataFrame:
+    """ntile(n) OVER (ORDER BY order_by) — scale-safe above 1M rows."""
+    if _probe_small(df):
+        w = W.orderBy(*_sort_exprs(order_by))
+        return df.select("*", F.ntile(n).over(w).alias(out_col))
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    # reuse the row-number big path, then bucket arithmetically — the
+    # total count falls out of the offset pass for free
+    import pandas as pd  # noqa: F401  (kept: parity with row_number path)
+    from pyspark import TaskContext
+
+    part, offsets, total = _range_sorted(df, order_by, nparts)
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                      for f in df.schema.fields)
+
+    def number(batches):
+        base = offsets.get(TaskContext.get().partitionId(), 0)
+        seen = 0
+        for pdf in batches:
+            ids = pd.Series(range(base + seen + 1, base + seen + 1 + len(pdf)),
+                            dtype="int64")
+            seen += len(pdf)
+            pdf = pdf.copy()
+            pdf.insert(len(pdf.columns), "__rn", ids)
+            yield pdf
+
+    numbered = part.mapInPandas(number, schema=f"{fields}, `__rn` bigint")
+    return (numbered
+            .select("*", _ntile_from_rn(F.col("__rn"), total, n)
+                    .alias(out_col))
+            .drop("__rn"))
+
+
+def global_lag(df: DataFrame, value_col: str, order_by,
+               out_col: str | None = None) -> DataFrame:
+    """lag(value_col) OVER (ORDER BY order_by) — scale-safe above 1M rows.
+
+    Boundary rows get the PREVIOUS partition's last value: the range
+    exchange orders partitions by the sort key, so partition p's first
+    row's predecessor is the last row of the nearest non-empty partition
+    before p — collected as P scalars, injected in mapInPandas.
+    """
+    import pandas as pd
+    from pyspark import TaskContext
+
+    out_col = out_col or f"lag_{value_col}"
+    if _probe_small(df):
+        w = W.orderBy(*_sort_exprs(order_by))
+        return df.select(
+            "*", F.lag(value_col).over(w).alias(out_col))
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    part, offsets, _ = _range_sorted(df, order_by, nparts)
+
+    vtype = df.schema[value_col].dataType.simpleString()
+
+    # pass 1: each partition's LAST value (sorted order), P tiny rows
+    def last_of(batches):
+        pid, last, seen = TaskContext.get().partitionId(), None, False
+        for pdf in batches:
+            if len(pdf):
+                last, seen = pdf[value_col].iloc[-1], True
+        if seen:
+            yield pd.DataFrame({"pid": [pid], "v": [last]})
+
+    lasts = {int(r["pid"]): r["v"] for r in
+             part.mapInPandas(last_of, schema=f"pid int, v {vtype}")
+             .collect()}
+    boundary, carry = {}, None
+    for pid in range(max(offsets, default=-1) + 1):
+        boundary[pid] = carry
+        if pid in lasts:
+            carry = lasts[pid]
+
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    is_int = vtype in ("tinyint", "smallint", "int", "bigint")
+
+    def shift(batches):
+        prev = boundary.get(TaskContext.get().partitionId())
+        for pdf in batches:
+            pdf = pdf.copy()
+            shifted = pdf[value_col].shift(1)
+            if len(pdf):
+                shifted.iloc[0] = prev
+                prev = pdf[value_col].iloc[-1]
+            if is_int:
+                shifted = shifted.astype("Int64")
+            pdf[out_col] = shifted
+            yield pdf
+
+    return part.mapInPandas(shift, schema=f"{fields}, `{out_col}` {vtype}")
 
 
 @query(
@@ -1859,11 +2030,14 @@ def q164_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.datediff(F.col("mx"), F.col("last_order"))
                    .cast("bigint").alias("recency_days"),
                    "frequency", "monetary"))
-    r = F.ntile(4).over(W.orderBy("recency_days", "o_custkey"))
-    f_ = F.ntile(4).over(W.orderBy(F.desc("frequency"), F.asc("o_custkey")))
-    m = F.ntile(4).over(W.orderBy(F.desc("monetary"), F.asc("o_custkey")))
-    scored = rfm.select("o_custkey", "recency_days", "frequency", "monetary",
-                        r.alias("r"), f_.alias("f"), m.alias("m"))
+    # three scale-safe global ntiles over the customer-sized aggregate
+    # (each auto-switches to the two-pass range-partitioned bucketing
+    # above 1M rows — never a single-task sort of the customer base)
+    scored = rfm
+    for col, spec in [("r", [("recency_days", True), ("o_custkey", True)]),
+                      ("f", [("frequency", False), ("o_custkey", True)]),
+                      ("m", [("monetary", False), ("o_custkey", True)])]:
+        scored = global_ntile(scored, 4, spec, col)
     return (scored.groupBy("r", "f", "m")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"),
                  dsum("monetary", "total_spend"),
@@ -2306,10 +2480,9 @@ def q192_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         yv = (o.filter((F.col("o_orderdate") >= f"{y}-01-01")
                        & (F.col("o_orderdate") < f"{y + 1}-01-01"))
               .groupBy("o_custkey").agg(dsum("o_totalprice", "v")))
-        return yv.select(
-            "o_custkey",
-            F.ntile(4).over(W.orderBy(F.desc("v"), F.asc("o_custkey")))
-            .alias("q"))
+        # scale-safe ntile over the customer-year aggregate
+        return (global_ntile(yv, 4, [("v", False), ("o_custkey", True)], "q")
+                .select("o_custkey", "q"))
 
     q1 = year_q(1996).withColumnsRenamed({"o_custkey": "k1", "q": "qa"})
     q2 = year_q(1997).withColumnsRenamed({"o_custkey": "k2", "q": "qb"})

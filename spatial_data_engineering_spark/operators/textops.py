@@ -1742,7 +1742,7 @@ def q121_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q127_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from .relational import global_ntile
 
     d = load(spark, sf_dir, "documents")
     scored = _scored_quality(d)
@@ -1752,8 +1752,10 @@ def q127_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("doc_id", "quality",
                        F.when(F.col("n_chars") > F.col("m"), 1)
                        .otherwise(0).alias("gold")))
-    bucketed = labeled.withColumn(
-        "decile", F.ntile(10).over(W.orderBy("quality", "doc_id")))
+    # scale-safe ntile: two-pass range-partitioned bucketing above 1M
+    # rows, plain window below (bit-identical — doc_id tiebreak)
+    bucketed = global_ntile(
+        labeled, 10, [("quality", True), ("doc_id", True)], "decile")
     return (bucketed.groupBy("decile")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.round(F.avg("quality"), 6).alias("avg_quality"),
@@ -2157,13 +2159,13 @@ def q144_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q145_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from .relational import global_ntile
 
     d = load(spark, sf_dir, "documents")
     scored = _scored_quality(d)
-    stage = F.ntile(4).over(
-        W.orderBy(F.desc("quality"), F.asc("doc_id"))).alias("stage")
-    return (scored.select("lang", "quality", stage)
+    staged = global_ntile(scored.select("lang", "quality", "doc_id"), 4,
+                          [("quality", False), ("doc_id", True)], "stage")
+    return (staged.select("lang", "quality", "stage")
             .groupBy("stage")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                  F.round(F.min("quality"), 6).alias("min_q"),
@@ -2628,7 +2630,7 @@ def q160_lang_mislabel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q163_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from .relational import global_row_number
 
     d = load(spark, sf_dir, "documents")
     scored = _scored_quality(d)
@@ -2638,9 +2640,9 @@ def q163_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("doc_id", "quality",
                        F.when(F.col("n_chars") > F.col("m"), 1)
                        .otherwise(0).alias("gold")))
-    ranked = labeled.select(
-        "gold",
-        F.row_number().over(W.orderBy("quality", "doc_id")).alias("rnk"))
+    # scale-safe global rank (two-pass range partition above 1M rows)
+    ranked = global_row_number(
+        labeled, [("quality", True), ("doc_id", True)], "rnk")
     npos = F.sum("gold")
     nneg = F.count(F.lit(1)) - npos
     auc = F.round((F.sum(F.when(F.col("gold") == 1, F.col("rnk"))
@@ -3167,7 +3169,7 @@ def q188_aa_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q189_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from .relational import global_lag
 
     d = load(spark, sf_dir, "documents")
     maj = (d.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
@@ -3177,8 +3179,11 @@ def q189_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("doc_id",
                    F.when(F.col("lang") == F.col("mlang"), 1).otherwise(0)
                    .alias("x")))
-    lx = F.lag("x").over(W.orderBy("doc_id"))
-    runs = seq.select(
+    # scale-safe global lag: partition-boundary values injected from the
+    # predecessor partition above 1M rows, plain window below
+    lagged = global_lag(seq, "x", [("doc_id", True)], "lx")
+    lx = F.col("lx")
+    runs = lagged.select(
         "x", F.when(lx.isNull() | (lx != F.col("x")), 1).otherwise(0)
         .alias("boundary"))
     m = runs.agg(F.sum("boundary").cast("double").alias("r"),
@@ -3237,14 +3242,17 @@ _ORACLE_Q193 = f"""
 
 @query("q193_heaps_law", _ORACLE_Q193)
 def q193_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from .relational import global_row_number
 
     d = load(spark, sf_dir, "documents")
     pos = (d.select("doc_id",
                     F.posexplode(F.split("text", " ")).alias("i", "tok"))
            .filter(F.col("tok") != ""))
-    rn = F.row_number().over(W.orderBy("doc_id", "i"))
-    firsts = (pos.select("tok", rn.alias("rn"))
+    # the occurrence index is over EVERY token position — the q10
+    # two-pass kernel is mandatory here, not an optimization: a plain
+    # window would sort the whole corpus token stream in one task
+    idx = global_row_number(pos, [("doc_id", True), ("i", True)], "rn")
+    firsts = (idx.select("tok", "rn")
               .groupBy("tok").agg(F.min("rn").alias("first_rn")))
     ks = F.explode(F.array(*[F.lit(k) for k in _Q193_CUTOFFS])).alias("k")
     return (firsts.select("first_rn", ks)
