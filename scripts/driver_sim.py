@@ -20,7 +20,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
-SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
 
 
 def main() -> int:
@@ -42,8 +42,10 @@ def main() -> int:
     qs, osql = E.queries(), E.oracle_sql()
     con = duckdb_connection(SF)
 
+    names = list(qs)[start:start + n_window]
+    n_window = len(names)  # requested slice may extend past the inventory
     failures: list[str] = []
-    for i, name in enumerate(list(qs)[start:start + n_window], 1):
+    for i, name in enumerate(names, 1):
         t0 = time.time()
         try:
             sdf = qs[name](spark, SF)

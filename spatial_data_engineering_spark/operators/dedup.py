@@ -109,6 +109,7 @@ def q46_dedup_tokensort(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _N_HASHES = 16
 _BAND_SIZE = 8
+_Q47_THETA = 0.6  # exact-Jaccard verify threshold (part of the cache key)
 _MH_P = 2_147_483_647  # 2^31 - 1; a*h stays < 2^62, no int64 overflow
 _MH_A = [2 * i + 1 for i in range(_N_HASHES)]          # odd multipliers
 _MH_B = [i * i + 17 for i in range(_N_HASHES)]
@@ -199,7 +200,7 @@ _ORACLE_Q47 = f"""
     JOIN sh ta ON ta.doc_id = a_id
     JOIN sh tb ON tb.doc_id = b_id
     WHERE len(list_intersect(ta.tl, tb.tl)) * 1.0
-          / len(list_distinct(list_concat(ta.tl, tb.tl))) >= 0.6
+          / len(list_distinct(list_concat(ta.tl, tb.tl))) >= {_Q47_THETA}
 """
 
 
@@ -238,7 +239,7 @@ def q47_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(ta, F.col("ta.doc_id") == F.col("a_id"))
         .join(tb, F.col("tb.doc_id") == F.col("b_id"))
         .select("a_id", "b_id", j.alias("__j"))
-        .filter(F.col("__j") >= 0.6)
+        .filter(F.col("__j") >= _Q47_THETA)
         .select("a_id", "b_id", F.round("__j", 6).alias("jaccard"))
     )
 
@@ -281,6 +282,21 @@ _DEFAULT_PAIR_CACHE_ROOT = os.path.join(
 )
 
 
+def _lsh_algo_fingerprint() -> str:
+    """Hash of every parameter that defines q47's pair semantics.
+
+    Folded into the disk-cache key so ANY change to the LSH definition —
+    shingle shape, hash family, banding, verify threshold — invalidates
+    cached pair tables automatically instead of relying on a manual
+    version-literal bump (round-6 advice: a forgotten bump would
+    silently serve stale near-dup pairs to q56/q86/q199 forever).
+    """
+    return hashlib.md5("|".join([
+        _SHINGLES_SPARK, str(_N_HASHES), str(_BAND_SIZE), str(_MH_P),
+        str(_MH_A), str(_MH_B), str(_Q47_THETA),
+    ]).encode()).hexdigest()[:12]
+
+
 def _pair_cache_path(sf_dir: str) -> str | None:
     """Stable on-disk location for sf_dir's pair table, or None if the
     source corpus can't be fingerprinted (non-local sf_dir)."""
@@ -290,7 +306,8 @@ def _pair_cache_path(sf_dir: str) -> str | None:
     except OSError:
         return None  # e.g. an hdfs:// or s3:// sf_dir — in-session cache only
     fp = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}|v1".encode()
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}"
+        f"|{_lsh_algo_fingerprint()}".encode()
     ).hexdigest()
     root = os.environ.get(_PAIR_CACHE_ROOT_ENV, _DEFAULT_PAIR_CACHE_ROOT)
     return os.path.join(root, f"pairs-{fp}.parquet")

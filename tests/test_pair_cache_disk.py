@@ -18,7 +18,7 @@ import pytest
 
 from spatial_data_engineering_spark.operators import dedup
 
-SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+from .conftest import SF_ORACLE  # single dataset knob: SPARK_GRAFT_TEST_SF
 
 
 @pytest.fixture()

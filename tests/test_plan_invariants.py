@@ -1,10 +1,8 @@
 """Repo-wide physical-plan invariants for every registry query.
 
-The 100 TB design rules the verdicts grade on — no cartesian products,
-no row-at-a-time Python UDFs in any query path — were previously
-enforced by per-query audits and greps.  This test compiles the physical
-plan of ALL registry queries (no execution; ~1 min for the full
-inventory) and asserts the two markers never appear:
+The 100 TB design rules the verdicts grade on are enforced here by
+compiling the physical plan of ALL registry queries and asserting three
+markers never appear:
 
 * ``CartesianProduct``: an unhinted cross join of sides with unknown
   stats — at scale this is an accidental O(n*m).  Deliberate scalar
@@ -15,12 +13,37 @@ inventory) and asserts the two markers never appear:
   engine bans in favor of codegen expressions / Arrow-batched UDFs
   (``ArrowEvalPython`` / ``MapInPandas`` / ``FlatMapGroupsInPandas``
   remain allowed and are the sanctioned Python escape hatches).
+* a global (partitionBy-less) Window over UNBOUNDED input (round-7
+  verdict task 3): ``OVER (ORDER BY ...)`` with no partition spec and
+  no Aggregate / TakeOrderedAndProject / Limit / WindowGroupLimit
+  beneath it funnels the whole input through one task.  The sweep
+  forces the global-order kernel's threshold to 0 so the auto-switch
+  small path (a plain window, legitimate under 1M rows) cannot mask a
+  missing reroute — every helper call emits its two-pass big-path plan
+  and any REMAINING global window over raw input is a real defect.
+  Detection lives in ``plans/audit.py``; its sensitivity is proven by
+  ``test_detector_catches_the_former_defect`` below, which rebuilds the
+  pre-round-7 q193 shape and asserts it IS flagged.
+
+"Compiling" is mostly plan-only, with two deliberate exceptions that
+make the sweep's runtime and disk state non-trivial: (a) building the
+plan for q56/q86/q199 calls ``near_dup_pairs``, which eagerly runs the
+LSH job (localCheckpoint) and writes the pair cache — pointed at a tmp
+dir here so the sweep never leaves state in the repo checkout; (b) with
+the threshold forced to 0, every global-order helper runs its probe /
+range-exchange / offset-count jobs during plan construction.  Both are
+bounded at the sf0.001 plan fixture.
 """
 
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
+from spatial_data_engineering_spark.operators import relational as R
+from spatial_data_engineering_spark.plans.audit import \
+    global_window_violations
 from spatial_data_engineering_spark.queries_registry import all_queries
 
 # Plan compilation needs a readable sf_dir for schemas; the smallest one
@@ -30,8 +53,29 @@ SF_PLAN = "/root/testdata/sf0.001"
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _isolated_pair_cache(tmp_path_factory):
+    # the q56/q86/q199 plan builds materialize the LSH pair table as a
+    # side effect — keep that out of the repo's .pair_cache
+    import os
+
+    old = os.environ.get("SPARK_GRAFT_PAIR_CACHE")
+    os.environ["SPARK_GRAFT_PAIR_CACHE"] = str(
+        tmp_path_factory.mktemp("pair_cache"))
+    yield
+    if old is None:
+        os.environ.pop("SPARK_GRAFT_PAIR_CACHE", None)
+    else:
+        os.environ["SPARK_GRAFT_PAIR_CACHE"] = old
+
+
+@pytest.fixture
+def force_big_path(monkeypatch):
+    monkeypatch.setattr(R, "_ROW_ID_WINDOW_THRESHOLD", 0)
+
+
 @pytest.mark.parametrize("name", list(all_queries()))
-def test_plan_has_no_forbidden_nodes(spark, name):
+def test_plan_invariants(spark, force_big_path, name):
     df = all_queries()[name](spark, SF_PLAN)
     plan = df._jdf.queryExecution().executedPlan().toString()
     hits = [m for m in FORBIDDEN if m in plan]
@@ -39,3 +83,49 @@ def test_plan_has_no_forbidden_nodes(spark, name):
         f"{name}: physical plan contains {hits} — broadcast the scalar "
         f"side of deliberate cross joins, and replace row-at-a-time "
         f"Python UDFs with codegen expressions or Arrow-batched UDFs")
+    bad = global_window_violations(df)
+    assert not bad, (
+        f"{name}: global (partitionBy-less) Window over unbounded input "
+        f"— route it through global_row_number/global_ntile/global_lag "
+        f"(operators/relational.py) or bound it first:\n" + "\n".join(bad))
+
+
+def test_detector_catches_the_former_defect(spark):
+    # the pre-round-7 q193 shape: row_number over every raw row with no
+    # partitioning and no bounding — must be flagged
+    raw = spark.range(1000).select(F.col("id").alias("i"))
+    bad = raw.select(
+        "*", F.row_number().over(W.orderBy("i")).alias("rn"))
+    assert global_window_violations(bad), (
+        "detector failed to flag a global window over raw input")
+
+
+def test_detector_excuses_bounded_inputs(spark):
+    raw = spark.range(1000).select((F.col("id") % 5).alias("k"),
+                                   F.col("id").alias("i"))
+    # window over an aggregate: key-space-sized input — allowed
+    agg = raw.groupBy("k").agg(F.count("*").alias("n"))
+    over_agg = agg.select(
+        "*", F.row_number().over(W.orderBy("n", "k")).alias("rn"))
+    assert not global_window_violations(over_agg)
+    # rank-filter top-K: Catalyst rewrites to TakeOrderedAndProject —
+    # the pinned two-phase top-K shape of q155/q180
+    topk = (raw.select(
+        "*", F.row_number().over(W.orderBy(F.desc("i"))).alias("rk"))
+        .filter(F.col("rk") <= 10))
+    assert not global_window_violations(topk)
+
+
+def test_q155_q180_topk_is_two_phase(spark):
+    # round-7 verdict task 4: the large-aggregate top-K rankings must
+    # keep the TakeOrderedAndProject rewrite (per-partition top-K +
+    # merge).  Pinned so a refactor that breaks the rewrite — rank()
+    # instead of row_number(), or consuming rk outside the filter —
+    # shows up as a failed invariant, not a silent single-task sort.
+    qs = all_queries()
+    for name in ("q155_pmi_collocations", "q180_basket_lift"):
+        df = qs[name](spark, SF_PLAN)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, (
+            f"{name}: top-K rank filter no longer rewrites to "
+            f"TakeOrderedAndProject")
