@@ -19,6 +19,12 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
+# Python WORKERS don't inherit the driver's sys.path edits — geometry
+# UDFs that reference package functions fail with ModuleNotFoundError
+# when the sim is launched from outside the repo root unless the repo is
+# on PYTHONPATH before the JVM (and its worker daemon) starts.
+os.environ["PYTHONPATH"] = (
+    REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
 
 SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
 

@@ -38,63 +38,34 @@ def _modules():
 # most one round old.  The driver window is the sampling gate, not the
 # completeness gate.
 #
-# Round-6 window (driver verifies the FIRST 50).  INVENTORY FROZEN at 210
-# this round per the r5 verdict — the round's job is burning down the
-# driver-verification debt, not growth:
-#   1. q112_scd2_intervals — r5's one red row; oracle fixed this round
-#      (CAST the DuckDB HUGEINT window SUM to BIGINT).  Forced in-window.
-#   2. q29_asof_join — r5's slot-51 casualty, never driver-verified.
-#   3. The 14 never-verified queries the r5 judge flagged as highest-risk
-#      (nontrivial math): q153 q154 q155 q156 q163 q172 q185 q186 q188
-#      q189 q193 q196 q202 q211.
-#   4. q199_dup_quality_link — implementation changed this round (the
-#      persistent pair-table cache), forced in-window per policy rule (2).
-#   5. Numeric fill from the remaining never-verified q141-q211 block:
-#      q141-q152, q157-q162, q164-q171, q173-q179 (33 rows).
-# WRITTEN SCHEDULE to driver-evidence <= 2 rounds old everywhere:
-#   - r6 (this file): 48 of the 71 never-verified + q112 + q29 -> after the
-#     r6 driver run, 23 never-verified rows remain (q180-q211 leftovers).
-#   - r7: those 23 leftovers (they lead the list right after the window)
-#     + the 27 oldest r3-verified rows (q47_minhash_lsh onward).
-#   - r8: the remaining 15 r3-verified + the r4-verified tail; from r8 on
-#     the steady state is 210 queries / 50 slots = full rotation every
-#     ceil(210/50) + forced-change slots ~= 5 rounds, and the policy gains
-#     a standing rule: NEW queries may not exceed (50 - stale backlog)
-#     per round so the window never falls behind again.
+# Round-7 window (driver verifies the FIRST 50).  INVENTORY STILL FROZEN
+# at 210 — the schedule completes the never-verified burn-down this round:
+#   1. The 23 never-driver-verified leftovers (q180-q210 tail) lead, as
+#      pre-pinned by r6's tests/test_driver_window.py.  After the r7
+#      driver run, EVERY query in the inventory has at least one driver
+#      row ever.
+#   2. 7 forced by policy rule (2) — implementation changed this round:
+#      the exact-rank family rerouted through the two-pass global-order
+#      kernel (q127 q145 q163 q164 q174 q189 q193; q192 already leads).
+#      Deliberately NOT forced despite being touched: q155/q180 (only a
+#      plan-shape pin; q180 leads anyway) and the pair-cache consumers
+#      (cache-key derivation change only — parity surface identical,
+#      re-proven by the full oracle-parity gate every pytest run).
+#   3. The 20 oldest r3-verified rows (q47_minhash_lsh .. q35).
+# WRITTEN SCHEDULE (continuing r6's):
+#   - r8: the remaining 22 r3-verified rows (q36 .. q53, they lead right
+#     after this window) + the oldest r4-verified rows.
+#   - r9 on: steady-state full rotation every ~5 rounds; NEW queries may
+#     not exceed (50 - stale backlog) per round.
 # tests/test_driver_window.py pins the first 50 names to this plan so the
 # rotation is reviewed code, not comment policy.  The FULL inventory is
 # still re-proven by tests/test_oracle_parity.py on every pytest run (the
 # completeness gate); the driver window is the sampling gate.
 _PRIORITY = [
-    # --- ROUND-6 DRIVER WINDOW (first 50) ---
-    # slot 1: oracle fixed this round (r5's one red row; HUGEINT cast)
-    "q112_scd2_intervals",
-    # slot 2: round-5 slot-51 casualty, never driver-verified
-    "q29_asof_join",
-    # slots 3-16: judge-flagged nontrivial-math never-verified queries
-    "q153_simhash_hamming_join", "q154_knn_label_accuracy",
-    "q155_pmi_collocations", "q156_minhash_estimate_audit", "q163_score_auc",
-    "q172_zipf_fit", "q185_bigram_cond_entropy", "q186_negative_sampling",
-    "q188_aa_test", "q189_runs_test", "q193_heaps_law",
-    "q196_crosssplit_perplexity", "q202_cramers_v",
-    "q211_discount_quantity_corr",
-    # slot 17: implementation changed this round (persistent pair-table
-    # cache for the shared LSH upstream) -> forced in-window per policy
-    "q199_dup_quality_link",
-    # slots 18-50: remaining never-driver-verified q141-q211, numeric order
-    "q141_unigram_logprob", "q142_stopword_discovery", "q143_bpe_pair_counts",
-    "q144_training_order", "q145_curriculum_stages", "q146_vocab_overlap",
-    "q147_chi2_keywords", "q148_semdedup", "q149_winsorized_stats",
-    "q150_hhi_concentration", "q151_returned_revenue",
-    "q152_dup_cluster_sizes", "q157_mix_rebalance", "q158_session_paths",
-    "q159_bm25_topk", "q160_lang_mislabel", "q161_wilson_proportion",
-    "q162_churn_rate", "q164_rfm_segments", "q165_nation_trade_volume",
-    "q166_market_share", "q167_dedup_strategy_venn", "q168_dedup_cost_model",
-    "q169_vocab_coverage", "q170_burst_detection",
-    "q171_dup_degree_distribution", "q173_order_reconciliation",
-    "q174_value_gini", "q175_error_rate_timeline", "q176_score_normalization",
-    "q177_weekday_seasonality", "q178_new_vs_returning", "q179_hapax_ratio",
-    # --- never-driver-verified leftovers (23): LEAD THE ROUND-7 WINDOW ---
+    # --- ROUND-7 DRIVER WINDOW (first 50) ---
+    # slots 1-23: the never-driver-verified leftovers — the mandatory
+    # lead pinned since r6 (tests/test_driver_window.py); after this
+    # round ZERO queries remain with no driver row ever.
     "q180_basket_lift", "q181_order_interarrival", "q182_subword_diversity",
     "q183_fk_audit", "q184_bounce_rate", "q187_dedup_survivor_bias",
     "q190_prefix_dup", "q191_dim_redundancy", "q192_segment_migration",
@@ -104,14 +75,25 @@ _PRIORITY = [
     "q204_forecast_revenue", "q205_supplier_coverage", "q206_ship_latency",
     "q207_brand_return_rate", "q208_embedding_norm_qa",
     "q209_source_scorecard", "q210_word_length_hist",
-    # --- last driver row round 3 (oldest evidence): fill round-7 slots 24-50,
-    # then rotate through round 8 ---
+    # slots 24-30: implementation changed this round (policy rule 2) —
+    # the exact-rank family rerouted through the two-pass global-order
+    # kernel (global_row_number / global_ntile / global_lag); q192 is
+    # already in the lead above.  NOT forced despite being touched:
+    # q155/q180 (plan pinned, code unchanged / q180 in lead anyway) and
+    # the pair-cache consumers (key-derivation-only change; full oracle
+    # parity re-proves them in-session every pytest run).
+    "q127_score_calibration", "q145_curriculum_stages", "q163_score_auc",
+    "q164_rfm_segments", "q174_value_gini", "q189_runs_test",
+    "q193_heaps_law",
+    # slots 31-50: the 20 oldest r3-stale rows (least recently verified)
     "q47_minhash_lsh", "q67_overlap_dissolve", "q60_point_in_polygon",
     "q61_zonal_histogram", "q49_cosine_topk", "q43_fingerprint",
     "q54_dedup_materialize", "q15_count_distinct", "q19_hourly_window",
     "q21_props_extract", "q22_cube", "q23_unpivot", "q24_in_subquery",
-    "q25_window_analytics", "q26_median", "q27_first_limit", "q30_range_join",
-    "q31_sliding_window", "q32_session_window", "q35_rank_functions",
+    "q25_window_analytics", "q26_median", "q27_first_limit",
+    "q30_range_join", "q31_sliding_window", "q32_session_window",
+    "q35_rank_functions",
+    # --- remaining r3-stale rows (22): LEAD THE ROUND-8 WINDOW ---
     "q36_full_outer", "q37_array_agg", "q38_profile",
     "q39_local_supplier_revenue", "q63_date_functions", "q64_bag_set_ops",
     "q28_approx_distinct", "q34_approx_quantiles", "q52_ivf_ann",
@@ -120,7 +102,7 @@ _PRIORITY = [
     "q84_sample_exact_k", "q85_twophase_topk", "q10_row_number",
     "q71_frame_sample", "q50_embedding_neardup", "q51_srp_lsh_buckets",
     "q53_embedding_centroids",
-    # --- last driver row round 4 ---
+    # --- last driver row round 4: fill round-8 slots, rotate via r9 ---
     "q42_lang_id", "q44_quality_score", "q18_sessionization",
     "q01_pricing_summary", "q45_dedup_exact", "q46_dedup_tokensort",
     "q48_simhash", "q40_text_stats", "q41_token_count", "q08_var_argmax",
@@ -135,7 +117,7 @@ _PRIORITY = [
     "q80_quality_filter", "q82_incremental_dedup", "q62_dissolve_area",
     "q87_ngram_novelty", "q88_containment_join", "q89_bigram_lift",
     "q90_pattern_redact", "q91_temperature_sample", "q92_random_projection",
-    # --- last driver row round 5 (newest evidence; rotate last) ---
+    # --- last driver row round 5 ---
     "q97_funnel", "q98_cohort_retention", "q99_zscore_anomaly",
     "q100_time_weighted_avg", "q101_gap_fill_interpolate",
     "q102_bottomk_sample", "q103_order_count_distribution",
@@ -147,7 +129,7 @@ _PRIORITY = [
     "q120_asof_forward", "q121_token_entropy", "q122_grouping_sets",
     "q123_mad_outliers", "q124_incremental_agg_merge",
     "q125_small_quantity_revenue", "q126_revenue_share",
-    "q127_score_calibration", "q128_detector_agreement", "q129_hamming_topk",
+    "q128_detector_agreement", "q129_hamming_topk",
     "q130_weighted_median", "q131_user_trend", "q132_skew_report",
     "q133_video_neardup", "q134_ewma", "q135_benford_audit",
     "q136_transition_matrix", "q137_time_to_convert", "q138_session_stats",
@@ -155,6 +137,24 @@ _PRIORITY = [
     "q94_dedup_canonical", "q95_stratified_split", "q96_doc_bigram_lift",
     "q93_embedding_covariance", "q56_dedup_components",
     "q86_pagerank_centrality",
+    # --- last driver row round 6 (newest evidence; rotate last) ---
+    "q112_scd2_intervals", "q29_asof_join", "q153_simhash_hamming_join",
+    "q154_knn_label_accuracy", "q155_pmi_collocations",
+    "q156_minhash_estimate_audit", "q172_zipf_fit",
+    "q185_bigram_cond_entropy", "q186_negative_sampling", "q188_aa_test",
+    "q196_crosssplit_perplexity", "q202_cramers_v",
+    "q211_discount_quantity_corr", "q199_dup_quality_link",
+    "q141_unigram_logprob", "q142_stopword_discovery", "q143_bpe_pair_counts",
+    "q144_training_order", "q146_vocab_overlap", "q147_chi2_keywords",
+    "q148_semdedup", "q149_winsorized_stats", "q150_hhi_concentration",
+    "q151_returned_revenue", "q152_dup_cluster_sizes", "q157_mix_rebalance",
+    "q158_session_paths", "q159_bm25_topk", "q160_lang_mislabel",
+    "q161_wilson_proportion", "q162_churn_rate", "q165_nation_trade_volume",
+    "q166_market_share", "q167_dedup_strategy_venn", "q168_dedup_cost_model",
+    "q169_vocab_coverage", "q170_burst_detection",
+    "q171_dup_degree_distribution", "q173_order_reconciliation",
+    "q175_error_rate_timeline", "q176_score_normalization",
+    "q177_weekday_seasonality", "q178_new_vs_returning", "q179_hapax_ratio",
 ]
 
 

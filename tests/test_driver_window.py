@@ -1,4 +1,4 @@
-"""Driver-window regression guard (round-6 verdict task 4).
+"""Driver-window regression guard (since round 6).
 
 The driver's correctness harness verifies the FIRST 50 entries of
 ``__spark_entry__.queries()`` in iteration order.  Rotation used to be
@@ -11,44 +11,20 @@ rotation decision fails CI instead of landing outside the window.
 
 Update EXPECTED_WINDOW together with ``_PRIORITY`` each round, following
 the written schedule in queries_registry.py (never-driver-verified rows
-first, then oldest driver evidence, changed-this-round rows forced in).
+first, then changed-this-round rows forced in, then oldest driver
+evidence).
 """
 
 from __future__ import annotations
 
 from spatial_data_engineering_spark.queries_registry import all_queries
 
-# Round-6 window: q112 (oracle fixed this round) + q29 (r5 slot-51
-# casualty) + the 14 judge-flagged high-risk never-verified queries +
-# q199 (impl changed this round) + numeric fill from q141-q211.
+# Round-7 window: the 23 never-driver-verified leftovers (the burn-down
+# lead r6 pre-pinned) + the 7 queries rerouted through the global-order
+# kernel this round (policy rule 2; q192 already leads) + the 20 oldest
+# r3-stale rows.
 EXPECTED_WINDOW = [
-    "q112_scd2_intervals", "q29_asof_join",
-    "q153_simhash_hamming_join", "q154_knn_label_accuracy",
-    "q155_pmi_collocations", "q156_minhash_estimate_audit",
-    "q163_score_auc", "q172_zipf_fit", "q185_bigram_cond_entropy",
-    "q186_negative_sampling", "q188_aa_test", "q189_runs_test",
-    "q193_heaps_law", "q196_crosssplit_perplexity", "q202_cramers_v",
-    "q211_discount_quantity_corr", "q199_dup_quality_link",
-    "q141_unigram_logprob", "q142_stopword_discovery",
-    "q143_bpe_pair_counts", "q144_training_order",
-    "q145_curriculum_stages", "q146_vocab_overlap", "q147_chi2_keywords",
-    "q148_semdedup", "q149_winsorized_stats", "q150_hhi_concentration",
-    "q151_returned_revenue", "q152_dup_cluster_sizes", "q157_mix_rebalance",
-    "q158_session_paths", "q159_bm25_topk", "q160_lang_mislabel",
-    "q161_wilson_proportion", "q162_churn_rate", "q164_rfm_segments",
-    "q165_nation_trade_volume", "q166_market_share",
-    "q167_dedup_strategy_venn", "q168_dedup_cost_model",
-    "q169_vocab_coverage", "q170_burst_detection",
-    "q171_dup_degree_distribution", "q173_order_reconciliation",
-    "q174_value_gini", "q175_error_rate_timeline",
-    "q176_score_normalization", "q177_weekday_seasonality",
-    "q178_new_vs_returning", "q179_hapax_ratio",
-]
-
-# The 23 never-driver-verified rows that must LEAD the round-7 window
-# (the written burn-down schedule).  Guarded so the r7 rotation cannot
-# accidentally bury them again.
-EXPECTED_R7_LEAD = [
+    # never-driver-verified lead (23)
     "q180_basket_lift", "q181_order_interarrival",
     "q182_subword_diversity", "q183_fk_audit", "q184_bounce_rate",
     "q187_dedup_survivor_bias", "q190_prefix_dup", "q191_dim_redundancy",
@@ -59,30 +35,56 @@ EXPECTED_R7_LEAD = [
     "q204_forecast_revenue", "q205_supplier_coverage", "q206_ship_latency",
     "q207_brand_return_rate", "q208_embedding_norm_qa",
     "q209_source_scorecard", "q210_word_length_hist",
+    # changed this round: rerouted exact-rank family (7)
+    "q127_score_calibration", "q145_curriculum_stages", "q163_score_auc",
+    "q164_rfm_segments", "q174_value_gini", "q189_runs_test",
+    "q193_heaps_law",
+    # oldest r3-stale (20)
+    "q47_minhash_lsh", "q67_overlap_dissolve", "q60_point_in_polygon",
+    "q61_zonal_histogram", "q49_cosine_topk", "q43_fingerprint",
+    "q54_dedup_materialize", "q15_count_distinct", "q19_hourly_window",
+    "q21_props_extract", "q22_cube", "q23_unpivot", "q24_in_subquery",
+    "q25_window_analytics", "q26_median", "q27_first_limit",
+    "q30_range_join", "q31_sliding_window", "q32_session_window",
+    "q35_rank_functions",
+]
+
+# The 22 remaining r3-stale rows that must LEAD the round-8 window (the
+# written schedule's next step).  Guarded so the r8 rotation cannot
+# accidentally bury them.
+EXPECTED_R8_LEAD = [
+    "q36_full_outer", "q37_array_agg", "q38_profile",
+    "q39_local_supplier_revenue", "q63_date_functions", "q64_bag_set_ops",
+    "q28_approx_distinct", "q34_approx_quantiles", "q52_ivf_ann",
+    "q55_kmeans", "q76_ngram_jaccard_join", "q77_pack_sequences",
+    "q79_decontaminate", "q81_substring_dup", "q83_embedding_stats",
+    "q84_sample_exact_k", "q85_twophase_topk", "q10_row_number",
+    "q71_frame_sample", "q50_embedding_neardup", "q51_srp_lsh_buckets",
+    "q53_embedding_centroids",
 ]
 
 
-def test_driver_window_is_the_reviewed_round6_plan():
+def test_driver_window_is_the_reviewed_round7_plan():
     names = list(all_queries())
     assert len(EXPECTED_WINDOW) == 50
     got = names[:50]
     assert got == EXPECTED_WINDOW, (
-        "driver window drifted from the reviewed round-6 rotation plan; "
+        "driver window drifted from the reviewed round-7 rotation plan; "
         f"first divergence at slot "
         f"{next(i for i, (a, b) in enumerate(zip(got, EXPECTED_WINDOW)) if a != b) + 1}"
     )
 
 
-def test_round7_burndown_queue_is_next():
+def test_round8_queue_is_next():
     names = list(all_queries())
-    assert names[50:50 + len(EXPECTED_R7_LEAD)] == EXPECTED_R7_LEAD, (
-        "the 23 never-driver-verified leftovers must sit immediately after "
-        "the window so they lead the round-7 rotation"
+    assert names[50:50 + len(EXPECTED_R8_LEAD)] == EXPECTED_R8_LEAD, (
+        "the 22 remaining r3-stale rows must sit immediately after the "
+        "window so they lead the round-8 rotation"
     )
 
 
 def test_inventory_frozen_at_210():
-    # Round-6 policy: zero new queries until the verification debt clears
-    # (r5 verdict task 1).  Growing this number requires a rotation
-    # decision that keeps never-verified rows <= 50.
+    # Frozen until the stale backlog clears (r5 verdict task 1; r6/r7
+    # schedule).  Growing this number requires a rotation decision that
+    # keeps (new + stale) <= 50 per round.
     assert len(all_queries()) == 210
