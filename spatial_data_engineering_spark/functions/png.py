@@ -1,0 +1,179 @@
+"""Minimal pure-stdlib PNG codec (round-7 verdict task 5).
+
+The container forbids installing Pillow, which kept q70's real-decode
+branch permanently env-gated.  PNG's baseline format needs nothing
+beyond ``zlib`` + ``struct``: chunked layout, DEFLATE-compressed
+scanlines, five per-scanline byte filters.  This module implements
+enough of ISO/IEC 15948 to decode real PNG files in-container —
+8-bit-depth greyscale / truecolour / alpha variants, non-interlaced,
+filters 0-4 with exact Paeth reconstruction — plus a tiny encoder used
+by tests to build fixtures without any imaging library.
+
+This is an original implementation from the published spec; it cites no
+reference-repo code (the reference delegates all raster IO to
+terra/GDAL — R/mangrove_gee.R:21 — which is exactly the dependency this
+avoids).  JPEG/video stay gated on their real codecs.
+
+Scale note: the decoder is invoked per-payload inside Arrow-batched
+``mapInPandas`` (operators/multimodal.py) — embarrassingly parallel,
+no shuffle; payload bytes never leave the executor that scanned them.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+# color type -> samples per pixel (8-bit depth only)
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def is_png(payload: bytes) -> bool:
+    return bytes(payload[:8]) == _SIGNATURE
+
+
+def _chunks(data: bytes):
+    off = 8
+    while off + 8 <= len(data):
+        length, ctype = struct.unpack(">I4s", data[off:off + 8])
+        yield ctype, data[off + 8:off + 8 + length]
+        off += 12 + length  # header + payload + CRC
+        if ctype == b"IEND":
+            return
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode(payload: bytes):
+    """PNG bytes -> (width, height, channels, flat bytearray of pixels).
+
+    Supports bit depth 8, color types 0/2/4/6, no interlace — the
+    baseline every encoder can emit.  Raises ValueError on anything
+    else so callers can distinguish "not supported" from "corrupt".
+    """
+    payload = bytes(payload)
+    if not is_png(payload):
+        raise ValueError("not a PNG: bad signature")
+    width = height = None
+    channels = None
+    idat = bytearray()
+    for ctype, body in _chunks(payload):
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", body))
+            if depth != 8:
+                raise ValueError(f"unsupported bit depth {depth}")
+            if color not in _CHANNELS:
+                raise ValueError(f"unsupported color type {color}")
+            if interlace:
+                raise ValueError("interlaced PNG not supported")
+            channels = _CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat += body
+    if width is None or not idat:
+        raise ValueError("missing IHDR or IDAT")
+
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("IDAT length does not match dimensions")
+
+    out = bytearray(height * stride)
+    prev_start = -1  # byte offset of previous reconstructed scanline
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)]
+        cur = y * stride
+        prv = prev_start
+        if ftype == 0:  # None
+            out[cur:cur + stride] = line
+        elif ftype == 1:  # Sub
+            for i in range(stride):
+                left = out[cur + i - channels] if i >= channels else 0
+                out[cur + i] = (line[i] + left) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                up = out[prv + i] if prv >= 0 else 0
+                out[cur + i] = (line[i] + up) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = out[cur + i - channels] if i >= channels else 0
+                up = out[prv + i] if prv >= 0 else 0
+                out[cur + i] = (line[i] + ((left + up) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = out[cur + i - channels] if i >= channels else 0
+                up = out[prv + i] if prv >= 0 else 0
+                ul = (out[prv + i - channels]
+                      if (prv >= 0 and i >= channels) else 0)
+                out[cur + i] = (line[i] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {ftype} on row {y}")
+        prev_start = cur
+    return width, height, channels, out
+
+
+def probe(payload: bytes):
+    """Cheap header-only probe: (width, height, channels) from IHDR.
+
+    For metadata pipelines (q70) this avoids inflating IDAT at all —
+    the 100 TB decode stage reads 33 bytes per asset, not the pixels.
+    """
+    payload = bytes(payload)
+    if not is_png(payload):
+        raise ValueError("not a PNG: bad signature")
+    length, ctype = struct.unpack(">I4s", payload[8:16])
+    if ctype != b"IHDR" or length != 13:
+        raise ValueError("first chunk is not a valid IHDR")
+    width, height, depth, color = struct.unpack(">IIBB", payload[16:26])
+    if color not in _CHANNELS:
+        raise ValueError(f"unsupported color type {color}")
+    return width, height, _CHANNELS[color]
+
+
+def encode(width: int, height: int, channels: int,
+           pixels: bytes | bytearray, filter_type: int = 0) -> bytes:
+    """Flat pixel bytes -> PNG (8-bit; channels 1/2/3/4).
+
+    ``filter_type`` applies one filter (0-4) to every scanline, so tests
+    can exercise each of the decoder's reconstruction paths; a
+    production encoder would pick per-line by predicted entropy.
+    """
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    if len(pixels) != height * stride:
+        raise ValueError("pixel buffer does not match dimensions")
+
+    def ref(y: int, i: int) -> int:  # raw pixel byte, 0 outside the image
+        if y < 0 or i < 0:
+            return 0
+        return pixels[y * stride + i]
+
+    lines = bytearray()
+    for y in range(height):
+        lines.append(filter_type)
+        for i in range(stride):
+            x = ref(y, i)
+            left = ref(y, i - channels)
+            up = ref(y - 1, i)
+            ul = ref(y - 1, i - channels)
+            pred = {0: 0, 1: left, 2: up, 3: (left + up) >> 1,
+                    4: _paeth(left, up, ul)}[filter_type]
+            lines.append((x - pred) & 0xFF)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (_SIGNATURE + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + chunk(b"IEND", b""))

@@ -35,30 +35,43 @@ DECODE_SCHEMA = ("doc_id bigint, source string, n_bytes bigint, "
 def decode_image_batch(pdf: pd.DataFrame, real: bool = False) -> pd.DataFrame:
     """Decode a batch of binary payloads to image metadata.
 
-    real=True decodes actual image bytes with Pillow when it is
-    importable (import-guarded — this container ships no codec, so the
-    guard raises with a pointer at the gated test).  Both paths return
-    the SAME typed frame (DECODE_SCHEMA dtypes);
-    tests/test_multimodal_real.py pins that schema equality wherever PIL
-    exists, so swapping fake -> real cannot change the engine surface.
+    real=True decodes actual image bytes: PNG payloads through the
+    pure-stdlib codec in ``functions/png.py`` (no install needed — this
+    branch runs IN-CONTAINER since round 7), anything else through
+    Pillow when importable (import-guarded; JPEG etc. stay env-gated
+    where PIL is absent).  Both paths return the SAME typed frame
+    (DECODE_SCHEMA dtypes); tests/test_multimodal_real.py pins that
+    schema equality, so swapping fake -> real cannot change the engine
+    surface.
     """
     if real:
+        from ..functions import png as _png
+
         try:
             import io
 
             from PIL import Image
-        except ImportError as exc:
-            raise NotImplementedError(
-                "real image decode requires Pillow, not present in this "
-                "container — the deterministic fake (real=False) is the "
-                "in-container path; tests/test_multimodal_real.py runs "
-                "this branch wherever PIL is importable") from exc
+        except ImportError:
+            Image = None
         recs = []
         for doc_id, source, payload in zip(
                 pdf["doc_id"], pdf["source"], pdf["payload"]):
-            with Image.open(io.BytesIO(bytes(payload))) as img:
-                w, h = img.size
-                n_frames = int(getattr(img, "n_frames", 1))
+            payload = bytes(payload)
+            if _png.is_png(payload):
+                w, h, _nch = _png.probe(payload)
+                n_frames = 1
+            elif Image is not None:
+                with Image.open(io.BytesIO(payload)) as img:
+                    w, h = img.size
+                    n_frames = int(getattr(img, "n_frames", 1))
+            else:
+                raise NotImplementedError(
+                    "real decode of non-PNG images requires Pillow, not "
+                    "present in this container — PNG decodes via the "
+                    "stdlib codec (functions/png.py); the deterministic "
+                    "fake (real=False) covers the rest; "
+                    "tests/test_multimodal_real.py runs the PIL branch "
+                    "wherever PIL is importable")
             recs.append((int(doc_id), source, len(payload), w, h, n_frames))
         out = pd.DataFrame(
             recs, columns=["doc_id", "source", "n_bytes", "width",
