@@ -67,6 +67,21 @@ def _claim_stdout():
                 fh.write(json.dumps(payload) + "\n")
         except OSError as exc:
             print(f"bench: BENCH.json write failed: {exc}", file=sys.stderr)
+        # Tracked per-round history (round-6 verdict task 6): BENCH.json
+        # is gitignored/overwritten, so round-over-round per-query deltas
+        # were not auditable from git alone.  When a run is labeled
+        # (SPARK_GRAFT_BENCH_LABEL=r7-builder etc.) the FULL payload is
+        # appended to BENCH_history.jsonl, which IS committed; unlabeled
+        # iteration runs don't pollute the history.
+        label = os.environ.get("SPARK_GRAFT_BENCH_LABEL")
+        if label:
+            try:
+                with open(os.path.join(REPO, "BENCH_history.jsonl"),
+                          "a") as fh:
+                    fh.write(json.dumps({"label": label, **payload}) + "\n")
+            except OSError as exc:
+                print(f"bench: history append failed: {exc}",
+                      file=sys.stderr)
 
     return emit
 
