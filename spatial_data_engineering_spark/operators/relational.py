@@ -471,23 +471,31 @@ def _range_sorted(df: DataFrame, order_by, nparts: int):
     return part, offsets, acc
 
 
-def _probe_small(df: DataFrame) -> bool:
+def _probe_small(df: DataFrame, n_rows: int | None) -> bool:
     # bounded probe, not a full count: limit(T+1) early-exits the scan
     # once T+1 rows exist, so an expensive upstream plan is not fully
-    # evaluated twice just to pick a strategy
+    # evaluated twice just to pick a strategy.  Callers that already
+    # know the input cardinality (a 1:1 pipeline over a parquet table —
+    # count-star is a footer-only metadata read — or a prior probe over
+    # a row-preserving chain) pass n_rows and skip the probe scan
+    # entirely; the value only PICKS THE PATH, both paths compute exact
+    # ranks/totals themselves, so an approximation cannot corrupt output.
     t = _ROW_ID_WINDOW_THRESHOLD
+    if n_rows is not None:
+        return n_rows <= t
     return df.limit(t + 1).count() <= t
 
 
 def global_row_number(df: DataFrame, order_by, out_col: str = "rn",
                       nparts: int | None = None,
-                      id_first: bool = False) -> DataFrame:
+                      id_first: bool = False,
+                      n_rows: int | None = None) -> DataFrame:
     """row_number() OVER (ORDER BY order_by) — scale-safe above 1M rows."""
     import pandas as pd
     from pyspark import TaskContext
 
     if nparts is None:
-        if _probe_small(df):
+        if _probe_small(df, n_rows):
             w = W.orderBy(*_sort_exprs(order_by))
             rn = F.row_number().over(w).cast("bigint").alias(out_col)
             cols = [rn, "*"] if id_first else ["*", rn]
@@ -532,9 +540,10 @@ def _ntile_from_rn(rn, total: int, n: int):
 
 
 def global_ntile(df: DataFrame, n: int, order_by,
-                 out_col: str = "tile") -> DataFrame:
+                 out_col: str = "tile",
+                 n_rows: int | None = None) -> DataFrame:
     """ntile(n) OVER (ORDER BY order_by) — scale-safe above 1M rows."""
-    if _probe_small(df):
+    if _probe_small(df, n_rows):
         w = W.orderBy(*_sort_exprs(order_by))
         return df.select("*", F.ntile(n).over(w).alias(out_col))
     nparts = df.sparkSession.sparkContext.defaultParallelism
@@ -566,7 +575,8 @@ def global_ntile(df: DataFrame, n: int, order_by,
 
 
 def global_lag(df: DataFrame, value_col: str, order_by,
-               out_col: str | None = None) -> DataFrame:
+               out_col: str | None = None,
+               n_rows: int | None = None) -> DataFrame:
     """lag(value_col) OVER (ORDER BY order_by) — scale-safe above 1M rows.
 
     Boundary rows get the PREVIOUS partition's last value: the range
@@ -578,7 +588,7 @@ def global_lag(df: DataFrame, value_col: str, order_by,
     from pyspark import TaskContext
 
     out_col = out_col or f"lag_{value_col}"
-    if _probe_small(df):
+    if _probe_small(df, n_rows):
         w = W.orderBy(*_sort_exprs(order_by))
         return df.select(
             "*", F.lag(value_col).over(w).alias(out_col))
@@ -2032,12 +2042,16 @@ def q164_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "frequency", "monetary"))
     # three scale-safe global ntiles over the customer-sized aggregate
     # (each auto-switches to the two-pass range-partitioned bucketing
-    # above 1M rows — never a single-task sort of the customer base)
+    # above 1M rows — never a single-task sort of the customer base).
+    # One bounded probe serves all three: ntile preserves row count, so
+    # the chained calls reuse the first cardinality instead of
+    # re-evaluating the aggregate per tile column.
+    probe = rfm.limit(_ROW_ID_WINDOW_THRESHOLD + 1).count()
     scored = rfm
     for col, spec in [("r", [("recency_days", True), ("o_custkey", True)]),
                       ("f", [("frequency", False), ("o_custkey", True)]),
                       ("m", [("monetary", False), ("o_custkey", True)])]:
-        scored = global_ntile(scored, 4, spec, col)
+        scored = global_ntile(scored, 4, spec, col, n_rows=probe)
     return (scored.groupBy("r", "f", "m")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"),
                  dsum("monetary", "total_spend"),

@@ -1753,9 +1753,13 @@ def q127_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.when(F.col("n_chars") > F.col("m"), 1)
                        .otherwise(0).alias("gold")))
     # scale-safe ntile: two-pass range-partitioned bucketing above 1M
-    # rows, plain window below (bit-identical — doc_id tiebreak)
+    # rows, plain window below (bit-identical — doc_id tiebreak).
+    # labeled is row-for-row the documents table (1:1 score + 1:1 join +
+    # 1-row cross), so the zero-column parquet count stands in for the
+    # probe scan of the whole scoring pipeline.
     bucketed = global_ntile(
-        labeled, 10, [("quality", True), ("doc_id", True)], "decile")
+        labeled, 10, [("quality", True), ("doc_id", True)], "decile",
+        n_rows=d.count())
     return (bucketed.groupBy("decile")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.round(F.avg("quality"), 6).alias("avg_quality"),
@@ -2164,7 +2168,8 @@ def q145_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     scored = _scored_quality(d)
     staged = global_ntile(scored.select("lang", "quality", "doc_id"), 4,
-                          [("quality", False), ("doc_id", True)], "stage")
+                          [("quality", False), ("doc_id", True)], "stage",
+                          n_rows=d.count())  # scored is 1:1 with documents
     return (staged.select("lang", "quality", "stage")
             .groupBy("stage")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -2640,9 +2645,11 @@ def q163_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("doc_id", "quality",
                        F.when(F.col("n_chars") > F.col("m"), 1)
                        .otherwise(0).alias("gold")))
-    # scale-safe global rank (two-pass range partition above 1M rows)
+    # scale-safe global rank (two-pass range partition above 1M rows);
+    # labeled is 1:1 with documents -> parquet count replaces the probe
     ranked = global_row_number(
-        labeled, [("quality", True), ("doc_id", True)], "rnk")
+        labeled, [("quality", True), ("doc_id", True)], "rnk",
+        n_rows=d.count())
     npos = F.sum("gold")
     nneg = F.count(F.lit(1)) - npos
     auc = F.round((F.sum(F.when(F.col("gold") == 1, F.col("rnk"))
@@ -3181,7 +3188,8 @@ def q189_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("x")))
     # scale-safe global lag: partition-boundary values injected from the
     # predecessor partition above 1M rows, plain window below
-    lagged = global_lag(seq, "x", [("doc_id", True)], "lx")
+    lagged = global_lag(seq, "x", [("doc_id", True)], "lx",
+                        n_rows=d.count())  # seq is 1:1 with documents
     lx = F.col("lx")
     runs = lagged.select(
         "x", F.when(lx.isNull() | (lx != F.col("x")), 1).otherwise(0)
