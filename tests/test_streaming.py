@@ -481,3 +481,61 @@ def test_stream_moments_match_batch_q99_stats(spark, events_dir):
              for r in zscore_finalize(exp).collect()}
     assert fin_s == fin_b
     assert all(sig > 0 for _, sig in fin_s.values())
+
+
+def test_stream_state_bounded_by_watermark_horizon(spark, tmp_path):
+    """CI pin of scripts/stress_streaming_state.py (round-7 task 8):
+    every micro-batch introduces only BRAND-NEW one-shot keys — the
+    worst case for keyed state — and the event-time-timeout sessionizer
+    must hold live state at O(keys per watermark horizon), not O(total
+    keys ever).  Small replica of the stress (6 batches x 200 keys,
+    10-minute steps, 1-minute gap+watermark): max state must stay within
+    ~2 batches of keys while cumulative keys grow 6x, and every matured
+    key must emit exactly one session."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from spatial_data_engineering_spark.streaming.stateful import (
+        sessionize_with_timeout)
+    from spatial_data_engineering_spark.streaming.windows import (
+        read_events_stream)
+
+    n_batches, keys_per_batch = 6, 200
+    src = tmp_path / "one_shot_keys"
+    src.mkdir()
+    for b in range(n_batches):
+        first = b * keys_per_batch
+        (spark.range(first, first + keys_per_batch)
+         .select(F.col("id").alias("event_id"),
+                 (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                  + F.expr(f"INTERVAL {b * 10} MINUTES")).alias("ts"),
+                 F.col("id").alias("user_id"),
+                 F.lit("view").alias("event_type"),
+                 F.lit(1.0).alias("value"),
+                 F.lit("{}").alias("props"))
+         .coalesce(1).write.mode("append").parquet(str(src)))
+        _time.sleep(0.05)
+
+    stream = read_events_stream(spark, str(src), max_files_per_trigger=1)
+    q = (sessionize_with_timeout(stream, gap="1 minute",
+                                 watermark="1 minute")
+         .writeStream.outputMode("append")
+         .format("memory").queryName("t_state_bound")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    state_rows = [p["stateOperators"][0]["numRowsTotal"]
+                  for p in q.recentProgress if p.get("stateOperators")]
+    assert state_rows, "no state metrics captured"
+    assert max(state_rows) <= 3 * keys_per_batch, (
+        f"state grew to {max(state_rows)} rows — not bounded by the "
+        f"watermark horizon")
+    emitted = spark.sql(
+        "SELECT COUNT(*) AS n, COUNT(DISTINCT user_id) AS k "
+        "FROM t_state_bound").collect()[0]
+    # the final batch's keys are legitimately unflushable (bounded
+    # source: the watermark never passes them)
+    matured = (n_batches - 1) * keys_per_batch
+    assert emitted["n"] == emitted["k"] == matured
