@@ -788,14 +788,15 @@ def q137_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
          .agg((F.min(F.unix_micros("ts"))
                - F.min(F.unix_micros("t_view"))).alias("dt_us")))
     hours = F.col("dt_us") / 3_600_000_000.0
-    return p.agg(
+    a = p.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_converted"),
         F.round(F.sum(hours.cast("decimal(30,6)")).cast("double")
                 / F.count(F.lit(1)), 6).alias("mean_hours"),
-        F.round(F.expr("percentile(dt_us, 0.5)") / 3_600_000_000.0, 6)
-        .alias("p50_hours"),
-        F.round(F.expr("percentile(dt_us, 0.9)") / 3_600_000_000.0, 6)
-        .alias("p90_hours"))
+        F.expr("percentile(dt_us, array(0.5, 0.9))").alias("_ps"))
+    return a.select(
+        "n_converted", "mean_hours",
+        F.round(F.col("_ps")[0] / 3_600_000_000.0, 6).alias("p50_hours"),
+        F.round(F.col("_ps")[1] / 3_600_000_000.0, 6).alias("p90_hours"))
 
 
 # --------------------------------------------------------------------------
@@ -853,16 +854,18 @@ def q138_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "sid")
         .agg((F.max(us) - F.min(us)).alias("dur_us"),
              F.count(F.lit(1)).alias("n_events")))
-    return sess.agg(
+    a = sess.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
         F.round(F.avg(F.col("n_events").cast("double")), 6)
         .alias("avg_events"),
-        F.round(F.expr("percentile(dur_us, 0.5)") / 60_000_000.0, 6)
-        .alias("p50_minutes"),
-        F.round(F.expr("percentile(dur_us, 0.9)") / 60_000_000.0, 6)
-        .alias("p90_minutes"),
+        F.expr("percentile(dur_us, array(0.5, 0.9))").alias("_ps"),
         F.count(F.when(F.col("n_events") == 1, 1)).cast("bigint")
         .alias("n_single_event"))
+    return a.select(
+        "n_sessions", "avg_events",
+        F.round(F.col("_ps")[0] / 60_000_000.0, 6).alias("p50_minutes"),
+        F.round(F.col("_ps")[1] / 60_000_000.0, 6).alias("p90_minutes"),
+        "n_single_event")
 
 
 # --------------------------------------------------------------------------
