@@ -442,6 +442,41 @@ _SIMHASH_RECOMBINE = " + ".join(
     f"(CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(16)
 )
 
+
+def _bit_sum_exprs_from_digits() -> list[str]:
+    """Spark-side twin of _bit_sum_exprs over precomputed digit columns
+    d1..d4 (one md5 per token, projected once upstream) — the 16 vote
+    sums reduce integers instead of re-deriving md5 per expression."""
+    out = []
+    for b in range(16):
+        c, k = b // 4 + 1, b % 4
+        out.append(f"SUM(2 * ((d{c} div {2 ** k}) % 2) - 1) AS s{b}")
+    return out
+
+
+def _simhash_sig(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash BIGINT) — the 16-bit majority-vote SimHash
+    signature shared by q48/q128/q167.
+
+    Per-doc DISTINCT tokens are computed row-locally (array_distinct),
+    which gives the same token set as a corpus-wide (doc_id, t)
+    DISTINCT with zero shuffle; md5 is projected once per token into 4
+    digit columns so the 16 vote sums are pure integer reductions.
+    With the doc_id spread upstream the vote groupBy reuses that
+    exchange — the whole signature phase runs shuffle-free.
+    """
+    tok = _spread_docs(d).select("doc_id", F.explode(
+        F.array_distinct(F.split("text", " "))).alias("t"))
+    dig = tok.select("doc_id", F.md5("t").alias("hh")).select(
+        "doc_id",
+        *[F.expr(f"(locate(substring(hh, {c}, 1), '0123456789abcdef') - 1)")
+          .alias(f"d{c}") for c in range(1, 5)])
+    sums = dig.groupBy("doc_id").agg(
+        *[F.expr(e) for e in _bit_sum_exprs_from_digits()])
+    return sums.select(
+        "doc_id",
+        F.expr(f"CAST({_SIMHASH_RECOMBINE} AS BIGINT)").alias("simhash"))
+
 _ORACLE_Q48 = f"""
     WITH tok AS (
         SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
@@ -462,16 +497,7 @@ _ORACLE_Q48 = f"""
 
 @query("q48_simhash", _ORACLE_Q48)
 def q48_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    tok = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("t")).distinct()
-    )
-    sums = tok.groupBy("doc_id").agg(
-        *[F.expr(e) for e in _bit_sum_exprs("spark")]
-    )
-    sig = sums.select(
-        "doc_id", F.expr(f"CAST({_SIMHASH_RECOMBINE} AS BIGINT)").alias("simhash")
-    )
+    sig = _simhash_sig(load(spark, sf_dir, "documents"))
     return sig.groupBy("simhash").agg(
         F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc_id")
     )
@@ -834,6 +860,20 @@ def _q153_word_sums(engine: str) -> list[str]:
     return out
 
 
+def _q153_word_sums_from_digits() -> list[str]:
+    """Spark-side twin of _q153_word_sums over precomputed digit columns
+    d1..d16: one md5 per token projected once upstream, so the 64 vote
+    sums reduce integer columns instead of each re-deriving
+    md5 -> substring -> locate per row inside the aggregate."""
+    out = []
+    for w in range(_HAM_WORDS):
+        for k in range(16):
+            c = 4 * w + k // 4 + 1
+            j = k % 4
+            out.append(f"SUM(2 * ((d{c} div {2 ** j}) % 2) - 1) AS s{w}_{k}")
+    return out
+
+
 def _q153_words() -> list[str]:
     return [
         " + ".join(f"(CASE WHEN s{w}_{k} > 0 THEN {2 ** k} ELSE 0 END)"
@@ -884,10 +924,18 @@ _ORACLE_Q153 = f"""
 @query("q153_simhash_hamming_join", _ORACLE_Q153)
 def q153_simhash_hamming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _spread_docs(load(spark, sf_dir, "documents"))
-    tok = (d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
-           .distinct())
-    sums = tok.groupBy("doc_id").agg(
-        *[F.expr(e) for e in _q153_word_sums("spark")])
+    # per-doc DISTINCT tokens computed row-locally (array_distinct) —
+    # the same token set as the corpus-wide (doc_id, t) DISTINCT but
+    # with zero shuffle, and the vote groupBy can then reuse the
+    # doc_id-spread exchange, so the whole signature phase is local
+    tok = d.select("doc_id", F.explode(
+        F.array_distinct(F.split("text", " "))).alias("t"))
+    dig = tok.select("doc_id", F.md5("t").alias("hh")).select(
+        "doc_id",
+        *[F.expr(f"(locate(substring(hh, {c}, 1), '0123456789abcdef') - 1)")
+          .alias(f"d{c}") for c in range(1, 17)])
+    sums = dig.groupBy("doc_id").agg(
+        *[F.expr(e) for e in _q153_word_sums_from_digits()])
     sig = sums.select(
         "doc_id",
         *[F.expr(f"CAST({e} AS BIGINT)").alias(f"w{w}")
@@ -1076,12 +1124,7 @@ def q167_dedup_strategy_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     base = d.select("doc_id", F.md5("text").alias("eh"),
                     _fp_spark().alias("fh"))
-    sig = (d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
-           .distinct()
-           .groupBy("doc_id")
-           .agg(*[F.expr(e) for e in _bit_sum_exprs("spark")])
-           .select("doc_id", F.expr(
-               f"CAST({_SIMHASH_RECOMBINE} AS BIGINT)").alias("sh")))
+    sig = _simhash_sig(d).select("doc_id", F.col("simhash").alias("sh"))
     ec = base.groupBy("eh").agg(F.count(F.lit(1)).alias("en"))
     fc = base.groupBy("fh").agg(F.count(F.lit(1)).alias("fn"))
     sc = sig.groupBy("sh").agg(F.count(F.lit(1)).alias("sn"))

@@ -867,16 +867,20 @@ def q79_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_bench = F.col("doc_id") % _DECON_MOD == 0
     bench = (sh.filter(is_bench)
              .select(F.explode("tl").alias("t")).distinct())
+    # carry size(tl) through the explode so the per-doc shingle count
+    # rides the same scan branch as the match count — one fewer full
+    # shingle-materializing pass and no sz-side join (matched docs only
+    # ever reach the output, same as the inner join it replaces)
     doc_tok = (sh.filter(~is_bench)
-               .select("doc_id", F.explode("tl").alias("t")))
+               .select("doc_id",
+                       F.size("tl").cast("bigint").alias("n_shingles"),
+                       F.explode("tl").alias("t")))
     m = (doc_tok.join(F.broadcast(bench), "t")
-         .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_matched")))
-    sz = sh.filter(~is_bench).select(
-        "doc_id", F.size("tl").cast("bigint").alias("n_shingles"))
+         .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_matched"),
+                                F.min("n_shingles").alias("n_shingles")))
     ratio = F.col("n_matched") * 1.0 / F.col("n_shingles")
     return (
-        sz.join(m, "doc_id")
-        .filter(ratio >= _DECON_THETA)
+        m.filter(ratio >= _DECON_THETA)
         .select("doc_id", "n_shingles", "n_matched",
                 F.round(ratio, 6).alias("overlap"))
     )
@@ -1837,20 +1841,14 @@ def q128_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near_dup_pairs = the SESSION-SHARED checkpointed q47 pair set
     # (consumed by q56/q86/q94 too) — calling q47 directly would re-run
     # the whole LSH DAG per invocation (measured 8.1 s vs 4.6 s at sf0.1)
-    from .dedup import _SIMHASH_RECOMBINE, _bit_sum_exprs, near_dup_pairs
+    from .dedup import _simhash_sig, near_dup_pairs
 
     d = load(spark, sf_dir, "documents")
     mh_pairs = near_dup_pairs(spark, sf_dir)
     mh = (mh_pairs.select(F.col("a_id").alias("doc_id"))
           .unionByName(mh_pairs.select(F.col("b_id").alias("doc_id")))
           .distinct())
-    tok = (d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
-           .distinct())
-    sig = (tok.groupBy("doc_id")
-           .agg(*[F.expr(e) for e in _bit_sum_exprs("spark")])
-           .select("doc_id",
-                   F.expr(f"CAST({_SIMHASH_RECOMBINE} AS BIGINT)")
-                   .alias("simhash")))
+    sig = _simhash_sig(d)
     from pyspark.sql.window import Window as W
     sh = (sig.withColumn("n_bucket",
                          F.count(F.lit(1)).over(W.partitionBy("simhash")))
