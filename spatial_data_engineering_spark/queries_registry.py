@@ -53,8 +53,9 @@ def _modules():
 #      re-proven by the full oracle-parity gate every pytest run).
 #   3. The 20 oldest r3-verified rows (q47_minhash_lsh .. q35).
 # WRITTEN SCHEDULE (continuing r6's):
-#   - r8: the remaining 22 r3-verified rows (q36 .. q53, they lead right
-#     after this window) + the oldest r4-verified rows.
+#   - r8: the remaining 27 r3-verified rows (q26 .. q53 — incl. the 6
+#     displaced from this window by rule (2); they lead right after this
+#     window) + the oldest r4-verified rows.
 #   - r9 on: steady-state full rotation every ~5 rounds; NEW queries may
 #     not exceed (50 - stale backlog) per round.
 # tests/test_driver_window.py pins the first 50 names to this plan so the
@@ -85,27 +86,35 @@ _PRIORITY = [
     "q127_score_calibration", "q145_curriculum_stages", "q163_score_auc",
     "q164_rfm_segments", "q174_value_gini", "q189_runs_test",
     "q193_heaps_law",
-    # slots 31-50: the 20 oldest r3-stale rows (least recently verified)
+    # slots 31-36: also changed this round (policy rule 2) — the SimHash
+    # signature family rewrite (shared _simhash_sig: row-local token
+    # dedup + one-md5 digit projection), q79's merged match/size branch,
+    # and the q139 scan-spread reroute (q182/q209 already lead)
+    "q48_simhash", "q79_decontaminate", "q128_detector_agreement",
+    "q139_split_contamination", "q153_simhash_hamming_join",
+    "q167_dedup_strategy_venn",
+    # slots 37-50: the 14 oldest r3-stale rows (least recently verified)
     "q47_minhash_lsh", "q67_overlap_dissolve", "q60_point_in_polygon",
     "q61_zonal_histogram", "q49_cosine_topk", "q43_fingerprint",
     "q54_dedup_materialize", "q15_count_distinct", "q19_hourly_window",
     "q21_props_extract", "q22_cube", "q23_unpivot", "q24_in_subquery",
-    "q25_window_analytics", "q26_median", "q27_first_limit",
-    "q30_range_join", "q31_sliding_window", "q32_session_window",
-    "q35_rank_functions",
-    # --- remaining r3-stale rows (22): LEAD THE ROUND-8 WINDOW ---
+    "q25_window_analytics",
+    # --- remaining r3-stale rows (27, incl. the 6 displaced by rule 2):
+    #     LEAD THE ROUND-8 WINDOW ---
+    "q26_median", "q27_first_limit", "q30_range_join",
+    "q31_sliding_window", "q32_session_window", "q35_rank_functions",
     "q36_full_outer", "q37_array_agg", "q38_profile",
     "q39_local_supplier_revenue", "q63_date_functions", "q64_bag_set_ops",
     "q28_approx_distinct", "q34_approx_quantiles", "q52_ivf_ann",
     "q55_kmeans", "q76_ngram_jaccard_join", "q77_pack_sequences",
-    "q79_decontaminate", "q81_substring_dup", "q83_embedding_stats",
+    "q81_substring_dup", "q83_embedding_stats",
     "q84_sample_exact_k", "q85_twophase_topk", "q10_row_number",
     "q71_frame_sample", "q50_embedding_neardup", "q51_srp_lsh_buckets",
     "q53_embedding_centroids",
     # --- last driver row round 4: fill round-8 slots, rotate via r9 ---
     "q42_lang_id", "q44_quality_score", "q18_sessionization",
     "q01_pricing_summary", "q45_dedup_exact", "q46_dedup_tokensort",
-    "q48_simhash", "q40_text_stats", "q41_token_count", "q08_var_argmax",
+    "q40_text_stats", "q41_token_count", "q08_var_argmax",
     "q33_percentiles", "q72_hierarchical_rollup", "q57_normalize_text",
     "q58_edit_distance", "q65_blocklist_filter", "q66_repetition",
     "q68_chunk_documents", "q69_embedding_quantize", "q70_multimodal_meta",
@@ -129,16 +138,16 @@ _PRIORITY = [
     "q120_asof_forward", "q121_token_entropy", "q122_grouping_sets",
     "q123_mad_outliers", "q124_incremental_agg_merge",
     "q125_small_quantity_revenue", "q126_revenue_share",
-    "q128_detector_agreement", "q129_hamming_topk",
+    "q129_hamming_topk",
     "q130_weighted_median", "q131_user_trend", "q132_skew_report",
     "q133_video_neardup", "q134_ewma", "q135_benford_audit",
     "q136_transition_matrix", "q137_time_to_convert", "q138_session_stats",
-    "q139_split_contamination", "q140_class_separation",
+    "q140_class_separation",
     "q94_dedup_canonical", "q95_stratified_split", "q96_doc_bigram_lift",
     "q93_embedding_covariance", "q56_dedup_components",
     "q86_pagerank_centrality",
     # --- last driver row round 6 (newest evidence; rotate last) ---
-    "q112_scd2_intervals", "q29_asof_join", "q153_simhash_hamming_join",
+    "q112_scd2_intervals", "q29_asof_join",
     "q154_knn_label_accuracy", "q155_pmi_collocations",
     "q156_minhash_estimate_audit", "q172_zipf_fit",
     "q185_bigram_cond_entropy", "q186_negative_sampling", "q188_aa_test",
@@ -150,7 +159,7 @@ _PRIORITY = [
     "q151_returned_revenue", "q152_dup_cluster_sizes", "q157_mix_rebalance",
     "q158_session_paths", "q159_bm25_topk", "q160_lang_mislabel",
     "q161_wilson_proportion", "q162_churn_rate", "q165_nation_trade_volume",
-    "q166_market_share", "q167_dedup_strategy_venn", "q168_dedup_cost_model",
+    "q166_market_share", "q168_dedup_cost_model",
     "q169_vocab_coverage", "q170_burst_detection",
     "q171_dup_degree_distribution", "q173_order_reconciliation",
     "q175_error_rate_timeline", "q176_score_normalization",
