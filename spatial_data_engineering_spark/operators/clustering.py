@@ -74,22 +74,29 @@ def kmeans_fit(spark: SparkSession, vectors: DataFrame, k: int = 8,
             make_assign(bc, with_dist=True),
             schema=f"id bigint, cluster int, dist2 double, {vec_col} array<float>",
         )
-        assigned = assigned.persist()
-        # order-independent reductions (common.py contract): decimal-exact
-        # sums so inertia and centroids are identical across partitionings
-        inertia = assigned.agg(
-            F.sum(F.col("dist2").cast("decimal(30,6)")).cast("double")
-        ).collect()[0][0]
-        inertia_hist.append(float(inertia))
-
-        # centroid update: tiny shuffle of (cluster, dim) partials
+        # ONE action per iteration: the per-(cluster, dim) centroid
+        # partials and the inertia ride the same groupBy — dist2 is
+        # folded in on the pos==0 row of each vector so it is summed
+        # exactly once per point.  (Previously inertia was a second
+        # action over a persisted assignment: 2 jobs + a persist per
+        # iteration; same decimal-exact order-independent sums, same
+        # values bit-for-bit, half the job count.)
         upd = (
-            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "x"))
+            assigned.select("cluster", "dist2",
+                            F.posexplode(vec_col).alias("pos", "x"))
             .groupBy("cluster", "pos")
             .agg((F.sum(F.col("x").cast("double").cast("decimal(30,10)"))
-                  .cast("double") / F.count(F.lit(1))).alias("m"))
+                  .cast("double") / F.count(F.lit(1))).alias("m"),
+                 F.sum(F.when(F.col("pos") == 0, F.col("dist2"))
+                       .cast("decimal(30,6)")).alias("d2"))
             .collect()
         )
+        # exact-decimal partials summed exactly: identical to the single
+        # global decimal sum regardless of collect order
+        from decimal import Decimal
+        inertia_hist.append(float(sum(
+            (r["d2"] for r in upd if r["pos"] == 0 and r["d2"] is not None),
+            Decimal(0))))
         new_centroids = centroids.copy()
         by_cluster: dict[int, dict[int, float]] = {}
         for r in upd:
@@ -97,7 +104,6 @@ def kmeans_fit(spark: SparkSession, vectors: DataFrame, k: int = 8,
         for c, dims in by_cluster.items():
             for p, m in dims.items():
                 new_centroids[c, p] = m
-        assigned.unpersist()
         if np.allclose(new_centroids, centroids, rtol=0.0, atol=1e-12):
             centroids = new_centroids
             break
