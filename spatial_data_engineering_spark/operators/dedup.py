@@ -132,8 +132,31 @@ def _spread_docs(df: DataFrame) -> DataFrame:
     return df.repartition(sc.defaultParallelism, "doc_id")
 
 
-_SHINGLES_SPARK = ("array_distinct(transform(sequence(1, greatest(length({col})"
-                   " - 7, 1)), i -> substring({col}, i, 8)))")
+# Spark side uses an overlapping-lookahead regex scan, not
+# transform(sequence, i -> substring(col, i, n)): UTF8String.substring
+# counts chars from the string start, so the transform form is
+# O(len^2) per document — harmless on 300-char bench docs, a real CPU
+# bug on book-length ones.  The regex walk is linear and produces the
+# IDENTICAL list (verified element-wise over the whole corpus): one
+# capture at each position 1..len-n+1; sub-n-char docs keep the whole
+# text as their single gram, like substring(col, 1, n) did.
+
+
+def ngram_list_spark(col: str, n: int) -> str:
+    """All overlapping char n-grams of ``col`` (with duplicates), as the
+    quadratic transform+substring form produced them, in linear time."""
+    return (f"(CASE WHEN {col} IS NULL THEN NULL"
+            f" WHEN length({col}) >= {n} THEN "
+            f"regexp_extract_all({col}, '(?s)(?=(.{{{n}}}))', 1)"
+            f" ELSE array({col}) END)")
+
+
+# .format(col=...) template twin of ngram_list_spark(col, 8) — the
+# regex quantifier braces are doubled so str.format leaves them alone
+_SHINGLES_SPARK = ("array_distinct((CASE WHEN {col} IS NULL THEN NULL"
+                   " WHEN length({col}) >= 8 THEN "
+                   "regexp_extract_all({col}, '(?s)(?=(.{{8}}))', 1)"
+                   " ELSE array({col}) END))")
 _SHINGLES_SQL = ("list_distinct(list_transform(generate_series(1, "
                  "greatest(length({col}) - 7, 1)), "
                  "i -> substr({col}, CAST(i AS INTEGER), 8)))")
@@ -678,13 +701,14 @@ def substring_dup_pairs(d: DataFrame) -> DataFrame:
     """Core of q81 over any (doc_id, text) frame — kept callable so the
     >=79-char detection guarantee is property-testable on planted
     corpora (tests/test_plans.py)."""
+    # dense side: linear regex gram walk (the explode(sequence) +
+    # substring(text, i, L) form re-scans from the string head per
+    # position — O(len^2); see _SHINGLES_SPARK)
     grams = (
-        d.select("doc_id", "text",
-                 F.explode(F.expr(
-                     f"sequence(1, greatest(length(text) - {_SUB_L - 1}, 1))"
-                 )).alias("i"))
-        .select("doc_id",
-                F.md5(F.expr(f"substring(text, i, {_SUB_L})")).alias("h"))
+        d.select("doc_id",
+                 F.explode(F.expr(ngram_list_spark("text", _SUB_L)))
+                 .alias("g"))
+        .select("doc_id", F.md5("g").alias("h"))
     )
     seeds = (
         d.select("doc_id", "text",

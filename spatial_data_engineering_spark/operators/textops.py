@@ -250,9 +250,14 @@ def q43_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _spread_docs
 
     d = _spread_docs(load(spark, sf_dir, "documents"))
+    from .dedup import ngram_list_spark
+
+    # linear regex gram walk, not the O(len^2) transform+substring form
+    # (min over the gram list is duplicate-insensitive, so the
+    # undeduplicated list is equivalent)
     fp = F.expr(
-        "array_min(transform(sequence(1, greatest(length(text) - 7, 1)),"
-        " i -> md5(substring(text, i, 8))))"
+        f"array_min(transform({ngram_list_spark('text', 8)},"
+        " s -> md5(s)))"
     )
     return (
         d.select("doc_id", fp.alias("fp"))
@@ -2907,8 +2912,13 @@ def q179_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the 4-gram sets never leave the row), one source-sized groupBy with
 # decimal-exact means.
 # --------------------------------------------------------------------------
-_Q182_GRAMS_SPARK = ("transform(sequence(1, greatest(length(text) - 3, 1)),"
-                     " i -> substring(text, i, 4))")
+# linear-scan regex, not transform+substring (which is O(len^2) per
+# doc — see _SHINGLES_SPARK in dedup.py); identical list incl.
+# duplicates, with the same whole-text fallback for sub-4-char docs
+_Q182_GRAMS_SPARK = ("(CASE WHEN text IS NULL THEN NULL "
+                     "WHEN length(text) >= 4 THEN "
+                     "regexp_extract_all(text, '(?s)(?=(.{4}))', 1) "
+                     "ELSE array(text) END)")
 _Q182_GRAMS_DUCK = ("list_transform(generate_series(1, "
                     "greatest(length(text) - 3, 1)), "
                     "i -> substr(text, CAST(i AS INTEGER), 4))")

@@ -86,28 +86,30 @@ _PRIORITY = [
     "q127_score_calibration", "q145_curriculum_stages", "q163_score_auc",
     "q164_rfm_segments", "q174_value_gini", "q189_runs_test",
     "q193_heaps_law",
-    # slots 31-36: also changed this round (policy rule 2) — the SimHash
+    # slots 31-38: also changed this round (policy rule 2) — the SimHash
     # signature family rewrite (shared _simhash_sig: row-local token
-    # dedup + one-md5 digit projection), q79's merged match/size branch,
-    # and the q139 scan-spread reroute (q182/q209 already lead)
-    "q48_simhash", "q79_decontaminate", "q128_detector_agreement",
+    # dedup + one-md5 digit projection), q55's fused per-iteration
+    # action, q79's merged match/size branch, q81's linear gram walk,
+    # and the q139 scan-spread reroute (q43/q182/q209 already in-window)
+    "q48_simhash", "q55_kmeans", "q79_decontaminate",
+    "q81_substring_dup", "q128_detector_agreement",
     "q139_split_contamination", "q153_simhash_hamming_join",
     "q167_dedup_strategy_venn",
-    # slots 37-50: the 14 oldest r3-stale rows (least recently verified)
+    # slots 39-50: the 12 oldest r3-stale rows (least recently verified)
     "q47_minhash_lsh", "q67_overlap_dissolve", "q60_point_in_polygon",
     "q61_zonal_histogram", "q49_cosine_topk", "q43_fingerprint",
     "q54_dedup_materialize", "q15_count_distinct", "q19_hourly_window",
-    "q21_props_extract", "q22_cube", "q23_unpivot", "q24_in_subquery",
-    "q25_window_analytics",
-    # --- remaining r3-stale rows (27, incl. the 6 displaced by rule 2):
+    "q21_props_extract", "q22_cube", "q23_unpivot",
+    # --- remaining r3-stale rows (27, incl. the 8 displaced by rule 2):
     #     LEAD THE ROUND-8 WINDOW ---
+    "q24_in_subquery", "q25_window_analytics",
     "q26_median", "q27_first_limit", "q30_range_join",
     "q31_sliding_window", "q32_session_window", "q35_rank_functions",
     "q36_full_outer", "q37_array_agg", "q38_profile",
     "q39_local_supplier_revenue", "q63_date_functions", "q64_bag_set_ops",
     "q28_approx_distinct", "q34_approx_quantiles", "q52_ivf_ann",
-    "q55_kmeans", "q76_ngram_jaccard_join", "q77_pack_sequences",
-    "q81_substring_dup", "q83_embedding_stats",
+    "q76_ngram_jaccard_join", "q77_pack_sequences",
+    "q83_embedding_stats",
     "q84_sample_exact_k", "q85_twophase_topk", "q10_row_number",
     "q71_frame_sample", "q50_embedding_neardup", "q51_srp_lsh_buckets",
     "q53_embedding_centroids",

@@ -43,6 +43,21 @@ def build_session(app_name: str = "spatial_data_engineering_spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # InferFiltersFromGenerate turns every explode(expr) into a
+        # size(expr)>0 filter that predicate pushdown then drags BELOW
+        # the doc_id spread onto the few-split scan — so expensive
+        # generator inputs (the char-8-gram shingle transform, token
+        # splits) are evaluated twice, once single-threaded before the
+        # exchange.  Measured at sf0.1: q47 3.0s -> 1.6s, q87 2.7s ->
+        # 1.6s, q79 2.3s -> 1.2s with the rule excluded.  Our generator
+        # inputs are never-empty computed arrays (greatest(n,1)
+        # sequences, split of non-null text), so the inferred filter
+        # prunes nothing here; on a real cluster the scan has thousands
+        # of splits but the double evaluation of the quadratic shingle
+        # expression is still pure waste.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
