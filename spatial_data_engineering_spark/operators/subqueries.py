@@ -160,12 +160,17 @@ def q104_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q105_lone_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_suppliers"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_return_suppliers"),
-    )
+    # two-level exact aggregation instead of two filtered countDistincts:
+    # the distinct-agg rewrite EXPANDs every row once per distinct clause
+    # (2x the shuffle here); deduping (orderkey, suppkey) first with an
+    # any-R flag needs one shuffle of the same key prefix and the
+    # per-order rollup rides its partials
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .alias("has_r"))
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("has_r").alias("n_return_suppliers"))
     qualifying = per_order.filter(
         (F.col("n_suppliers") >= 2) & (F.col("n_return_suppliers") == 1))
     return (
