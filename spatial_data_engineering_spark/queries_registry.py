@@ -86,23 +86,24 @@ _PRIORITY = [
     "q127_score_calibration", "q145_curriculum_stages", "q163_score_auc",
     "q164_rfm_segments", "q174_value_gini", "q189_runs_test",
     "q193_heaps_law",
-    # slots 31-38: also changed this round (policy rule 2) — the SimHash
+    # slots 31-39: also changed this round (policy rule 2) — the SimHash
     # signature family rewrite (shared _simhash_sig: row-local token
     # dedup + one-md5 digit projection), q55's fused per-iteration
     # action, q79's merged match/size branch, q81's linear gram walk,
-    # and the q139 scan-spread reroute (q43/q182/q209 already in-window)
+    # q105's expand-free two-level aggregation, and the q139
+    # scan-spread reroute (q43/q182/q209 already in-window)
     "q48_simhash", "q55_kmeans", "q79_decontaminate",
-    "q81_substring_dup", "q128_detector_agreement",
+    "q81_substring_dup", "q105_lone_returner", "q128_detector_agreement",
     "q139_split_contamination", "q153_simhash_hamming_join",
     "q167_dedup_strategy_venn",
-    # slots 39-50: the 12 oldest r3-stale rows (least recently verified)
+    # slots 40-50: the 11 oldest r3-stale rows (least recently verified)
     "q47_minhash_lsh", "q67_overlap_dissolve", "q60_point_in_polygon",
     "q61_zonal_histogram", "q49_cosine_topk", "q43_fingerprint",
     "q54_dedup_materialize", "q15_count_distinct", "q19_hourly_window",
-    "q21_props_extract", "q22_cube", "q23_unpivot",
-    # --- remaining r3-stale rows (27, incl. the 8 displaced by rule 2):
+    "q21_props_extract", "q22_cube",
+    # --- remaining r3-stale rows (28, incl. the 9 displaced by rule 2):
     #     LEAD THE ROUND-8 WINDOW ---
-    "q24_in_subquery", "q25_window_analytics",
+    "q23_unpivot", "q24_in_subquery", "q25_window_analytics",
     "q26_median", "q27_first_limit", "q30_range_join",
     "q31_sliding_window", "q32_session_window", "q35_rank_functions",
     "q36_full_outer", "q37_array_agg", "q38_profile",
@@ -132,7 +133,7 @@ _PRIORITY = [
     "q97_funnel", "q98_cohort_retention", "q99_zscore_anomaly",
     "q100_time_weighted_avg", "q101_gap_fill_interpolate",
     "q102_bottomk_sample", "q103_order_count_distribution",
-    "q104_large_volume_orders", "q105_lone_returner", "q106_bloom_semi_join",
+    "q104_large_volume_orders", "q106_bloom_semi_join",
     "q107_line_dedup", "q108_tfidf_keywords", "q109_triangle_count",
     "q110_mmr_diversify", "q111_pq_adc_topk", "q113_cms_heavy_hitters",
     "q114_kmv_distinct", "q115_bfs_hops", "q116_psi_drift",

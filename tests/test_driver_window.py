@@ -41,24 +41,24 @@ EXPECTED_WINDOW = [
     "q164_rfm_segments", "q174_value_gini", "q189_runs_test",
     "q193_heaps_law",
     # changed this round: SimHash signature rewrite + fused k-means
-    # iteration + linear gram walk + scan spreads (8)
+    # iteration + linear gram walk + expand-free q105 + scan spreads (9)
     "q48_simhash", "q55_kmeans", "q79_decontaminate",
-    "q81_substring_dup", "q128_detector_agreement",
+    "q81_substring_dup", "q105_lone_returner", "q128_detector_agreement",
     "q139_split_contamination", "q153_simhash_hamming_join",
     "q167_dedup_strategy_venn",
-    # oldest r3-stale (12)
+    # oldest r3-stale (11)
     "q47_minhash_lsh", "q67_overlap_dissolve", "q60_point_in_polygon",
     "q61_zonal_histogram", "q49_cosine_topk", "q43_fingerprint",
     "q54_dedup_materialize", "q15_count_distinct", "q19_hourly_window",
-    "q21_props_extract", "q22_cube", "q23_unpivot",
+    "q21_props_extract", "q22_cube",
 ]
 
-# The 27 remaining r3-stale rows that must LEAD the round-8 window (the
-# written schedule's next step; the first 8 were displaced from the r7
+# The 28 remaining r3-stale rows that must LEAD the round-8 window (the
+# written schedule's next step; the first 9 were displaced from the r7
 # window by changed-this-round rule 2).  Guarded so the r8 rotation
 # cannot accidentally bury them.
 EXPECTED_R8_LEAD = [
-    "q24_in_subquery", "q25_window_analytics",
+    "q23_unpivot", "q24_in_subquery", "q25_window_analytics",
     "q26_median", "q27_first_limit", "q30_range_join",
     "q31_sliding_window", "q32_session_window", "q35_rank_functions",
     "q36_full_outer", "q37_array_agg", "q38_profile",
