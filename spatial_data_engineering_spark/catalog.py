@@ -11,6 +11,8 @@ file.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -20,10 +22,50 @@ TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
+# Session-scoped analyzed-relation cache.  Resolving a parquet relation
+# (path listing + footer schema read + analysis) costs ~100 ms of pure
+# driver time per call here, and the suite resolves the same ten tables
+# hundreds of times; at 100 TB the listing is a cloud-prefix walk and the
+# cost is far worse.  DataFrames are immutable, so handing the same
+# analyzed frame to every caller within a session is safe.  The cache
+# dict lives ON the session object (not in a module-global registry), so
+# its lifetime is exactly the session's — a DataFrame value references
+# its session, which would pin a weak-keyed global map forever.  The stat
+# fingerprint (size + mtime) invalidates an entry when a test or stress
+# script rewrites the table in place.
+_CACHE_ATTR = "_sde_relation_cache"
+
+
+def _fingerprint(path: str):
+    try:
+        st = os.stat(path)
+        return (st.st_size, st.st_mtime_ns)
+    except OSError:
+        return None  # remote/virtual path: fall through to a fresh read
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    fp = _fingerprint(f"{sf_dir}/{name}.parquet")
+    if fp is None:
+        return _read(spark, sf_dir, name)
+    cache = getattr(spark, _CACHE_ATTR, None)
+    if cache is None:
+        cache = {}
+        try:
+            setattr(spark, _CACHE_ATTR, cache)
+        except AttributeError:  # slotted/mock session: skip caching
+            return _read(spark, sf_dir, name)
+    hit = cache.get((sf_dir, name))
+    if hit is not None and hit[0] == fp:
+        return hit[1]
+    df = _read(spark, sf_dir, name)
+    cache[(sf_dir, name)] = (fp, df)
+    return df
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which the Spark reader
         # rejects ([PARQUET_TYPE_ILLEGAL]).  Read it as long nanos via the

@@ -453,3 +453,32 @@ def test_observed_write_metrics_match_separate_aggregation(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 1000
     assert back.agg(F.sum("id")).collect()[0][0] == 499500
+
+
+def test_relation_cache_identity_and_invalidation(spark, tmp_path):
+    """catalog.load memoizes the analyzed relation per session.
+
+    Resolving a parquet relation costs ~100 ms of driver time (listing +
+    footer schema + analysis); the suite resolves the same ten tables
+    hundreds of times, so load() hands back the SAME DataFrame object
+    within a session — safe because DataFrames are immutable — and
+    invalidates on the table file's stat fingerprint so an in-place
+    rewrite (stress scripts, streaming fixtures) is picked up.
+    """
+    import time
+
+    from spatial_data_engineering_spark.catalog import load
+
+    sf = str(tmp_path)
+    spark.range(5).write.mode("overwrite").parquet(f"{sf}/nation.parquet")
+    a = load(spark, sf, "nation")
+    assert load(spark, sf, "nation") is a  # cache hit: same object
+    assert a.count() == 5
+    time.sleep(0.02)  # ensure mtime_ns moves even on coarse filesystems
+    spark.range(9).write.mode("overwrite").parquet(f"{sf}/nation.parquet")
+    b = load(spark, sf, "nation")
+    assert b is not a  # fingerprint change evicted the stale entry
+    assert b.count() == 9
+    # unknown tables still rejected, and a missing file is not cached
+    with pytest.raises(KeyError):
+        load(spark, sf, "not_a_table")
