@@ -230,9 +230,17 @@ _ORACLE_Q47 = f"""
 @query("q47_minhash_lsh", _ORACLE_Q47)
 def q47_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _spread_docs(load(spark, sf_dir, "documents"))
+    # sh is consumed three times (signature build + ta/tb verify joins):
+    # without pinning, each consumer re-runs the shingle transform from
+    # the scan (measured warm medians at sf0.1: 6.9 s -> 1.2 s pinned).
+    # Doc-count-sized with ~n_chars 8-gram strings per row, so the pin is
+    # one corpus-×-k materialization — at 100 TB this is the written
+    # shingle/signature table of the near_dup_pairs pattern, paid once
+    # instead of three recomputes of the corpus's most expensive
+    # transform (q156 pins the same frames for the same reason).
     sh = d.select(
         "doc_id", F.expr(_SHINGLES_SPARK.format(col="text")).alias("tl")
-    )
+    ).localCheckpoint()
     hx = (
         sh.select("doc_id", F.explode("tl").alias("t"))
         .select("doc_id", F.expr(_hex_fold("spark", "md5(t)")).alias("h"))

@@ -1104,8 +1104,13 @@ def q87_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _spread_docs
 
     d = _spread_docs(load(spark, sf_dir, "documents"))
+    # two consumers (token explode for the df index, per-doc size) with
+    # no shared exchange between them — pin the doc-sized shingle frame
+    # so the corpus's heaviest transform runs once (the q47/q156 policy;
+    # at 100 TB this is the written shingle table)
     sh = d.select(
-        "doc_id", F.expr(_SHINGLES_SPARK.format(col="text")).alias("tl"))
+        "doc_id", F.expr(_SHINGLES_SPARK.format(col="text")).alias("tl")
+    ).localCheckpoint()
     tok = sh.select("doc_id", F.explode("tl").alias("t"))
     nu = (tok.groupBy("t")
           .agg(F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("doc_id"))
@@ -1928,19 +1933,35 @@ def q139_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.expr(_md5_bucket("spark", "doc_id"))
     split = (F.when(bucket < 80, "train")
              .when(bucket < 90, "val").otherwise("test"))
-    sh = (d.withColumn("split", split)
-          .select("split",
-                  F.explode(F.expr(_SHINGLES_SPARK.format(col="text")))
-                  .alias("sh"))
-          .distinct())
-    train = sh.filter(F.col("split") == "train").select("sh")
-    held = sh.filter(F.col("split") != "train")
-    hit = (held.join(train.withColumn("__t", F.lit(1)), "sh", "left"))
-    return (hit.groupBy("split")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
-                 F.count(F.col("__t")).cast("bigint").alias("n_in_train"),
-                 F.round(F.count(F.col("__t")).cast("double")
-                         / F.count(F.lit(1)), 6).alias("contamination")))
+    # Single-pass shape: the former distinct -> train/held branches ->
+    # left join re-ran the gram explode per branch and shuffled three
+    # times (distinct, join, final agg).  Per-shingle split-presence
+    # flags need ONE groupBy(sh) over the raw explode (max-of-indicator
+    # == distinct presence), and the contamination report is then a
+    # 1-row global aggregate stacked to (split, metrics) rows — the
+    # gram fan-out, the corpus's heaviest transform, runs exactly once
+    # and nothing downstream is bigger than the distinct-shingle table.
+    grams = d.select(split.alias("split"),
+                     F.explode(F.expr(_SHINGLES_SPARK.format(col="text")))
+                     .alias("sh"))
+    per = grams.groupBy("sh").agg(
+        F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias("tr"),
+        F.max(F.when(F.col("split") == "val", 1).otherwise(0)).alias("va"),
+        F.max(F.when(F.col("split") == "test", 1).otherwise(0)).alias("te"))
+    tot = per.agg(
+        F.sum("va").alias("va_n"),
+        F.sum(F.col("va") * F.col("tr")).alias("va_hit"),
+        F.sum("te").alias("te_n"),
+        F.sum(F.col("te") * F.col("tr")).alias("te_hit"))
+    return (tot.selectExpr(
+        "stack(2, 'val', va_n, va_hit, 'test', te_n, te_hit)"
+        " AS (split, n_shingles, n_in_train)")
+        .filter(F.col("n_shingles") > 0)  # empty split: no row, as before
+        .select("split",
+                F.col("n_shingles").cast("bigint").alias("n_shingles"),
+                F.col("n_in_train").cast("bigint").alias("n_in_train"),
+                F.round(F.col("n_in_train").cast("double")
+                        / F.col("n_shingles"), 6).alias("contamination")))
 
 
 # --------------------------------------------------------------------------
