@@ -58,6 +58,16 @@ def build_session(app_name: str = "spatial_data_engineering_spark",
         .config("spark.sql.optimizer.excludedRules",
                 "org.apache.spark.sql.catalyst.optimizer."
                 "InferFiltersFromGenerate")
+        # the generated-code (Janino) cache holds 100 compilation units
+        # by default; a workload with hundreds of distinct query shapes
+        # (this suite: 210) evicts continuously and recompiles every
+        # WholeStageCodegen stage on every execution.  Compilation is
+        # driver-side and serial per stage, so the thrash taxes exactly
+        # the single-node resource that doesn't scale out.  Measured
+        # (60-query subset x 3 passes, sf0.1): 75.8/48.8/40.2 s default
+        # vs 52.9/39.7/35.7 s at 10k entries.  ~1000 cached classes is
+        # tens of MB of metaspace — nothing against a 32 GiB driver.
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         # throughput GC for the single-JVM batch harness: the suite is
