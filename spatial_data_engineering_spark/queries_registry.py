@@ -96,13 +96,20 @@ _PRIORITY = [
     "q81_substring_dup", "q105_lone_returner", "q128_detector_agreement",
     "q139_split_contamination", "q153_simhash_hamming_join",
     "q167_dedup_strategy_venn",
-    # slots 40-50: the 11 oldest r3-stale rows (least recently verified)
+    # slots 40-49: the 10 oldest r3-stale rows (least recently verified)
     "q47_minhash_lsh", "q67_overlap_dissolve", "q60_point_in_polygon",
     "q61_zonal_histogram", "q49_cosine_topk", "q43_fingerprint",
     "q54_dedup_materialize", "q15_count_distinct", "q19_hourly_window",
-    "q21_props_extract", "q22_cube",
-    # --- remaining r3-stale rows (28, incl. the 9 displaced by rule 2):
-    #     LEAD THE ROUND-8 WINDOW ---
+    "q21_props_extract",
+    # slot 50: q87 forced by rule (2) — this session pinned its shared
+    # shingle frame (the q47/q156 localCheckpoint policy), a plan-level
+    # rewrite; it displaces q22_cube to the round-8 lead.  The session's
+    # other rewrites (q47/q139/q167) were already in-window above.
+    "q87_ngram_novelty",
+    # --- remaining r3-stale rows (29, incl. the 9 displaced by rule 2
+    #     and q22_cube displaced by the q87 force): LEAD THE ROUND-8
+    #     WINDOW ---
+    "q22_cube",
     "q23_unpivot", "q24_in_subquery", "q25_window_analytics",
     "q26_median", "q27_first_limit", "q30_range_join",
     "q31_sliding_window", "q32_session_window", "q35_rank_functions",
@@ -127,7 +134,7 @@ _PRIORITY = [
     "q13_setops", "q14_rollup", "q16_extent", "q17_case_thresholds",
     "q20_above_avg", "q75_golden_variance", "q78_balance_corpus",
     "q80_quality_filter", "q82_incremental_dedup", "q62_dissolve_area",
-    "q87_ngram_novelty", "q88_containment_join", "q89_bigram_lift",
+    "q88_containment_join", "q89_bigram_lift",
     "q90_pattern_redact", "q91_temperature_sample", "q92_random_projection",
     # --- last driver row round 5 ---
     "q97_funnel", "q98_cohort_retention", "q99_zscore_anomaly",

@@ -20,10 +20,10 @@ from __future__ import annotations
 from spatial_data_engineering_spark.queries_registry import all_queries
 
 # Round-7 window: the 23 never-driver-verified leftovers (the burn-down
-# lead r6 pre-pinned) + the 13 queries changed this round (policy rule
+# lead r6 pre-pinned) + the 17 queries changed this round (policy rule
 # 2: the 7 rerouted through the global-order kernel — q192 already
-# leads — and the 6 SimHash-family / scan-spread rewrites) + the 14
-# oldest r3-stale rows.
+# leads — the 9 SimHash-family / scan-spread rewrites, and q87's late
+# shingle-frame pin) + the 10 oldest r3-stale rows.
 EXPECTED_WINDOW = [
     # never-driver-verified lead (23)
     "q180_basket_lift", "q181_order_interarrival",
@@ -46,18 +46,23 @@ EXPECTED_WINDOW = [
     "q81_substring_dup", "q105_lone_returner", "q128_detector_agreement",
     "q139_split_contamination", "q153_simhash_hamming_join",
     "q167_dedup_strategy_venn",
-    # oldest r3-stale (11)
+    # oldest r3-stale (10)
     "q47_minhash_lsh", "q67_overlap_dissolve", "q60_point_in_polygon",
     "q61_zonal_histogram", "q49_cosine_topk", "q43_fingerprint",
     "q54_dedup_materialize", "q15_count_distinct", "q19_hourly_window",
-    "q21_props_extract", "q22_cube",
+    "q21_props_extract",
+    # forced by rule 2 late in the round: q87's shared shingle frame was
+    # pinned (plan-level rewrite) in the continued session; displaces
+    # q22_cube to the round-8 lead
+    "q87_ngram_novelty",
 ]
 
-# The 28 remaining r3-stale rows that must LEAD the round-8 window (the
-# written schedule's next step; the first 9 were displaced from the r7
-# window by changed-this-round rule 2).  Guarded so the r8 rotation
-# cannot accidentally bury them.
+# The 29 remaining r3-stale rows that must LEAD the round-8 window (the
+# written schedule's next step; 9 were displaced from the r7 window by
+# changed-this-round rule 2, q22_cube by the late q87 force).  Guarded
+# so the r8 rotation cannot accidentally bury them.
 EXPECTED_R8_LEAD = [
+    "q22_cube",
     "q23_unpivot", "q24_in_subquery", "q25_window_analytics",
     "q26_median", "q27_first_limit", "q30_range_join",
     "q31_sliding_window", "q32_session_window", "q35_rank_functions",
