@@ -36,15 +36,17 @@ def decode_image_batch(pdf: pd.DataFrame, real: bool = False) -> pd.DataFrame:
     """Decode a batch of binary payloads to image metadata.
 
     real=True decodes actual image bytes: PNG payloads through the
-    pure-stdlib codec in ``functions/png.py`` (no install needed — this
-    branch runs IN-CONTAINER since round 7), anything else through
-    Pillow when importable (import-guarded; JPEG etc. stay env-gated
-    where PIL is absent).  Both paths return the SAME typed frame
-    (DECODE_SCHEMA dtypes); tests/test_multimodal_real.py pins that
-    schema equality, so swapping fake -> real cannot change the engine
-    surface.
+    pure-stdlib codec in ``functions/png.py``, baseline JPEG payloads
+    through ``functions/jpeg.py`` (both run IN-CONTAINER with no
+    install — PNG since round 7, JPEG since the round-7 continuation),
+    anything else through Pillow when importable (import-guarded; TIFF/
+    WebP/GIF stay env-gated where PIL is absent).  Both paths return the
+    SAME typed frame (DECODE_SCHEMA dtypes); tests/test_multimodal_real
+    pins that schema equality, so swapping fake -> real cannot change
+    the engine surface.
     """
     if real:
+        from ..functions import jpeg as _jpeg
         from ..functions import png as _png
 
         try:
@@ -60,16 +62,20 @@ def decode_image_batch(pdf: pd.DataFrame, real: bool = False) -> pd.DataFrame:
             if _png.is_png(payload):
                 w, h, _nch = _png.probe(payload)
                 n_frames = 1
+            elif _jpeg.is_jpeg(payload):
+                w, h, _nch = _jpeg.probe(payload)
+                n_frames = 1
             elif Image is not None:
                 with Image.open(io.BytesIO(payload)) as img:
                     w, h = img.size
                     n_frames = int(getattr(img, "n_frames", 1))
             else:
                 raise NotImplementedError(
-                    "real decode of non-PNG images requires Pillow, not "
-                    "present in this container — PNG decodes via the "
-                    "stdlib codec (functions/png.py); the deterministic "
-                    "fake (real=False) covers the rest; "
+                    "real decode of non-PNG/JPEG images requires Pillow, "
+                    "not present in this container — PNG/baseline-JPEG "
+                    "decode via the stdlib codecs (functions/png.py, "
+                    "functions/jpeg.py); the deterministic fake "
+                    "(real=False) covers the rest; "
                     "tests/test_multimodal_real.py runs the PIL branch "
                     "wherever PIL is importable")
             recs.append((int(doc_id), source, len(payload), w, h, n_frames))

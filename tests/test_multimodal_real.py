@@ -121,9 +121,12 @@ def test_real_decode_through_operator(spark):
     assert (rows[2]["width"], rows[2]["height"]) == (3, 7)
 
 
-def test_real_decode_non_png_without_pil_raises():
+def test_real_decode_unsupported_format_without_pil_raises():
+    # JPEG bytes now take the stdlib codec branch (functions/jpeg.py,
+    # tests/test_jpeg_codec.py); only formats with NO stdlib codec —
+    # e.g. GIF — still require Pillow
     if _HAS_PIL:
-        pytest.skip("PIL present: non-PNG bytes take the Pillow branch")
+        pytest.skip("PIL present: unknown bytes take the Pillow branch")
     import pandas as pd
 
     from spatial_data_engineering_spark.operators.multimodal import (
@@ -131,7 +134,7 @@ def test_real_decode_non_png_without_pil_raises():
 
     payloads = pd.DataFrame({
         "doc_id": [1], "source": ["cam"],
-        "payload": [b"\xff\xd8\xff\xe0 fake jpeg"],
+        "payload": [b"GIF89a not actually decodable here"],
     })
     with pytest.raises(NotImplementedError, match="Pillow"):
         decode_image_batch(payloads, real=True)
