@@ -253,6 +253,52 @@ def sample_frames(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+PHASH_SCHEMA = "doc_id bigint, frame_idx int, phash bigint"
+
+
+def frame_phashes_batch(pdf: pd.DataFrame,
+                        stride: int = _FRAME_STRIDE) -> pd.DataFrame:
+    """REAL perceptual hashes of every stride-th Y4M frame's luma plane.
+
+    The similarity-preserving upgrade of sample_frames_batch(real=True)'s
+    exact crc32: near-identical frames land within a few Hamming bits
+    (functions/phash.py), so q133's shared-frame join can dedup
+    re-encoded video, not just byte-identical frames.  Y4M only (the
+    in-container real path); the luma plane is the first w*h bytes of
+    every frame in all supported chroma layouts.
+    """
+    from ..functions import phash as _phash
+    from ..functions import y4m as _y4m
+
+    out = []
+    for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+        payload = bytes(payload)
+        if not _y4m.is_y4m(payload):
+            raise NotImplementedError(
+                "real perceptual hashing needs decodable frames — Y4M "
+                "in-container; compressed video requires ffmpeg")
+        for fi, w, h, planes in _y4m.iter_frames(payload):
+            if fi % stride:
+                continue
+            # signed 64-bit for Spark's bigint
+            ph = _phash.phash64(planes[:w * h], w, h)
+            out.append((int(doc_id), fi,
+                        ph - (1 << 64) if ph >= (1 << 63) else ph))
+    return pd.DataFrame(out, columns=["doc_id", "frame_idx", "phash"]) \
+        .astype({"doc_id": "int64", "frame_idx": "int32",
+                 "phash": "int64"})
+
+
+def frame_phashes(df: DataFrame) -> DataFrame:
+    """mapInPandas twin of sample_frames for real Y4M perceptual hashes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield frame_phashes_batch(pdf)
+
+    return df.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
 @query(
     "q71_frame_sample",
     f"""
