@@ -46,6 +46,7 @@ def decode_image_batch(pdf: pd.DataFrame, real: bool = False) -> pd.DataFrame:
     the engine surface.
     """
     if real:
+        from ..functions import gif as _gif
         from ..functions import jpeg as _jpeg
         from ..functions import png as _png
 
@@ -65,17 +66,20 @@ def decode_image_batch(pdf: pd.DataFrame, real: bool = False) -> pd.DataFrame:
             elif _jpeg.is_jpeg(payload):
                 w, h, _nch = _jpeg.probe(payload)
                 n_frames = 1
+            elif _gif.is_gif(payload):
+                # block-structure parse: n_frames > 1 is REAL here
+                w, h, n_frames = _gif.probe(payload)
             elif Image is not None:
                 with Image.open(io.BytesIO(payload)) as img:
                     w, h = img.size
                     n_frames = int(getattr(img, "n_frames", 1))
             else:
                 raise NotImplementedError(
-                    "real decode of non-PNG/JPEG images requires Pillow, "
-                    "not present in this container — PNG/baseline-JPEG "
-                    "decode via the stdlib codecs (functions/png.py, "
-                    "functions/jpeg.py); the deterministic fake "
-                    "(real=False) covers the rest; "
+                    "real decode of this format requires Pillow, not "
+                    "present in this container — PNG/baseline-JPEG/GIF "
+                    "are handled by the stdlib codecs (functions/png.py, "
+                    "functions/jpeg.py, functions/gif.py); the "
+                    "deterministic fake (real=False) covers the rest; "
                     "tests/test_multimodal_real.py runs the PIL branch "
                     "wherever PIL is importable")
             recs.append((int(doc_id), source, len(payload), w, h, n_frames))

@@ -122,9 +122,8 @@ def test_real_decode_through_operator(spark):
 
 
 def test_real_decode_unsupported_format_without_pil_raises():
-    # JPEG bytes now take the stdlib codec branch (functions/jpeg.py,
-    # tests/test_jpeg_codec.py); only formats with NO stdlib codec —
-    # e.g. GIF — still require Pillow
+    # PNG/JPEG/GIF now take stdlib codec branches; only formats with no
+    # stdlib parser — e.g. WebP — still require Pillow
     if _HAS_PIL:
         pytest.skip("PIL present: unknown bytes take the Pillow branch")
     import pandas as pd
@@ -134,7 +133,7 @@ def test_real_decode_unsupported_format_without_pil_raises():
 
     payloads = pd.DataFrame({
         "doc_id": [1], "source": ["cam"],
-        "payload": [b"GIF89a not actually decodable here"],
+        "payload": [b"RIFF\x00\x00\x00\x00WEBP not decodable here"],
     })
     with pytest.raises(NotImplementedError, match="Pillow"):
         decode_image_batch(payloads, real=True)
