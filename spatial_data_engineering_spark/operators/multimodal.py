@@ -37,13 +37,13 @@ def decode_image_batch(pdf: pd.DataFrame, real: bool = False) -> pd.DataFrame:
 
     real=True decodes actual image bytes: PNG payloads through the
     pure-stdlib codec in ``functions/png.py``, baseline JPEG payloads
-    through ``functions/jpeg.py`` (both run IN-CONTAINER with no
-    install — PNG since round 7, JPEG since the round-7 continuation),
-    anything else through Pillow when importable (import-guarded; TIFF/
-    WebP/GIF stay env-gated where PIL is absent).  Both paths return the
-    SAME typed frame (DECODE_SCHEMA dtypes); tests/test_multimodal_real
-    pins that schema equality, so swapping fake -> real cannot change
-    the engine surface.
+    through ``functions/jpeg.py``, GIF structure (incl. real animated
+    n_frames) through ``functions/gif.py`` — all three run IN-CONTAINER
+    with no install — anything else through Pillow when importable
+    (import-guarded; TIFF/WebP stay env-gated where PIL is absent).
+    Both paths return the SAME typed frame (DECODE_SCHEMA dtypes);
+    tests/test_multimodal_real pins that schema equality, so swapping
+    fake -> real cannot change the engine surface.
     """
     if real:
         from ..functions import gif as _gif
@@ -405,3 +405,106 @@ def q133_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("b.doc_id").alias("b_id"))
             .agg(F.count(F.lit(1)).alias("n_shared_frames"))
             .filter(F.col("n_shared_frames") >= _MIN_SHARED))
+
+
+# --------------------------------------------------------------------------
+# Real image near-dup: the end-to-end composition of the in-container
+# codec family — decode (PNG/JPEG pixels), luma pHash, then q153's
+# banded Hamming self-join on the REAL signatures.  This is the fake
+# frame-checksum pipeline's production twin: re-encoded / lightly-noised
+# images land within a few Hamming bits (tests/test_phash.py), so the
+# pair set survives transformations exact hashes cannot.
+#
+# Scale shape (identical to q153): signatures are doc-sized; the
+# pigeonhole band join — 4x16-bit words, so any pair with Hamming
+# distance <= 3 < 4 bands shares at least one exact word — is a hash
+# equi-join on (band, word) with no quadratic stage; exact bit_count
+# verification touches candidates only.
+# --------------------------------------------------------------------------
+PHASH_IMG_SCHEMA = "doc_id bigint, phash bigint"
+_PH_WORDS = 4  # 4 x 16-bit bands over the 64-bit hash
+_PH_MAX_DEFAULT = 3  # < _PH_WORDS so the pigeonhole guarantee holds
+
+
+def image_phashes(df: DataFrame) -> DataFrame:
+    """(doc_id, payload binary) -> (doc_id, phash) via REAL pixel decode.
+
+    PNG and baseline JPEG payloads decode in-container; RGB collapses to
+    BT.601 luma (the JPEG encoder's own Y) before hashing so the same
+    image stored in either format hashes alike.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions import jpeg as _jpeg
+        from ..functions import phash as _phash
+        from ..functions import png as _png
+
+        for pdf in batches:
+            recs = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                if _png.is_png(payload):
+                    w, h, ch, px = _png.decode(payload)
+                elif _jpeg.is_jpeg(payload):
+                    w, h, ch, px = _jpeg.decode(payload)
+                else:
+                    raise NotImplementedError(
+                        "image_phashes decodes PNG/baseline-JPEG "
+                        "in-container; other formats need Pillow")
+                arr = np.frombuffer(bytes(px), dtype=np.uint8)
+                if ch >= 3:  # RGB / RGBA -> BT.601 luma
+                    arr = arr.reshape(h, w, ch)
+                    gray = np.clip(np.round(
+                        0.299 * arr[..., 0] + 0.587 * arr[..., 1]
+                        + 0.114 * arr[..., 2]), 0, 255).astype(np.uint8)
+                elif ch == 2:  # gray + alpha
+                    gray = arr.reshape(h, w, 2)[..., 0]
+                else:
+                    gray = arr.reshape(h, w)
+                ph = _phash.phash64(gray.tobytes(), w, h)
+                recs.append((int(doc_id),
+                             ph - (1 << 64) if ph >= (1 << 63) else ph))
+            yield pd.DataFrame(recs, columns=["doc_id", "phash"]).astype(
+                {"doc_id": "int64", "phash": "int64"})
+
+    return df.mapInPandas(run, schema=PHASH_IMG_SCHEMA)
+
+
+def image_near_dup(df: DataFrame,
+                   max_hamming: int = _PH_MAX_DEFAULT) -> DataFrame:
+    """(doc_id, payload) -> (a_id, b_id, hamming) confirmed near-dup
+    image pairs.  max_hamming must stay < 4 for the 4-band pigeonhole
+    guarantee; raise the band count before raising the radius."""
+    if not 0 <= max_hamming < _PH_WORDS:
+        raise ValueError(
+            f"max_hamming must be in [0, {_PH_WORDS}) for the "
+            f"{_PH_WORDS}-band pigeonhole guarantee")
+    # pin the doc-sized signature frame: the band self-join consumes it
+    # twice, and its upstream is the Python-side pixel decode — the
+    # expensive per-row transform the q47/q87 policy says to run once
+    sig = image_phashes(df).select(
+        "doc_id",
+        *[F.expr(f"(phash >> {16 * w}) & 65535").alias(f"w{w}")
+          for w in range(_PH_WORDS)]).localCheckpoint()
+    bands = (sig.withColumn("band", F.explode(
+                 F.expr(f"sequence(0, {_PH_WORDS - 1})")))
+             .withColumn("bv", F.expr(
+                 "CASE band WHEN 0 THEN w0 WHEN 1 THEN w1"
+                 " WHEN 2 THEN w2 ELSE w3 END")))
+    a = bands.select(F.col("doc_id").alias("a_id"), "band", "bv",
+                     *[F.col(f"w{w}").alias(f"aw{w}")
+                       for w in range(_PH_WORDS)])
+    b = bands.select(F.col("doc_id").alias("b_id"), "band", "bv",
+                     *[F.col(f"w{w}").alias(f"bw{w}")
+                       for w in range(_PH_WORDS)])
+    ham = " + ".join(f"bit_count(aw{w} ^ bw{w})"
+                     for w in range(_PH_WORDS))
+    return (a.join(b, ["band", "bv"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .withColumn("hamming", F.expr(ham))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("a_id", "b_id",
+                    F.col("hamming").cast("int").alias("hamming"))
+            .distinct())
