@@ -1,13 +1,18 @@
 """Multimodal column plumbing (north star: image/audio/video as opaque
 binary columns with typed metadata).
 
-The container has no image/audio codecs, so the decode kernel is STUBBED
-(BASELINE.json instruction): ``decode_image_batch(real=True)`` raises
-NotImplementedError; the default deterministic fake derives metadata
-arithmetically from the payload bytes.  Everything around the stub is the
-real engine surface: a BinaryType payload column, an Arrow-batched
-``mapInPandas`` decode operator with a typed output schema, and partition
-sizing that keeps whole batches in executor memory.
+The container forbids installing codec libraries, so the ORACLED
+queries (q70/q71/q133) run a deterministic fake that derives metadata
+arithmetically from payload bytes — verifying the full engine plumbing
+(BinaryType columns, Arrow-batched mapInPandas, typed schemas) in plain
+SQL.  The REAL branches are no longer stubs: an in-container codec
+family under ``functions/`` covers PNG + baseline JPEG pixels, GIF
+structure (real animated n_frames), Y4M video frames, and WAV audio —
+feeding real perceptual hashing (``image_near_dup``), real frame
+checksums/phashes, and real audio quality features
+(``audio_features``).  Only formats that genuinely need external
+codecs still raise: compressed audio/video -> ffmpeg, TIFF/WebP ->
+Pillow (import-guarded where present).
 
 At 100 TB: payloads live in parquet binary columns (or object-store URIs
 resolved inside mapInPandas); the decode stage is embarrassingly parallel,
@@ -508,3 +513,66 @@ def image_near_dup(df: DataFrame,
             .select("a_id", "b_id",
                     F.col("hamming").cast("int").alias("hamming"))
             .distinct())
+
+
+# --------------------------------------------------------------------------
+# Real audio features: the audio member of the multimodal surface.  WAV
+# payloads decode in-container (functions/wav.py); the features are the
+# standard audio-curation signals a training pipeline filters on —
+# duration, RMS level (dBFS), peak, zero-crossing rate, clipping ratio,
+# silence ratio.  Compressed audio raises toward the ffmpeg gate like
+# compressed video.  mapInPandas, one row per asset, no shuffle.
+# --------------------------------------------------------------------------
+AUDIO_SCHEMA = ("doc_id bigint, sample_rate int, n_channels int, "
+                "duration_s double, rms_dbfs double, peak double, "
+                "zero_cross_rate double, clip_ratio double, "
+                "silence_ratio double")
+_CLIP_T = 0.999
+_SILENCE_T = 1e-3
+
+
+def audio_features_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+
+    from ..functions import wav as _wav
+
+    recs = []
+    for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+        payload = bytes(payload)
+        if not _wav.is_wav(payload):
+            raise NotImplementedError(
+                "real audio decode of compressed formats requires ffmpeg "
+                "— WAV (PCM / IEEE float) decodes via functions/wav.py")
+        rate, x = _wav.decode(payload)
+        mono = x.mean(axis=1)
+        n = len(mono)
+        rms = float(np.sqrt(np.mean(mono * mono))) if n else 0.0
+        rms_dbfs = 20.0 * np.log10(rms) if rms > 0 else -120.0
+        zc = (float(np.count_nonzero(np.signbit(mono[1:])
+                                     != np.signbit(mono[:-1]))) / (n - 1)
+              if n > 1 else 0.0)
+        recs.append((
+            int(doc_id), int(rate), int(x.shape[1]),
+            n / rate if rate else 0.0,
+            round(max(rms_dbfs, -120.0), 6),
+            round(float(np.abs(x).max()) if n else 0.0, 6),
+            round(zc, 6),
+            round(float(np.mean(np.abs(x) >= _CLIP_T)) if n else 0.0, 6),
+            round(float(np.mean(np.abs(mono) < _SILENCE_T)) if n else 0.0,
+                  6)))
+    return pd.DataFrame(recs, columns=[
+        "doc_id", "sample_rate", "n_channels", "duration_s", "rms_dbfs",
+        "peak", "zero_cross_rate", "clip_ratio", "silence_ratio"]).astype(
+            {"doc_id": "int64", "sample_rate": "int32",
+             "n_channels": "int32"})
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """mapInPandas audio feature extractor: (doc_id, payload binary) ->
+    one typed quality-signal row per asset."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield audio_features_batch(pdf)
+
+    return df.mapInPandas(run, schema=AUDIO_SCHEMA)
