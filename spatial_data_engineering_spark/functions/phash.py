@@ -34,38 +34,37 @@ for _k in range(_N):
             np.sqrt(1.0 / _N) if _k == 0 else np.sqrt(2.0 / _N))
 
 
+def _axis_box(m: np.ndarray, n: int) -> np.ndarray:
+    """Exact 1-D fractional box average along axis 0: (h, k) -> (n, k).
+
+    Cell i averages rows [i*h/n, (i+1)*h/n); fractional endpoints are
+    handled by a cumulative integral with linear end-row weighting —
+    vectorized over all cells and columns at once."""
+    h = m.shape[0]
+    cs = np.vstack([np.zeros((1, m.shape[1])), np.cumsum(m, axis=0)])
+
+    def integral(pos):
+        lo = np.minimum(np.floor(pos).astype(int), h - 1)
+        frac = pos - lo
+        return cs[lo] + frac[:, None] * m[lo]
+
+    edges = np.arange(n + 1) * (h / n)
+    upper = integral(edges[1:])
+    lower = integral(edges[:-1])
+    return (upper - lower) / (h / n)
+
+
 def _box_resize(gray: np.ndarray, n: int = _N) -> np.ndarray:
-    """Exact area-average resize to n x n (handles non-multiple dims by
-    pixel-weighted cell overlap, still an exact box filter)."""
+    """Exact area-average resize to n x n.  The box weight is a product
+    of per-axis weights, so the 2-D fractional box average factors into
+    two 1-D passes (rows then columns) — fully vectorized."""
     h, w = gray.shape
-    # integral image for O(1) exact rectangle sums at fractional edges:
-    # use cumulative sums padded with a zero row/col
-    ii = np.zeros((h + 1, w + 1))
-    ii[1:, 1:] = np.cumsum(np.cumsum(gray.astype(np.float64), 0), 1)
-
-    def cell_mean(y0, y1, x0, x1):
-        # fractional box [y0,y1) x [x0,x1) via whole-pixel decomposition
-        iy0, iy1 = int(np.floor(y0)), int(np.ceil(y1))
-        ix0, ix1 = int(np.floor(x0)), int(np.ceil(x1))
-        total, area = 0.0, 0.0
-        for yy in range(iy0, iy1):
-            wy = min(y1, yy + 1) - max(y0, yy)
-            for xx in range(ix0, ix1):
-                wx = min(x1, xx + 1) - max(x0, xx)
-                total += gray[yy, xx] * wy * wx
-                area += wy * wx
-        return total / area
-
     if h % n == 0 and w % n == 0:
         # fast exact path: reshape-mean
         return gray.astype(np.float64).reshape(
             n, h // n, n, w // n).mean(axis=(1, 3))
-    out = np.empty((n, n))
-    for i in range(n):
-        for j in range(n):
-            out[i, j] = cell_mean(i * h / n, (i + 1) * h / n,
-                                  j * w / n, (j + 1) * w / n)
-    return out
+    rows = _axis_box(gray.astype(np.float64), n)
+    return _axis_box(rows.T, n).T
 
 
 def phash64(gray_pixels, width: int, height: int) -> int:
