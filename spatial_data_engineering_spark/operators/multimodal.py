@@ -6,13 +6,14 @@ queries (q70/q71/q133) run a deterministic fake that derives metadata
 arithmetically from payload bytes — verifying the full engine plumbing
 (BinaryType columns, Arrow-batched mapInPandas, typed schemas) in plain
 SQL.  The REAL branches are no longer stubs: an in-container codec
-family under ``functions/`` covers PNG + baseline JPEG pixels, GIF
-structure (real animated n_frames), Y4M video frames, and WAV audio —
-feeding real perceptual hashing (``image_near_dup``), real frame
-checksums/phashes, and real audio quality features
-(``audio_features``).  Only formats that genuinely need external
-codecs still raise: compressed audio/video -> ffmpeg, TIFF/WebP ->
-Pillow (import-guarded where present).
+family under ``functions/`` covers PNG + baseline JPEG pixels, GIF /
+TIFF / WebP structure (real multi-frame and multi-page n_frames), Y4M
+video frames, and WAV audio — feeding real perceptual hashing
+(``image_near_dup``), real frame checksums/phashes, and real audio
+quality features (``audio_features``).  Only work that genuinely needs
+external codecs still raises: compressed audio/video -> ffmpeg,
+GIF/TIFF/WebP PIXELS and other formats -> Pillow (import-guarded
+where present).
 
 At 100 TB: payloads live in parquet binary columns (or object-store URIs
 resolved inside mapInPandas); the decode stage is embarrassingly parallel,
@@ -44,8 +45,12 @@ def decode_image_batch(pdf: pd.DataFrame, real: bool = False) -> pd.DataFrame:
     pure-stdlib codec in ``functions/png.py``, baseline JPEG payloads
     through ``functions/jpeg.py``, GIF structure (incl. real animated
     n_frames) through ``functions/gif.py`` — all three run IN-CONTAINER
-    with no install — anything else through Pillow when importable
-    (import-guarded; TIFF/WebP stay env-gated where PIL is absent).
+    with no install — TIFF (IFD walk, real multi-page
+    n_frames) and WebP (VP8/VP8L/VP8X headers, real animation frames)
+    through ``functions/tiff_webp.py``, anything else through Pillow
+    when importable (import-guarded; e.g. BMP stays env-gated where
+    PIL is absent — and PIXEL decode for TIFF/WebP/GIF always needs
+    real codec libraries).
     Both paths return the SAME typed frame (DECODE_SCHEMA dtypes);
     tests/test_multimodal_real pins that schema equality, so swapping
     fake -> real cannot change the engine surface.
@@ -54,6 +59,7 @@ def decode_image_batch(pdf: pd.DataFrame, real: bool = False) -> pd.DataFrame:
         from ..functions import gif as _gif
         from ..functions import jpeg as _jpeg
         from ..functions import png as _png
+        from ..functions import tiff_webp as _tw
 
         try:
             import io
@@ -74,6 +80,10 @@ def decode_image_batch(pdf: pd.DataFrame, real: bool = False) -> pd.DataFrame:
             elif _gif.is_gif(payload):
                 # block-structure parse: n_frames > 1 is REAL here
                 w, h, n_frames = _gif.probe(payload)
+            elif _tw.is_tiff(payload):
+                w, h, n_frames = _tw.probe_tiff(payload)
+            elif _tw.is_webp(payload):
+                w, h, n_frames = _tw.probe_webp(payload)
             elif Image is not None:
                 with Image.open(io.BytesIO(payload)) as img:
                     w, h = img.size
@@ -81,9 +91,9 @@ def decode_image_batch(pdf: pd.DataFrame, real: bool = False) -> pd.DataFrame:
             else:
                 raise NotImplementedError(
                     "real decode of this format requires Pillow, not "
-                    "present in this container — PNG/baseline-JPEG/GIF "
-                    "are handled by the stdlib codecs (functions/png.py, "
-                    "functions/jpeg.py, functions/gif.py); the "
+                    "present in this container — PNG/JPEG/GIF/TIFF/WebP "
+                    "are handled by the stdlib codecs under functions/; "
+                    "the "
                     "deterministic fake (real=False) covers the rest; "
                     "tests/test_multimodal_real.py runs the PIL branch "
                     "wherever PIL is importable")

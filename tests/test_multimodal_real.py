@@ -122,8 +122,8 @@ def test_real_decode_through_operator(spark):
 
 
 def test_real_decode_unsupported_format_without_pil_raises():
-    # PNG/JPEG/GIF now take stdlib codec branches; only formats with no
-    # stdlib parser — e.g. WebP — still require Pillow
+    # PNG/JPEG/GIF/TIFF/WebP now take stdlib parser branches; a format
+    # with no stdlib parser — e.g. BMP — still requires Pillow
     if _HAS_PIL:
         pytest.skip("PIL present: unknown bytes take the Pillow branch")
     import pandas as pd
@@ -133,7 +133,7 @@ def test_real_decode_unsupported_format_without_pil_raises():
 
     payloads = pd.DataFrame({
         "doc_id": [1], "source": ["cam"],
-        "payload": [b"RIFF\x00\x00\x00\x00WEBP not decodable here"],
+        "payload": [b"BM bitmap bytes not decodable here"],
     })
     with pytest.raises(NotImplementedError, match="Pillow"):
         decode_image_batch(payloads, real=True)
