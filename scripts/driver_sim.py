@@ -6,7 +6,7 @@ and applies the driver-faithful compare from tests/parity.py (row count,
 column names, order-insensitive values with int/float distinguished).
 
 Usage: python scripts/driver_sim.py [n_queries] [start]  (default 50 0;
-pass e.g. "210 0" to sweep the full inventory, "160 50" for the tail)
+pass e.g. "212 0" to sweep the full inventory, "162 50" for the tail)
 Exit code 0 iff every checked row is green or no-oracle-by-design.
 """
 

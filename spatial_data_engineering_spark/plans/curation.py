@@ -28,6 +28,17 @@ Stage order matters and mirrors production practice:
 Every stage is a pure function of content hashes — re-running the
 pipeline on the same corpus yields byte-identical shards on any cluster
 layout (the engine's determinism contract).
+
+Since round 8 the WHOLE pipeline is driver-gated, not just its stages:
+``q212_curation_shards`` hash-matches the packed shard table (stages
+1-7 composed) against a single DuckDB oracle that replays every stage
+in SQL — exact-dup keepers, the full MinHash-LSH pair oracle, the
+shingle-overlap decontamination oracle, survivor-distribution quantile
+cut, md5-rank balancing, bucket split, and the recursive-CTE greedy
+pack.  ``q213_curation_funnel`` oracle-checks the per-stage
+(n_docs, n_tokens, avg_quality) funnel — the observability table a
+curation run reports.  Both compose the SAME oracle fragments the
+per-stage queries (q45/q47/q79/q80/q78/q73/q77) are proven with.
 """
 
 from __future__ import annotations
@@ -37,59 +48,91 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 
+QUERIES: dict = {}
+ORACLES: dict = {}
 
-def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run the full curation DAG; returns (doc_id, lang, split, shard,
-    bin_idx, n_tokens) — the packed training-shard assignment."""
-    from ..operators.dedup import QUERIES as DQ
-    from ..operators.textops import (QUERIES as TQ, _PACK_CAP,
-                                     _PACK_SHARDS)
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def curation_stages(spark: SparkSession,
+                    sf_dir: str) -> list[tuple[str, DataFrame]]:
+    """The pipeline's survivor frames, in order: [(stage_name, docs)].
+
+    Each frame carries the full documents columns for exactly the docs
+    still alive after that stage; ``curate`` consumes the last one.
+    Survivor ID sets are lazily localCheckpointed so funnel consumers
+    aggregating EVERY stage pay each stage's upstream (LSH pairs,
+    shingle decontamination) once, not once per downstream stage.
+    """
+    from ..operators.dedup import QUERIES as DQ, near_dup_pairs
+    from ..operators.textops import (QUERIES as TQ, _DECON_MOD,
+                                     balance_corpus, quality_filter)
 
     d = load(spark, sf_dir, "documents")
+    stages: list[tuple[str, DataFrame]] = [("input", d)]
+
+    def _pin(frame: DataFrame) -> DataFrame:
+        # doc_id-only survivor set: corpus-bounded and shrinking, so the
+        # checkpoint is cheap; it truncates the stage lineage exactly
+        # like the materialized pair table does for the graph consumers
+        ids = frame.select("doc_id").localCheckpoint(eager=False)
+        return d.join(ids, "doc_id")
 
     # 1. exact dedup: keep each content hash's lowest doc_id
     keepers = DQ["q45_dedup_exact"](spark, sf_dir) \
         .select(F.col("keeper_doc_id").alias("doc_id"))
     corpus = d.join(F.broadcast(keepers), "doc_id")
+    stages.append(("exact_dedup", corpus))
 
     # 2. near-dup removal: drop the higher id of each confirmed LSH pair
     # (via the shared materialized pair set — computed once per session,
     # not re-derived by every graph consumer)
-    from ..operators.dedup import near_dup_pairs
-
     pairs = near_dup_pairs(spark, sf_dir)
     losers = pairs.select(F.col("b_id").alias("doc_id")).distinct()
     corpus = corpus.join(losers, "doc_id", "left_anti")
+    stages.append(("near_dedup", corpus))
 
     # 3. decontamination: drop flagged docs AND the benchmark members
     # themselves — eval text must not land in any split.  Membership here
     # is a pure function of doc_id (q79's contract), so the member drop
     # is a shuffle-free filter; with a real eval suite it would be the
     # same left_anti as the flagged set.
-    from ..operators.textops import _DECON_MOD
-
-    contaminated = TQ["q79_decontaminate"](spark, sf_dir) \
-        .select("doc_id")
-    corpus = (corpus.join(contaminated, "doc_id", "left_anti")
-              .filter(F.col("doc_id") % _DECON_MOD != 0))
+    contaminated = TQ["q79_decontaminate"](spark, sf_dir).select("doc_id")
+    corpus = _pin(corpus.join(contaminated, "doc_id", "left_anti")
+                  .filter(F.col("doc_id") % _DECON_MOD != 0))
+    stages.append(("decontaminated", corpus))
 
     # 4. per-language quality-quartile cut — q80's core on the SURVIVORS,
     # so the p25 thresholds reflect the deduped/decontaminated corpus,
     # not the raw distribution (whose duplicates would skew the cut)
-    from ..operators.textops import balance_corpus, quality_filter
-
     quality_kept = quality_filter(corpus).select("doc_id")
-    corpus = corpus.join(quality_kept, "doc_id")
+    corpus = _pin(corpus.join(quality_kept, "doc_id"))
+    stages.append(("quality_cut", corpus))
 
     # 5. language balancing — q78's core on the post-cut survivors, so
     # keep-rates are computed from the counts actually entering this
     # stage and realized per-language sizes concentrate around K
     balanced = balance_corpus(corpus).select("doc_id")
-    corpus = corpus.join(balanced, "doc_id")
+    corpus = _pin(corpus.join(balanced, "doc_id"))
+    stages.append(("balanced", corpus))
+    return stages
+
+
+def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the full curation DAG; returns (doc_id, lang, split, shard,
+    bin_idx, n_tokens) — the packed training-shard assignment."""
+    from ..operators.textops import (_PACK_CAP, _PACK_SHARDS, _md5_bucket)
+
+    corpus = curation_stages(spark, sf_dir)[-1][1]
 
     # 6. deterministic split assignment (q73's md5 bucket contract)
-    from ..operators.textops import _md5_bucket
-
     bucket = F.expr(_md5_bucket("spark", "doc_id"))
     corpus = corpus.withColumn(
         "split",
@@ -125,3 +168,167 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.groupBy("split", "shard").applyInPandas(
         pack, schema="doc_id bigint, lang string, split string, "
                      "shard bigint, bin_idx bigint, n_tokens bigint")
+
+
+# --------------------------------------------------------------------------
+# Oracle assembly: one SQL replay of the whole pipeline, composed from
+# the SAME registered fragments the per-stage queries are proven with
+# (q45 keepers, the full q47 pair oracle, the q79 flag oracle, q80's
+# quantile cut, q78's md5-rank balancing, q73's bucket, q77's recursive
+# pack).  The c1..c5 CTE chain mirrors curation_stages exactly.
+# --------------------------------------------------------------------------
+
+
+def _scored_cte(rel: str, suffix: str) -> str:
+    """textops._SCORED_SQL re-rooted at CTE ``rel`` with renamed CTE
+    names (feats_<suffix>, scored_<suffix>) so one statement can score
+    two different relations.  Derived from the registered constant —
+    never a second copy of the quality formula."""
+    from ..operators.textops import _SCORED_SQL
+
+    s = _SCORED_SQL.replace("WITH ", "", 1)
+    assert "FROM documents" in s
+    s = s.replace("FROM documents", f"FROM {rel}")
+    return s.replace("feats", f"feats_{suffix}") \
+            .replace("scored", f"scored_{suffix}")
+
+
+def _survivor_ctes() -> str:
+    """CTE chain c1..c5 = the five survivor sets after each stage."""
+    from ..operators.dedup import ORACLES as DORACLES
+    from ..operators.textops import (ORACLES as TORACLES, _BALANCE_K,
+                                     _DECON_MOD, _HASH_DOMAIN, _QF_P,
+                                     _doc_key)
+
+    q47 = DORACLES["q47_minhash_lsh"]
+    q79 = TORACLES["q79_decontaminate"]
+    return f"""
+    keepers AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    c1 AS (SELECT d.* FROM documents d JOIN keepers k ON d.doc_id = k.doc_id),
+    losers AS (SELECT DISTINCT b_id AS doc_id FROM ({q47}) q47),
+    c2 AS (SELECT * FROM c1 WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+    flagged AS (SELECT doc_id FROM ({q79}) q79),
+    c3 AS (SELECT * FROM c2
+           WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+             AND doc_id % {_DECON_MOD} <> 0),
+    {_scored_cte('c3', 'c3')},
+    thr AS (SELECT lang, quantile_cont(quality, {_QF_P}) AS p25
+            FROM scored_c3 GROUP BY 1),
+    c4 AS (SELECT c3.* FROM c3
+           JOIN scored_c3 s ON c3.doc_id = s.doc_id
+           JOIN thr t ON c3.lang = t.lang
+           WHERE s.quality >= t.p25),
+    rates AS (SELECT lang, least(1.0, {_BALANCE_K} * 1.0 / COUNT(*)) AS rate
+              FROM c4 GROUP BY 1),
+    keyed AS (SELECT doc_id, lang, {_doc_key('duckdb')} AS u FROM c4),
+    c5 AS (SELECT c4.* FROM c4
+           JOIN keyed kk ON c4.doc_id = kk.doc_id
+           JOIN rates r ON c4.lang = r.lang
+           WHERE kk.u < CAST(ceil(r.rate * {_HASH_DOMAIN}) AS BIGINT))"""
+
+
+def _oracle_q212() -> str:
+    from ..operators.textops import _PACK_CAP, _PACK_SHARDS, _md5_bucket
+
+    bucket = _md5_bucket("duckdb", "doc_id")
+    return f"""
+    WITH RECURSIVE
+    {_survivor_ctes()},
+    splitdocs AS (
+        SELECT doc_id,
+               CASE WHEN {bucket} < 80 THEN 'train'
+                    WHEN {bucket} < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               doc_id % {_PACK_SHARDS} AS shard,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM c5
+    ),
+    ord AS (
+        SELECT *, row_number() OVER (PARTITION BY split, shard
+                                     ORDER BY doc_id) AS rn
+        FROM splitdocs
+    ),
+    packed AS (
+        SELECT split, shard, rn, doc_id, n_tokens,
+               CAST(0 AS BIGINT) AS bin_idx, n_tokens AS cum
+        FROM ord WHERE rn = 1
+        UNION ALL
+        SELECT o.split, o.shard, o.rn, o.doc_id, o.n_tokens,
+               CASE WHEN p.cum + o.n_tokens > {_PACK_CAP}
+                    THEN p.bin_idx + 1 ELSE p.bin_idx END,
+               CASE WHEN p.cum + o.n_tokens > {_PACK_CAP}
+                    THEN o.n_tokens ELSE p.cum + o.n_tokens END
+        FROM packed p JOIN ord o
+          ON o.split = p.split AND o.shard = p.shard AND o.rn = p.rn + 1
+    )
+    SELECT split, shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(bin_idx) + 1 AS BIGINT) AS n_bins,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM packed GROUP BY split, shard
+    """
+
+
+def _oracle_q213() -> str:
+    from ..operators.common import sql_davg
+
+    rows = []
+    for idx, (name, rel) in enumerate([
+            ("input", "documents"), ("exact_dedup", "c1"),
+            ("near_dedup", "c2"), ("decontaminated", "c3"),
+            ("quality_cut", "c4"), ("balanced", "c5")]):
+        rows.append(f"""
+        SELECT CAST({idx} AS BIGINT) AS stage_idx, '{name}' AS stage,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT)
+                   AS n_tokens,
+               {sql_davg('s.quality', 'avg_quality')}
+        FROM {rel} d JOIN scored_all s ON d.doc_id = s.doc_id""")
+    union = "\n    UNION ALL".join(rows)
+    return f"""
+    WITH RECURSIVE
+    {_survivor_ctes()},
+    {_scored_cte('documents', 'all')}
+    {union}
+    """
+
+
+@query("q212_curation_shards", _oracle_q212())
+def q212_curation_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed training-shard table of the FULL curation pipeline —
+    stages 1-7 composed and hash-matched end to end."""
+    out = curate(spark, sf_dir)
+    return out.groupBy("split", "shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.max("bin_idx") + 1).cast("bigint").alias("n_bins"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"))
+
+
+@query("q213_curation_funnel", _oracle_q213())
+def q213_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage curation funnel: docs, whitespace tokens and mean
+    quality surviving each stage — the observability table a curation
+    run reports (and the numbers a 100 TB run watches for stage-level
+    regressions)."""
+    from ..operators.common import davg
+    from ..operators.textops import _scored_quality
+
+    d = load(spark, sf_dir, "documents")
+    per_doc = (d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("nt"))
+        .join(_scored_quality(d).select("doc_id", "quality"), "doc_id"))
+
+    parts = []
+    for idx, (name, frame) in enumerate(curation_stages(spark, sf_dir)):
+        parts.append(
+            frame.select("doc_id").join(per_doc, "doc_id").agg(
+                F.lit(idx).cast("bigint").alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("nt").cast("bigint").alias("n_tokens"),
+                davg("quality", "avg_quality")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

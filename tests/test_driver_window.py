@@ -19,49 +19,15 @@ from __future__ import annotations
 
 from spatial_data_engineering_spark.queries_registry import all_queries
 
-# Round-7 window: the 23 never-driver-verified leftovers (the burn-down
-# lead r6 pre-pinned) + the 17 queries changed this round (policy rule
-# 2: the 7 rerouted through the global-order kernel — q192 already
-# leads — the 9 SimHash-family / scan-spread rewrites, and q87's late
-# shingle-frame pin) + the 10 oldest r3-stale rows.
+# Round-8 window, executing the written r8 schedule: the 29 remaining
+# r3-stale rows lead (the oldest driver evidence in the inventory), then
+# the 17 queries whose Spark DAG changed this round (the conv() hex-fold
+# rewrite — every runtime evaluator of dedup._hex_fold / _simhash_sig /
+# q153's signature; near_dup_pairs consumers deliberately NOT forced,
+# the r7 cache-hit precedent), then the round's 2 new queries (the
+# oracled end-to-end curation pipeline), then the 2 oldest r4 rows.
 EXPECTED_WINDOW = [
-    # never-driver-verified lead (23)
-    "q180_basket_lift", "q181_order_interarrival",
-    "q182_subword_diversity", "q183_fk_audit", "q184_bounce_rate",
-    "q187_dedup_survivor_bias", "q190_prefix_dup", "q191_dim_redundancy",
-    "q192_segment_migration", "q194_truncation_loss",
-    "q195_effective_tokens", "q197_session_survival",
-    "q198_position_value_decay", "q200_corpus_stats",
-    "q201_cluster_label_purity", "q203_quantization_error",
-    "q204_forecast_revenue", "q205_supplier_coverage", "q206_ship_latency",
-    "q207_brand_return_rate", "q208_embedding_norm_qa",
-    "q209_source_scorecard", "q210_word_length_hist",
-    # changed this round: rerouted exact-rank family (7)
-    "q127_score_calibration", "q145_curriculum_stages", "q163_score_auc",
-    "q164_rfm_segments", "q174_value_gini", "q189_runs_test",
-    "q193_heaps_law",
-    # changed this round: SimHash signature rewrite + fused k-means
-    # iteration + linear gram walk + expand-free q105 + scan spreads (9)
-    "q48_simhash", "q55_kmeans", "q79_decontaminate",
-    "q81_substring_dup", "q105_lone_returner", "q128_detector_agreement",
-    "q139_split_contamination", "q153_simhash_hamming_join",
-    "q167_dedup_strategy_venn",
-    # oldest r3-stale (10)
-    "q47_minhash_lsh", "q67_overlap_dissolve", "q60_point_in_polygon",
-    "q61_zonal_histogram", "q49_cosine_topk", "q43_fingerprint",
-    "q54_dedup_materialize", "q15_count_distinct", "q19_hourly_window",
-    "q21_props_extract",
-    # forced by rule 2 late in the round: q87's shared shingle frame was
-    # pinned (plan-level rewrite) in the continued session; displaces
-    # q22_cube to the round-8 lead
-    "q87_ngram_novelty",
-]
-
-# The 29 remaining r3-stale rows that must LEAD the round-8 window (the
-# written schedule's next step; 9 were displaced from the r7 window by
-# changed-this-round rule 2, q22_cube by the late q87 force).  Guarded
-# so the r8 rotation cannot accidentally bury them.
-EXPECTED_R8_LEAD = [
+    # r3-stale backlog lead (29) — the scheduled r8 step
     "q22_cube",
     "q23_unpivot", "q24_in_subquery", "q25_window_analytics",
     "q26_median", "q27_first_limit", "q30_range_join",
@@ -74,30 +40,64 @@ EXPECTED_R8_LEAD = [
     "q84_sample_exact_k", "q85_twophase_topk", "q10_row_number",
     "q71_frame_sample", "q50_embedding_neardup", "q51_srp_lsh_buckets",
     "q53_embedding_centroids",
+    # changed this round: conv() md5-fold rewrite evaluators (17)
+    "q47_minhash_lsh", "q48_simhash", "q73_hash_split",
+    "q78_balance_corpus", "q91_temperature_sample",
+    "q113_cms_heavy_hitters", "q114_kmv_distinct", "q118_weighted_sample",
+    "q119_kmv_setops", "q128_detector_agreement",
+    "q139_split_contamination", "q144_training_order",
+    "q153_simhash_hamming_join", "q156_minhash_estimate_audit",
+    "q167_dedup_strategy_venn", "q188_aa_test",
+    "q196_crosssplit_perplexity",
+    # new this round: the composed curation pipeline, driver-gated (2)
+    "q212_curation_shards", "q213_curation_funnel",
+    # oldest r4-verified rows (2)
+    "q42_lang_id", "q44_quality_score",
+]
+
+# The remaining r4-verified rows that must LEAD the round-9 window (the
+# written schedule's next step).  Guarded so the r9 rotation cannot
+# accidentally bury them.
+EXPECTED_R9_LEAD = [
+    "q18_sessionization", "q01_pricing_summary", "q45_dedup_exact",
+    "q46_dedup_tokensort", "q40_text_stats", "q41_token_count",
+    "q08_var_argmax", "q33_percentiles", "q72_hierarchical_rollup",
+    "q57_normalize_text", "q58_edit_distance", "q65_blocklist_filter",
+    "q66_repetition", "q68_chunk_documents", "q69_embedding_quantize",
+    "q70_multimodal_meta", "q74_vocab_topk", "q02_ilike_filter",
+    "q03_join_enrich", "q04_semi_join", "q05_anti_join",
+    "q06_monthly_revenue", "q07_month_spine", "q09_histogram",
+    "q11_topk_per_group", "q12_pivot", "q13_setops", "q14_rollup",
+    "q16_extent", "q17_case_thresholds", "q20_above_avg",
+    "q75_golden_variance", "q80_quality_filter", "q82_incremental_dedup",
+    "q62_dissolve_area", "q88_containment_join", "q89_bigram_lift",
+    "q90_pattern_redact", "q92_random_projection",
 ]
 
 
-def test_driver_window_is_the_reviewed_round7_plan():
+def test_driver_window_is_the_reviewed_round8_plan():
     names = list(all_queries())
     assert len(EXPECTED_WINDOW) == 50
     got = names[:50]
     assert got == EXPECTED_WINDOW, (
-        "driver window drifted from the reviewed round-7 rotation plan; "
+        "driver window drifted from the reviewed round-8 rotation plan; "
         f"first divergence at slot "
         f"{next(i for i, (a, b) in enumerate(zip(got, EXPECTED_WINDOW)) if a != b) + 1}"
     )
 
 
-def test_round8_queue_is_next():
+def test_round9_queue_is_next():
     names = list(all_queries())
-    assert names[50:50 + len(EXPECTED_R8_LEAD)] == EXPECTED_R8_LEAD, (
-        "the 22 remaining r3-stale rows must sit immediately after the "
-        "window so they lead the round-8 rotation"
+    assert names[50:50 + len(EXPECTED_R9_LEAD)] == EXPECTED_R9_LEAD, (
+        "the remaining r4-verified rows must sit immediately after the "
+        "window so they lead the round-9 rotation"
     )
 
 
-def test_inventory_frozen_at_210():
-    # Frozen until the stale backlog clears (r5 verdict task 1; r6/r7
-    # schedule).  Growing this number requires a rotation decision that
-    # keeps (new + stale) <= 50 per round.
-    assert len(all_queries()) == 210
+def test_inventory_growth_is_a_rotation_decision():
+    # The r5-r7 freeze at 210 ended when the stale backlog cleared (r7:
+    # zero queries without driver evidence).  Round 8 adds exactly the
+    # two curation-pipeline queries, BOTH placed inside the verification
+    # window.  Growing this number further requires a rotation decision
+    # that keeps (new + stale) <= 50 per round.
+    assert len(all_queries()) == 212

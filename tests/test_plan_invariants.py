@@ -27,8 +27,9 @@ markers never appear:
 
 "Compiling" is mostly plan-only, with two deliberate exceptions that
 make the sweep's runtime and disk state non-trivial: (a) building the
-plan for q56/q86/q199 calls ``near_dup_pairs``, which eagerly runs the
-LSH job (localCheckpoint) and writes the pair cache — pointed at a tmp
+plan for q56/q86/q199 (and, since round 8, the q212/q213 curation
+pipeline) calls ``near_dup_pairs``, which eagerly runs the LSH job
+(localCheckpoint) and writes the pair cache — pointed at a tmp
 dir here so the sweep never leaves state in the repo checkout; (b) with
 the threshold forced to 0, every global-order helper runs its probe /
 range-exchange / offset-count jobs during plan construction.  Both are
