@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Scale-stress for the composed curation pipeline (q212/q213).
+
+Runs the full pipeline — exact dedup -> LSH near-dup -> decontamination
+-> quality cut -> balancing -> split -> pack — on synthetic corpora 2x,
+10x and 20x the sf0.1 bench document count and prints one JSON line of
+per-scale timings, funnel rows and invariant checks.  What must hold:
+
+* cost grows ~linearly in corpus size (the LSH shingle fan-out and the
+  decontamination explode dominate; no stage is quadratic);
+* the funnel is monotone non-increasing and every stage's count is
+  consistent with the synthetic corpus's planted structure (each
+  5-doc template group shares a word sequence, so near-dup removal
+  must collapse groups, and the balancer must cap languages at K);
+* no driver-side materialization beyond the doc-sized survivor ID
+  sets (the pipeline's _pin frames) and the pair table.
+
+Usage: python scripts/stress_curation.py [n_docs_base] [factors...]
+Defaults: base 20_000 (the sf0.1 corpus size), factors 2 10 20.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+# keep pair-table caches out of the repo checkout
+os.environ.setdefault("SPARK_GRAFT_PAIR_CACHE",
+                      os.path.join(tempfile.gettempdir(),
+                                   "stress_curation_pair_cache"))
+
+
+def main() -> None:
+    base = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    factors = [int(a) for a in sys.argv[2:]] or [2, 10, 20]
+
+    from pyspark.sql import functions as F
+
+    from spatial_data_engineering_spark.queries_registry import all_queries
+    from spatial_data_engineering_spark.session import build_session
+
+    spark = build_session(app_name="stress_curation")
+    qs = all_queries()
+    out: dict = {"base": base, "factors": factors,
+                 "loadavg": open("/proc/loadavg").read().split()[0],
+                 "scales": {}}
+
+    # same per-group template corpus as stress_r7 (5 docs/group share a
+    # word sequence so the dedup stages have real near-dup structure)
+    words = ("the fast key order sort table scan merge part window small "
+             "hash join query row data slow filter customer line batch "
+             "value agg group stream column vector").split()
+    arr = "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+    terms = ", ".join(
+        f"element_at({arr}, pmod(hash(id DIV 5, {i}), {len(words)}) + 1)"
+        for i in range(40))
+
+    for f in factors:
+        n_docs = base * f
+        tmp = tempfile.mkdtemp(prefix=f"stress_curation_{f}x_")
+        # benchmark members (doc_id % 97 == 0) get an uppercase twin of
+        # the template so their char-8-gram shingles are DISJOINT from
+        # the corpus — otherwise the 31-word shared vocabulary makes
+        # every doc overlap the bench set >= theta and the
+        # decontamination stage degenerately empties the funnel
+        docs = (spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.expr(f"CASE WHEN id % 97 = 0"
+                   f" THEN upper(concat(concat_ws(' ', {terms}), ' v',"
+                   f" CAST(id AS STRING)))"
+                   f" ELSE concat(concat_ws(' ', {terms}), ' v',"
+                   f" CAST(id AS STRING)) END").alias("text"),
+            F.expr("concat('l', CAST(pmod(id, 5) AS STRING))").alias("lang"),
+            F.expr("concat('s', CAST(pmod(id, 7) AS STRING))")
+            .alias("source")))
+        docs = docs.withColumn("n_chars", F.length("text").cast("bigint"))
+        docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+
+        row: dict = {"n_docs": n_docs}
+        t0 = time.perf_counter()
+        funnel = {r["stage"]: (r["n_docs"], r["n_tokens"])
+                  for r in qs["q213_curation_funnel"](spark, tmp).collect()}
+        row["funnel_sec"] = round(time.perf_counter() - t0, 2)
+        row["funnel"] = {k: list(v) for k, v in funnel.items()}
+
+        # invariants: monotone narrowing; balancer caps at K per lang
+        order = ["input", "exact_dedup", "near_dedup", "decontaminated",
+                 "quality_cut", "balanced"]
+        counts = [funnel[s][0] for s in order]
+        assert counts == sorted(counts, reverse=True), counts
+        assert counts[0] == n_docs
+        assert funnel["decontaminated"][0] > 0, "decon emptied the funnel"
+        assert funnel["balanced"][0] <= 5 * 100  # 5 langs x K=100
+
+        t0 = time.perf_counter()
+        shards = qs["q212_curation_shards"](spark, tmp).collect()
+        row["shards_sec"] = round(time.perf_counter() - t0, 2)
+        row["n_shard_rows"] = len(shards)
+        assert sum(r["n_docs"] for r in shards) == funnel["balanced"][0]
+
+        out["scales"][f"{f}x"] = row
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
