@@ -44,8 +44,19 @@ def kmeans_fit(spark: SparkSession, vectors: DataFrame, k: int = 8,
     """Returns (assignments DataFrame [id, cluster], centroids ndarray,
     inertia history list)."""
     import pandas as pd
+    from pyspark import StorageLevel
 
-    first = (vectors.orderBy(id_col).limit(k)
+    # Pin the (id, vec) projection for the loop: every iteration scans
+    # it through mapInPandas, so without the persist each of the
+    # max_iter+1 passes re-reads and re-decodes the source parquet
+    # (measured at sf0.1: q55 8.8s -> 6.1s, identical output).  A
+    # DERIVED frame is persisted — never the caller's, whose own cache
+    # policy must not be clobbered — and unpersisted before return,
+    # after the final assignment is checkpointed off it.
+    v = vectors.select(id_col, vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK)
+
+    first = (v.orderBy(id_col).limit(k)
              .select(vec_col).toPandas()[vec_col])
     centroids = np.stack(first.to_numpy()).astype(np.float64)
     inertia_hist: list[float] = []
@@ -70,7 +81,7 @@ def kmeans_fit(spark: SparkSession, vectors: DataFrame, k: int = 8,
 
     for _ in range(max_iter):
         bc = spark.sparkContext.broadcast(centroids)
-        assigned = vectors.select(id_col, vec_col).mapInPandas(
+        assigned = v.mapInPandas(
             make_assign(bc, with_dist=True),
             schema=f"id bigint, cluster int, dist2 double, {vec_col} array<float>",
         )
@@ -110,8 +121,13 @@ def kmeans_fit(spark: SparkSession, vectors: DataFrame, k: int = 8,
         centroids = new_centroids
 
     bc = spark.sparkContext.broadcast(centroids)
-    assignments = vectors.select(id_col, vec_col).mapInPandas(
-        make_assign(bc, with_dist=False), schema="id bigint, cluster int")
+    # eager checkpoint of the (id, cluster) rows — bounded at two ints
+    # per vector — so the cached projection can be released immediately
+    # instead of leaking one copy per kmeans_fit call into the session
+    assignments = v.mapInPandas(
+        make_assign(bc, with_dist=False),
+        schema="id bigint, cluster int").localCheckpoint(eager=True)
+    v.unpersist()
     return assignments, centroids, inertia_hist
 
 
