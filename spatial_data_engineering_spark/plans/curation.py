@@ -170,6 +170,28 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "shard bigint, bin_idx bigint, n_tokens bigint")
 
 
+def materialize_curated(spark: SparkSession, sf_dir: str,
+                        out_dir: str) -> None:
+    """The pipeline's SINK: write the packed shard assignment as a
+    split-partitioned parquet dataset.
+
+    Layout: ``out_dir/split=train|val|test/``, one file group per
+    ``shard`` within each split (repartition by the two keys so a shard's
+    bins land together — the locality the training loader reads by).
+    Downstream readers prune by split at the directory level
+    (PartitionFilters, pinned by test_curation) — a 100 TB consumer
+    scanning only ``split=train`` never lists the val/test files.  At
+    warehouse scale the same frame ``saveAsTable``s with
+    ``bucketBy(shard)`` (the test_bucketing pattern) for shuffle-free
+    per-shard reads; plain parquet keeps this path catalog-free.
+    """
+    (curate(spark, sf_dir)
+     .repartition("split", "shard")
+     .write.mode("overwrite")
+     .partitionBy("split")
+     .parquet(out_dir))
+
+
 # --------------------------------------------------------------------------
 # Oracle assembly: one SQL replay of the whole pipeline, composed from
 # the SAME registered fragments the per-stage queries are proven with

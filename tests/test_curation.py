@@ -57,3 +57,30 @@ def test_curation_pipeline_properties(spark):
     a = out.sort_values(key).reset_index(drop=True)
     b = again.sort_values(key).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_materialize_curated_roundtrip_and_pruning(spark, tmp_path):
+    """The pipeline sink: split-partitioned parquet round-trips the
+    packed assignment exactly, and a split-filtered read prunes at the
+    directory level (PartitionFilters in the scan, not a post-filter
+    over all files)."""
+    from spatial_data_engineering_spark.plans.curation import (
+        curate, materialize_curated)
+
+    out_dir = str(tmp_path / "curated")
+    materialize_curated(spark, SF_ORACLE, out_dir)
+
+    expected = curate(spark, SF_ORACLE).toPandas()
+    back = spark.read.parquet(out_dir)
+    got = back.toPandas()
+    key = ["doc_id"]
+    cols = ["doc_id", "lang", "split", "shard", "bin_idx", "n_tokens"]
+    a = expected.sort_values(key).reset_index(drop=True)[cols]
+    b = got.sort_values(key).reset_index(drop=True)[cols]
+    # partitionBy re-types nothing here, but column order differs
+    assert a.equals(b.astype(a.dtypes.to_dict()))
+
+    train = back.filter(F.col("split") == "train")
+    plan = train._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(split" in plan, plan
+    assert train.count() == (expected["split"] == "train").sum()
