@@ -284,6 +284,51 @@ def q47_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shingle_bands(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The q47 signature machinery over an ARBITRARY (doc_id, text)
+    frame: returns (sh, bands) where sh = (doc_id, tl shingle list) and
+    bands = (doc_id, band key), both checkpoint-pinned (sh feeds the
+    verify joins; bands the candidate join — the q47 pin rationale).
+
+    This is the frame-parameterized building block incremental admission
+    needs (plans/curation.admit_delta): a delta batch's bands join a
+    BASE corpus's bands without re-running the base LSH — at 100 TB the
+    base (sh, bands) pair is the stored signature table, written once
+    alongside the pair table and read back per delta."""
+    sh = d.select(
+        "doc_id", F.expr(_SHINGLES_SPARK.format(col="text")).alias("tl")
+    ).localCheckpoint(eager=False)
+    hx = (
+        sh.select("doc_id", F.explode("tl").alias("t"))
+        .select("doc_id", F.expr(_hex_fold("spark", "md5(t)")).alias("h"))
+    )
+    sig = hx.groupBy("doc_id").agg(
+        *[F.expr(e) for e in _sig_aggs("spark")])
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.expr(f"array({', '.join(_band_keys('spark'))})"))
+        .alias("band"),
+    ).localCheckpoint(eager=False)
+    return sh, bands
+
+
+def verified_pairs(cand: DataFrame, sh_a: DataFrame, sh_b: DataFrame,
+                   theta: float = _Q47_THETA) -> DataFrame:
+    """Exact shingle-Jaccard verification of (a_id, b_id) candidates
+    against two shingle frames — q47's verify stage, candidates only."""
+    ta, tb = sh_a.alias("ta"), sh_b.alias("tb")
+    j = (F.size(F.array_intersect(F.col("ta.tl"), F.col("tb.tl"))) * 1.0
+         / F.size(F.array_distinct(F.concat(F.col("ta.tl"),
+                                            F.col("tb.tl")))))
+    return (
+        cand.join(ta, F.col("ta.doc_id") == F.col("a_id"))
+        .join(tb, F.col("tb.doc_id") == F.col("b_id"))
+        .select("a_id", "b_id", j.alias("__j"))
+        .filter(F.col("__j") >= theta)
+        .select("a_id", "b_id", F.round("__j", 6).alias("jaccard"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Shared near-dup pair set — q47's output, materialized ONCE per
 # (application, sf_dir) for its graph consumers (q56 components, q86

@@ -170,6 +170,87 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "shard bigint, bin_idx bigint, n_tokens bigint")
 
 
+def admit_delta(base: DataFrame, delta: DataFrame,
+                bench: DataFrame | None = None) -> DataFrame:
+    """Incremental corpus admission: which delta docs may JOIN an
+    already-curated base — without recomputing anything base x base.
+
+    The production 100 TB refresh path: a day's crawl arrives as a
+    delta batch; re-running the whole pipeline over base+delta would
+    re-pay the corpus-sized LSH and decontamination every day.  This
+    admits the delta against the base in delta-dominated work:
+
+    * exact: delta docs whose md5(text) already exists in base are
+      rejected; within the delta the lowest doc_id per hash survives
+      (the q45/q82 keep-first contract);
+    * near-dup: delta band keys join BASE band keys (the base (sh,
+      bands) signature pair is computed once here and is the stored
+      signature table at warehouse scale — written alongside the q47
+      pair table, never recomputed per delta) plus a delta-internal
+      band self-join; candidates verify by exact shingle Jaccard and
+      verified delta docs are rejected (vs base) or keep-first
+      resolved (within delta — curate()'s drop-the-higher-id rule);
+    * decontamination: if ``bench`` is given, delta docs whose shingle
+      overlap with the benchmark set reaches the q79 threshold are
+      rejected.
+
+    Returns the admitted delta rows (all delta columns).  Base work is
+    signature-building only — linear, cacheable, no pair recompute.
+    """
+    from ..operators.dedup import shingle_bands, verified_pairs
+    from ..operators.textops import _DECON_THETA
+
+    # 1. exact, vs base then within-delta keep-first
+    bh = base.select(F.md5("text").alias("eh")).distinct()
+    d1 = (delta.withColumn("eh", F.md5("text"))
+          .join(bh, "eh", "left_anti"))
+    first = d1.groupBy("eh").agg(F.min("doc_id").alias("doc_id"))
+    d1 = d1.join(first, ["eh", "doc_id"]).drop("eh")
+
+    # 2. near-dup: delta bands vs base bands + delta self-join
+    base_sh, base_bands = shingle_bands(base)
+    delta_sh, delta_bands = shingle_bands(d1)
+    vs_base = (delta_bands.alias("a")
+               .join(base_bands.alias("b"), "band")
+               .select(F.col("a.doc_id").alias("a_id"),
+                       F.col("b.doc_id").alias("b_id"))
+               .distinct())
+    drop_base = (verified_pairs(vs_base, delta_sh, base_sh)
+                 .select(F.col("a_id").alias("doc_id")).distinct())
+    within = (delta_bands.alias("a")
+              .join(delta_bands.alias("b"),
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+              .select(F.col("a.doc_id").alias("a_id"),
+                      F.col("b.doc_id").alias("b_id"))
+              .distinct())
+    drop_within = (verified_pairs(within, delta_sh, delta_sh)
+                   .select(F.col("b_id").alias("doc_id")).distinct())
+    d2 = (d1.join(drop_base, "doc_id", "left_anti")
+          .join(drop_within, "doc_id", "left_anti"))
+
+    # 3. decontamination vs an explicit benchmark frame
+    if bench is not None:
+        from ..operators.dedup import _SHINGLES_SPARK
+
+        bench_sh = (bench.select(F.explode(F.expr(
+            _SHINGLES_SPARK.format(col="text"))).alias("t")).distinct())
+        d2_sh = d2.select(
+            "doc_id",
+            F.expr(_SHINGLES_SPARK.format(col="text")).alias("tl"))
+        doc_tok = d2_sh.select(
+            "doc_id", F.size("tl").cast("bigint").alias("n_shingles"),
+            F.explode("tl").alias("t"))
+        m = (doc_tok.join(F.broadcast(bench_sh), "t")
+             .groupBy("doc_id")
+             .agg(F.count(F.lit(1)).alias("n_matched"),
+                  F.min("n_shingles").alias("n_shingles")))
+        flagged = (m.filter(F.col("n_matched") * 1.0 / F.col("n_shingles")
+                            >= _DECON_THETA).select("doc_id"))
+        d2 = d2.join(flagged, "doc_id", "left_anti")
+    return d2
+
+
 def materialize_curated(spark: SparkSession, sf_dir: str,
                         out_dir: str) -> None:
     """The pipeline's SINK: write the packed shard assignment as a

@@ -84,3 +84,53 @@ def test_materialize_curated_roundtrip_and_pruning(spark, tmp_path):
     plan = train._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(split" in plan, plan
     assert train.count() == (expected["split"] == "train").sum()
+
+
+def test_admit_delta_planted(spark):
+    """Incremental admission: a delta batch against a curated base.
+    Planted: an exact copy of a base doc, a near-dup of a base doc, a
+    within-delta near-dup pair, a benchmark-contaminated doc and two
+    clean docs — only the clean docs and the within-pair keeper admit."""
+    from spatial_data_engineering_spark.plans.curation import admit_delta
+
+    import random
+
+    words = ("quark lattice photon meson hadron lepton baryon gluon "
+             "boson fermion spinor tensor gauge flux brane string").split()
+
+    def text(seed, n=40):
+        # per-seed word ORDER (not a rotation of one cycle): char-8-gram
+        # shingles mostly cross word boundaries, so distinct adjacency
+        # is what makes two seeds genuinely non-near-dup
+        return " ".join(random.Random(seed).choices(words, k=n))
+
+    base = spark.createDataFrame(
+        [(i, text(i)) for i in range(10)], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(900, "zebra xylophone quixotic jackdaw " * 12)],
+        "doc_id long, text string")
+    near_of_base = text(3) + " extra"           # ~0.97 jaccard vs base 3
+    within_a = text(77)
+    within_b = text(77) + " tail"               # near-dup of within_a
+    delta = spark.createDataFrame([
+        (100, text(5)),                          # exact copy of base 5
+        (101, near_of_base),                     # near-dup of base 3
+        (102, within_a),                         # keeper of delta pair
+        (103, within_b),                         # dropped: higher id
+        (104, "zebra xylophone quixotic jackdaw " * 12 + "x"),  # contaminated
+        (105, text(55)),                         # clean
+        (106, text(56)),                         # clean
+    ], "doc_id long, text string")
+
+    admitted = sorted(
+        r.doc_id for r in admit_delta(base, delta, bench).collect())
+    assert admitted == [102, 105, 106], admitted
+
+    # without a benchmark frame, decontamination is skipped
+    admitted2 = sorted(
+        r.doc_id for r in admit_delta(base, delta).collect())
+    assert admitted2 == [102, 104, 105, 106], admitted2
+
+    # determinism across runs
+    assert admitted == sorted(
+        r.doc_id for r in admit_delta(base, delta, bench).collect())
