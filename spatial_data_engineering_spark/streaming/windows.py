@@ -189,6 +189,55 @@ def stream_admit_documents(stream_docs: DataFrame,
             .drop("__eh", "__fh"))
 
 
+def admit_stream(base: DataFrame, stream_docs: DataFrame, out_dir: str,
+                 checkpoint_dir: str, bench: DataFrame | None = None) -> None:
+    """Streaming corpus admission with FULL near-dup semantics: every
+    micro-batch runs the batch ``admit_delta`` (exact keep-first +
+    LSH-banded near-dup verify + optional benchmark decontamination)
+    against base ∪ everything previously admitted, then lands in a
+    batch-id-named parquet directory.
+
+    Why foreachBatch and not stream-static joins: the near-dup tier
+    needs per-doc minhash signatures (explode + groupBy) and a
+    candidate verify join — blocking operators that streaming append
+    mode cannot host, but that are ordinary batch work inside a
+    micro-batch closure.  ``stream_admit_documents`` stays the
+    state-free fast path for exact/fingerprint tiers; this is the full
+    pipeline-admission twin.
+
+    Semantics are ARRIVAL-ORDER keep-first: a doc near-duplicating one
+    admitted in an earlier batch is rejected, exactly like a later
+    doc_id within one batch.  Replay-safe: a recomputed batch excludes
+    its OWN previous output from the effective base (else every row of
+    a replayed batch would self-reject as an exact dup and the rewrite
+    would silently empty it) and overwrites its directory — the
+    write_stream_idempotent contract.
+    """
+    from ..plans.curation import admit_delta
+
+    base_kt = base.select("doc_id", "text")
+
+    def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        eff_base = base_kt
+        try:
+            prev = (spark.read.parquet(out_dir)
+                    .filter(F.col("batch") != batch_id)
+                    .select("doc_id", "text"))
+            eff_base = base_kt.unionByName(prev)
+        except Exception:
+            pass  # first batch: nothing admitted yet
+        admitted = admit_delta(eff_base, batch_df, bench)
+        admitted.write.mode("overwrite").parquet(
+            f"{out_dir}/batch={batch_id}")
+
+    q = (stream_docs.writeStream.foreachBatch(admit_batch)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
 def run_to_completion(stream_df: DataFrame, query_name: str,
                       output_mode: str = "append") -> DataFrame:
     """Drive a (bounded file-source) streaming frame to completion through

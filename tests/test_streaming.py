@@ -539,3 +539,50 @@ def test_stream_state_bounded_by_watermark_horizon(spark, tmp_path):
     # source: the watermark never passes them)
     matured = (n_batches - 1) * keys_per_batch
     assert emitted["n"] == emitted["k"] == matured
+
+
+def test_admit_stream_near_dup_across_batches(spark, tmp_path):
+    """Full-pipeline streaming admission (admit_stream): arrival-order
+    keep-first across micro-batches with REAL near-dup semantics — a
+    doc near-duplicating one admitted in an earlier batch is rejected,
+    exact copies of base are rejected, clean docs admit."""
+    import os
+    import random
+    import time
+
+    from spatial_data_engineering_spark.streaming.windows import admit_stream
+
+    words = ("quark lattice photon meson hadron lepton baryon gluon "
+             "boson fermion spinor tensor gauge flux brane string").split()
+
+    def text(seed, n=40):
+        return " ".join(random.Random(seed).choices(words, k=n))
+
+    base = spark.createDataFrame(
+        [(i, text(i)) for i in range(5)], "doc_id long, text string")
+
+    stream_dir = str(tmp_path / "incoming")
+    os.makedirs(stream_dir)
+    # batch 1: a clean doc + an exact copy of base 2
+    spark.createDataFrame(
+        [(100, text(50)), (101, text(2))], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{stream_dir}/f1")
+    time.sleep(1.1)  # distinct mtimes => deterministic batch order
+    # batch 2: a near-dup of batch-1's admitted doc + a clean doc
+    spark.createDataFrame(
+        [(200, text(50) + " tail"), (201, text(60))],
+        "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{stream_dir}/f2")
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1)
+              .option("recursiveFileLookup", "true").parquet(stream_dir))
+    out_dir = str(tmp_path / "admitted")
+    admit_stream(base, stream, out_dir, str(tmp_path / "ckpt"))
+
+    got = spark.read.parquet(out_dir).toPandas()
+    by_batch = {int(b): sorted(g["doc_id"])
+                for b, g in got.groupby("batch")}
+    # batch order is mtime order: f1 first
+    assert sorted(got["doc_id"]) == [100, 201], by_batch
+    assert len(by_batch) == 2 and by_batch[0] == [100], by_batch
