@@ -105,6 +105,43 @@ def main() -> None:
         row["n_shard_rows"] = len(shards)
         assert sum(r["n_docs"] for r in shards) == funnel["balanced"][0]
 
+        # incremental refresh: admit a 1% delta against this corpus and
+        # compare to the full-pipeline cost above — the number that
+        # justifies admit_delta's existence.  The delta is half planted
+        # near-dups of base docs (must reject) and half fresh texts
+        # (must admit), so both the candidate and clean paths execute.
+        from spatial_data_engineering_spark.operators.dedup import (
+            shingle_bands)
+        from spatial_data_engineering_spark.plans.curation import (
+            admit_delta)
+
+        base_docs = spark.read.parquet(f"{tmp}/documents.parquet")
+        # one-time cost, amortized over every later refresh: build and
+        # materialize the base signature pair (the stored signature
+        # table at warehouse scale)
+        t0 = time.perf_counter()
+        base_sigs = shingle_bands(base_docs)
+        base_sigs[0].count(); base_sigs[1].count()  # force materialization
+        row["base_sig_build_sec"] = round(time.perf_counter() - t0, 2)
+        n_delta = max(200, n_docs // 100)
+        delta = (spark.range(n_delta).select(
+            (F.col("id") + 10_000_000).alias("doc_id"),
+            F.expr(f"CASE WHEN id % 2 = 0"
+                   f" THEN concat(concat_ws(' ', {terms}), ' v',"
+                   f" CAST(id * 5 AS STRING))"  # near-dup of group id*5/5
+                   f" ELSE concat('fresh', CAST(id AS STRING), ' ',"
+                   f" reverse(concat_ws(' ', {terms})), ' z',"
+                   f" CAST(id AS STRING)) END").alias("text")))
+        t0 = time.perf_counter()
+        n_admitted = admit_delta(base_docs, delta,
+                                 base_signatures=base_sigs).count()
+        row["admit_delta_sec"] = round(time.perf_counter() - t0, 2)
+        row["n_delta"] = n_delta
+        row["n_admitted"] = n_admitted
+        # the planted near-dup half must be rejected wholesale
+        assert n_admitted <= n_delta // 2 + n_delta // 10, (
+            n_admitted, n_delta)
+
         out["scales"][f"{f}x"] = row
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -315,8 +315,19 @@ def shingle_bands(d: DataFrame) -> tuple[DataFrame, DataFrame]:
 def verified_pairs(cand: DataFrame, sh_a: DataFrame, sh_b: DataFrame,
                    theta: float = _Q47_THETA) -> DataFrame:
     """Exact shingle-Jaccard verification of (a_id, b_id) candidates
-    against two shingle frames — q47's verify stage, candidates only."""
-    ta, tb = sh_a.alias("ta"), sh_b.alias("tb")
+    against two shingle frames — q47's verify stage, candidates only.
+
+    The shingle frames are pruned to the candidate ID sets with
+    BROADCAST semi-joins before the verify joins: the candidate sets
+    are delta/pair-bounded while sh_b may be the full base signature
+    table (corpus x shingle-list sized), and without the prune the
+    verify join SHUFFLES that whole table to match a handful of rows
+    (measured in the admit_delta stress at 400k base docs: 104 s ->
+    seconds for a 4k-doc delta)."""
+    ids_a = cand.select(F.col("a_id").alias("doc_id")).distinct()
+    ids_b = cand.select(F.col("b_id").alias("doc_id")).distinct()
+    ta = sh_a.join(F.broadcast(ids_a), "doc_id").alias("ta")
+    tb = sh_b.join(F.broadcast(ids_b), "doc_id").alias("tb")
     j = (F.size(F.array_intersect(F.col("ta.tl"), F.col("tb.tl"))) * 1.0
          / F.size(F.array_distinct(F.concat(F.col("ta.tl"),
                                             F.col("tb.tl")))))

@@ -171,7 +171,9 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def admit_delta(base: DataFrame, delta: DataFrame,
-                bench: DataFrame | None = None) -> DataFrame:
+                bench: DataFrame | None = None,
+                base_signatures: tuple[DataFrame, DataFrame] | None = None,
+                ) -> DataFrame:
     """Incremental corpus admission: which delta docs may JOIN an
     already-curated base — without recomputing anything base x base.
 
@@ -195,7 +197,14 @@ def admit_delta(base: DataFrame, delta: DataFrame,
       rejected.
 
     Returns the admitted delta rows (all delta columns).  Base work is
-    signature-building only — linear, cacheable, no pair recompute.
+    signature-building only — linear, cacheable, no pair recompute —
+    and even that is paid once across refreshes when the caller passes
+    ``base_signatures`` (the (sh, bands) pair from
+    ``dedup.shingle_bands(base)``, persisted however the deployment
+    stores tables).  Measured at 400k base docs
+    (scripts/stress_curation.py): signature build ~90 s once, every
+    subsequent delta admission seconds — vs ~200 s for a full pipeline
+    re-run per refresh.
     """
     from ..operators.dedup import shingle_bands, verified_pairs
     from ..operators.textops import _DECON_THETA
@@ -208,9 +217,11 @@ def admit_delta(base: DataFrame, delta: DataFrame,
     d1 = d1.join(first, ["eh", "doc_id"]).drop("eh")
 
     # 2. near-dup: delta bands vs base bands + delta self-join
-    base_sh, base_bands = shingle_bands(base)
+    base_sh, base_bands = base_signatures or shingle_bands(base)
     delta_sh, delta_bands = shingle_bands(d1)
-    vs_base = (delta_bands.alias("a")
+    # broadcast the DELTA bands: the base band table is corpus-sized and
+    # must not shuffle for a delta-sized probe
+    vs_base = (F.broadcast(delta_bands.alias("a"))
                .join(base_bands.alias("b"), "band")
                .select(F.col("a.doc_id").alias("a_id"),
                        F.col("b.doc_id").alias("b_id"))

@@ -134,3 +134,30 @@ def test_admit_delta_planted(spark):
     # determinism across runs
     assert admitted == sorted(
         r.doc_id for r in admit_delta(base, delta, bench).collect())
+
+
+def test_admit_delta_precomputed_signatures(spark):
+    """Passing the stored base signature pair yields the same admission
+    decisions as recomputing it — the warehouse refresh path."""
+    import random
+
+    from spatial_data_engineering_spark.operators.dedup import shingle_bands
+    from spatial_data_engineering_spark.plans.curation import admit_delta
+
+    words = ("quark lattice photon meson hadron lepton baryon gluon "
+             "boson fermion spinor tensor gauge flux brane string").split()
+
+    def text(seed, n=40):
+        return " ".join(random.Random(seed).choices(words, k=n))
+
+    base = spark.createDataFrame(
+        [(1, text(3))], "doc_id long, text string")
+    delta = spark.createDataFrame(
+        [(2, text(3) + " extra"),                        # near-dup of 1
+         (3, text(55))],                                 # clean
+        "doc_id long, text string")
+
+    fresh = sorted(r.doc_id for r in admit_delta(base, delta).collect())
+    stored = sorted(r.doc_id for r in admit_delta(
+        base, delta, base_signatures=shingle_bands(base)).collect())
+    assert fresh == stored == [3]
