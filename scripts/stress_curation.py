@@ -97,7 +97,10 @@ def main() -> None:
         assert counts == sorted(counts, reverse=True), counts
         assert counts[0] == n_docs
         assert funnel["decontaminated"][0] > 0, "decon emptied the funnel"
-        assert funnel["balanced"][0] <= 5 * 100  # 5 langs x K=100
+        # the md5-rank balancer's realized size is Binomial(n, K/n) per
+        # language (sd ~ sqrt(K) = 10 at K=100), so bound with slack —
+        # an exact 5*K cap would spuriously fail healthy corpora
+        assert funnel["balanced"][0] <= int(5 * 100 * 1.2)
 
         t0 = time.perf_counter()
         shards = qs["q212_curation_shards"](spark, tmp).collect()
@@ -107,9 +110,15 @@ def main() -> None:
 
         # incremental refresh: admit a 1% delta against this corpus and
         # compare to the full-pipeline cost above — the number that
-        # justifies admit_delta's existence.  The delta is half planted
-        # near-dups of base docs (must reject) and half fresh texts
-        # (must admit), so both the candidate and clean paths execute.
+        # justifies admit_delta's existence.  Delta mix: even rows reuse
+        # the template of base group (id DIV 5) and near-dup those base
+        # docs (must reject, modulo the band-collision odds of any LSH);
+        # odd rows are char-reversed templates — fresh vs the BASE, but
+        # odd rows sharing a DIV-5 group near-dup EACH OTHER, so
+        # within-delta keep-first admits roughly one per group.  Both
+        # the vs-base and within-delta candidate paths execute; the
+        # assert is one-sided because admitted counts are
+        # band-probabilistic by design.
         from spatial_data_engineering_spark.operators.dedup import (
             shingle_bands)
         from spatial_data_engineering_spark.plans.curation import (
@@ -138,8 +147,9 @@ def main() -> None:
         row["admit_delta_sec"] = round(time.perf_counter() - t0, 2)
         row["n_delta"] = n_delta
         row["n_admitted"] = n_admitted
-        # the planted near-dup half must be rejected wholesale
-        assert n_admitted <= n_delta // 2 + n_delta // 10, (
+        # near-dup rejection must bite (vs-base on evens, within-delta
+        # on same-group odds) but some admissions must survive
+        assert 0 < n_admitted <= n_delta // 2 + n_delta // 10, (
             n_admitted, n_delta)
 
         out["scales"][f"{f}x"] = row

@@ -247,20 +247,7 @@ def q47_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle/signature table of the near_dup_pairs pattern, paid once
     # instead of three recomputes of the corpus's most expensive
     # transform (q156 pins the same frames for the same reason).
-    sh = d.select(
-        "doc_id", F.expr(_SHINGLES_SPARK.format(col="text")).alias("tl")
-    ).localCheckpoint()
-    hx = (
-        sh.select("doc_id", F.explode("tl").alias("t"))
-        .select("doc_id", F.expr(_hex_fold("spark", "md5(t)")).alias("h"))
-    )
-    sig = hx.groupBy("doc_id").agg(
-        *[F.expr(e) for e in _sig_aggs("spark")]
-    )
-    bands = sig.select(
-        "doc_id",
-        F.explode(F.expr(f"array({', '.join(_band_keys('spark'))})")).alias("band"),
-    )
+    sh, bands = shingle_bands(d, eager=True)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -269,35 +256,33 @@ def q47_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    ta = sh.alias("ta")
-    tb = sh.alias("tb")
-    j = (F.size(F.array_intersect(F.col("ta.tl"), F.col("tb.tl"))) * 1.0
-         / F.size(F.array_distinct(F.concat(F.col("ta.tl"), F.col("tb.tl")))))
-    # compute the Jaccard once as a column before filtering: the array
-    # intersect/union pair is expensive and not CSE'd across filter+project
-    return (
-        cand.join(ta, F.col("ta.doc_id") == F.col("a_id"))
-        .join(tb, F.col("tb.doc_id") == F.col("b_id"))
-        .select("a_id", "b_id", j.alias("__j"))
-        .filter(F.col("__j") >= _Q47_THETA)
-        .select("a_id", "b_id", F.round("__j", 6).alias("jaccard"))
-    )
+    # prune=False: the candidate ids here are corpus-bounded — see
+    # verified_pairs
+    return verified_pairs(cand, sh, sh, prune=False)
 
 
-def shingle_bands(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+def shingle_bands(d: DataFrame,
+                  eager: bool = False) -> tuple[DataFrame, DataFrame]:
     """The q47 signature machinery over an ARBITRARY (doc_id, text)
     frame: returns (sh, bands) where sh = (doc_id, tl shingle list) and
     bands = (doc_id, band key), both checkpoint-pinned (sh feeds the
     verify joins; bands the candidate join — the q47 pin rationale).
 
-    This is the frame-parameterized building block incremental admission
-    needs (plans/curation.admit_delta): a delta batch's bands join a
-    BASE corpus's bands without re-running the base LSH — at 100 TB the
-    base (sh, bands) pair is the stored signature table, written once
-    alongside the pair table and read back per delta."""
+    This is the frame-parameterized building block shared by q47, the
+    pair-table build and incremental admission
+    (plans/curation.admit_delta): one definition of the signature
+    pipeline, so a shingle/band/hash change cannot silently diverge
+    between the pair table and the admission path.  A delta batch's
+    bands join a BASE corpus's bands without re-running the base LSH —
+    at 100 TB the (sh, bands) pair is the stored signature table,
+    written once alongside the pair table and read back per delta.
+
+    ``eager`` pins sh immediately (q47's choice: sh feeds three
+    consumers in one action); the lazy default materializes on first
+    use — same values, one fewer job when the caller may not run."""
     sh = d.select(
         "doc_id", F.expr(_SHINGLES_SPARK.format(col="text")).alias("tl")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=eager)
     hx = (
         sh.select("doc_id", F.explode("tl").alias("t"))
         .select("doc_id", F.expr(_hex_fold("spark", "md5(t)")).alias("h"))
@@ -313,21 +298,27 @@ def shingle_bands(d: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def verified_pairs(cand: DataFrame, sh_a: DataFrame, sh_b: DataFrame,
-                   theta: float = _Q47_THETA) -> DataFrame:
+                   theta: float = _Q47_THETA,
+                   prune: bool = True) -> DataFrame:
     """Exact shingle-Jaccard verification of (a_id, b_id) candidates
     against two shingle frames — q47's verify stage, candidates only.
 
-    The shingle frames are pruned to the candidate ID sets with
-    BROADCAST semi-joins before the verify joins: the candidate sets
-    are delta/pair-bounded while sh_b may be the full base signature
-    table (corpus x shingle-list sized), and without the prune the
-    verify join SHUFFLES that whole table to match a handful of rows
-    (measured in the admit_delta stress at 400k base docs: 104 s ->
-    seconds for a 4k-doc delta)."""
-    ids_a = cand.select(F.col("a_id").alias("doc_id")).distinct()
-    ids_b = cand.select(F.col("b_id").alias("doc_id")).distinct()
-    ta = sh_a.join(F.broadcast(ids_a), "doc_id").alias("ta")
-    tb = sh_b.join(F.broadcast(ids_b), "doc_id").alias("tb")
+    With ``prune`` (the delta-admission default) the shingle frames are
+    pruned to the candidate ID sets with BROADCAST semi-joins before
+    the verify joins: the candidate sets are delta-bounded while sh_b
+    may be the full base signature table (corpus x shingle-list sized),
+    and without the prune the verify join SHUFFLES that whole table to
+    match a handful of rows (measured in the admit_delta stress at 400k
+    base docs: 104 s -> seconds for a 4k-doc delta).  Corpus-wide
+    callers (q47 itself, the pair-table build) pass ``prune=False``:
+    their candidate ID set is corpus-bounded, so broadcasting it would
+    be the anti-pattern the prune exists to avoid."""
+    if prune:
+        ids_a = cand.select(F.col("a_id").alias("doc_id")).distinct()
+        ids_b = cand.select(F.col("b_id").alias("doc_id")).distinct()
+        sh_a = sh_a.join(F.broadcast(ids_a), "doc_id")
+        sh_b = sh_b.join(F.broadcast(ids_b), "doc_id")
+    ta, tb = sh_a.alias("ta"), sh_b.alias("tb")
     j = (F.size(F.array_intersect(F.col("ta.tl"), F.col("tb.tl"))) * 1.0
          / F.size(F.array_distinct(F.concat(F.col("ta.tl"),
                                             F.col("tb.tl")))))

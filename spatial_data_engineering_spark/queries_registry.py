@@ -55,7 +55,9 @@ def _modules():
 #   3. slots 47-48: the round's NEW queries — the composed curation
 #      pipeline, driver-gated end to end (q212 packed shards, q213
 #      stage funnel).  Well under the (50 - stale backlog) budget.
-#   4. slots 49-50: the two oldest r4-verified rows.
+#   4. slot 49: q55_kmeans, also forced by rule (2) — kmeans_fit's DAG
+#      changed this round (pinned vector projection + eager assignment
+#      checkpoint).  Slot 50: the oldest r4-verified row.
 # WRITTEN SCHEDULE (continuing r7's):
 #   - r9: the remaining r4-verified rows (q18_sessionization .. q92) +
 #     oldest r5 rows; steady-state full rotation every ~5 rounds.
@@ -86,10 +88,15 @@ _PRIORITY = [
     # slots 47-48: new this round — the oracled end-to-end curation
     # pipeline (plans/curation.py)
     "q212_curation_shards", "q213_curation_funnel",
-    # slots 49-50: oldest r4-verified rows
-    "q42_lang_id", "q44_quality_score",
+    # slot 49: rule (2) — kmeans_fit's DAG changed this round too (the
+    # pinned vector projection + eager assignment checkpoint), so q55
+    # must not wait in the tail
+    "q55_kmeans",
+    # slot 50: oldest r4-verified row
+    "q42_lang_id",
     # --- tail: rotate into r9+ windows, least-recently-verified first
     # (remaining r4 block, then r5, r6, and the r7/r8-verified newest) ---
+    "q44_quality_score",
     "q18_sessionization", "q01_pricing_summary", "q45_dedup_exact",
     "q46_dedup_tokensort", "q40_text_stats", "q41_token_count",
     "q08_var_argmax", "q33_percentiles", "q72_hierarchical_rollup",
@@ -143,7 +150,7 @@ _PRIORITY = [
     "q209_source_scorecard", "q210_word_length_hist",
     "q127_score_calibration", "q145_curriculum_stages", "q163_score_auc",
     "q164_rfm_segments", "q174_value_gini", "q189_runs_test",
-    "q193_heaps_law", "q55_kmeans", "q79_decontaminate", "q81_substring_dup",
+    "q193_heaps_law", "q79_decontaminate", "q81_substring_dup",
     "q105_lone_returner", "q67_overlap_dissolve", "q60_point_in_polygon",
     "q61_zonal_histogram", "q49_cosine_topk", "q43_fingerprint",
     "q54_dedup_materialize", "q15_count_distinct", "q19_hourly_window",

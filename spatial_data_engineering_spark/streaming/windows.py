@@ -213,21 +213,36 @@ def admit_stream(base: DataFrame, stream_docs: DataFrame, out_dir: str,
     would silently empty it) and overwrites its directory — the
     write_stream_idempotent contract.
     """
+    from pyspark.errors import AnalysisException
+
+    from ..operators.dedup import shingle_bands
     from ..plans.curation import admit_delta
 
     base_kt = base.select("doc_id", "text")
+    # the base signature pair is built ONCE for the whole stream — the
+    # stored-signature-table amortization admit_delta exists for; per
+    # micro-batch only the (small, admitted-so-far) prev frame's
+    # signatures are added on top
+    base_sigs = shingle_bands(base_kt)
 
     def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        eff_base = base_kt
+        eff_base, eff_sigs = base_kt, base_sigs
         try:
             prev = (spark.read.parquet(out_dir)
                     .filter(F.col("batch") != batch_id)
                     .select("doc_id", "text"))
             eff_base = base_kt.unionByName(prev)
-        except Exception:
-            pass  # first batch: nothing admitted yet
-        admitted = admit_delta(eff_base, batch_df, bench)
+            prev_sh, prev_bands = shingle_bands(prev)
+            eff_sigs = (base_sigs[0].unionByName(prev_sh),
+                        base_sigs[1].unionByName(prev_bands))
+        except AnalysisException:
+            pass  # first batch: out_dir does not exist yet.  Anything
+            # else (permissions, corrupt files) must raise: silently
+            # falling back to the static base would admit duplicates of
+            # already-admitted docs, breaking keep-first with no signal
+        admitted = admit_delta(eff_base, batch_df, bench,
+                               base_signatures=eff_sigs)
         admitted.write.mode("overwrite").parquet(
             f"{out_dir}/batch={batch_id}")
 

@@ -51,14 +51,18 @@ EXPECTED_WINDOW = [
     "q196_crosssplit_perplexity",
     # new this round: the composed curation pipeline, driver-gated (2)
     "q212_curation_shards", "q213_curation_funnel",
-    # oldest r4-verified rows (2)
-    "q42_lang_id", "q44_quality_score",
+    # rule (2) late force: kmeans_fit's DAG changed this round (pinned
+    # vector projection + eager assignment checkpoint)
+    "q55_kmeans",
+    # oldest r4-verified row (1)
+    "q42_lang_id",
 ]
 
 # The remaining r4-verified rows that must LEAD the round-9 window (the
 # written schedule's next step).  Guarded so the r9 rotation cannot
 # accidentally bury them.
 EXPECTED_R9_LEAD = [
+    "q44_quality_score",
     "q18_sessionization", "q01_pricing_summary", "q45_dedup_exact",
     "q46_dedup_tokensort", "q40_text_stats", "q41_token_count",
     "q08_var_argmax", "q33_percentiles", "q72_hierarchical_rollup",
