@@ -39,35 +39,101 @@ def _modules():
 # most one round old.  The driver window is the sampling gate, not the
 # completeness gate.
 #
-# Round-8 window (driver verifies the FIRST 50), executing the written
-# r8 schedule from round 7 plus rule (2) forces:
-#   1. slots 1-29: the remaining r3-stale rows (q22_cube .. q53), the
-#      oldest driver evidence in the inventory — the scheduled r8 lead.
-#   2. slots 30-46: 17 forced by policy rule (2) — implementation
-#      changed this round: every query whose Spark DAG evaluates the
-#      md5-hex fold or simhash digit extraction, rewritten from per-char
-#      locate(substring(...)) chains to single conv() parses
-#      (dedup._hex_fold, _simhash_sig, q153's signature; values
-#      bit-identical, proven by scripts/microbench_hexfold.py and the
-#      full parity gate).  near_dup_pairs consumers are deliberately
-#      NOT forced (cache-hit sessions never evaluate the expression;
-#      the r7 precedent).
-#   3. slots 47-48: the round's NEW queries — the composed curation
-#      pipeline, driver-gated end to end (q212 packed shards, q213
-#      stage funnel).  Well under the (50 - stale backlog) budget.
-#   4. slot 49: q55_kmeans, also forced by rule (2) — kmeans_fit's DAG
-#      changed this round (pinned vector projection + eager assignment
-#      checkpoint).  Slot 50: the oldest r4-verified row.
-# WRITTEN SCHEDULE (continuing r7's):
-#   - r9: the remaining r4-verified rows (q18_sessionization .. q92) +
-#     oldest r5 rows; steady-state full rotation every ~5 rounds.
+# Round-9 window (driver verifies the FIRST 50), executing VERDICT r8
+# task 1: never-driver-verified debt ALWAYS outranks stale rows (round 7
+# proved rounds without a driver pass happen, so a "planned next round"
+# burn-down can slip a full round; zero-evidence queries must not wait):
+#   1. slots 1-23: the 23 queries with no driver CORRECTNESS row in any of
+#      r01-r08 (the q180-q210 tail; round 7's burn-down window never got a
+#      driver pass — DRIVER_SIM_r07/r08 cover them 212/212 builder-side,
+#      but the hard signal is the driver's).
+#   2. slots 24-34: the 11 r3-stale rows (q79_decontaminate .. q21),
+#      the oldest driver evidence among ever-verified queries.
+#   3. slots 35-50: the 16 oldest r4-verified rows (q44_quality_score ..
+#      q69_embedding_quantize).
+#   No rule-(2) forces this round: no query's Spark DAG or oracle changed
+#   (round 9 is an evidence/infra round per VERDICT task 7 — inventory
+#   frozen at 212 until driver-evidence debt is zero and max staleness
+#   <= 2 rounds).
+# WRITTEN SCHEDULE (continuing):
+#   - r10: the remaining 25 r4-verified rows + oldest r5 rows;
+#     steady-state full rotation every ~5 rounds thereafter.
 # tests/test_driver_window.py pins the first 50 names to this plan so the
 # rotation is reviewed code, not comment policy.  The FULL inventory is
 # still re-proven by tests/test_oracle_parity.py on every pytest run (the
 # completeness gate); the driver window is the sampling gate.
 _PRIORITY = [
-    # --- ROUND-8 DRIVER WINDOW (first 50) ---
-    # slots 1-29: the r3-stale backlog — the scheduled lead
+    # --- ROUND-9 DRIVER WINDOW (first 50) ---
+    # slots 1-23: the 23 queries with ZERO driver CORRECTNESS rows ever
+    # (round 7 had no driver pass, so its planned burn-down window never
+    # executed).  Never-verified debt outranks stale rows — VERDICT r8
+    # task 1.
+    "q180_basket_lift", "q181_order_interarrival", "q182_subword_diversity",
+    "q183_fk_audit", "q184_bounce_rate", "q187_dedup_survivor_bias",
+    "q190_prefix_dup", "q191_dim_redundancy", "q192_segment_migration",
+    "q194_truncation_loss", "q195_effective_tokens", "q197_session_survival",
+    "q198_position_value_decay", "q200_corpus_stats",
+    "q201_cluster_label_purity", "q203_quantization_error",
+    "q204_forecast_revenue", "q205_supplier_coverage", "q206_ship_latency",
+    "q207_brand_return_rate", "q208_embedding_norm_qa",
+    "q209_source_scorecard", "q210_word_length_hist",
+    # slots 24-34: the 11 r3-stale rows (oldest driver evidence among
+    # ever-verified queries)
+    "q79_decontaminate", "q81_substring_dup", "q67_overlap_dissolve",
+    "q60_point_in_polygon", "q61_zonal_histogram", "q49_cosine_topk",
+    "q43_fingerprint", "q54_dedup_materialize", "q15_count_distinct",
+    "q19_hourly_window", "q21_props_extract",
+    # slots 35-50: the 16 oldest r4-verified rows
+    "q44_quality_score", "q18_sessionization", "q01_pricing_summary",
+    "q45_dedup_exact", "q46_dedup_tokensort", "q40_text_stats",
+    "q41_token_count", "q08_var_argmax", "q33_percentiles",
+    "q72_hierarchical_rollup", "q57_normalize_text", "q58_edit_distance",
+    "q65_blocklist_filter", "q66_repetition", "q68_chunk_documents",
+    "q69_embedding_quantize",
+    # --- tail: rotate into r10+ windows, least-recently-verified first ---
+    # remaining r4 block (25) — the scheduled r10 lead
+    "q70_multimodal_meta", "q74_vocab_topk", "q02_ilike_filter",
+    "q03_join_enrich", "q04_semi_join", "q05_anti_join",
+    "q06_monthly_revenue", "q07_month_spine", "q09_histogram",
+    "q11_topk_per_group", "q12_pivot", "q13_setops", "q14_rollup",
+    "q16_extent", "q17_case_thresholds", "q20_above_avg",
+    "q75_golden_variance", "q80_quality_filter", "q82_incremental_dedup",
+    "q62_dissolve_area", "q88_containment_join", "q89_bigram_lift",
+    "q90_pattern_redact", "q92_random_projection", "q87_ngram_novelty",
+    # r5 block (43)
+    "q97_funnel", "q98_cohort_retention", "q99_zscore_anomaly",
+    "q100_time_weighted_avg", "q101_gap_fill_interpolate",
+    "q102_bottomk_sample", "q103_order_count_distribution",
+    "q104_large_volume_orders", "q106_bloom_semi_join", "q107_line_dedup",
+    "q108_tfidf_keywords", "q109_triangle_count", "q110_mmr_diversify",
+    "q111_pq_adc_topk", "q115_bfs_hops", "q116_psi_drift",
+    "q117_rolling_median", "q120_asof_forward", "q121_token_entropy",
+    "q122_grouping_sets", "q123_mad_outliers", "q124_incremental_agg_merge",
+    "q125_small_quantity_revenue", "q126_revenue_share", "q129_hamming_topk",
+    "q130_weighted_median", "q131_user_trend", "q132_skew_report",
+    "q133_video_neardup", "q134_ewma", "q135_benford_audit",
+    "q136_transition_matrix", "q137_time_to_convert", "q138_session_stats",
+    "q140_class_separation", "q94_dedup_canonical", "q95_stratified_split",
+    "q96_doc_bigram_lift", "q93_embedding_covariance", "q56_dedup_components",
+    "q86_pagerank_centrality", "q127_score_calibration", "q105_lone_returner",
+    # r6 block (44)
+    "q112_scd2_intervals", "q29_asof_join", "q154_knn_label_accuracy",
+    "q155_pmi_collocations", "q172_zipf_fit", "q185_bigram_cond_entropy",
+    "q186_negative_sampling", "q202_cramers_v", "q211_discount_quantity_corr",
+    "q199_dup_quality_link", "q141_unigram_logprob",
+    "q142_stopword_discovery", "q143_bpe_pair_counts", "q146_vocab_overlap",
+    "q147_chi2_keywords", "q148_semdedup", "q149_winsorized_stats",
+    "q150_hhi_concentration", "q151_returned_revenue",
+    "q152_dup_cluster_sizes", "q157_mix_rebalance", "q158_session_paths",
+    "q159_bm25_topk", "q160_lang_mislabel", "q161_wilson_proportion",
+    "q162_churn_rate", "q165_nation_trade_volume", "q166_market_share",
+    "q168_dedup_cost_model", "q169_vocab_coverage", "q170_burst_detection",
+    "q171_dup_degree_distribution", "q173_order_reconciliation",
+    "q175_error_rate_timeline", "q176_score_normalization",
+    "q177_weekday_seasonality", "q178_new_vs_returning", "q179_hapax_ratio",
+    "q145_curriculum_stages", "q163_score_auc", "q164_rfm_segments",
+    "q174_value_gini", "q189_runs_test", "q193_heaps_law",
+    # r8-verified newest (50)
     "q22_cube", "q23_unpivot", "q24_in_subquery", "q25_window_analytics",
     "q26_median", "q27_first_limit", "q30_range_join", "q31_sliding_window",
     "q32_session_window", "q35_rank_functions", "q36_full_outer",
@@ -76,85 +142,15 @@ _PRIORITY = [
     "q34_approx_quantiles", "q52_ivf_ann", "q76_ngram_jaccard_join",
     "q77_pack_sequences", "q83_embedding_stats", "q84_sample_exact_k",
     "q85_twophase_topk", "q10_row_number", "q71_frame_sample",
-    "q50_embedding_neardup", "q51_srp_lsh_buckets",
-    "q53_embedding_centroids",
-    # slots 30-46: rule (2) — the conv() hex-fold rewrite touched these
+    "q50_embedding_neardup", "q51_srp_lsh_buckets", "q53_embedding_centroids",
     "q47_minhash_lsh", "q48_simhash", "q73_hash_split", "q78_balance_corpus",
     "q91_temperature_sample", "q113_cms_heavy_hitters", "q114_kmv_distinct",
     "q118_weighted_sample", "q119_kmv_setops", "q128_detector_agreement",
     "q139_split_contamination", "q144_training_order",
     "q153_simhash_hamming_join", "q156_minhash_estimate_audit",
     "q167_dedup_strategy_venn", "q188_aa_test", "q196_crosssplit_perplexity",
-    # slots 47-48: new this round — the oracled end-to-end curation
-    # pipeline (plans/curation.py)
-    "q212_curation_shards", "q213_curation_funnel",
-    # slot 49: rule (2) — kmeans_fit's DAG changed this round too (the
-    # pinned vector projection + eager assignment checkpoint), so q55
-    # must not wait in the tail
-    "q55_kmeans",
-    # slot 50: oldest r4-verified row
+    "q212_curation_shards", "q213_curation_funnel", "q55_kmeans",
     "q42_lang_id",
-    # --- tail: rotate into r9+ windows, least-recently-verified first
-    # (remaining r4 block, then r5, r6, and the r7/r8-verified newest) ---
-    "q44_quality_score",
-    "q18_sessionization", "q01_pricing_summary", "q45_dedup_exact",
-    "q46_dedup_tokensort", "q40_text_stats", "q41_token_count",
-    "q08_var_argmax", "q33_percentiles", "q72_hierarchical_rollup",
-    "q57_normalize_text", "q58_edit_distance", "q65_blocklist_filter",
-    "q66_repetition", "q68_chunk_documents", "q69_embedding_quantize",
-    "q70_multimodal_meta", "q74_vocab_topk", "q02_ilike_filter",
-    "q03_join_enrich", "q04_semi_join", "q05_anti_join",
-    "q06_monthly_revenue", "q07_month_spine", "q09_histogram",
-    "q11_topk_per_group", "q12_pivot", "q13_setops", "q14_rollup",
-    "q16_extent", "q17_case_thresholds", "q20_above_avg",
-    "q75_golden_variance", "q80_quality_filter", "q82_incremental_dedup",
-    "q62_dissolve_area", "q88_containment_join", "q89_bigram_lift",
-    "q90_pattern_redact", "q92_random_projection", "q97_funnel",
-    "q98_cohort_retention", "q99_zscore_anomaly", "q100_time_weighted_avg",
-    "q101_gap_fill_interpolate", "q102_bottomk_sample",
-    "q103_order_count_distribution", "q104_large_volume_orders",
-    "q106_bloom_semi_join", "q107_line_dedup", "q108_tfidf_keywords",
-    "q109_triangle_count", "q110_mmr_diversify", "q111_pq_adc_topk",
-    "q115_bfs_hops", "q116_psi_drift", "q117_rolling_median",
-    "q120_asof_forward", "q121_token_entropy", "q122_grouping_sets",
-    "q123_mad_outliers", "q124_incremental_agg_merge",
-    "q125_small_quantity_revenue", "q126_revenue_share", "q129_hamming_topk",
-    "q130_weighted_median", "q131_user_trend", "q132_skew_report",
-    "q133_video_neardup", "q134_ewma", "q135_benford_audit",
-    "q136_transition_matrix", "q137_time_to_convert", "q138_session_stats",
-    "q140_class_separation", "q94_dedup_canonical", "q95_stratified_split",
-    "q96_doc_bigram_lift", "q93_embedding_covariance",
-    "q56_dedup_components", "q86_pagerank_centrality", "q112_scd2_intervals",
-    "q29_asof_join", "q154_knn_label_accuracy", "q155_pmi_collocations",
-    "q172_zipf_fit", "q185_bigram_cond_entropy", "q186_negative_sampling",
-    "q202_cramers_v", "q211_discount_quantity_corr", "q199_dup_quality_link",
-    "q141_unigram_logprob", "q142_stopword_discovery",
-    "q143_bpe_pair_counts", "q146_vocab_overlap", "q147_chi2_keywords",
-    "q148_semdedup", "q149_winsorized_stats", "q150_hhi_concentration",
-    "q151_returned_revenue", "q152_dup_cluster_sizes", "q157_mix_rebalance",
-    "q158_session_paths", "q159_bm25_topk", "q160_lang_mislabel",
-    "q161_wilson_proportion", "q162_churn_rate", "q165_nation_trade_volume",
-    "q166_market_share", "q168_dedup_cost_model", "q169_vocab_coverage",
-    "q170_burst_detection", "q171_dup_degree_distribution",
-    "q173_order_reconciliation", "q175_error_rate_timeline",
-    "q176_score_normalization", "q177_weekday_seasonality",
-    "q178_new_vs_returning", "q179_hapax_ratio", "q180_basket_lift",
-    "q181_order_interarrival", "q182_subword_diversity", "q183_fk_audit",
-    "q184_bounce_rate", "q187_dedup_survivor_bias", "q190_prefix_dup",
-    "q191_dim_redundancy", "q192_segment_migration", "q194_truncation_loss",
-    "q195_effective_tokens", "q197_session_survival",
-    "q198_position_value_decay", "q200_corpus_stats",
-    "q201_cluster_label_purity", "q203_quantization_error",
-    "q204_forecast_revenue", "q205_supplier_coverage", "q206_ship_latency",
-    "q207_brand_return_rate", "q208_embedding_norm_qa",
-    "q209_source_scorecard", "q210_word_length_hist",
-    "q127_score_calibration", "q145_curriculum_stages", "q163_score_auc",
-    "q164_rfm_segments", "q174_value_gini", "q189_runs_test",
-    "q193_heaps_law", "q79_decontaminate", "q81_substring_dup",
-    "q105_lone_returner", "q67_overlap_dissolve", "q60_point_in_polygon",
-    "q61_zonal_histogram", "q49_cosine_topk", "q43_fingerprint",
-    "q54_dedup_materialize", "q15_count_distinct", "q19_hourly_window",
-    "q21_props_extract", "q87_ngram_novelty",
 ]
 
 
