@@ -119,19 +119,28 @@ def main() -> None:
         # the vs-base and within-delta candidate paths execute; the
         # assert is one-sided because admitted counts are
         # band-probabilistic by design.
-        from spatial_data_engineering_spark.operators.dedup import (
-            shingle_bands)
+        from spatial_data_engineering_spark.operators import dedup
         from spatial_data_engineering_spark.plans.curation import (
             admit_delta)
 
-        base_docs = spark.read.parquet(f"{tmp}/documents.parquet")
-        # one-time cost, amortized over every later refresh: build and
-        # materialize the base signature pair (the stored signature
-        # table at warehouse scale)
+        src = f"{tmp}/documents.parquet"
+        base_docs = spark.read.parquet(src)
+        # one-time cost, amortized over every later refresh: build AND
+        # persist the base signature pair (the stored signature table
+        # at warehouse scale — round-8 verdict task 3: parquet-backed,
+        # not per-session localCheckpoints)
         t0 = time.perf_counter()
-        base_sigs = shingle_bands(base_docs)
+        base_sigs = dedup.persisted_shingle_bands(spark, src)
         base_sigs[0].count(); base_sigs[1].count()  # force materialization
         row["base_sig_build_sec"] = round(time.perf_counter() - t0, 2)
+        # a FRESH session's cost: drop the in-memory handle and time the
+        # parquet read-back that replaces the build
+        dedup._SIG_CACHE.pop(
+            (spark.sparkContext.applicationId, os.path.abspath(src)), None)
+        t0 = time.perf_counter()
+        base_sigs = dedup.persisted_shingle_bands(spark, src)
+        base_sigs[0].count(); base_sigs[1].count()
+        row["base_sig_readback_sec"] = round(time.perf_counter() - t0, 2)
         n_delta = max(200, n_docs // 100)
         delta = (spark.range(n_delta).select(
             (F.col("id") + 10_000_000).alias("doc_id"),

@@ -384,20 +384,39 @@ def _lsh_algo_fingerprint() -> str:
     ]).encode()).hexdigest()[:12]
 
 
+def _corpus_fingerprint(src: str) -> str | None:
+    """Content fingerprint of a local corpus parquet (file OR the
+    directory Spark writes), or None if it can't be statted (hdfs://,
+    s3://, missing).  For directories the part-file names/sizes/mtimes
+    are folded in — the directory's own stat does not change when a
+    part file is rewritten in place."""
+    try:
+        st = os.stat(src)
+        parts = ""
+        if os.path.isdir(src):
+            for name in sorted(os.listdir(src)):
+                ps = os.stat(os.path.join(src, name))
+                parts += f"|{name}:{ps.st_size}:{ps.st_mtime_ns}"
+    except OSError:
+        return None  # non-local source — in-session cache only
+    return hashlib.md5(
+        f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}{parts}"
+        f"|{_lsh_algo_fingerprint()}".encode()
+    ).hexdigest()
+
+
+def _cache_path(src: str, prefix: str) -> str | None:
+    fp = _corpus_fingerprint(src)
+    if fp is None:
+        return None
+    root = os.environ.get(_PAIR_CACHE_ROOT_ENV, _DEFAULT_PAIR_CACHE_ROOT)
+    return os.path.join(root, f"{prefix}-{fp}.parquet")
+
+
 def _pair_cache_path(sf_dir: str) -> str | None:
     """Stable on-disk location for sf_dir's pair table, or None if the
     source corpus can't be fingerprinted (non-local sf_dir)."""
-    src = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(src)
-    except OSError:
-        return None  # e.g. an hdfs:// or s3:// sf_dir — in-session cache only
-    fp = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}"
-        f"|{_lsh_algo_fingerprint()}".encode()
-    ).hexdigest()
-    root = os.environ.get(_PAIR_CACHE_ROOT_ENV, _DEFAULT_PAIR_CACHE_ROOT)
-    return os.path.join(root, f"pairs-{fp}.parquet")
+    return _cache_path(os.path.join(sf_dir, "documents.parquet"), "pairs")
 
 
 def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -445,6 +464,94 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 shutil.rmtree(tmp, ignore_errors=True)  # cache is best-effort
         _PAIR_CACHE[key] = pairs
         return pairs
+
+
+# --------------------------------------------------------------------------
+# Persisted base-signature table — the OTHER half of the stored-LSH
+# pattern (round-8 verdict task 3).  ``near_dup_pairs`` persists the
+# pair EDGES; incremental admission (plans/curation.admit_delta) needs
+# the base corpus's (sh, bands) SIGNATURES so a delta batch can probe
+# base band keys without rebuilding base minhashes every refresh.
+# SCALE_NOTES round 8 measured the signature build at ~9.5 s for the
+# 400k-doc stress base; this makes the second and every later session
+# pay a parquet read instead.  Keyed by the same corpus-content +
+# _lsh_algo_fingerprint scheme as the pair table, so both caches
+# invalidate together on any source or algorithm change.
+# --------------------------------------------------------------------------
+_SIG_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+_SIG_CACHE_COMPUTES = 0   # test hook: cold signature-build count
+_SIG_CACHE_DISK_HITS = 0  # test hook: parquet read-back count
+
+
+def _sig_cache_path(src: str) -> str | None:
+    """Disk location for the signature pair of the corpus parquet at
+    ``src`` (a documents.parquet file or directory), or None if the
+    source can't be fingerprinted."""
+    return _cache_path(src, "sigs")
+
+
+def persisted_shingle_bands(spark: SparkSession,
+                            src: str) -> tuple[DataFrame, DataFrame]:
+    """(sh, bands) signature frames for the (doc_id, text) corpus
+    parquet at ``src``, materialized once per source corpus: in-memory
+    per (applicationId, src), on disk per content fingerprint so later
+    SESSIONS read the signature table back instead of re-running
+    shingle -> minhash -> banding over the whole base.
+
+    This is the stored signature table ``admit_delta`` documents: at
+    100 TB it lives next to the pair table in the warehouse; locally it
+    is two parquet dirs (sh/, bands/) under the pair-cache root.  The
+    read-back frames are parquet scans — base lineage is truncated at
+    the files, so a delta admission's plan never contains the base
+    signature DAG at all."""
+    global _SIG_CACHE_COMPUTES, _SIG_CACHE_DISK_HITS
+    app = spark.sparkContext.applicationId
+    key = (app, os.path.abspath(src))
+    with _PAIR_CACHE_LOCK:
+        for k in [k for k in _SIG_CACHE if k[0] != app]:
+            del _SIG_CACHE[k]  # dead handles of stopped applications
+        hit = _SIG_CACHE.get(key)
+        if hit is not None:
+            return hit
+
+        disk = _sig_cache_path(src)
+        if disk is not None and os.path.isdir(disk):
+            out = (spark.read.parquet(os.path.join(disk, "sh")),
+                   spark.read.parquet(os.path.join(disk, "bands")))
+            _SIG_CACHE_DISK_HITS += 1
+            _SIG_CACHE[key] = out
+            return out
+
+        d = spark.read.parquet(src).select("doc_id", "text")
+        sh, bands = shingle_bands(d)
+        _SIG_CACHE_COMPUTES += 1
+        if disk is None:
+            out = (sh, bands)  # non-fingerprintable source: session only
+        else:
+            # corpus-sized tables: keep Spark's partitioning (no
+            # coalesce(1) — unlike the KB-sized pair list, sh carries
+            # every doc's shingle array)
+            tmp = f"{disk}.tmp-{os.getpid()}"
+            try:
+                sh.write.mode("overwrite").parquet(
+                    os.path.join(tmp, "sh"))
+                bands.write.mode("overwrite").parquet(
+                    os.path.join(tmp, "bands"))
+                os.makedirs(os.path.dirname(disk), exist_ok=True)
+                try:
+                    os.rename(tmp, disk)
+                except OSError:
+                    shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+            except Exception:
+                shutil.rmtree(tmp, ignore_errors=True)  # best-effort
+            if os.path.isdir(disk):
+                # serve the parquet-backed frames (truncated lineage)
+                out = (spark.read.parquet(os.path.join(disk, "sh")),
+                       spark.read.parquet(os.path.join(disk, "bands")))
+            else:
+                out = (sh, bands)
+        _SIG_CACHE[key] = out
+        return out
 
 
 # --------------------------------------------------------------------------

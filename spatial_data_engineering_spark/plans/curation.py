@@ -198,13 +198,15 @@ def admit_delta(base: DataFrame, delta: DataFrame,
 
     Returns the admitted delta rows (all delta columns).  Base work is
     signature-building only — linear, cacheable, no pair recompute —
-    and even that is paid once across refreshes when the caller passes
-    ``base_signatures`` (the (sh, bands) pair from
-    ``dedup.shingle_bands(base)``, persisted however the deployment
-    stores tables).  Measured at 400k base docs
-    (scripts/stress_curation.py): signature build ~90 s once, every
-    subsequent delta admission seconds — vs ~200 s for a full pipeline
-    re-run per refresh.
+    and even that is paid once ACROSS SESSIONS when the caller passes
+    ``base_signatures`` from ``dedup.persisted_shingle_bands(spark,
+    src)`` — the stored signature table, written to parquet next to the
+    pair table and keyed by the same corpus + LSH-parameter fingerprint
+    (both caches invalidate together).  A fresh session's refresh then
+    pays a parquet read, not the base signature build.  Measured at
+    400k base docs (scripts/stress_curation.py): signature build ~9.5 s
+    once, every subsequent delta admission ~13 s — vs ~200 s for a full
+    pipeline re-run per refresh.
     """
     from ..operators.dedup import shingle_bands, verified_pairs
     from ..operators.textops import _DECON_THETA

@@ -77,3 +77,96 @@ def test_cache_write_is_atomic_no_tmp_left(spark, cache_root):
     dedup.near_dup_pairs(spark, SF_ORACLE)
     leftovers = [p for p in os.listdir(cache_root) if ".tmp-" in p]
     assert leftovers == []
+
+
+# --------------------------------------------------------------------------
+# Persisted base-signature table (round-8 verdict task 3): admit_delta's
+# base (sh, bands) pair follows the same write-once / read-back pattern
+# as the pair table, keyed by the same corpus + LSH-parameter
+# fingerprint so both invalidate together.
+# --------------------------------------------------------------------------
+
+_DOCS = os.path.join(SF_ORACLE, "documents.parquet")
+
+
+def _sig_key(spark):
+    return (spark.sparkContext.applicationId, os.path.abspath(_DOCS))
+
+
+def test_sig_second_session_reads_parquet_not_rebuild(spark, cache_root):
+    """Two sessions: the second persisted_shingle_bands call must be a
+    disk read-back (zero signature recompute) with identical bands."""
+    dedup._SIG_CACHE.pop(_sig_key(spark), None)
+    c0, d0 = dedup._SIG_CACHE_COMPUTES, dedup._SIG_CACHE_DISK_HITS
+    sh1, b1 = dedup.persisted_shingle_bands(spark, _DOCS)
+    assert dedup._SIG_CACHE_COMPUTES == c0 + 1  # cold: built once
+    disk = dedup._sig_cache_path(_DOCS)
+    assert disk is not None and os.path.isdir(disk), "signatures not persisted"
+
+    bands1 = sorted((r.doc_id, r.band) for r in b1.collect())
+    n_sh1 = sh1.count()
+
+    dedup._SIG_CACHE.pop(_sig_key(spark), None)  # "new session"
+    sh2, b2 = dedup.persisted_shingle_bands(spark, _DOCS)
+    assert dedup._SIG_CACHE_COMPUTES == c0 + 1  # NO rebuild
+    assert dedup._SIG_CACHE_DISK_HITS == d0 + 1
+    assert sorted((r.doc_id, r.band) for r in b2.collect()) == bands1
+    assert sh2.count() == n_sh1
+    # lineage is truncated at the parquet files: the read-back plan must
+    # be a scan, not the shingle->minhash->band DAG
+    plan = b2._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" in plan
+
+
+def test_sig_cache_feeds_admit_delta_identically(spark, cache_root):
+    """admit_delta with disk-backed signatures admits exactly the same
+    delta docs as with freshly built ones."""
+    from spatial_data_engineering_spark.plans.curation import admit_delta
+
+    base = spark.read.parquet(_DOCS).select("doc_id", "text")
+    # delta: one exact dup of a base doc (must reject), one fresh doc
+    sample = base.orderBy("doc_id").limit(1).collect()[0]
+    delta = spark.createDataFrame(
+        [(9_000_001, sample.text),
+         (9_000_002, "a genuinely fresh delta document " * 6)],
+        "doc_id bigint, text string")
+
+    fresh = admit_delta(base, delta,
+                        base_signatures=dedup.shingle_bands(base))
+    dedup._SIG_CACHE.pop(_sig_key(spark), None)
+    dedup.persisted_shingle_bands(spark, _DOCS)        # write
+    dedup._SIG_CACHE.pop(_sig_key(spark), None)
+    cached = admit_delta(base, delta,
+                         base_signatures=dedup.persisted_shingle_bands(
+                             spark, _DOCS))            # read-back
+    ids_fresh = sorted(r.doc_id for r in fresh.collect())
+    ids_cached = sorted(r.doc_id for r in cached.collect())
+    assert ids_cached == ids_fresh
+    assert 9_000_001 not in ids_cached  # the exact dup was rejected
+    assert 9_000_002 in ids_cached
+
+
+def test_sig_fingerprint_shared_with_pair_table(tmp_path, monkeypatch):
+    """Same invalidation law as the pair cache: source mtime change or
+    LSH-parameter change must move BOTH cache paths."""
+    monkeypatch.setenv(dedup._PAIR_CACHE_ROOT_ENV, str(tmp_path / "pc"))
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    dst = sf / "documents.parquet"
+    shutil.copyfile(_DOCS, dst)
+    s1, p1 = dedup._sig_cache_path(str(dst)), dedup._pair_cache_path(str(sf))
+    os.utime(dst, ns=(1, 1))
+    s2, p2 = dedup._sig_cache_path(str(dst)), dedup._pair_cache_path(str(sf))
+    assert s1 != s2 and p1 != p2
+    monkeypatch.setattr(dedup, "_Q47_THETA", 0.123456)
+    s3 = dedup._sig_cache_path(str(dst))
+    assert s3 not in (s1, s2)  # algo change invalidates too
+    # non-local / missing source: no disk path, in-session only
+    assert dedup._sig_cache_path(str(tmp_path / "nope")) is None
+
+
+def test_sig_cache_write_is_atomic_no_tmp_left(spark, cache_root):
+    dedup._SIG_CACHE.pop(_sig_key(spark), None)
+    dedup.persisted_shingle_bands(spark, _DOCS)
+    leftovers = [p for p in os.listdir(cache_root) if ".tmp-" in p]
+    assert leftovers == []
