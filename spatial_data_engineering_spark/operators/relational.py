@@ -635,6 +635,79 @@ def global_lag(df: DataFrame, value_col: str, order_by,
     return part.mapInPandas(shift, schema=f"{fields}, `{out_col}` {vtype}")
 
 
+def global_rank_cumsum(df: DataFrame, value_col: str, order_by,
+                       rn_col: str = "rn", cum_col: str = "cum",
+                       n_rows: int | None = None) -> DataFrame:
+    """row_number() AND sum(value) OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING) in ONE pass — scale-safe above 1M rows.
+
+    The coverage-curve shape (q169: rank token types by frequency, read
+    the cumulative token mass at each rank) needs both outputs over the
+    same total order; computing them separately would range-exchange
+    twice.  Here the offset pass collects (count, sum) per partition in
+    one P-row job, so the big path costs exactly one sampled range
+    exchange + one mapInPandas like global_row_number.
+
+    ``value_col`` must be an integral or floating column (the
+    per-partition cumulative runs in pandas); the output cum column
+    carries Spark's ``sum(value_col)`` result type, identical to the
+    window form.  Nulls in value_col are not supported (no caller has
+    them; pandas cumsum would propagate NaN across the partition).
+    """
+    import pandas as pd
+    from pyspark import TaskContext
+
+    if _probe_small(df, n_rows):
+        w = W.orderBy(*_sort_exprs(order_by))
+        return df.select(
+            "*", F.row_number().over(w).cast("bigint").alias(rn_col),
+            F.sum(value_col)
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .alias(cum_col))
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    exprs = _sort_exprs(order_by)
+    part = (df.repartitionByRange(nparts, *exprs)
+            .sortWithinPartitions(*exprs)
+            .localCheckpoint(eager=True))
+    # one P-row job yields BOTH the row-number offsets and the running
+    # value prefix per partition
+    stats = (part.select(F.spark_partition_id().alias("pid"), value_col)
+             .groupBy("pid")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(value_col).alias("s"))
+             .collect())
+    offsets, prefixes, acc_n, acc_s = {}, {}, 0, 0
+    for r in sorted(stats, key=lambda r: r["pid"]):
+        offsets[r["pid"]] = acc_n
+        prefixes[r["pid"]] = acc_s
+        acc_n += r["n"]
+        acc_s += r["s"]
+    sum_type = (part.select(F.sum(value_col).alias("s"))
+                .schema[0].dataType.simpleString())
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+
+    def enum_cum(batches):
+        pid = TaskContext.get().partitionId()
+        base_rn, run = offsets.get(pid, 0), prefixes.get(pid, 0)
+        seen = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[rn_col] = pd.Series(
+                range(base_rn + seen + 1, base_rn + seen + 1 + len(pdf)),
+                dtype="int64")
+            cum = pdf[value_col].cumsum() + run
+            if len(pdf):
+                run = cum.iloc[-1]
+            seen += len(pdf)
+            pdf[cum_col] = cum
+            yield pdf
+
+    return part.mapInPandas(
+        enum_cum,
+        schema=f"{fields}, `{rn_col}` bigint, `{cum_col}` {sum_type}")
+
+
 @query(
     "q10_row_number",
     """

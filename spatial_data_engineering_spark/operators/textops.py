@@ -2696,10 +2696,15 @@ def q163_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tokenizer would pick.  The vocab-size planning number: where this
 # curve flattens is where a bigger vocabulary stops paying.
 #
-# Shape: vocab-sized frequency table, one rank window over it (vocab,
-# not corpus — the scale note that makes the single ORDER BY acceptable;
-# rank ties break by token), cumulative mass via running decimal-exact
-# integer sums, evaluated at fixed cutoffs.
+# Shape: vocab-sized frequency table, then ONE global rank+cumsum over
+# it via the two-pass range-partitioned kernel
+# (relational.global_rank_cumsum).  The frequency table is vocab-sized,
+# not corpus-sized — but vocabulary itself grows with the corpus
+# (Heaps' law: ~K·N^0.5, hundreds of millions of types at 100 TB), so
+# since round 9 this is NOT excused as a bounded domain: the rank and
+# the cumulative mass route through the same auto-switching kernel as
+# the exact-rank statistics family (plain window below 1M types, range
+# exchange + mapInPandas above).  Rank ties break by token.
 # --------------------------------------------------------------------------
 _Q169_CUTOFFS = (10, 100, 1000, 10000)
 
@@ -2731,17 +2736,15 @@ _ORACLE_Q169 = f"""
 
 @query("q169_vocab_coverage", _ORACLE_Q169)
 def q169_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from .relational import global_rank_cumsum
 
     d = load(spark, sf_dir, "documents")
     tf = (d.select(F.explode(F.split("text", " ")).alias("t"))
           .filter(F.col("t") != "")
           .groupBy("t").agg(F.count(F.lit(1)).alias("n")))
-    w = W.orderBy(F.desc("n"), F.asc("t"))
-    ranked = tf.select(
-        "n", F.row_number().over(w).alias("rk"),
-        F.sum("n").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-        .alias("cum"))
+    ranked = (global_rank_cumsum(tf, "n", [("n", False), ("t", True)],
+                                 rn_col="rk", cum_col="cum")
+              .select("n", "rk", "cum"))
     tot = tf.agg(F.sum("n").alias("total"),
                  F.count(F.lit(1)).alias("n_types"))
     ks = F.explode(F.array(*[F.lit(k) for k in _Q169_CUTOFFS])).alias("k")

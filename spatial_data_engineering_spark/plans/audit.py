@@ -6,17 +6,25 @@ a single task: an EMPTY partition spec (``OVER (ORDER BY ...)`` with no
 ``PARTITION BY``) whose subtree shows no evidence of boundedness.
 Evidence of boundedness, in practice:
 
-* an Aggregate below the window — the window ranks a grouped table
-  whose cardinality is the (bounded) key space, not the raw input;
 * a TakeOrderedAndProject / Limit / WindowGroupLimit below it — the
   optimizer already pruned the input to K rows (Catalyst rewrites
   ``row_number().over(orderBy) ... filter(rk <= k)`` into a distributed
-  per-partition top-K + merge, so a pinned top-K plan passes here).
+  per-partition top-K + merge, so a pinned top-K plan passes here);
+* an Aggregate below the window WHOSE GROUPING KEYS ALL COME FROM A
+  PINNED BOUNDED DOMAIN — calendar buckets (day/month/year: a few
+  thousand rows over any horizon) or the tiny reference dims (nation,
+  region).  Round-8 verdict task 2 tightened this: "any Aggregate"
+  used to count, but an aggregate keyed by an ENTITY id (per-customer
+  revenue, per-token frequency) is corpus-scaled — per-token is Heaps'
+  law, per-customer grows with the user base — and must NOT excuse a
+  single-task window.  Those shapes route through the two-pass kernels
+  (q169's reroute this round is the canonical example).
 
 Anything else is the single-partition global sort the round-6 verdict
 flagged in the exact-rank statistics family; the scale-safe form is the
 two-pass kernel in ``operators.relational`` (global_row_number /
-global_ntile / global_lag), which emits mapInPandas, not Window.
+global_ntile / global_lag / global_rank_cumsum), which emits
+mapInPandas, not Window.
 
 Used by tests/test_plan_invariants.py (with the kernel threshold forced
 to 0 so auto-switch small paths can't mask a missing reroute) and by
@@ -25,12 +33,35 @@ scripts/global_window_audit.py for ad-hoc sweeps.
 
 from __future__ import annotations
 
+import re
+
 _LIMIT_NODES = {
     "TakeOrderedAndProjectExec", "GlobalLimitExec", "LocalLimitExec",
     "CollectLimitExec", "WindowGroupLimitExec",
 }
 
 _WINDOW_NODES = ("WindowExec", "WindowInPandasExec")
+
+# The PINNED bounded domains an Aggregate may group by and still excuse
+# a global window above it.  Deliberately minimal: calendar buckets
+# (cardinality = horizon in days/months — thousands, not corpus-scaled)
+# and the TPC-H reference dims that are constitutionally tiny.  Growing
+# this set is a reviewed decision; entity ids (customer, doc, token,
+# supplier, part, order) must never enter it.
+_BOUNDED_KEY_NAMES = {
+    "day", "month", "year", "week", "weekday", "dow", "hour", "quarter",
+    "n_name", "n_nationkey", "r_name", "r_regionkey",
+}
+
+# Calendar-bucket defining expressions: an aggregate grouping on an
+# aliased `date_trunc('day', ts)` (Catalyst names it
+# `_groupingexpression#N`) is a bounded time bucket regardless of the
+# alias's name.
+_BOUNDED_EXPR_RE = re.compile(
+    r"\b(date_trunc|year|month|quarter|weekofyear|dayofweek|dayofmonth|"
+    r"hour|to_date|make_date|window)\(", re.IGNORECASE)
+
+_ATTR_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#(\d+)")
 
 
 def _simple(node) -> str:
@@ -47,13 +78,66 @@ def _walk(node):
         yield from _walk(cs.apply(i))
 
 
+def _grouping_key_bounded(expr_str: str, subtree_str: str) -> bool:
+    """Is one grouping expression from a pinned bounded domain?
+
+    ``expr_str`` is the stringified NamedExpression: either a bare
+    attribute ``name#id`` or an alias ``<defining expr> AS name#id``.
+    Bare attributes are checked by name against the pinned set; when
+    the name is a Catalyst synthetic (``_groupingexpression``) or
+    otherwise unlisted, the DEFINING expression is looked up in the
+    subtree string (``... AS name#id``) and tested for a
+    calendar-bucket function.
+    """
+    m = _ATTR_RE.search(expr_str.split(" AS ")[-1])
+    if m is None:
+        # no attribute reference at all: a constant-folded grouping key
+        # (one group) — bounded by construction
+        return "#" not in expr_str
+    name, attr_id = m.group(1), m.group(2)
+    if name.lower() in _BOUNDED_KEY_NAMES:
+        return True
+    if " AS " in expr_str:
+        return bool(_BOUNDED_EXPR_RE.search(expr_str.split(" AS ")[0]))
+    # bare synthetic/unlisted attribute: find its definition below
+    defn = re.search(
+        rf"([^\n]*) AS {re.escape(name)}#{attr_id}\b", subtree_str)
+    return bool(defn and _BOUNDED_EXPR_RE.search(defn.group(1)))
+
+
+def _aggregate_bounded(agg_node, subtree_str: str) -> bool:
+    """Does this Aggregate bound the window input to a pinned domain?
+
+    An empty grouping (global aggregate) is one row — always bounded.
+    Otherwise EVERY grouping key must be from a bounded domain; a
+    single entity-scaled key makes the output corpus-scaled.
+    """
+    try:
+        ge = agg_node.groupingExpressions()
+    except Exception:
+        return False  # unknown aggregate shape: be conservative
+    if ge.size() == 0:
+        return True
+    return all(
+        _grouping_key_bounded(str(ge.apply(j)), subtree_str)
+        for j in range(ge.size()))
+
+
 def _subtree_bounded(window_node) -> bool:
     cs = window_node.children()
+    subtree_str = None
     for i in range(cs.size()):
         for d in _walk(cs.apply(i)):
             nm = _simple(d)
-            if "Aggregate" in nm or nm in _LIMIT_NODES:
+            if nm in _LIMIT_NODES:
                 return True
+            if "Aggregate" in nm:
+                if subtree_str is None:  # built once, only if needed
+                    subtree_str = "\n".join(
+                        str(cs.apply(k).toString())
+                        for k in range(cs.size()))
+                if _aggregate_bounded(d, subtree_str):
+                    return True
     return False
 
 

@@ -49,15 +49,17 @@ def _modules():
 #      but the hard signal is the driver's).
 #   2. slots 24-34: the 11 r3-stale rows (q79_decontaminate .. q21),
 #      the oldest driver evidence among ever-verified queries.
-#   3. slots 35-50: the 16 oldest r4-verified rows (q44_quality_score ..
-#      q69_embedding_quantize).
-#   No rule-(2) forces this round: no query's Spark DAG or oracle changed
-#   (round 9 is an evidence/infra round per VERDICT task 7 — inventory
-#   frozen at 212 until driver-evidence debt is zero and max staleness
-#   <= 2 rounds).
+#   3. slots 35-49: the 15 oldest r4-verified rows (q44_quality_score ..
+#      q68_chunk_documents).
+#   4. slot 50: q169_vocab_coverage, forced by policy rule (2) — its DAG
+#      changed this round (rank+cumsum rerouted through the two-pass
+#      global_rank_cumsum kernel after the audit tightening stopped
+#      excusing per-token aggregates as bounded).  The inventory itself
+#      stays frozen at 212 (VERDICT task 7).
 # WRITTEN SCHEDULE (continuing):
-#   - r10: the remaining 25 r4-verified rows + oldest r5 rows;
-#     steady-state full rotation every ~5 rounds thereafter.
+#   - r10: q69_embedding_quantize (displaced by the rule-2 force) + the
+#     remaining 25 r4-verified rows + oldest r5 rows; steady-state full
+#     rotation every ~5 rounds thereafter.
 # tests/test_driver_window.py pins the first 50 names to this plan so the
 # rotation is reviewed code, not comment policy.  The FULL inventory is
 # still re-proven by tests/test_oracle_parity.py on every pytest run (the
@@ -89,6 +91,11 @@ _PRIORITY = [
     "q41_token_count", "q08_var_argmax", "q33_percentiles",
     "q72_hierarchical_rollup", "q57_normalize_text", "q58_edit_distance",
     "q65_blocklist_filter", "q66_repetition", "q68_chunk_documents",
+    # slot 50: rule-(2) force — q169's DAG changed this round (rerouted
+    # through the global_rank_cumsum kernel)
+    "q169_vocab_coverage",
+    # --- tail: r10 lead = q69 (displaced by the rule-2 force) + the
+    # remaining r4 block, then r5, r6, and the r8-verified newest ---
     "q69_embedding_quantize",
     # --- tail: rotate into r10+ windows, least-recently-verified first ---
     # remaining r4 block (25) — the scheduled r10 lead
@@ -127,7 +134,7 @@ _PRIORITY = [
     "q152_dup_cluster_sizes", "q157_mix_rebalance", "q158_session_paths",
     "q159_bm25_topk", "q160_lang_mislabel", "q161_wilson_proportion",
     "q162_churn_rate", "q165_nation_trade_volume", "q166_market_share",
-    "q168_dedup_cost_model", "q169_vocab_coverage", "q170_burst_detection",
+    "q168_dedup_cost_model", "q170_burst_detection",
     "q171_dup_degree_distribution", "q173_order_reconciliation",
     "q175_error_rate_timeline", "q176_score_normalization",
     "q177_weekday_seasonality", "q178_new_vs_returning", "q179_hapax_ratio",

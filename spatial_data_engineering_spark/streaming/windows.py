@@ -228,7 +228,18 @@ def admit_stream(base: DataFrame, stream_docs: DataFrame, out_dir: str,
     def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         eff_base, eff_sigs = base_kt, base_sigs
-        try:
+        # Only a genuinely ABSENT out_dir means "first batch".  Probing
+        # existence explicitly (instead of catching AnalysisException
+        # around the read) keeps every other analysis failure — stray
+        # non-parquet files under out_dir, schema-inference conflicts,
+        # permission errors — LOUD: silently falling back to the static
+        # base would drop previously admitted docs from the dedup base
+        # and re-admit their duplicates with no signal.
+        jvm = spark._jvm
+        jsc = spark._jsc
+        path = jvm.org.apache.hadoop.fs.Path(out_dir)
+        fs = path.getFileSystem(jsc.hadoopConfiguration())
+        if fs.exists(path):
             prev = (spark.read.parquet(out_dir)
                     .filter(F.col("batch") != batch_id)
                     .select("doc_id", "text"))
@@ -236,11 +247,6 @@ def admit_stream(base: DataFrame, stream_docs: DataFrame, out_dir: str,
             prev_sh, prev_bands = shingle_bands(prev)
             eff_sigs = (base_sigs[0].unionByName(prev_sh),
                         base_sigs[1].unionByName(prev_bands))
-        except AnalysisException:
-            pass  # first batch: out_dir does not exist yet.  Anything
-            # else (permissions, corrupt files) must raise: silently
-            # falling back to the static base would admit duplicates of
-            # already-admitted docs, breaking keep-first with no signal
         admitted = admit_delta(eff_base, batch_df, bench,
                                base_signatures=eff_sigs)
         admitted.write.mode("overwrite").parquet(

@@ -79,11 +79,39 @@ def test_lag_crosses_arrow_batch_boundaries(spark, big_path):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
 
 
+def test_rank_cumsum_big_path_matches_window(spark, big_path):
+    df = _frame(spark)
+    w = _win()
+    ref = df.select(
+        "*", F.row_number().over(w).cast("bigint").alias("rn"),
+        F.sum("x").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum"))
+    assert _rows(R.global_rank_cumsum(df, "x", ORDER)) == _rows(ref)
+
+
+def test_rank_cumsum_crosses_arrow_batch_boundaries(spark, big_path):
+    # the running value prefix must carry across Arrow batches within a
+    # partition, exactly like global_lag's carry
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        df = _frame(spark, 2000)
+        w = _win()
+        ref = df.select(
+            "*", F.row_number().over(w).cast("bigint").alias("rn"),
+            F.sum("x").over(w.rowsBetween(W.unboundedPreceding,
+                                          W.currentRow)).alias("cum"))
+        assert _rows(R.global_rank_cumsum(df, "x", ORDER)) == _rows(ref)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
 def test_empty_input(spark, big_path):
     df = _frame(spark).filter(F.lit(False))
     assert R.global_row_number(df, ORDER, "rn").count() == 0
     assert R.global_ntile(df, 4, ORDER, "t").count() == 0
     assert R.global_lag(df, "x", ORDER).count() == 0
+    assert R.global_rank_cumsum(df, "x", ORDER).count() == 0
 
 
 def test_single_row(spark, big_path):
@@ -101,6 +129,10 @@ REROUTED = [
     "q127_score_calibration", "q145_curriculum_stages", "q163_score_auc",
     "q164_rfm_segments", "q174_value_gini", "q189_runs_test",
     "q192_segment_migration", "q193_heaps_law",
+    # round 9: the vocabulary coverage curve's rank+cumsum (vocabulary
+    # is corpus-scaled by Heaps' law, so its global window is NOT a
+    # bounded-domain aggregate)
+    "q169_vocab_coverage",
 ]
 
 

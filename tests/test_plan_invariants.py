@@ -102,19 +102,56 @@ def test_detector_catches_the_former_defect(spark):
 
 
 def test_detector_excuses_bounded_inputs(spark):
-    raw = spark.range(1000).select((F.col("id") % 5).alias("k"),
-                                   F.col("id").alias("i"))
-    # window over an aggregate: key-space-sized input — allowed
-    agg = raw.groupBy("k").agg(F.count("*").alias("n"))
-    over_agg = agg.select(
-        "*", F.row_number().over(W.orderBy("n", "k")).alias("rn"))
-    assert not global_window_violations(over_agg)
+    raw = spark.range(1000).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("i"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 3600)
+        .alias("ts"))
+    # window over a CALENDAR-bucket aggregate: pinned bounded domain
+    # (day cardinality = horizon, not corpus) — allowed
+    by_day = (raw.groupBy(F.date_trunc("day", "ts").alias("day"))
+              .agg(F.count("*").alias("n")))
+    over_day = by_day.select(
+        "*", F.row_number().over(W.orderBy("n", "day")).alias("rn"))
+    assert not global_window_violations(over_day)
+    # same, grouping on the expression directly (Catalyst aliases it
+    # _groupingexpression#N — the q175 shape)
+    expr_grouped = (raw.groupBy(F.date_trunc("day", F.col("ts")))
+                    .agg(F.count("*").alias("n"))
+                    .select("*", F.row_number().over(W.orderBy("n"))
+                            .alias("rn")))
+    assert not global_window_violations(expr_grouped)
+    # global (groupless) aggregate: one row — allowed
+    one = raw.agg(F.sum("i").alias("s")).select(
+        "*", F.row_number().over(W.orderBy("s")).alias("rn"))
+    assert not global_window_violations(one)
     # rank-filter top-K: Catalyst rewrites to TakeOrderedAndProject —
     # the pinned two-phase top-K shape of q155/q180
     topk = (raw.select(
         "*", F.row_number().over(W.orderBy(F.desc("i"))).alias("rk"))
         .filter(F.col("rk") <= 10))
     assert not global_window_violations(topk)
+
+
+def test_detector_flags_entity_keyed_aggregate(spark):
+    # round-8 verdict task 2: an Aggregate keyed by an ENTITY id must
+    # NOT excuse the global window above it — per-customer revenue is
+    # corpus-scaled at 100x, unlike a calendar bucket.  No top-K filter
+    # here, so nothing else bounds it either.
+    raw = spark.range(1000).select(
+        (F.col("id") % 97).alias("customer_id"), F.col("id").alias("v"))
+    per_cust = raw.groupBy("customer_id").agg(F.sum("v").alias("rev"))
+    ranked = per_cust.select(
+        "*", F.row_number().over(W.orderBy(F.desc("rev"))).alias("rk"))
+    assert global_window_violations(ranked), (
+        "detector excused a rank over a per-entity aggregate")
+    # per-token frequency (the pre-round-9 q169 shape): also flagged
+    toks = spark.range(1000).select(
+        F.concat(F.lit("w"), (F.col("id") % 131)).alias("t"))
+    tf = toks.groupBy("t").agg(F.count("*").alias("n"))
+    curve = tf.select(
+        "*", F.row_number().over(W.orderBy(F.desc("n"), "t")).alias("rk"))
+    assert global_window_violations(curve), (
+        "detector excused a rank over a per-token aggregate")
 
 
 def test_q155_q180_topk_is_two_phase(spark):
