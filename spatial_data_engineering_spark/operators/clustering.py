@@ -55,6 +55,17 @@ def kmeans_fit(spark: SparkSession, vectors: DataFrame, k: int = 8,
     # after the final assignment is checkpointed off it.
     v = vectors.select(id_col, vec_col).persist(
         StorageLevel.MEMORY_AND_DISK)
+    try:
+        return _kmeans_loop(spark, v, k, max_iter, id_col, vec_col)
+    finally:
+        # unpersist on EVERY exit — a Lloyd-iteration failure (job
+        # abort, empty-cluster edge) must not leak the MEMORY_AND_DISK
+        # projection into the session (round-8 advice)
+        v.unpersist()
+
+
+def _kmeans_loop(spark, v, k, max_iter, id_col, vec_col):
+    import pandas as pd
 
     first = (v.orderBy(id_col).limit(k)
              .select(vec_col).toPandas()[vec_col])
@@ -127,7 +138,6 @@ def kmeans_fit(spark: SparkSession, vectors: DataFrame, k: int = 8,
     assignments = v.mapInPandas(
         make_assign(bc, with_dist=False),
         schema="id bigint, cluster int").localCheckpoint(eager=True)
-    v.unpersist()
     return assignments, centroids, inertia_hist
 
 

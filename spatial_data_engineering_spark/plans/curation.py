@@ -300,13 +300,20 @@ def _scored_cte(rel: str, suffix: str) -> str:
     names (feats_<suffix>, scored_<suffix>) so one statement can score
     two different relations.  Derived from the registered constant —
     never a second copy of the quality formula."""
+    import re
+
     from ..operators.textops import _SCORED_SQL
 
     s = _SCORED_SQL.replace("WITH ", "", 1)
     assert "FROM documents" in s
     s = s.replace("FROM documents", f"FROM {rel}")
-    return s.replace("feats", f"feats_{suffix}") \
-            .replace("scored", f"scored_{suffix}")
+    # word-boundary substitution with asserted counts: a future column
+    # named e.g. scored_at or feats_json must fail LOUDLY here, not
+    # silently corrupt the oracle (round-8 advice)
+    s, n_feats = re.subn(r"\bfeats\b", f"feats_{suffix}", s)
+    s, n_scored = re.subn(r"\bscored\b", f"scored_{suffix}", s)
+    assert n_feats >= 2 and n_scored >= 1, (n_feats, n_scored)
+    return s
 
 
 def _survivor_ctes() -> str:

@@ -213,8 +213,6 @@ def admit_stream(base: DataFrame, stream_docs: DataFrame, out_dir: str,
     would silently empty it) and overwrites its directory — the
     write_stream_idempotent contract.
     """
-    from pyspark.errors import AnalysisException
-
     from ..operators.dedup import shingle_bands
     from ..plans.curation import admit_delta
 

@@ -586,3 +586,39 @@ def test_admit_stream_near_dup_across_batches(spark, tmp_path):
     # batch order is mtime order: f1 first
     assert sorted(got["doc_id"]) == [100, 201], by_batch
     assert len(by_batch) == 2 and by_batch[0] == [100], by_batch
+
+
+def test_admit_stream_corrupt_out_dir_raises(spark, tmp_path):
+    """Round-8 advice: only a genuinely ABSENT out_dir means 'first
+    batch'.  An out_dir that EXISTS but fails to read as the admitted
+    dataset (here: a stray non-parquet file) must fail the stream
+    loudly — a silent fallback to the static base would drop previously
+    admitted docs from the dedup base and re-admit their duplicates."""
+    import os
+
+    import pytest
+
+    from spatial_data_engineering_spark.streaming.windows import admit_stream
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma delta " * 10)], "doc_id long, text string")
+    stream_dir = str(tmp_path / "incoming")
+    os.makedirs(stream_dir)
+    spark.createDataFrame(
+        [(100, "totally fresh words " * 10)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{stream_dir}/f1")
+
+    out_dir = str(tmp_path / "admitted")
+    os.makedirs(out_dir)
+    with open(os.path.join(out_dir, "stray.txt"), "w") as fh:
+        fh.write("not parquet")
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("recursiveFileLookup", "true").parquet(stream_dir))
+    with pytest.raises(Exception) as exc_info:
+        admit_stream(base, stream, out_dir, str(tmp_path / "ckpt"))
+    # the failure is the unreadable admitted dataset, not something else
+    assert "parquet" in str(exc_info.value).lower() or \
+        "schema" in str(exc_info.value).lower(), str(exc_info.value)[:400]
+    # and nothing was admitted behind the failure's back
+    assert [p for p in os.listdir(out_dir) if p.startswith("batch=")] == []
