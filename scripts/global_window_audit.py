@@ -4,11 +4,19 @@
 Compiles every registry query's physical plan with the global-order
 helpers forced onto their big path (threshold=0), walks the plan tree,
 and reports each WindowExec/WindowInPandasExec with an EMPTY partition
-spec whose subtree shows no evidence of boundedness (no Aggregate, no
-TakeOrderedAndProject/Limit/WindowGroupLimit below it).  Those are the
-single-task global sorts the round-6 verdict flagged.
+spec whose subtree shows no evidence of boundedness: no
+TakeOrderedAndProject/Limit/WindowGroupLimit below it, and no Aggregate
+grouped on a PINNED bounded domain (calendar buckets, tiny reference
+dims — round-9 tightening: entity-keyed aggregates no longer excuse).
+Those are the single-task global sorts the round-6 verdict flagged.
 
-Usage: python scripts/global_window_audit.py [qNNN ...]
+Usage: python scripts/global_window_audit.py [--out FILE.json] [qNNN ...]
+
+With --out, writes the FULL per-query audit table (every global window
+with its bounding evidence, not just violations) as JSON — committed
+per round (GLOBAL_WINDOW_AUDIT_r{N}.json) so each remaining
+"WindowExec: No Partition Defined" warning in a bench log is
+attributable to a named bounded merge.
 """
 
 from __future__ import annotations
@@ -23,10 +31,16 @@ if REPO not in sys.path:
 SF = "/root/testdata/sf0.001"
 
 from spatial_data_engineering_spark.plans.audit import \
-    global_window_violations  # noqa: E402
+    global_window_report  # noqa: E402
 
 
-def main(prefixes):
+def main(argv):
+    out_path = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    prefixes = argv
     os.environ.setdefault("SPARK_GRAFT_PAIR_CACHE", "/tmp/pair_cache_audit")
     from spatial_data_engineering_spark.operators import relational as R
     from spatial_data_engineering_spark.queries_registry import all_queries
@@ -38,18 +52,30 @@ def main(prefixes):
     qs = all_queries()
     names = [n for n in qs
              if not prefixes or any(n.startswith(p) for p in prefixes)]
-    flagged = {}
+    flagged, table = {}, {}
     for name in names:
         try:
-            v = global_window_violations(qs[name](spark, SF))
+            report = global_window_report(qs[name](spark, SF))
         except Exception as ex:  # noqa: BLE001
             print(f"ERROR {name}: {str(ex)[:200]}")
+            table[name] = {"error": str(ex)[:200]}
             continue
+        if report:
+            table[name] = report
+        v = [r["window"] for r in report if not r["ok"]]
         if v:
             flagged[name] = v
             print(f"FLAG  {name}")
             for line in v:
                 print(f"      {str(line)[:140]}")
+    if out_path:
+        import json
+        with open(out_path, "w") as fh:
+            json.dump({"sf": SF, "n_checked": len(names),
+                       "n_flagged": len(flagged),
+                       "global_windows": table}, fh, indent=1)
+        print(f"wrote {out_path}: {len(table)} queries with global "
+              f"windows, {len(flagged)} flagged")
     print(f"\n{len(flagged)} flagged / {len(names)} checked")
     return 1 if flagged else 0
 

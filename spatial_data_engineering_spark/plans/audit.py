@@ -123,31 +123,55 @@ def _aggregate_bounded(agg_node, subtree_str: str) -> bool:
         for j in range(ge.size()))
 
 
-def _subtree_bounded(window_node) -> bool:
+def _bounding_evidence(window_node) -> str | None:
+    """What bounds this global window's input, or None (= violation).
+
+    Returns ``"limit:<NodeName>"`` or ``"bounded-aggregate:[keys]"`` —
+    the per-window audit row scripts/global_window_audit.py commits as
+    a round artifact, so every remaining ``WindowExec: No Partition
+    Defined`` warning in a bench log is attributable to a named node.
+    """
     cs = window_node.children()
     subtree_str = None
     for i in range(cs.size()):
         for d in _walk(cs.apply(i)):
             nm = _simple(d)
             if nm in _LIMIT_NODES:
-                return True
+                return f"limit:{nm}"
             if "Aggregate" in nm:
                 if subtree_str is None:  # built once, only if needed
                     subtree_str = "\n".join(
                         str(cs.apply(k).toString())
                         for k in range(cs.size()))
                 if _aggregate_bounded(d, subtree_str):
-                    return True
-    return False
+                    try:
+                        ge = d.groupingExpressions()
+                        keys = [str(ge.apply(j)).split(" AS ")[-1]
+                                for j in range(ge.size())]
+                    except Exception:
+                        keys = ["?"]
+                    return f"bounded-aggregate:{keys}"
+    return None
+
+
+def _subtree_bounded(window_node) -> bool:
+    return _bounding_evidence(window_node) is not None
+
+
+def global_window_report(df) -> list[dict]:
+    """One row per partitionBy-less Window in df's physical plan:
+    {"window": <simpleString>, "evidence": <str|None>, "ok": bool}."""
+    root = df._jdf.queryExecution().executedPlan()
+    out = []
+    for n in _walk(root):
+        if _simple(n) in _WINDOW_NODES and n.partitionSpec().isEmpty():
+            ev = _bounding_evidence(n)
+            out.append({"window": str(n.simpleString(120)),
+                        "evidence": ev, "ok": ev is not None})
+    return out
 
 
 def global_window_violations(df) -> list[str]:
     """Descriptions of partitionBy-less Windows over unbounded input."""
-    root = df._jdf.queryExecution().executedPlan()
-    out = []
-    for n in _walk(root):
-        if (_simple(n) in _WINDOW_NODES
-                and n.partitionSpec().isEmpty()
-                and not _subtree_bounded(n)):
-            out.append(str(n.simpleString(120)))
-    return out
+    return [r["window"] for r in global_window_report(df)
+            if not r["ok"]]
