@@ -43,7 +43,6 @@ def kmeans_fit(spark: SparkSession, vectors: DataFrame, k: int = 8,
                vec_col: str = "embedding"):
     """Returns (assignments DataFrame [id, cluster], centroids ndarray,
     inertia history list)."""
-    import pandas as pd
     from pyspark import StorageLevel
 
     # Pin the (id, vec) projection for the loop: every iteration scans
@@ -51,7 +50,7 @@ def kmeans_fit(spark: SparkSession, vectors: DataFrame, k: int = 8,
     # max_iter+1 passes re-reads and re-decodes the source parquet
     # (measured at sf0.1: q55 8.8s -> 6.1s, identical output).  A
     # DERIVED frame is persisted — never the caller's, whose own cache
-    # policy must not be clobbered — and unpersisted before return,
+    # policy must not be clobbered — and unpersisted on every exit,
     # after the final assignment is checkpointed off it.
     v = vectors.select(id_col, vec_col).persist(
         StorageLevel.MEMORY_AND_DISK)

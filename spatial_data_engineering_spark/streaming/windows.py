@@ -212,6 +212,16 @@ def admit_stream(base: DataFrame, stream_docs: DataFrame, out_dir: str,
     a replayed batch would self-reject as an exact dup and the rewrite
     would silently empty it) and overwrites its directory — the
     write_stream_idempotent contract.
+
+    Admitted-doc SIGNATURES are persisted per batch under
+    ``out_dir/_sigs/`` (underscore-hidden, so the admitted-dataset
+    read never sees them) and read back by later batches: per-batch
+    signature COMPUTE is bounded by that batch's admissions, not by
+    everything admitted so far — without this, a long-running stream's
+    per-batch cost would creep O(total admitted) in minhash work.
+    Replay overwrites a batch's own sig partition exactly like its doc
+    partition, and excludes it from the read, so the two directories
+    cannot diverge.
     """
     from ..operators.dedup import shingle_bands
     from ..plans.curation import admit_delta
@@ -219,8 +229,8 @@ def admit_stream(base: DataFrame, stream_docs: DataFrame, out_dir: str,
     base_kt = base.select("doc_id", "text")
     # the base signature pair is built ONCE for the whole stream — the
     # stored-signature-table amortization admit_delta exists for; per
-    # micro-batch only the (small, admitted-so-far) prev frame's
-    # signatures are added on top
+    # micro-batch only the (small, admitted-so-far) prev frames'
+    # persisted signatures are unioned on top
     base_sigs = shingle_bands(base_kt)
 
     def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -237,18 +247,34 @@ def admit_stream(base: DataFrame, stream_docs: DataFrame, out_dir: str,
         jsc = spark._jsc
         path = jvm.org.apache.hadoop.fs.Path(out_dir)
         fs = path.getFileSystem(jsc.hadoopConfiguration())
+        not_this_batch = F.col("batch") != batch_id
         if fs.exists(path):
             prev = (spark.read.parquet(out_dir)
-                    .filter(F.col("batch") != batch_id)
+                    .filter(not_this_batch)
                     .select("doc_id", "text"))
             eff_base = base_kt.unionByName(prev)
-            prev_sh, prev_bands = shingle_bands(prev)
+            # earlier batches' admitted signatures: parquet scans, not
+            # recompute (each batch wrote its own under _sigs below)
+            prev_sh = (spark.read.parquet(f"{out_dir}/_sigs/sh")
+                       .filter(not_this_batch).drop("batch"))
+            prev_bands = (spark.read.parquet(f"{out_dir}/_sigs/bands")
+                          .filter(not_this_batch).drop("batch"))
             eff_sigs = (base_sigs[0].unionByName(prev_sh),
                         base_sigs[1].unionByName(prev_bands))
         admitted = admit_delta(eff_base, batch_df, bench,
                                base_signatures=eff_sigs)
         admitted.write.mode("overwrite").parquet(
             f"{out_dir}/batch={batch_id}")
+        # signatures of THIS batch's admissions, for later batches to
+        # scan instead of rebuild — computed off the just-written
+        # parquet so the admission DAG is not re-evaluated
+        adm = (spark.read.parquet(f"{out_dir}/batch={batch_id}")
+               .select("doc_id", "text"))
+        a_sh, a_bands = shingle_bands(adm)
+        a_sh.write.mode("overwrite").parquet(
+            f"{out_dir}/_sigs/sh/batch={batch_id}")
+        a_bands.write.mode("overwrite").parquet(
+            f"{out_dir}/_sigs/bands/batch={batch_id}")
 
     q = (stream_docs.writeStream.foreachBatch(admit_batch)
          .option("checkpointLocation", checkpoint_dir)

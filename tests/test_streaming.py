@@ -622,3 +622,51 @@ def test_admit_stream_corrupt_out_dir_raises(spark, tmp_path):
         "schema" in str(exc_info.value).lower(), str(exc_info.value)[:400]
     # and nothing was admitted behind the failure's back
     assert [p for p in os.listdir(out_dir) if p.startswith("batch=")] == []
+
+
+def test_admit_stream_replay_is_idempotent(spark, tmp_path):
+    """Checkpoint loss => every batch replays against an out_dir that
+    already holds its own output.  Each replayed batch must exclude its
+    OWN doc AND signature partitions from the effective base (else all
+    its rows self-reject as exact dups) and overwrite both — admitted
+    sets identical across the replay."""
+    import os
+    import random
+    import time
+
+    from spatial_data_engineering_spark.streaming.windows import admit_stream
+
+    words = ("quark lattice photon meson hadron lepton baryon gluon "
+             "boson fermion spinor tensor gauge flux brane string").split()
+
+    def text(seed, n=40):
+        return " ".join(random.Random(seed).choices(words, k=n))
+
+    base = spark.createDataFrame(
+        [(i, text(i)) for i in range(5)], "doc_id long, text string")
+    stream_dir = str(tmp_path / "incoming")
+    os.makedirs(stream_dir)
+    spark.createDataFrame(
+        [(100, text(50)), (101, text(2))], "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{stream_dir}/f1")
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(200, text(50) + " tail"), (201, text(60))],
+        "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{stream_dir}/f2")
+
+    def run(ckpt):
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1)
+                  .option("recursiveFileLookup", "true").parquet(stream_dir))
+        admit_stream(base, stream, out_dir, str(tmp_path / ckpt))
+        return sorted((int(r.batch), int(r.doc_id)) for r in
+                      spark.read.parquet(out_dir).collect())
+
+    out_dir = str(tmp_path / "admitted")
+    first = run("ckpt1")
+    # fresh checkpoint, same out_dir: both batches replay in the same
+    # (mtime-deterministic) order over their own previous output
+    second = run("ckpt2")
+    assert second == first
+    assert [d for _, d in first] == [100, 201]
