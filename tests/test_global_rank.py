@@ -5,9 +5,10 @@ single-partition ``OVER (ORDER BY ...)`` windows in the exact-rank
 statistics family (q127/q145/q163/q164/q174/q189/q192/q193).  These
 tests prove the two-pass range-partitioned big path is BIT-IDENTICAL to
 the plain window on deterministic total orders — both on synthetic
-frames (multi-column asc/desc specs, ntile remainder handling, lag
-across partition and Arrow-batch boundaries) and on the eight rerouted
-queries themselves against their DuckDB oracles with the threshold
+frames (multi-column asc/desc specs, ntile remainder handling, lag and
+running-sum carries across partition and Arrow-batch boundaries) and on
+the rerouted queries themselves (the r6 exact-rank family plus r9's
+q169 rank+cumsum) against their DuckDB oracles with the threshold
 forced to 0 (every query takes the big path at test scale).
 """
 
