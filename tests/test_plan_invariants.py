@@ -14,9 +14,13 @@ markers never appear:
   (``ArrowEvalPython`` / ``MapInPandas`` / ``FlatMapGroupsInPandas``
   remain allowed and are the sanctioned Python escape hatches).
 * a global (partitionBy-less) Window over UNBOUNDED input (round-7
-  verdict task 3): ``OVER (ORDER BY ...)`` with no partition spec and
-  no Aggregate / TakeOrderedAndProject / Limit / WindowGroupLimit
-  beneath it funnels the whole input through one task.  The sweep
+  verdict task 3, tightened round 9): ``OVER (ORDER BY ...)`` with no
+  partition spec, no TakeOrderedAndProject / Limit / WindowGroupLimit
+  beneath it, and no Aggregate grouped on a PINNED bounded domain
+  (calendar buckets, tiny reference dims — an ENTITY-keyed aggregate
+  like per-customer revenue or per-token frequency is corpus-scaled
+  and no longer excuses) funnels the whole input through one task.
+  The sweep
   forces the global-order kernel's threshold to 0 so the auto-switch
   small path (a plain window, legitimate under 1M rows) cannot mask a
   missing reroute — every helper call emits its two-pass big-path plan
