@@ -141,6 +141,9 @@ def main() -> None:
         base_sigs = dedup.persisted_shingle_bands(spark, src)
         base_sigs[0].count(); base_sigs[1].count()
         row["base_sig_readback_sec"] = round(time.perf_counter() - t0, 2)
+        # third stored table: the base exact-hash set — with it the
+        # refresh never reads the base corpus at all
+        base_eh = dedup.persisted_exact_hashes(spark, src)
         n_delta = max(200, n_docs // 100)
         delta = (spark.range(n_delta).select(
             (F.col("id") + 10_000_000).alias("doc_id"),
@@ -152,7 +155,8 @@ def main() -> None:
                    f" CAST(id AS STRING)) END").alias("text")))
         t0 = time.perf_counter()
         n_admitted = admit_delta(base_docs, delta,
-                                 base_signatures=base_sigs).count()
+                                 base_signatures=base_sigs,
+                                 base_exact_hashes=base_eh).count()
         row["admit_delta_sec"] = round(time.perf_counter() - t0, 2)
         row["n_delta"] = n_delta
         row["n_admitted"] = n_admitted

@@ -478,7 +478,8 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # _lsh_algo_fingerprint scheme as the pair table, so both caches
 # invalidate together on any source or algorithm change.
 # --------------------------------------------------------------------------
-_SIG_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+# (app, src) -> (sh, bands) tuple; (app, "eh:"+src) -> eh DataFrame
+_SIG_CACHE: dict[tuple[str, str], object] = {}
 _SIG_CACHE_COMPUTES = 0   # test hook: cold signature-build count
 _SIG_CACHE_DISK_HITS = 0  # test hook: parquet read-back count
 
@@ -552,6 +553,54 @@ def persisted_shingle_bands(spark: SparkSession,
                 out = (sh, bands)
         _SIG_CACHE[key] = out
         return out
+
+
+def persisted_exact_hashes(spark: SparkSession, src: str) -> DataFrame:
+    """Distinct md5(text) hashes (column ``eh``) of the corpus parquet
+    at ``src``, persisted like the signature pair and keyed by the same
+    corpus-content fingerprint.
+
+    The third stored table of the refresh path: with signatures AND
+    exact hashes persisted, ``admit_delta`` never reads the base corpus
+    at all — a daily refresh touches two scans of hash-sized tables
+    plus delta-sized work.  (No LSH parameters fold into this one's
+    semantics, but the shared fingerprint keeps all three caches
+    invalidating together on any source change.)"""
+    global _SIG_CACHE_COMPUTES, _SIG_CACHE_DISK_HITS
+    app = spark.sparkContext.applicationId
+    key = (app, "eh:" + os.path.abspath(src))
+    with _PAIR_CACHE_LOCK:
+        for k in [k for k in _SIG_CACHE if k[0] != app]:
+            del _SIG_CACHE[k]
+        hit = _SIG_CACHE.get(key)
+        if hit is not None:
+            return hit
+
+        disk = _cache_path(src, "ehash")
+        if disk is not None and os.path.isdir(disk):
+            eh = spark.read.parquet(disk)
+            _SIG_CACHE_DISK_HITS += 1
+            _SIG_CACHE[key] = eh
+            return eh
+
+        eh = (spark.read.parquet(src)
+              .select(F.md5("text").alias("eh")).distinct())
+        _SIG_CACHE_COMPUTES += 1
+        if disk is not None:
+            tmp = f"{disk}.tmp-{os.getpid()}"
+            try:
+                eh.write.mode("overwrite").parquet(tmp)
+                os.makedirs(os.path.dirname(disk), exist_ok=True)
+                try:
+                    os.rename(tmp, disk)
+                except OSError:
+                    shutil.rmtree(tmp, ignore_errors=True)
+            except Exception:
+                shutil.rmtree(tmp, ignore_errors=True)
+            if os.path.isdir(disk):
+                eh = spark.read.parquet(disk)
+        _SIG_CACHE[key] = eh
+        return eh
 
 
 # --------------------------------------------------------------------------

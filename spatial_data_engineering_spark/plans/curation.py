@@ -173,6 +173,7 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def admit_delta(base: DataFrame, delta: DataFrame,
                 bench: DataFrame | None = None,
                 base_signatures: tuple[DataFrame, DataFrame] | None = None,
+                base_exact_hashes: DataFrame | None = None,
                 ) -> DataFrame:
     """Incremental corpus admission: which delta docs may JOIN an
     already-curated base — without recomputing anything base x base.
@@ -211,10 +212,20 @@ def admit_delta(base: DataFrame, delta: DataFrame,
     from ..operators.dedup import shingle_bands, verified_pairs
     from ..operators.textops import _DECON_THETA
 
-    # 1. exact, vs base then within-delta keep-first
-    bh = base.select(F.md5("text").alias("eh")).distinct()
-    d1 = (delta.withColumn("eh", F.md5("text"))
-          .join(bh, "eh", "left_anti"))
+    # 1. exact, vs base then within-delta keep-first.  The base side is
+    # probed by BROADCASTING the delta's (tiny) hash set into one scan
+    # of the base hash table — the base never shuffles, and with
+    # ``base_exact_hashes`` from ``dedup.persisted_exact_hashes`` it is
+    # a stored-table scan, not a corpus read (the same pattern as the
+    # signature tables: all three persist together, so a refresh never
+    # touches the base corpus at all).  The collision set is at most
+    # delta-sized, so the anti-join against it broadcasts too.
+    bh = (base_exact_hashes if base_exact_hashes is not None
+          else base.select(F.md5("text").alias("eh")).distinct())
+    keyed = delta.withColumn("eh", F.md5("text"))
+    dh = keyed.select("eh").distinct()
+    hits = bh.join(F.broadcast(dh), "eh").select("eh").distinct()
+    d1 = keyed.join(F.broadcast(hits), "eh", "left_anti")
     first = d1.groupBy("eh").agg(F.min("doc_id").alias("doc_id"))
     d1 = d1.join(first, ["eh", "doc_id"]).drop("eh")
 

@@ -227,11 +227,13 @@ def admit_stream(base: DataFrame, stream_docs: DataFrame, out_dir: str,
     from ..plans.curation import admit_delta
 
     base_kt = base.select("doc_id", "text")
-    # the base signature pair is built ONCE for the whole stream — the
-    # stored-signature-table amortization admit_delta exists for; per
-    # micro-batch only the (small, admitted-so-far) prev frames'
-    # persisted signatures are unioned on top
+    # the base signature pair and exact-hash set are built ONCE for the
+    # whole stream — the stored-table amortization admit_delta exists
+    # for; per micro-batch only the (small, admitted-so-far) prev
+    # frames' persisted signatures/hashes are unioned on top
     base_sigs = shingle_bands(base_kt)
+    base_eh = (base_kt.select(F.md5("text").alias("eh")).distinct()
+               .localCheckpoint(eager=False))
 
     def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -248,26 +250,32 @@ def admit_stream(base: DataFrame, stream_docs: DataFrame, out_dir: str,
         path = jvm.org.apache.hadoop.fs.Path(out_dir)
         fs = path.getFileSystem(jsc.hadoopConfiguration())
         not_this_batch = F.col("batch") != batch_id
+        eff_eh = base_eh
         if fs.exists(path):
             prev = (spark.read.parquet(out_dir)
                     .filter(not_this_batch)
                     .select("doc_id", "text"))
             eff_base = base_kt.unionByName(prev)
-            # earlier batches' admitted signatures: parquet scans, not
-            # recompute (each batch wrote its own under _sigs below)
+            # earlier batches' admitted signatures/hashes: parquet
+            # scans, not recompute (each batch wrote its own under
+            # _sigs below)
             prev_sh = (spark.read.parquet(f"{out_dir}/_sigs/sh")
                        .filter(not_this_batch).drop("batch"))
             prev_bands = (spark.read.parquet(f"{out_dir}/_sigs/bands")
                           .filter(not_this_batch).drop("batch"))
             eff_sigs = (base_sigs[0].unionByName(prev_sh),
                         base_sigs[1].unionByName(prev_bands))
+            eff_eh = base_eh.unionByName(
+                spark.read.parquet(f"{out_dir}/_sigs/eh")
+                .filter(not_this_batch).drop("batch"))
         admitted = admit_delta(eff_base, batch_df, bench,
-                               base_signatures=eff_sigs)
+                               base_signatures=eff_sigs,
+                               base_exact_hashes=eff_eh)
         admitted.write.mode("overwrite").parquet(
             f"{out_dir}/batch={batch_id}")
-        # signatures of THIS batch's admissions, for later batches to
-        # scan instead of rebuild — computed off the just-written
-        # parquet so the admission DAG is not re-evaluated
+        # signatures + exact hashes of THIS batch's admissions, for
+        # later batches to scan instead of rebuild — computed off the
+        # just-written parquet so the admission DAG is not re-evaluated
         adm = (spark.read.parquet(f"{out_dir}/batch={batch_id}")
                .select("doc_id", "text"))
         a_sh, a_bands = shingle_bands(adm)
@@ -275,6 +283,9 @@ def admit_stream(base: DataFrame, stream_docs: DataFrame, out_dir: str,
             f"{out_dir}/_sigs/sh/batch={batch_id}")
         a_bands.write.mode("overwrite").parquet(
             f"{out_dir}/_sigs/bands/batch={batch_id}")
+        (adm.select(F.md5("text").alias("eh")).distinct()
+         .write.mode("overwrite").parquet(
+             f"{out_dir}/_sigs/eh/batch={batch_id}"))
 
     q = (stream_docs.writeStream.foreachBatch(admit_batch)
          .option("checkpointLocation", checkpoint_dir)

@@ -170,3 +170,43 @@ def test_sig_cache_write_is_atomic_no_tmp_left(spark, cache_root):
     dedup.persisted_shingle_bands(spark, _DOCS)
     leftovers = [p for p in os.listdir(cache_root) if ".tmp-" in p]
     assert leftovers == []
+
+
+def test_exact_hash_cache_and_probe_equivalence(spark, cache_root):
+    """The third stored table (base exact hashes): read-back serves the
+    same admissions as computing hashes from the base corpus, and the
+    broadcast collision probe is semantically the plain anti-join."""
+    from spatial_data_engineering_spark.plans.curation import admit_delta
+
+    base = spark.read.parquet(_DOCS).select("doc_id", "text")
+    sample = base.orderBy("doc_id").limit(1).collect()[0]
+    delta = spark.createDataFrame(
+        [(9_100_001, sample.text),                     # exact dup: reject
+         (9_100_002, "another wholly fresh doc " * 7),
+         (9_100_003, "another wholly fresh doc " * 7)],  # in-delta dup of 2
+        "doc_id bigint, text string")
+    sigs = dedup.shingle_bands(base)
+
+    plain = sorted(r.doc_id for r in
+                   admit_delta(base, delta, base_signatures=sigs).collect())
+
+    key = (spark.sparkContext.applicationId,
+           "eh:" + os.path.abspath(_DOCS))
+    dedup._SIG_CACHE.pop(key, None)
+    c0, d0 = dedup._SIG_CACHE_COMPUTES, dedup._SIG_CACHE_DISK_HITS
+    dedup.persisted_exact_hashes(spark, _DOCS)         # build + write
+    assert dedup._SIG_CACHE_COMPUTES == c0 + 1
+    dedup._SIG_CACHE.pop(key, None)                    # "new session"
+    eh = dedup.persisted_exact_hashes(spark, _DOCS)    # read-back
+    assert dedup._SIG_CACHE_COMPUTES == c0 + 1
+    assert dedup._SIG_CACHE_DISK_HITS == d0 + 1
+
+    stored = sorted(r.doc_id for r in
+                    admit_delta(base, delta, base_signatures=sigs,
+                                base_exact_hashes=eh).collect())
+    assert stored == plain
+    assert 9_100_001 not in stored        # exact dup vs base rejected
+    assert 9_100_002 in stored            # fresh admitted
+    assert 9_100_003 not in stored        # within-delta keep-first
+    # same invalidation law as the other two caches
+    assert dedup._cache_path(_DOCS, "ehash") is not None
