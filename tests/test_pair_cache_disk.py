@@ -210,3 +210,34 @@ def test_exact_hash_cache_and_probe_equivalence(spark, cache_root):
     assert 9_100_003 not in stored        # within-delta keep-first
     # same invalidation law as the other two caches
     assert dedup._cache_path(_DOCS, "ehash") is not None
+
+
+def test_stored_tables_refresh_never_scans_base_corpus(spark, cache_root):
+    """The zero-corpus-read property: with all base-side tables stored
+    (signatures + exact hashes), admit_delta's physical plan contains
+    NO scan of the base documents parquet — the refresh touches only
+    the stored hash-sized tables plus the delta."""
+    from spatial_data_engineering_spark.plans.curation import admit_delta
+
+    base = spark.read.parquet(_DOCS).select("doc_id", "text")
+    delta = spark.createDataFrame(
+        [(9_200_001, "completely novel refresh document " * 6)],
+        "doc_id bigint, text string")
+    dedup._SIG_CACHE.pop(_sig_key(spark), None)
+    dedup._SIG_CACHE.pop(
+        (spark.sparkContext.applicationId, "eh:" + os.path.abspath(_DOCS)),
+        None)
+    dedup.persisted_shingle_bands(spark, _DOCS)
+    dedup.persisted_exact_hashes(spark, _DOCS)
+    dedup._SIG_CACHE.pop(_sig_key(spark), None)  # fresh session: read-back
+    dedup._SIG_CACHE.pop(
+        (spark.sparkContext.applicationId, "eh:" + os.path.abspath(_DOCS)),
+        None)
+    admitted = admit_delta(
+        base, delta,
+        base_signatures=dedup.persisted_shingle_bands(spark, _DOCS),
+        base_exact_hashes=dedup.persisted_exact_hashes(spark, _DOCS))
+    plan = admitted._jdf.queryExecution().executedPlan().toString()
+    assert os.path.basename(_DOCS) not in plan, (
+        "refresh plan still scans the base corpus parquet")
+    assert [r.doc_id for r in admitted.collect()] == [9_200_001]
