@@ -2916,14 +2916,19 @@ def q179_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     tokf = (d.select("source", F.explode(F.split("text", " ")).alias("t"))
             .filter(F.col("t") != ""))
-    freq = tokf.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
-    return (tokf.join(freq, "t")
+    # one instance shuffle total (the (source, t) groupBy); freq derives
+    # from the pre-aggregated counts and the join is vocab x vocab — the
+    # q209 shape.  A hapax (n == 1) occupies exactly one (source, t) row
+    # with c == 1, so the row count IS the instance count.
+    st = tokf.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    freq = st.groupBy("t").agg(F.sum("c").alias("n"))
+    return (st.join(freq, "t")
             .groupBy("source")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            .agg(F.sum("c").cast("bigint").alias("n_tokens"),
                  F.count(F.when(F.col("n") == 1, 1)).cast("bigint")
                  .alias("n_hapax"),
                  F.round(F.count(F.when(F.col("n") == 1, 1)).cast("double")
-                         / F.count(F.lit(1)), 6).alias("hapax_ratio")))
+                         / F.sum("c"), 6).alias("hapax_ratio")))
 
 
 # --------------------------------------------------------------------------
@@ -3475,20 +3480,30 @@ def q196_crosssplit_perplexity(spark: SparkSession,
     freq = (tokf.filter(F.col("split") == "train")
             .groupBy("t").agg(F.count(F.lit(1)).alias("n")))
     tot = freq.agg(F.sum("n").alias("tot"))
-    val = (tokf.filter(F.col("split") == "val")
-           .join(freq, "t", "left")
+    # pre-aggregate the val stream by token: the left join against the
+    # train vocab is vocab x vocab, never val-INSTANCES x vocab (the
+    # q209 shape).  Weighted sums reproduce the per-instance values
+    # exactly: c * decimal-nll is the c-fold decimal sum, OOV/non-OOV
+    # instance counts are c-sums over the null split.
+    vt = (tokf.filter(F.col("split") == "val")
+          .groupBy("t").agg(F.count(F.lit(1)).alias("c")))
+    val = (vt.join(freq, "t", "left")
            .crossJoin(F.broadcast(tot)))
+    # decimal(18,9) x decimal(19,0): exact product at scale 9 (see q209)
     nll_term = F.when(
         F.col("n").isNotNull(),
         F.round(-F.log(F.col("n").cast("double") / F.col("tot")), 9)
-        .cast("decimal(30,9)"))
+        .cast("decimal(18,9)"))
+    n_oov = F.coalesce(
+        F.sum(F.when(F.col("n").isNull(), F.col("c"))), F.lit(0))
+    n_known = F.coalesce(
+        F.sum(F.when(F.col("n").isNotNull(), F.col("c"))), F.lit(0))
     return val.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_val_tokens"),
-        F.count(F.when(F.col("n").isNull(), 1)).cast("bigint")
-        .alias("n_oov"),
-        F.round(F.count(F.when(F.col("n").isNull(), 1)).cast("double")
-                / F.count(F.lit(1)), 6).alias("oov_rate"),
-        (F.sum(nll_term).cast("double") / F.count("n")).alias("val_nll"))
+        F.sum("c").cast("bigint").alias("n_val_tokens"),
+        n_oov.cast("bigint").alias("n_oov"),
+        F.round(n_oov.cast("double") / F.sum("c"), 6).alias("oov_rate"),
+        (F.sum(F.col("c").cast("decimal(19,0)") * nll_term)
+         .cast("double") / n_known).alias("val_nll"))
 
 
 # --------------------------------------------------------------------------
@@ -3700,17 +3715,34 @@ def q209_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokf = (d.select("source", "doc_id",
                      F.explode(F.split("text", " ")).alias("t"))
             .filter(F.col("t") != ""))
-    freq = tokf.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    # pre-aggregate to (source, token) COUNTS and derive the vocab
+    # frequency table FROM them: token instances shuffle exactly once
+    # (the (source, t) groupBy); the freq re-aggregation and the join
+    # both run over vocab-sized tables.  The old shape joined token
+    # INSTANCES x vocab — at 100 TB that shuffles the whole exploded
+    # corpus on the token key.  Values are bit-identical: the
+    # per-instance decimal nll sum equals c * nll exactly (decimal
+    # multiply by an integer count), hapax rows have c == 1 by
+    # definition, and n_tokens is the sum of the counts.  Measured
+    # same-session at sf0.1: 2.2 -> 1.8 s warm (and the removed
+    # instance-shuffle is the part that grows with corpus size).
+    st = tokf.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    freq = st.groupBy("t").agg(F.sum("c").alias("n"))
     tot = freq.agg(F.sum("n").alias("tot"))
+    # decimal(18,9) term x decimal(19,0) count -> decimal(38,9): full
+    # scale survives Spark's precision-loss rule, so c * nll is EXACTLY
+    # the c-fold decimal sum (a (30,9) term would force the product's
+    # scale down to 6 and diverge from the oracle's per-instance sum)
     nll_term = F.round(
         -F.log(F.col("n").cast("double") / F.col("tot")), 9
-    ).cast("decimal(30,9)")
-    tokstats = (tokf.join(freq, "t").crossJoin(F.broadcast(tot))
+    ).cast("decimal(18,9)")
+    cdec = F.col("c").cast("decimal(19,0)")
+    tokstats = (st.join(freq, "t").crossJoin(F.broadcast(tot))
                 .groupBy("source")
-                .agg(F.count(F.lit(1)).alias("n_tokens"),
+                .agg(F.sum("c").alias("n_tokens"),
                      F.count(F.when(F.col("n") == 1, 1)).alias("n_hapax"),
-                     (F.sum(nll_term).cast("double")
-                      / F.count(F.lit(1))).alias("avg_nll")))
+                     (F.sum(cdec * nll_term).cast("double")
+                      / F.sum("c")).alias("avg_nll")))
     scored = _scored_quality(d)
     diversity = F.round(
         F.expr(f"size(array_distinct({_Q182_GRAMS_SPARK}))").cast("double")

@@ -49,17 +49,20 @@ def _modules():
 #      but the hard signal is the driver's).
 #   2. slots 24-34: the 11 r3-stale rows (q79_decontaminate .. q21),
 #      the oldest driver evidence among ever-verified queries.
-#   3. slots 35-49: the 15 oldest r4-verified rows (q44_quality_score ..
-#      q68_chunk_documents).
-#   4. slot 50: q169_vocab_coverage, forced by policy rule (2) — its DAG
-#      changed this round (rank+cumsum rerouted through the two-pass
-#      global_rank_cumsum kernel after the audit tightening stopped
-#      excusing per-token aggregates as bounded).  The inventory itself
-#      stays frozen at 212 (VERDICT task 7).
+#   3. slots 35-47: the 13 oldest r4-verified rows (q44_quality_score ..
+#      q65_blocklist_filter).
+#   4. slots 48-50: the round's rule-(2) forces — queries whose DAG
+#      changed this round: q169_vocab_coverage (rank+cumsum rerouted
+#      through the two-pass global_rank_cumsum kernel after the audit
+#      tightening stopped excusing per-token aggregates as bounded),
+#      q179_hapax_ratio and q196_crosssplit_perplexity (token-INSTANCE x
+#      vocab joins pre-aggregated to the vocab x vocab shape; q209, also
+#      reshaped, already sits in the never-verified lead).  The
+#      inventory itself stays frozen at 212 (VERDICT task 7).
 # WRITTEN SCHEDULE (continuing):
-#   - r10: q69_embedding_quantize (displaced by the rule-2 force) + the
-#     remaining 25 r4-verified rows + oldest r5 rows; steady-state full
-#     rotation every ~5 rounds thereafter.
+#   - r10: q66/q68/q69 (displaced by the rule-2 forces) + the remaining
+#     25 r4-verified rows + oldest r5 rows; steady-state full rotation
+#     every ~5 rounds thereafter.
 # tests/test_driver_window.py pins the first 50 names to this plan so the
 # rotation is reviewed code, not comment policy.  The FULL inventory is
 # still re-proven by tests/test_oracle_parity.py on every pytest run (the
@@ -90,13 +93,14 @@ _PRIORITY = [
     "q45_dedup_exact", "q46_dedup_tokensort", "q40_text_stats",
     "q41_token_count", "q08_var_argmax", "q33_percentiles",
     "q72_hierarchical_rollup", "q57_normalize_text", "q58_edit_distance",
-    "q65_blocklist_filter", "q66_repetition", "q68_chunk_documents",
-    # slot 50: rule-(2) force — q169's DAG changed this round (rerouted
-    # through the global_rank_cumsum kernel)
-    "q169_vocab_coverage",
-    # --- tail: r10 lead = q69 (displaced by the rule-2 force) + the
-    # remaining r4 block, then r5, r6, and the r8-verified newest ---
-    "q69_embedding_quantize",
+    "q65_blocklist_filter",
+    # slots 48-50: rule-(2) forces — DAGs changed this round (q169: the
+    # global_rank_cumsum reroute; q179/q196: instance-join pre-agg)
+    "q169_vocab_coverage", "q179_hapax_ratio",
+    "q196_crosssplit_perplexity",
+    # --- tail: r10 lead = the rows displaced by the rule-2 forces +
+    # the remaining r4 block, then r5, r6, and the r8-verified newest ---
+    "q66_repetition", "q68_chunk_documents", "q69_embedding_quantize",
     # --- tail: rotate into r10+ windows, least-recently-verified first ---
     # remaining r4 block (25) — the scheduled r10 lead
     "q70_multimodal_meta", "q74_vocab_topk", "q02_ilike_filter",
@@ -137,7 +141,7 @@ _PRIORITY = [
     "q168_dedup_cost_model", "q170_burst_detection",
     "q171_dup_degree_distribution", "q173_order_reconciliation",
     "q175_error_rate_timeline", "q176_score_normalization",
-    "q177_weekday_seasonality", "q178_new_vs_returning", "q179_hapax_ratio",
+    "q177_weekday_seasonality", "q178_new_vs_returning",
     "q145_curriculum_stages", "q163_score_auc", "q164_rfm_segments",
     "q174_value_gini", "q189_runs_test", "q193_heaps_law",
     # r8-verified newest (50)
@@ -155,7 +159,7 @@ _PRIORITY = [
     "q118_weighted_sample", "q119_kmv_setops", "q128_detector_agreement",
     "q139_split_contamination", "q144_training_order",
     "q153_simhash_hamming_join", "q156_minhash_estimate_audit",
-    "q167_dedup_strategy_venn", "q188_aa_test", "q196_crosssplit_perplexity",
+    "q167_dedup_strategy_venn", "q188_aa_test",
     "q212_curation_shards", "q213_curation_funnel", "q55_kmeans",
     "q42_lang_id",
 ]

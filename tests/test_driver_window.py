@@ -22,9 +22,11 @@ from spatial_data_engineering_spark.queries_registry import all_queries
 # Round-9 window, executing VERDICT r8 task 1: the 23 queries with ZERO
 # driver CORRECTNESS rows ever lead (round 7's planned burn-down window
 # never got a driver pass — never-verified debt outranks stale rows),
-# then the 11 r3-stale rows, then the 15 oldest r4-verified rows, then
-# the one rule-(2) force: q169_vocab_coverage's DAG changed this round
-# (rerouted through the global_rank_cumsum kernel).
+# then the 11 r3-stale rows, then the 13 oldest r4-verified rows, then
+# the three rule-(2) forces: q169 (rerouted through the
+# global_rank_cumsum kernel), q179 and q196 (token-instance joins
+# pre-aggregated to the vocab x vocab shape; q209, also reshaped,
+# already leads the window as a never-verified row).
 EXPECTED_WINDOW = [
     # never-driver-verified (23) — the q180-q210 tail
     "q180_basket_lift", "q181_order_interarrival", "q182_subword_diversity",
@@ -41,22 +43,23 @@ EXPECTED_WINDOW = [
     "q60_point_in_polygon", "q61_zonal_histogram", "q49_cosine_topk",
     "q43_fingerprint", "q54_dedup_materialize", "q15_count_distinct",
     "q19_hourly_window", "q21_props_extract",
-    # oldest r4-verified (15)
+    # oldest r4-verified (13)
     "q44_quality_score", "q18_sessionization", "q01_pricing_summary",
     "q45_dedup_exact", "q46_dedup_tokensort", "q40_text_stats",
     "q41_token_count", "q08_var_argmax", "q33_percentiles",
     "q72_hierarchical_rollup", "q57_normalize_text", "q58_edit_distance",
-    "q65_blocklist_filter", "q66_repetition", "q68_chunk_documents",
-    # rule-(2) force: q169's rank+cumsum rerouted through the two-pass
-    # kernel this round
-    "q169_vocab_coverage",
+    "q65_blocklist_filter",
+    # rule-(2) forces: DAGs changed this round (q169 kernel reroute,
+    # q179/q196 instance-join pre-agg)
+    "q169_vocab_coverage", "q179_hapax_ratio",
+    "q196_crosssplit_perplexity",
 ]
 
 # The remaining r4-verified rows that must LEAD the round-10 window (the
 # written schedule's next step).  Guarded so the r10 rotation cannot
 # accidentally bury them.
 EXPECTED_R10_LEAD = [
-    "q69_embedding_quantize",
+    "q66_repetition", "q68_chunk_documents", "q69_embedding_quantize",
     "q70_multimodal_meta", "q74_vocab_topk", "q02_ilike_filter",
     "q03_join_enrich", "q04_semi_join", "q05_anti_join",
     "q06_monthly_revenue", "q07_month_spine", "q09_histogram",
