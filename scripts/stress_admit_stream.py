@@ -52,8 +52,8 @@ def main() -> None:
     from pyspark.sql import functions as F
     from pyspark.sql.streaming import StreamingQueryListener
 
-    from spatial_data_engineering_spark.operators.dedup import \
-        persisted_shingle_bands
+    from spatial_data_engineering_spark.operators.dedup import (
+        persisted_exact_hashes, persisted_shingle_bands)
     from spatial_data_engineering_spark.session import build_session
     from spatial_data_engineering_spark.streaming.windows import admit_stream
 
@@ -81,11 +81,15 @@ def main() -> None:
          .write.mode("overwrite").parquet(src))
         base = spark.read.parquet(src)
 
-        # the stored signature table: built + persisted ONCE, outside
-        # the stream (the refresh pattern admit_delta documents)
+        # the stored tables: built + persisted ONCE, outside the
+        # stream (the refresh pattern admit_delta documents), and
+        # PASSED THROUGH so the stream rebuilds nothing base-sized —
+        # batch-0 trigger wall is admission cost, not base build
         t0 = time.perf_counter()
         sigs = persisted_shingle_bands(spark, src)
         sigs[0].count(); sigs[1].count()
+        eh = persisted_exact_hashes(spark, src)
+        eh.count()
         out["base_sig_build_sec"] = round(time.perf_counter() - t0, 2)
 
         # delta files: same mix as the batch stress — evens near-dup a
@@ -130,7 +134,8 @@ def main() -> None:
                   .parquet(stream_dir))
         out_dir = f"{tmp}/admitted"
         t0 = time.perf_counter()
-        admit_stream(base, stream, out_dir, f"{tmp}/ckpt")
+        admit_stream(base, stream, out_dir, f"{tmp}/ckpt",
+                     base_signatures=sigs, base_exact_hashes=eh)
         out["stream_total_sec"] = round(time.perf_counter() - t0, 2)
         time.sleep(3)  # the listener bus is async; let the last
         # progress event land before reading the capture

@@ -190,7 +190,9 @@ def stream_admit_documents(stream_docs: DataFrame,
 
 
 def admit_stream(base: DataFrame, stream_docs: DataFrame, out_dir: str,
-                 checkpoint_dir: str, bench: DataFrame | None = None) -> None:
+                 checkpoint_dir: str, bench: DataFrame | None = None,
+                 base_signatures: tuple[DataFrame, DataFrame] | None = None,
+                 base_exact_hashes: DataFrame | None = None) -> None:
     """Streaming corpus admission with FULL near-dup semantics: every
     micro-batch runs the batch ``admit_delta`` (exact keep-first +
     LSH-banded near-dup verify + optional benchmark decontamination)
@@ -205,39 +207,48 @@ def admit_stream(base: DataFrame, stream_docs: DataFrame, out_dir: str,
     state-free fast path for exact/fingerprint tiers; this is the full
     pipeline-admission twin.
 
+    ``base_signatures`` / ``base_exact_hashes`` accept the stored
+    tables (``dedup.persisted_shingle_bands`` /
+    ``persisted_exact_hashes``) so a stream over a warehouse corpus
+    never rebuilds base-side state; omitted, both are computed once per
+    stream from ``base``.
+
     Semantics are ARRIVAL-ORDER keep-first: a doc near-duplicating one
     admitted in an earlier batch is rejected, exactly like a later
     doc_id within one batch.  Replay-safe: a recomputed batch excludes
     its OWN previous output from the effective base (else every row of
     a replayed batch would self-reject as an exact dup and the rewrite
-    would silently empty it) and overwrites its directory — the
+    would silently empty it) and overwrites its directories — the
     write_stream_idempotent contract.
 
-    Admitted-doc SIGNATURES are persisted per batch under
-    ``out_dir/_sigs/`` (underscore-hidden, so the admitted-dataset
-    read never sees them) and read back by later batches: per-batch
-    signature COMPUTE is bounded by that batch's admissions, not by
-    everything admitted so far — without this, a long-running stream's
-    per-batch cost would creep O(total admitted) in minhash work.
-    Replay overwrites a batch's own sig partition exactly like its doc
-    partition, and excludes it from the read, so the two directories
-    cannot diverge.
+    Admitted-doc SIGNATURES and EXACT HASHES are persisted per batch
+    under ``out_dir/_sigs/`` (underscore-hidden, so the admitted-
+    dataset read never sees them) and read back by later batches:
+    per-batch signature COMPUTE is bounded by that batch's admissions,
+    not by everything admitted so far.  If any ``_sigs`` table is
+    absent or incomplete — a crash landed between the docs write and
+    the sigs writes, or ``out_dir`` predates the sig persistence — the
+    batch RECOMPUTES prev state from the admitted docs (the source of
+    truth) instead of failing or, worse, silently shrinking the dedup
+    base; a batch's own uncommitted partitions are excluded either
+    way, so replay can never self-reject.
     """
     from ..operators.dedup import shingle_bands
     from ..plans.curation import admit_delta
 
     base_kt = base.select("doc_id", "text")
-    # the base signature pair and exact-hash set are built ONCE for the
-    # whole stream — the stored-table amortization admit_delta exists
-    # for; per micro-batch only the (small, admitted-so-far) prev
-    # frames' persisted signatures/hashes are unioned on top
-    base_sigs = shingle_bands(base_kt)
-    base_eh = (base_kt.select(F.md5("text").alias("eh")).distinct()
+    # base-side state: the stored tables when given, else built ONCE
+    # for the whole stream — the stored-table amortization admit_delta
+    # exists for; per micro-batch only the (small, admitted-so-far)
+    # prev frames' persisted signatures/hashes are unioned on top
+    base_sigs = base_signatures or shingle_bands(base_kt)
+    base_eh = (base_exact_hashes if base_exact_hashes is not None
+               else base_kt.select(F.md5("text").alias("eh")).distinct()
                .localCheckpoint(eager=False))
 
     def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        eff_base, eff_sigs = base_kt, base_sigs
+        eff_sigs, eff_eh = base_sigs, base_eh
         # Only a genuinely ABSENT out_dir means "first batch".  Probing
         # existence explicitly (instead of catching AnalysisException
         # around the read) keeps every other analysis failure — stray
@@ -247,28 +258,44 @@ def admit_stream(base: DataFrame, stream_docs: DataFrame, out_dir: str,
         # and re-admit their duplicates with no signal.
         jvm = spark._jvm
         jsc = spark._jsc
-        path = jvm.org.apache.hadoop.fs.Path(out_dir)
-        fs = path.getFileSystem(jsc.hadoopConfiguration())
+        conf = jsc.hadoopConfiguration()
+
+        def _exists(p: str) -> bool:
+            hp = jvm.org.apache.hadoop.fs.Path(p)
+            return hp.getFileSystem(conf).exists(hp)
+
         not_this_batch = F.col("batch") != batch_id
-        eff_eh = base_eh
-        if fs.exists(path):
-            prev = (spark.read.parquet(out_dir)
-                    .filter(not_this_batch)
-                    .select("doc_id", "text"))
-            eff_base = base_kt.unionByName(prev)
-            # earlier batches' admitted signatures/hashes: parquet
-            # scans, not recompute (each batch wrote its own under
-            # _sigs below)
-            prev_sh = (spark.read.parquet(f"{out_dir}/_sigs/sh")
-                       .filter(not_this_batch).drop("batch"))
-            prev_bands = (spark.read.parquet(f"{out_dir}/_sigs/bands")
-                          .filter(not_this_batch).drop("batch"))
+        if _exists(out_dir):
+            sig_paths = [f"{out_dir}/_sigs/{t}" for t in
+                         ("sh", "bands", "eh")]
+            if all(_exists(p) for p in sig_paths):
+                # earlier batches' admitted signatures/hashes: parquet
+                # scans, not recompute (each batch wrote its own under
+                # _sigs below).  A batch whose sigs were written but
+                # whose checkpoint did not commit is excluded by the
+                # batch filter, so partial state cannot leak in.
+                prev_sh = (spark.read.parquet(sig_paths[0])
+                           .filter(not_this_batch).drop("batch"))
+                prev_bands = (spark.read.parquet(sig_paths[1])
+                              .filter(not_this_batch).drop("batch"))
+                prev_eh = (spark.read.parquet(sig_paths[2])
+                           .filter(not_this_batch).drop("batch"))
+            else:
+                # crash between the docs write and the sigs writes (or
+                # a pre-sig-persistence out_dir): rebuild prev state
+                # from the admitted docs — deterministic, never silent
+                prev = (spark.read.parquet(out_dir)
+                        .filter(not_this_batch)
+                        .select("doc_id", "text"))
+                prev_sh, prev_bands = shingle_bands(prev)
+                prev_eh = prev.select(F.md5("text").alias("eh")).distinct()
             eff_sigs = (base_sigs[0].unionByName(prev_sh),
                         base_sigs[1].unionByName(prev_bands))
-            eff_eh = base_eh.unionByName(
-                spark.read.parquet(f"{out_dir}/_sigs/eh")
-                .filter(not_this_batch).drop("batch"))
-        admitted = admit_delta(eff_base, batch_df, bench,
+            eff_eh = base_eh.unionByName(prev_eh)
+        # base_kt is never evaluated here: with signatures and exact
+        # hashes supplied, admit_delta's plan contains no base-corpus
+        # scan (pinned by test_stored_tables_refresh_never_scans_base_corpus)
+        admitted = admit_delta(base_kt, batch_df, bench,
                                base_signatures=eff_sigs,
                                base_exact_hashes=eff_eh)
         admitted.write.mode("overwrite").parquet(

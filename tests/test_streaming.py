@@ -670,3 +670,55 @@ def test_admit_stream_replay_is_idempotent(spark, tmp_path):
     second = run("ckpt2")
     assert second == first
     assert [d for _, d in first] == [100, 201]
+
+
+def test_admit_stream_recovers_missing_sigs(spark, tmp_path):
+    """Crash window: docs written but _sigs absent (or out_dir predates
+    sig persistence).  The next run must NOT wedge on PATH_NOT_FOUND and
+    must still treat previously admitted docs as dedup base — prev state
+    rebuilds from the admitted docs, the source of truth."""
+    import os
+    import random
+    import shutil
+    import time
+
+    from spatial_data_engineering_spark.streaming.windows import admit_stream
+
+    words = ("quark lattice photon meson hadron lepton baryon gluon "
+             "boson fermion spinor tensor gauge flux brane string").split()
+
+    def text(seed, n=40):
+        return " ".join(random.Random(seed).choices(words, k=n))
+
+    base = spark.createDataFrame(
+        [(i, text(i)) for i in range(5)], "doc_id long, text string")
+    stream_dir = str(tmp_path / "incoming")
+    os.makedirs(stream_dir)
+    spark.createDataFrame(
+        [(100, text(50))], "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{stream_dir}/f1")
+    out_dir = str(tmp_path / "admitted")
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("recursiveFileLookup", "true").parquet(stream_dir))
+    admit_stream(base, stream, out_dir, str(tmp_path / "ckpt1"))
+    # simulate the crash state / a pre-sig-persistence dataset
+    shutil.rmtree(os.path.join(out_dir, "_sigs"))
+
+    time.sleep(1.1)
+    spark.createDataFrame(  # near-dup of the batch-0 admitted doc
+        [(200, text(50) + " tail"), (201, text(60))],
+        "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{stream_dir}/f2")
+    stream2 = (spark.readStream.schema("doc_id long, text string")
+               .option("recursiveFileLookup", "true").parquet(stream_dir))
+    # fresh checkpoint: batch 0 replays f1+f2 together over the
+    # sig-less out_dir — must rebuild prev from docs and run green
+    admit_stream(base, stream2, out_dir, str(tmp_path / "ckpt2"))
+    got = sorted(r.doc_id for r in spark.read.parquet(out_dir).collect())
+    # 100 re-admitted (its own replayed output is excluded), 200
+    # rejected as near-dup of 100 within the batch, 201 fresh
+    assert got == [100, 201], got
+    # and the recovery run re-established the _sigs tables
+    assert os.path.isdir(os.path.join(out_dir, "_sigs", "sh"))
+    assert os.path.isdir(os.path.join(out_dir, "_sigs", "eh"))
