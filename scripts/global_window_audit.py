@@ -38,6 +38,9 @@ def main(argv):
     out_path = None
     if "--out" in argv:
         i = argv.index("--out")
+        if i + 1 >= len(argv):
+            print("usage: global_window_audit.py [--out FILE.json] [qNNN ...]")
+            return 2
         out_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
     prefixes = argv

@@ -451,23 +451,37 @@ def _sort_exprs(order_by):
             for c, asc in order_by]
 
 
-def _range_sorted(df: DataFrame, order_by, nparts: int):
+def _range_sorted(df: DataFrame, order_by, nparts: int,
+                  sum_col: str | None = None):
     """Range-partition + sort by the total order; pin partition ids.
 
     Returns (part, offsets, total) where offsets[pid] = number of rows
     in partitions before pid (ascending pid == ascending sort order).
+    With ``sum_col``, the same single P-row job also accumulates that
+    column's per-partition sums and the return gains a fourth element:
+    prefixes[pid] = sum over all partitions before pid (the running-sum
+    carry global_rank_cumsum injects).
     """
     exprs = _sort_exprs(order_by)
     part = (df.repartitionByRange(nparts, *exprs)
             .sortWithinPartitions(*exprs)
             .localCheckpoint(eager=True))
-    counts = {r["pid"]: r["n"] for r in
-              part.select(F.spark_partition_id().alias("pid"))
-              .groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()}
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if sum_col is not None:
+        aggs.append(F.sum(sum_col).alias("s"))
+    stats = {r["pid"]: r for r in
+             part.select(F.spark_partition_id().alias("pid"),
+                         *([sum_col] if sum_col else []))
+             .groupBy("pid").agg(*aggs).collect()}
+    offsets, prefixes, acc, acc_s = {}, {}, 0, 0
+    for pid in sorted(stats):
         offsets[pid] = acc
-        acc += counts[pid]
+        acc += stats[pid]["n"]
+        if sum_col is not None:
+            prefixes[pid] = acc_s
+            acc_s += stats[pid]["s"]
+    if sum_col is not None:
+        return part, offsets, acc, prefixes
     return part, offsets, acc
 
 
@@ -665,23 +679,10 @@ def global_rank_cumsum(df: DataFrame, value_col: str, order_by,
             .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
             .alias(cum_col))
     nparts = df.sparkSession.sparkContext.defaultParallelism
-    exprs = _sort_exprs(order_by)
-    part = (df.repartitionByRange(nparts, *exprs)
-            .sortWithinPartitions(*exprs)
-            .localCheckpoint(eager=True))
-    # one P-row job yields BOTH the row-number offsets and the running
-    # value prefix per partition
-    stats = (part.select(F.spark_partition_id().alias("pid"), value_col)
-             .groupBy("pid")
-             .agg(F.count(F.lit(1)).alias("n"),
-                  F.sum(value_col).alias("s"))
-             .collect())
-    offsets, prefixes, acc_n, acc_s = {}, {}, 0, 0
-    for r in sorted(stats, key=lambda r: r["pid"]):
-        offsets[r["pid"]] = acc_n
-        prefixes[r["pid"]] = acc_s
-        acc_n += r["n"]
-        acc_s += r["s"]
+    # the shared range-exchange kernel; one P-row job yields BOTH the
+    # row-number offsets and the running value prefix per partition
+    part, offsets, _, prefixes = _range_sorted(
+        df, order_by, nparts, sum_col=value_col)
     sum_type = (part.select(F.sum(value_col).alias("s"))
                 .schema[0].dataType.simpleString())
     fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"

@@ -56,12 +56,40 @@ _BOUNDED_KEY_NAMES = {
 # Calendar-bucket defining expressions: an aggregate grouping on an
 # aliased `date_trunc('day', ts)` (Catalyst names it
 # `_groupingexpression#N`) is a bounded time bucket regardless of the
-# alias's name.
+# alias's name.  ANCHORED at the head: the WHOLE expression must be the
+# calendar call — `concat(customer_id, year(ts))` contains `year(` but
+# is entity-scaled, so a substring match would silently excuse it.
 _BOUNDED_EXPR_RE = re.compile(
-    r"\b(date_trunc|year|month|quarter|weekofyear|dayofweek|dayofmonth|"
-    r"hour|to_date|make_date|window)\(", re.IGNORECASE)
+    r"^\s*(cast\()?\s*(date_trunc|year|month|quarter|weekofyear|"
+    r"dayofweek|dayofmonth|hour|to_date|make_date|window)\(",
+    re.IGNORECASE)
 
 _ATTR_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#(\d+)")
+
+
+def _balanced_suffix(s: str) -> str:
+    """The smallest self-contained expression ending at the end of ``s``.
+
+    Plan lines list several `expr AS name#id` items comma-separated;
+    a greedy line prefix before ` AS name#id` would include SIBLING
+    expressions (whose calendar calls must not excuse this key).  Walk
+    backwards tracking paren depth: the expression starts after the
+    first unmatched '(' or after a top-level ', '.
+    """
+    depth = 0
+    for i in range(len(s) - 1, -1, -1):
+        ch = s[i]
+        if ch == ")":
+            depth += 1
+        elif ch == "(":
+            if depth == 0:
+                return s[i + 1:]
+            depth -= 1
+        elif ch in ",[" and depth == 0:
+            # top-level item separator, or the plan line's opening
+            # bracket (`Project [expr AS ...`)
+            return s[i + 1:]
+    return s
 
 
 def _simple(node) -> str:
@@ -98,11 +126,15 @@ def _grouping_key_bounded(expr_str: str, subtree_str: str) -> bool:
     if name.lower() in _BOUNDED_KEY_NAMES:
         return True
     if " AS " in expr_str:
-        return bool(_BOUNDED_EXPR_RE.search(expr_str.split(" AS ")[0]))
-    # bare synthetic/unlisted attribute: find its definition below
+        return bool(_BOUNDED_EXPR_RE.match(
+            _balanced_suffix(expr_str.rsplit(" AS ", 1)[0])))
+    # bare synthetic/unlisted attribute: find its definition below and
+    # anchor the check on ITS balanced expression only — a greedy line
+    # prefix would include sibling Project items
     defn = re.search(
         rf"([^\n]*) AS {re.escape(name)}#{attr_id}\b", subtree_str)
-    return bool(defn and _BOUNDED_EXPR_RE.search(defn.group(1)))
+    return bool(defn and _BOUNDED_EXPR_RE.match(
+        _balanced_suffix(defn.group(1))))
 
 
 def _aggregate_bounded(agg_node, subtree_str: str) -> bool:

@@ -158,6 +158,36 @@ def test_detector_flags_entity_keyed_aggregate(spark):
         "detector excused a rank over a per-token aggregate")
 
 
+def test_detector_not_fooled_by_embedded_calendar_calls(spark):
+    # A calendar function INSIDE an entity-scaled grouping expression
+    # must not excuse it: the bounded-expression check is anchored on
+    # the key's own balanced expression, not a substring match over the
+    # plan line (which also contains sibling expressions).
+    raw = spark.range(1000).select(
+        (F.col("id") % 311).alias("customer_id"), F.col("id").alias("v"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 3600)
+        .alias("ts"))
+    # entity key that CONTAINS year(ts): still corpus-scaled
+    agg = (raw.groupBy(F.concat(F.col("customer_id").cast("string"),
+                                F.year("ts").cast("string")))
+           .agg(F.sum("v").alias("rev")))
+    ranked = agg.select(
+        "*", F.row_number().over(W.orderBy(F.desc("rev"))).alias("rk"))
+    assert global_window_violations(ranked), (
+        "embedded year() excused a customer-keyed aggregate")
+    # sibling calendar expression in the same Project must not excuse
+    # an unrelated entity key
+    agg2 = (raw.select(F.month("ts").alias("m"),
+                       F.upper(F.concat(F.lit("c"),
+                                        F.col("customer_id").cast("string")))
+                       .alias("ck"), "v")
+            .groupBy("ck").agg(F.sum("v").alias("rev")))
+    ranked2 = agg2.select(
+        "*", F.row_number().over(W.orderBy(F.desc("rev"))).alias("rk"))
+    assert global_window_violations(ranked2), (
+        "sibling month() expression excused a customer-keyed aggregate")
+
+
 def test_q155_q180_topk_is_two_phase(spark):
     # round-7 verdict task 4: the large-aggregate top-K rankings must
     # keep the TakeOrderedAndProject rewrite (per-partition top-K +
