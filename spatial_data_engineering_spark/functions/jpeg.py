@@ -21,7 +21,8 @@ Supported surface (the baseline every encoder can emit):
   JPEG bytes without any imaging library.
 
 Original implementation from the published spec; the reference repo
-delegates all raster IO to terra/GDAL (R/mangrove_gee.R:21) and has no
+delegates all raster IO to terra/GDAL
+(scripts/R/spatial_analysis_indonesia.r:11,30) and has no
 codec code to copy.  Lossiness note: JPEG round-trips are inexact by
 design (DCT quantization); tests pin exactness only where the math is
 exact (flat blocks at quality 100 quantize to DC-only with step 1) and

@@ -11,7 +11,8 @@ by tests to build fixtures without any imaging library.
 
 This is an original implementation from the published spec; it cites no
 reference-repo code (the reference delegates all raster IO to
-terra/GDAL — R/mangrove_gee.R:21 — which is exactly the dependency this
+terra/GDAL — scripts/R/spatial_analysis_indonesia.r:11,30 — which is
+exactly the dependency this
 avoids).  JPEG/video stay gated on their real codecs.
 
 Scale note: the decoder is invoked per-payload inside Arrow-batched

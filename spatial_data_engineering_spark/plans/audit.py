@@ -56,13 +56,46 @@ _BOUNDED_KEY_NAMES = {
 # Calendar-bucket defining expressions: an aggregate grouping on an
 # aliased `date_trunc('day', ts)` (Catalyst names it
 # `_groupingexpression#N`) is a bounded time bucket regardless of the
-# alias's name.  ANCHORED at the head: the WHOLE expression must be the
-# calendar call — `concat(customer_id, year(ts))` contains `year(` but
-# is entity-scaled, so a substring match would silently excuse it.
+# alias's name.  The head regex finds the call; _is_calendar_call then
+# paren-walks forward to require that the call's closing paren ENDS the
+# balanced expression — `concat(customer_id, year(ts))` contains
+# `year(` (substring) and `year(ts#1) || c_custkey#2` BEGINS with it
+# (head match), but both are entity-scaled and must not be excused.
 _BOUNDED_EXPR_RE = re.compile(
     r"^\s*(cast\()?\s*(date_trunc|year|month|quarter|weekofyear|"
     r"dayofweek|dayofmonth|hour|to_date|make_date|window)\(",
     re.IGNORECASE)
+
+_CAST_TAIL_RE = re.compile(
+    r"as\s+\w+(\(\d+(,\s*\d+)?\))?\s*\)", re.IGNORECASE)
+
+
+def _is_calendar_call(expr: str) -> bool:
+    """True iff the WHOLE of ``expr`` is a single calendar-bucket call
+    (optionally ``cast(...)``-wrapped).
+
+    The head regex alone would excuse a composite that merely BEGINS
+    with a calendar call; walk from the matched call's opening paren
+    and require its balancing close to be the end of the expression
+    (or, under a cast wrapper, to be followed only by ``as <type>)``).
+    """
+    expr = expr.strip()
+    m = _BOUNDED_EXPR_RE.match(expr)
+    if not m:
+        return False
+    depth = 0
+    for j in range(m.end() - 1, len(expr)):
+        ch = expr[j]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                tail = expr[j + 1:].strip()
+                if m.group(1):  # cast( wrapper owes `as <type>)`
+                    return bool(_CAST_TAIL_RE.fullmatch(tail))
+                return tail == ""
+    return False
 
 _ATTR_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#(\d+)")
 
@@ -126,15 +159,15 @@ def _grouping_key_bounded(expr_str: str, subtree_str: str) -> bool:
     if name.lower() in _BOUNDED_KEY_NAMES:
         return True
     if " AS " in expr_str:
-        return bool(_BOUNDED_EXPR_RE.match(
-            _balanced_suffix(expr_str.rsplit(" AS ", 1)[0])))
+        return _is_calendar_call(
+            _balanced_suffix(expr_str.rsplit(" AS ", 1)[0]))
     # bare synthetic/unlisted attribute: find its definition below and
     # anchor the check on ITS balanced expression only — a greedy line
     # prefix would include sibling Project items
     defn = re.search(
         rf"([^\n]*) AS {re.escape(name)}#{attr_id}\b", subtree_str)
-    return bool(defn and _BOUNDED_EXPR_RE.match(
-        _balanced_suffix(defn.group(1))))
+    return bool(defn) and _is_calendar_call(
+        _balanced_suffix(defn.group(1)))
 
 
 def _aggregate_bounded(agg_node, subtree_str: str) -> bool:

@@ -39,70 +39,35 @@ def _modules():
 # most one round old.  The driver window is the sampling gate, not the
 # completeness gate.
 #
-# Round-9 window (driver verifies the FIRST 50), executing VERDICT r8
-# task 1: never-driver-verified debt ALWAYS outranks stale rows (round 7
-# proved rounds without a driver pass happen, so a "planned next round"
-# burn-down can slip a full round; zero-evidence queries must not wait):
-#   1. slots 1-23: the 23 queries with no driver CORRECTNESS row in any of
-#      r01-r08 (the q180-q210 tail; round 7's burn-down window never got a
-#      driver pass — DRIVER_SIM_r07/r08 cover them 212/212 builder-side,
-#      but the hard signal is the driver's).
-#   2. slots 24-34: the 11 r3-stale rows (q79_decontaminate .. q21),
-#      the oldest driver evidence among ever-verified queries.
-#   3. slots 35-47: the 13 oldest r4-verified rows (q44_quality_score ..
-#      q65_blocklist_filter).
-#   4. slots 48-50: the round's rule-(2) forces — queries whose DAG
-#      changed this round: q169_vocab_coverage (rank+cumsum rerouted
-#      through the two-pass global_rank_cumsum kernel after the audit
-#      tightening stopped excusing per-token aggregates as bounded),
-#      q179_hapax_ratio and q196_crosssplit_perplexity (token-INSTANCE x
-#      vocab joins pre-aggregated to the vocab x vocab shape; q209, also
-#      reshaped, already sits in the never-verified lead).  The
-#      inventory itself stays frozen at 212 (VERDICT task 7).
+# Round-10 window (driver verifies the FIRST 50), executing the written
+# r10 schedule committed in round 9 (VERDICT r9 task 1 — now routine
+# debt service; max driver staleness after this round: r5 evidence):
+#   1. slots 1-3: q66/q68/q69 — displaced from the r9 window by the
+#      rule-(2) forces, so they owe first.
+#   2. slots 4-28: the 25 remaining r4-verified rows (q70 .. q87), the
+#      oldest driver evidence in the registry (5 rounds).
+#   3. slots 29-50: the 22 oldest r5-verified rows (q97 .. q124).
+#   4. rule-(2) forces this round: NONE — no in-registry query's DAG
+#      changed (round 10 changes touch admit_stream recovery, the audit
+#      paren-walk, and docs; admission semantics are driver-covered via
+#      q82_incremental_dedup, already in-window at slot 25).
 # WRITTEN SCHEDULE (continuing):
-#   - r10: q66/q68/q69 (displaced by the rule-2 forces) + the remaining
-#     25 r4-verified rows + oldest r5 rows; steady-state full rotation
-#     every ~5 rounds thereafter.
+#   - r11: the 21 remaining r5-verified rows (q125 .. q105) + the 29
+#     oldest r6-verified rows (q112 .. q168) = 50; after r11, max
+#     staleness is r6 evidence (<= 5 rounds) and the steady-state full
+#     rotation continues every ~4-5 rounds (r12: remaining 15 r6 rows +
+#     oldest r8 rows; r13: remaining r8 + oldest r9).
 # tests/test_driver_window.py pins the first 50 names to this plan so the
 # rotation is reviewed code, not comment policy.  The FULL inventory is
 # still re-proven by tests/test_oracle_parity.py on every pytest run (the
 # completeness gate); the driver window is the sampling gate.
 _PRIORITY = [
-    # --- ROUND-9 DRIVER WINDOW (first 50) ---
-    # slots 1-23: the 23 queries with ZERO driver CORRECTNESS rows ever
-    # (round 7 had no driver pass, so its planned burn-down window never
-    # executed).  Never-verified debt outranks stale rows — VERDICT r8
-    # task 1.
-    "q180_basket_lift", "q181_order_interarrival", "q182_subword_diversity",
-    "q183_fk_audit", "q184_bounce_rate", "q187_dedup_survivor_bias",
-    "q190_prefix_dup", "q191_dim_redundancy", "q192_segment_migration",
-    "q194_truncation_loss", "q195_effective_tokens", "q197_session_survival",
-    "q198_position_value_decay", "q200_corpus_stats",
-    "q201_cluster_label_purity", "q203_quantization_error",
-    "q204_forecast_revenue", "q205_supplier_coverage", "q206_ship_latency",
-    "q207_brand_return_rate", "q208_embedding_norm_qa",
-    "q209_source_scorecard", "q210_word_length_hist",
-    # slots 24-34: the 11 r3-stale rows (oldest driver evidence among
-    # ever-verified queries)
-    "q79_decontaminate", "q81_substring_dup", "q67_overlap_dissolve",
-    "q60_point_in_polygon", "q61_zonal_histogram", "q49_cosine_topk",
-    "q43_fingerprint", "q54_dedup_materialize", "q15_count_distinct",
-    "q19_hourly_window", "q21_props_extract",
-    # slots 35-50: the 16 oldest r4-verified rows
-    "q44_quality_score", "q18_sessionization", "q01_pricing_summary",
-    "q45_dedup_exact", "q46_dedup_tokensort", "q40_text_stats",
-    "q41_token_count", "q08_var_argmax", "q33_percentiles",
-    "q72_hierarchical_rollup", "q57_normalize_text", "q58_edit_distance",
-    "q65_blocklist_filter",
-    # slots 48-50: rule-(2) forces — DAGs changed this round (q169: the
-    # global_rank_cumsum reroute; q179/q196: instance-join pre-agg)
-    "q169_vocab_coverage", "q179_hapax_ratio",
-    "q196_crosssplit_perplexity",
-    # --- tail: r10 lead = the rows displaced by the rule-2 forces +
-    # the remaining r4 block, then r5, r6, and the r8-verified newest ---
+    # --- ROUND-10 DRIVER WINDOW (first 50) ---
+    # slots 1-3: displaced from the r9 window by that round's rule-(2)
+    # forces
     "q66_repetition", "q68_chunk_documents", "q69_embedding_quantize",
-    # --- tail: rotate into r10+ windows, least-recently-verified first ---
-    # remaining r4 block (25) — the scheduled r10 lead
+    # slots 4-28: the 25 remaining r4-verified rows — the registry's
+    # oldest driver evidence
     "q70_multimodal_meta", "q74_vocab_topk", "q02_ilike_filter",
     "q03_join_enrich", "q04_semi_join", "q05_anti_join",
     "q06_monthly_revenue", "q07_month_spine", "q09_histogram",
@@ -111,7 +76,7 @@ _PRIORITY = [
     "q75_golden_variance", "q80_quality_filter", "q82_incremental_dedup",
     "q62_dissolve_area", "q88_containment_join", "q89_bigram_lift",
     "q90_pattern_redact", "q92_random_projection", "q87_ngram_novelty",
-    # r5 block (43)
+    # slots 29-50: the 22 oldest r5-verified rows
     "q97_funnel", "q98_cohort_retention", "q99_zscore_anomaly",
     "q100_time_weighted_avg", "q101_gap_fill_interpolate",
     "q102_bottomk_sample", "q103_order_count_distribution",
@@ -120,6 +85,10 @@ _PRIORITY = [
     "q111_pq_adc_topk", "q115_bfs_hops", "q116_psi_drift",
     "q117_rolling_median", "q120_asof_forward", "q121_token_entropy",
     "q122_grouping_sets", "q123_mad_outliers", "q124_incremental_agg_merge",
+    # --- tail: rotate into r11+ windows, least-recently-verified
+    # first — remaining r5 block (21), then r6 (44), r8 (50), and the
+    # r9-verified newest (50) last ---
+    # remaining r5 block (21) — the scheduled r11 lead
     "q125_small_quantity_revenue", "q126_revenue_share", "q129_hamming_topk",
     "q130_weighted_median", "q131_user_trend", "q132_skew_report",
     "q133_video_neardup", "q134_ewma", "q135_benford_audit",
@@ -162,6 +131,28 @@ _PRIORITY = [
     "q167_dedup_strategy_venn", "q188_aa_test",
     "q212_curation_shards", "q213_curation_funnel", "q55_kmeans",
     "q42_lang_id",
+    # r9-verified newest (50) — the full round-9 window, freshest
+    # evidence, rotates last (r13 per the written schedule)
+    "q180_basket_lift", "q181_order_interarrival", "q182_subword_diversity",
+    "q183_fk_audit", "q184_bounce_rate", "q187_dedup_survivor_bias",
+    "q190_prefix_dup", "q191_dim_redundancy", "q192_segment_migration",
+    "q194_truncation_loss", "q195_effective_tokens", "q197_session_survival",
+    "q198_position_value_decay", "q200_corpus_stats",
+    "q201_cluster_label_purity", "q203_quantization_error",
+    "q204_forecast_revenue", "q205_supplier_coverage", "q206_ship_latency",
+    "q207_brand_return_rate", "q208_embedding_norm_qa",
+    "q209_source_scorecard", "q210_word_length_hist",
+    "q79_decontaminate", "q81_substring_dup", "q67_overlap_dissolve",
+    "q60_point_in_polygon", "q61_zonal_histogram", "q49_cosine_topk",
+    "q43_fingerprint", "q54_dedup_materialize", "q15_count_distinct",
+    "q19_hourly_window", "q21_props_extract",
+    "q44_quality_score", "q18_sessionization", "q01_pricing_summary",
+    "q45_dedup_exact", "q46_dedup_tokensort", "q40_text_stats",
+    "q41_token_count", "q08_var_argmax", "q33_percentiles",
+    "q72_hierarchical_rollup", "q57_normalize_text", "q58_edit_distance",
+    "q65_blocklist_filter",
+    "q169_vocab_coverage", "q179_hapax_ratio",
+    "q196_crosssplit_perplexity",
 ]
 
 

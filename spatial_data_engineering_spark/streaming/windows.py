@@ -12,6 +12,7 @@ real cluster the event-time shuffle partitions by (window, key), and
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -225,13 +226,15 @@ def admit_stream(base: DataFrame, stream_docs: DataFrame, out_dir: str,
     under ``out_dir/_sigs/`` (underscore-hidden, so the admitted-
     dataset read never sees them) and read back by later batches:
     per-batch signature COMPUTE is bounded by that batch's admissions,
-    not by everything admitted so far.  If any ``_sigs`` table is
-    absent or incomplete — a crash landed between the docs write and
-    the sigs writes, or ``out_dir`` predates the sig persistence — the
-    batch RECOMPUTES prev state from the admitted docs (the source of
-    truth) instead of failing or, worse, silently shrinking the dedup
-    base; a batch's own uncommitted partitions are excluded either
-    way, so replay can never self-reject.
+    not by everything admitted so far.  Coverage is checked PER BATCH
+    PARTITION, not per table: every ``batch=N`` under ``out_dir`` must
+    have a matching partition under all three ``_sigs`` tables, and
+    any uncovered batch — a crash landed between its docs write and
+    its sig writes, or ``out_dir`` predates the sig persistence — has
+    its state RECOMPUTED from its admitted docs (the source of truth)
+    instead of failing or, worse, silently shrinking the dedup base;
+    a batch's own uncommitted partitions are excluded either way, so
+    replay can never self-reject.
     """
     from ..operators.dedup import shingle_bands
     from ..plans.curation import admit_delta
@@ -242,9 +245,13 @@ def admit_stream(base: DataFrame, stream_docs: DataFrame, out_dir: str,
     # exists for; per micro-batch only the (small, admitted-so-far)
     # prev frames' persisted signatures/hashes are unioned on top
     base_sigs = base_signatures or shingle_bands(base_kt)
+    # persist, NOT localCheckpoint: local checkpoints discard lineage, so
+    # an executor loss mid-stream would poison every later micro-batch
+    # with unrecoverable missing-block errors; persist keeps the lineage
+    # and just recomputes lost blocks.
     base_eh = (base_exact_hashes if base_exact_hashes is not None
                else base_kt.select(F.md5("text").alias("eh")).distinct()
-               .localCheckpoint(eager=False))
+               .persist(StorageLevel.MEMORY_AND_DISK))
 
     def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -264,31 +271,77 @@ def admit_stream(base: DataFrame, stream_docs: DataFrame, out_dir: str,
             hp = jvm.org.apache.hadoop.fs.Path(p)
             return hp.getFileSystem(conf).exists(hp)
 
+        def _batches(p: str) -> set[str]:
+            """``batch=N`` partition names under ``p`` ({} if absent)."""
+            hp = jvm.org.apache.hadoop.fs.Path(p)
+            fs = hp.getFileSystem(conf)
+            if not fs.exists(hp):
+                return set()
+            return {st.getPath().getName() for st in fs.listStatus(hp)
+                    if st.getPath().getName().startswith("batch=")}
+
         not_this_batch = F.col("batch") != batch_id
         if _exists(out_dir):
-            sig_paths = [f"{out_dir}/_sigs/{t}" for t in
-                         ("sh", "bands", "eh")]
-            if all(_exists(p) for p in sig_paths):
-                # earlier batches' admitted signatures/hashes: parquet
-                # scans, not recompute (each batch wrote its own under
-                # _sigs below).  A batch whose sigs were written but
-                # whose checkpoint did not commit is excluded by the
-                # batch filter, so partial state cannot leak in.
-                prev_sh = (spark.read.parquet(sig_paths[0])
-                           .filter(not_this_batch).drop("batch"))
-                prev_bands = (spark.read.parquet(sig_paths[1])
-                              .filter(not_this_batch).drop("batch"))
-                prev_eh = (spark.read.parquet(sig_paths[2])
-                           .filter(not_this_batch).drop("batch"))
-            else:
-                # crash between the docs write and the sigs writes (or
-                # a pre-sig-persistence out_dir): rebuild prev state
-                # from the admitted docs — deterministic, never silent
+            sig_paths = {t: f"{out_dir}/_sigs/{t}" for t in
+                         ("sh", "bands", "eh")}
+            doc_batches = _batches(out_dir) - {f"batch={batch_id}"}
+            if not doc_batches:
+                # out_dir exists but holds no prior admitted partitions.
+                # Validate it the same way the pre-sig fallback always
+                # did — an out_dir that cannot be read as the admitted
+                # dataset (stray files, wrong layout) must fail LOUDLY,
+                # never silently fall back to the static base.
                 prev = (spark.read.parquet(out_dir)
                         .filter(not_this_batch)
                         .select("doc_id", "text"))
                 prev_sh, prev_bands = shingle_bands(prev)
                 prev_eh = prev.select(F.md5("text").alias("eh")).distinct()
+            else:
+                # Sig coverage is PER BATCH, not per table: a crash
+                # between the docs write and the sig writes leaves
+                # batch=N committed under out_dir with no partitions
+                # under _sigs/* — while OTHER batches' sig dirs exist.
+                # A per-table existence probe would then take the
+                # sigs-read path and silently drop batch N from the
+                # effective dedup base (its duplicates re-admit with no
+                # signal — e.g. recovery under a fresh checkpoint, where
+                # no new batch_id ever equals N).  Compare the batch
+                # partition sets instead (cheap FileSystem listings) and
+                # rebuild ONLY the uncovered batches from their admitted
+                # docs, the source of truth.
+                covered = doc_batches
+                for p in sig_paths.values():
+                    covered = covered & _batches(p)
+                missing = sorted(doc_batches - covered)
+                prev_sh = prev_bands = prev_eh = None
+                if covered:
+                    # covered batches' signatures/hashes: parquet scans,
+                    # not recompute (each batch wrote its own under
+                    # _sigs below).  A batch whose sigs were written but
+                    # whose checkpoint did not commit is this batch
+                    # itself on replay — excluded from `covered` above.
+                    keep = F.col("batch").isin(
+                        [int(b.split("=", 1)[1]) for b in covered])
+                    prev_sh = (spark.read.parquet(sig_paths["sh"])
+                               .filter(keep).drop("batch"))
+                    prev_bands = (spark.read.parquet(sig_paths["bands"])
+                                  .filter(keep).drop("batch"))
+                    prev_eh = (spark.read.parquet(sig_paths["eh"])
+                               .filter(keep).drop("batch"))
+                if missing:
+                    # rebuild bounded by the crashed batches' size,
+                    # never a full prev-state recompute
+                    gap = (spark.read.parquet(
+                        *[f"{out_dir}/{b}" for b in missing])
+                        .select("doc_id", "text"))
+                    g_sh, g_bands = shingle_bands(gap)
+                    g_eh = gap.select(F.md5("text").alias("eh")).distinct()
+                    prev_sh = (g_sh if prev_sh is None
+                               else prev_sh.unionByName(g_sh))
+                    prev_bands = (g_bands if prev_bands is None
+                                  else prev_bands.unionByName(g_bands))
+                    prev_eh = (g_eh if prev_eh is None
+                               else prev_eh.unionByName(g_eh))
             eff_sigs = (base_sigs[0].unionByName(prev_sh),
                         base_sigs[1].unionByName(prev_bands))
             eff_eh = base_eh.unionByName(prev_eh)

@@ -19,47 +19,19 @@ from __future__ import annotations
 
 from spatial_data_engineering_spark.queries_registry import all_queries
 
-# Round-9 window, executing VERDICT r8 task 1: the 23 queries with ZERO
-# driver CORRECTNESS rows ever lead (round 7's planned burn-down window
-# never got a driver pass — never-verified debt outranks stale rows),
-# then the 11 r3-stale rows, then the 13 oldest r4-verified rows, then
-# the three rule-(2) forces: q169 (rerouted through the
-# global_rank_cumsum kernel), q179 and q196 (token-instance joins
-# pre-aggregated to the vocab x vocab shape; q209, also reshaped,
-# already leads the window as a never-verified row).
+# Round-10 window, executing the written r10 schedule committed in round
+# 9 (VERDICT r9 task 1): q66/q68/q69 (displaced from the r9 window by
+# that round's rule-(2) forces), then the 25 remaining r4-verified rows
+# (the oldest driver evidence in the registry, 5 rounds), then the 22
+# oldest r5-verified rows.  No rule-(2) forces this round: no
+# in-registry query's DAG changed (round-10 code changes touch
+# admit_stream crash recovery and the audit paren-walk; admission
+# semantics are driver-covered via q82_incremental_dedup, in-window at
+# slot 25).
 EXPECTED_WINDOW = [
-    # never-driver-verified (23) — the q180-q210 tail
-    "q180_basket_lift", "q181_order_interarrival", "q182_subword_diversity",
-    "q183_fk_audit", "q184_bounce_rate", "q187_dedup_survivor_bias",
-    "q190_prefix_dup", "q191_dim_redundancy", "q192_segment_migration",
-    "q194_truncation_loss", "q195_effective_tokens", "q197_session_survival",
-    "q198_position_value_decay", "q200_corpus_stats",
-    "q201_cluster_label_purity", "q203_quantization_error",
-    "q204_forecast_revenue", "q205_supplier_coverage", "q206_ship_latency",
-    "q207_brand_return_rate", "q208_embedding_norm_qa",
-    "q209_source_scorecard", "q210_word_length_hist",
-    # r3-stale (11)
-    "q79_decontaminate", "q81_substring_dup", "q67_overlap_dissolve",
-    "q60_point_in_polygon", "q61_zonal_histogram", "q49_cosine_topk",
-    "q43_fingerprint", "q54_dedup_materialize", "q15_count_distinct",
-    "q19_hourly_window", "q21_props_extract",
-    # oldest r4-verified (13)
-    "q44_quality_score", "q18_sessionization", "q01_pricing_summary",
-    "q45_dedup_exact", "q46_dedup_tokensort", "q40_text_stats",
-    "q41_token_count", "q08_var_argmax", "q33_percentiles",
-    "q72_hierarchical_rollup", "q57_normalize_text", "q58_edit_distance",
-    "q65_blocklist_filter",
-    # rule-(2) forces: DAGs changed this round (q169 kernel reroute,
-    # q179/q196 instance-join pre-agg)
-    "q169_vocab_coverage", "q179_hapax_ratio",
-    "q196_crosssplit_perplexity",
-]
-
-# The remaining r4-verified rows that must LEAD the round-10 window (the
-# written schedule's next step).  Guarded so the r10 rotation cannot
-# accidentally bury them.
-EXPECTED_R10_LEAD = [
+    # displaced r9 rows (3)
     "q66_repetition", "q68_chunk_documents", "q69_embedding_quantize",
+    # remaining r4-verified (25) — oldest driver evidence
     "q70_multimodal_meta", "q74_vocab_topk", "q02_ilike_filter",
     "q03_join_enrich", "q04_semi_join", "q05_anti_join",
     "q06_monthly_revenue", "q07_month_spine", "q09_histogram",
@@ -68,31 +40,64 @@ EXPECTED_R10_LEAD = [
     "q75_golden_variance", "q80_quality_filter", "q82_incremental_dedup",
     "q62_dissolve_area", "q88_containment_join", "q89_bigram_lift",
     "q90_pattern_redact", "q92_random_projection", "q87_ngram_novelty",
+    # oldest r5-verified (22)
+    "q97_funnel", "q98_cohort_retention", "q99_zscore_anomaly",
+    "q100_time_weighted_avg", "q101_gap_fill_interpolate",
+    "q102_bottomk_sample", "q103_order_count_distribution",
+    "q104_large_volume_orders", "q106_bloom_semi_join", "q107_line_dedup",
+    "q108_tfidf_keywords", "q109_triangle_count", "q110_mmr_diversify",
+    "q111_pq_adc_topk", "q115_bfs_hops", "q116_psi_drift",
+    "q117_rolling_median", "q120_asof_forward", "q121_token_entropy",
+    "q122_grouping_sets", "q123_mad_outliers", "q124_incremental_agg_merge",
+]
+
+# The rows that must LEAD the round-11 window (the written schedule's
+# next step): the 21 remaining r5-verified rows.  Guarded so the r11
+# rotation cannot accidentally bury them.
+EXPECTED_R11_LEAD = [
+    "q125_small_quantity_revenue", "q126_revenue_share", "q129_hamming_topk",
+    "q130_weighted_median", "q131_user_trend", "q132_skew_report",
+    "q133_video_neardup", "q134_ewma", "q135_benford_audit",
+    "q136_transition_matrix", "q137_time_to_convert", "q138_session_stats",
+    "q140_class_separation", "q94_dedup_canonical", "q95_stratified_split",
+    "q96_doc_bigram_lift", "q93_embedding_covariance", "q56_dedup_components",
+    "q86_pagerank_centrality", "q127_score_calibration", "q105_lone_returner",
 ]
 
 
-def test_driver_window_is_the_reviewed_round9_plan():
+def test_driver_window_is_the_reviewed_round10_plan():
     names = list(all_queries())
     assert len(EXPECTED_WINDOW) == 50
     got = names[:50]
     assert got == EXPECTED_WINDOW, (
-        "driver window drifted from the reviewed round-9 rotation plan; "
+        "driver window drifted from the reviewed round-10 rotation plan; "
         f"first divergence at slot "
         f"{next(i for i, (a, b) in enumerate(zip(got, EXPECTED_WINDOW)) if a != b) + 1}"
     )
 
 
-def test_round10_queue_is_next():
+def test_round11_queue_is_next():
     names = list(all_queries())
-    assert names[50:50 + len(EXPECTED_R10_LEAD)] == EXPECTED_R10_LEAD, (
-        "the remaining r4-verified rows must sit immediately after the "
-        "window so they lead the round-10 rotation"
+    assert names[50:50 + len(EXPECTED_R11_LEAD)] == EXPECTED_R11_LEAD, (
+        "the remaining r5-verified rows must sit immediately after the "
+        "window so they lead the round-11 rotation"
     )
 
 
+def test_r9_window_rotated_to_tail():
+    # the 50 rows verified in round 9 are the freshest evidence and must
+    # close the registry (they rotate back in at r13 per the schedule)
+    names = list(all_queries())
+    r9_window = set(names[-50:])
+    for probe in ("q180_basket_lift", "q209_source_scorecard",
+                  "q169_vocab_coverage", "q01_pricing_summary",
+                  "q79_decontaminate"):
+        assert probe in r9_window, f"{probe} missing from the rotated tail"
+
+
 def test_inventory_growth_is_a_rotation_decision():
-    # Round 9 keeps the inventory frozen at 212 (VERDICT r8 task 7: no
-    # new operators until driver-evidence debt is zero and max staleness
-    # <= 2 rounds).  Growing this number requires a rotation decision
-    # that keeps (new + stale) <= 50 per round.
+    # Round 10 keeps the inventory frozen at 212 (VERDICT r9 task 6: no
+    # new operators until max driver staleness <= 2 rounds — after r11
+    # on the written schedule).  Growing this number requires a rotation
+    # decision that keeps (new + stale) <= 50 per round.
     assert len(all_queries()) == 212

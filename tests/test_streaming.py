@@ -722,3 +722,68 @@ def test_admit_stream_recovers_missing_sigs(spark, tmp_path):
     # and the recovery run re-established the _sigs tables
     assert os.path.isdir(os.path.join(out_dir, "_sigs", "sh"))
     assert os.path.isdir(os.path.join(out_dir, "_sigs", "eh"))
+
+
+def test_admit_stream_recovers_partial_sig_batch(spark, tmp_path):
+    """Round-9 ADVICE (medium): sig coverage must be per BATCH
+    PARTITION, not per table.  Crash window: batch=1's docs committed
+    but its _sigs partitions lost, while batch=0's sig partitions keep
+    all three sig TABLE dirs in existence.  A per-table existence
+    probe would take the sigs-read path and silently drop batch 1 from
+    the effective dedup base — its near-dups would re-admit with no
+    signal.  The per-batch check must rebuild exactly the uncovered
+    batch from its admitted docs."""
+    import glob
+    import os
+    import random
+    import shutil
+    import time
+
+    from spatial_data_engineering_spark.streaming.windows import admit_stream
+
+    words = ("quark lattice photon meson hadron lepton baryon gluon "
+             "boson fermion spinor tensor gauge flux brane string").split()
+
+    def text(seed, n=40):
+        return " ".join(random.Random(seed).choices(words, k=n))
+
+    base = spark.createDataFrame(
+        [(i, text(i)) for i in range(5)], "doc_id long, text string")
+    stream_dir = str(tmp_path / "incoming")
+    os.makedirs(stream_dir)
+    spark.createDataFrame(
+        [(100, text(50)), (101, text(2))], "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{stream_dir}/f1")
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(201, text(60))], "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{stream_dir}/f2")
+    out_dir = str(tmp_path / "admitted")
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1)
+              .option("recursiveFileLookup", "true").parquet(stream_dir))
+    admit_stream(base, stream, out_dir, str(tmp_path / "ckpt1"))
+    assert sorted(r.doc_id for r in
+                  spark.read.parquet(out_dir).collect()) == [100, 201]
+    # the crash state: batch=1's sig PARTITIONS gone, tables still exist
+    for d in glob.glob(os.path.join(out_dir, "_sigs", "*", "batch=1")):
+        shutil.rmtree(d)
+    assert os.path.isdir(os.path.join(out_dir, "_sigs", "sh", "batch=0"))
+
+    time.sleep(1.1)
+    spark.createDataFrame(  # near-dup of batch-1's admitted doc + fresh
+        [(300, text(60) + " tail"), (301, text(70))],
+        "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{stream_dir}/f3")
+    # fresh checkpoint: all files replay as one batch 0 over the
+    # partially sig-less out_dir; batch=1's state must rebuild from its
+    # docs so 300 is rejected as a near-dup of 201
+    stream2 = (spark.readStream.schema("doc_id long, text string")
+               .option("recursiveFileLookup", "true").parquet(stream_dir))
+    admit_stream(base, stream2, out_dir, str(tmp_path / "ckpt2"))
+    got = sorted(r.doc_id for r in spark.read.parquet(out_dir).collect())
+    # 100 re-admitted (own replayed partition excluded), 101 exact base
+    # dup, 201 exact dup of the standing batch=1, 300 near-dup of 201
+    # (the partition whose sigs were lost), 301 fresh
+    assert got == [100, 201, 301], got
