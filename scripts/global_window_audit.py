@@ -1,6 +1,11 @@
 #!/usr/bin/env python
 """Audit: global (partitionBy-less) Window nodes over unbounded input.
 
+Thin CLI over ``plans.audit.audit_registry`` (the shared sweep — also
+run by tests/test_plan_invariants.py every pytest run, which regenerates
+GLOBAL_WINDOW_AUDIT.json at the repo root and gates on 0 flagged, so
+the committed artifact refreshes automatically each round).
+
 Compiles every registry query's physical plan with the global-order
 helpers forced onto their big path (threshold=0), walks the plan tree,
 and reports each WindowExec/WindowInPandasExec with an EMPTY partition
@@ -11,12 +16,6 @@ dims — round-9 tightening: entity-keyed aggregates no longer excuse).
 Those are the single-task global sorts the round-6 verdict flagged.
 
 Usage: python scripts/global_window_audit.py [--out FILE.json] [qNNN ...]
-
-With --out, writes the FULL per-query audit table (every global window
-with its bounding evidence, not just violations) as JSON — committed
-per round (GLOBAL_WINDOW_AUDIT_r{N}.json) so each remaining
-"WindowExec: No Partition Defined" warning in a bench log is
-attributable to a named bounded merge.
 """
 
 from __future__ import annotations
@@ -30,9 +29,6 @@ if REPO not in sys.path:
 
 SF = "/root/testdata/sf0.001"
 
-from spatial_data_engineering_spark.plans.audit import \
-    global_window_report  # noqa: E402
-
 
 def main(argv):
     out_path = None
@@ -45,42 +41,27 @@ def main(argv):
         argv = argv[:i] + argv[i + 2:]
     prefixes = argv
     os.environ.setdefault("SPARK_GRAFT_PAIR_CACHE", "/tmp/pair_cache_audit")
-    from spatial_data_engineering_spark.operators import relational as R
+    from spatial_data_engineering_spark.plans.audit import audit_registry
     from spatial_data_engineering_spark.queries_registry import all_queries
     from spatial_data_engineering_spark.session import build_session
 
-    R._ROW_ID_WINDOW_THRESHOLD = 0  # force big paths everywhere
     spark = build_session(app_name="global-window-audit", cpus=8)
     spark.sparkContext.setLogLevel("ERROR")
-    qs = all_queries()
-    names = [n for n in qs
+    names = [n for n in all_queries()
              if not prefixes or any(n.startswith(p) for p in prefixes)]
-    flagged, table = {}, {}
-    for name in names:
-        try:
-            report = global_window_report(qs[name](spark, SF))
-        except Exception as ex:  # noqa: BLE001
-            print(f"ERROR {name}: {str(ex)[:200]}")
-            table[name] = {"error": str(ex)[:200]}
-            continue
-        if report:
-            table[name] = report
-        v = [r["window"] for r in report if not r["ok"]]
-        if v:
-            flagged[name] = v
-            print(f"FLAG  {name}")
-            for line in v:
-                print(f"      {str(line)[:140]}")
+    payload = audit_registry(spark, SF, names)
+    for name, v in payload["flagged"].items():
+        print(f"FLAG  {name}")
+        for line in v:
+            print(f"      {str(line)[:140]}")
     if out_path:
         import json
         with open(out_path, "w") as fh:
-            json.dump({"sf": SF, "n_checked": len(names),
-                       "n_flagged": len(flagged),
-                       "global_windows": table}, fh, indent=1)
-        print(f"wrote {out_path}: {len(table)} queries with global "
-              f"windows, {len(flagged)} flagged")
-    print(f"\n{len(flagged)} flagged / {len(names)} checked")
-    return 1 if flagged else 0
+            json.dump(payload, fh, indent=1)
+        print(f"wrote {out_path}: {len(payload['global_windows'])} queries "
+              f"with global windows, {payload['n_flagged']} flagged")
+    print(f"\n{payload['n_flagged']} flagged / {payload['n_checked']} checked")
+    return 1 if payload["flagged"] else 0
 
 
 if __name__ == "__main__":

@@ -240,3 +240,46 @@ def global_window_violations(df) -> list[str]:
     """Descriptions of partitionBy-less Windows over unbounded input."""
     return [r["window"] for r in global_window_report(df)
             if not r["ok"]]
+
+
+def audit_registry(spark, sf_dir: str, names=None,
+                   force_big_paths: bool = True) -> dict:
+    """Sweep the full query registry and return the committed-per-round
+    audit artifact: every global window per query with its bounding
+    evidence (``global_windows``), plus ``n_checked``/``n_flagged``.
+
+    Shared by scripts/global_window_audit.py (ad-hoc CLI) and
+    tests/test_plan_invariants.py (the per-round refresh: pytest
+    regenerates GLOBAL_WINDOW_AUDIT.json and gates on 0 flagged, so the
+    artifact can never go stale against the shipped plans — VERDICT r9
+    task 7).  ``force_big_paths`` zeroes the row-id kernel threshold for
+    the sweep so small-input auto-switches can't mask a missing reroute.
+    """
+    from ..operators import relational as R
+    from ..queries_registry import all_queries
+
+    qs = all_queries()
+    if names is None:
+        names = list(qs)
+    saved = R._ROW_ID_WINDOW_THRESHOLD
+    if force_big_paths:
+        R._ROW_ID_WINDOW_THRESHOLD = 0
+    flagged, table = {}, {}
+    try:
+        for name in names:
+            try:
+                report = global_window_report(qs[name](spark, sf_dir))
+            except Exception as ex:  # noqa: BLE001
+                table[name] = {"error": str(ex)[:200]}
+                flagged[name] = [f"error: {str(ex)[:200]}"]
+                continue
+            if report:
+                table[name] = report
+            v = [r["window"] for r in report if not r["ok"]]
+            if v:
+                flagged[name] = v
+    finally:
+        R._ROW_ID_WINDOW_THRESHOLD = saved
+    return {"sf": sf_dir, "n_checked": len(names),
+            "n_flagged": len(flagged), "flagged": flagged,
+            "global_windows": table}

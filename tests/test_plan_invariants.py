@@ -223,6 +223,26 @@ def test_q175_calendar_bucket_attribution(spark):
                    for r in rows), rows
 
 
+def test_global_window_audit_artifact_refreshes(spark):
+    # VERDICT r9 task 7: the per-round audit artifact used to be a
+    # manual script run (scripts/global_window_audit.py) that could go
+    # stale against the shipped plans.  Now every pytest run regenerates
+    # GLOBAL_WINDOW_AUDIT.json at the repo root from the live registry
+    # (big paths forced, same sweep the CLI runs) and gates on 0
+    # flagged — the round artifact is a copy of a file CI just rebuilt.
+    import json
+    import os
+
+    from spatial_data_engineering_spark.plans.audit import audit_registry
+
+    payload = audit_registry(spark, SF_PLAN)
+    assert payload["n_checked"] == len(all_queries())
+    assert payload["n_flagged"] == 0, payload["flagged"]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "GLOBAL_WINDOW_AUDIT.json"), "w") as fh:
+        json.dump(payload, fh, indent=1)
+
+
 def test_q155_q180_topk_is_two_phase(spark):
     # round-7 verdict task 4: the large-aggregate top-K rankings must
     # keep the TakeOrderedAndProject rewrite (per-partition top-K +
