@@ -43,9 +43,29 @@ def query(name: str, oracle: str | None = None):
 
 # dot(a, b) as a strict left fold in index order, double math throughout.
 def _dot_spark(a: str, b: str) -> str:
-    return (f"aggregate(zip_with({a}, {b},"
+    """Strict left-fold dot product, bit-identical to the oracle's
+    list_reduce (0.0 + p0 + p1 + ... in source order — IEEE-identical
+    because 0.0 + p0 == p0).
+
+    The common dim=64 case takes an UNROLLED straight-line sum guarded
+    by a size check: the higher-order aggregate/zip_with lambda costs
+    ~5.7 us per evaluation under codegen's lambda dispatch, and the
+    round-10 sf1 probe showed it dominating every fold-dot consumer
+    (q201's n x K assignment measured 2.8M dots = 16 s).  The unrolled
+    branch is the SAME float-widen-then-multiply-then-left-add op
+    sequence (measured 2.2x faster on 2.8M dots, sum bit-identical);
+    arbitrary dims fall back to the generic fold.  Callers pass plain
+    column references — the operands are repeated 128x in the unrolled
+    text, so a computed expression here would be re-evaluated per term.
+    """
+    fold = (f"aggregate(zip_with({a}, {b},"
             f" (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
             f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    unroll = "(CAST(0.0 AS DOUBLE) + " + " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(64)) + ")"
+    return (f"(CASE WHEN size({a}) = 64 AND size({b}) = 64"
+            f" THEN {unroll} ELSE {fold} END)")
 
 
 def _dot_sql(a: str, b: str) -> str:
@@ -228,14 +248,29 @@ def q50_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q51 — SRP-LSH bucketed similarity (the scale path): 12-bit
+# q51 — SRP-LSH bucketed similarity (the scale path): a b-bit
 # signed-random-projection signature; pairs sharing a bucket are verified
 # with exact cosine.  Hyperplane weights are derived arithmetically
 # (w[p][d] = ((p*73856093 + d*19349663) % 2003) - 1001), so the oracle
 # reproduces the buckets exactly.  At 100 TB candidates come from an
-# equi-join on the 12-bit key instead of an n^2 cross join.
+# equi-join on the b-bit key instead of an n^2 cross join.
+#
+# PLANE COUNT IS THE CORPUS-SIZE KNOB (round-10 sf1 probe): with b
+# fixed, expected bucket-pair count grows as n²/2^b — measured 102x
+# pairs for 10x vectors at b=12 — so a deployment sizes b ~ log2(n) + c
+# to hold expected bucket occupancy constant, exactly like every
+# production LSH (the reference point: FAISS's nlist ∝ sqrt(n) plays
+# the same role for IVF).  b is read once at import from
+# SPARK_GRAFT_SRP_PLANES (default 12, matching the correctness-gate
+# fixtures); the oracle SQL is built from the same constant so the two
+# sides can never disagree.  Measured at sf1 (20k vectors, unrolled
+# plane dots, warm): b=12 -> 1.04M pairs / 4.7 s; b=16 -> 297k pairs /
+# 3.3 s (the surviving pairs are genuinely similar cluster-mates —
+# LSH concentrates real near-dups no matter how many bits).
 # --------------------------------------------------------------------------
-_N_PLANES = 12
+import os as _os
+
+_N_PLANES = int(_os.environ.get("SPARK_GRAFT_SRP_PLANES", "12"))
 
 
 def _plane_dot(engine: str, emb: str, p: int) -> str:
@@ -246,9 +281,20 @@ def _plane_dot(engine: str, emb: str, p: int) -> str:
     w = (f"(((({p} * CAST(73856093 AS BIGINT))"
          f" + CAST(i AS BIGINT) * CAST(19349663 AS BIGINT)) % 2003) - 1001)")
     if engine == "spark":
-        return (f"aggregate(zip_with(sequence(1, size({emb})), {emb},"
+        fold = (f"aggregate(zip_with(sequence(1, size({emb})), {emb},"
                 f" (i, x) -> CAST({w} AS DOUBLE) * CAST(x AS DOUBLE)),"
                 f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+        # dim=64 fast path: the weights are compile-time constants, so
+        # the plane dot unrolls to a straight-line literal-weighted sum
+        # — same left-fold op order, bit-identical values, ~2.4x faster
+        # than the lambda fold (the _dot_spark rationale; measured on
+        # the sf1 probe's 20k-row signature build: 3.2 -> 1.4 s)
+        unroll = " + ".join(
+            f"CAST({((p * 73856093 + i * 19349663) % 2003) - 1001} AS"
+            f" DOUBLE) * CAST({emb}[{i - 1}] AS DOUBLE)"
+            for i in range(1, 65))
+        return (f"(CASE WHEN size({emb}) = 64 THEN"
+                f" (CAST(0.0 AS DOUBLE) + {unroll}) ELSE {fold} END)")
     return (f"list_reduce(list_transform(generate_series(1, len({emb})),"
             f" i -> CAST({w} AS DOUBLE) * CAST({emb}[i] AS DOUBLE)),"
             f" (x, y) -> x + y)")
@@ -1162,14 +1208,32 @@ def q140_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the knob that bounds |c|.
 #
 # Determinism: clusters come from the q52 training-free coarse quantizer
-# (16 lowest-vec_id non-zero vectors as centroids) and every cosine is
+# (the K lowest-vec_id non-zero vectors as centroids) and every cosine is
 # the strict left-fold dot (JVM codegen), bit-identical to the oracle's
 # list_reduce — so unlike q52's BLAS argmax, the assignment IS
 # SQL-reproducible and the operator gets a full value oracle.  Argmax tie
 # broken by centroid id; prune seniority by vec_id.
+#
+# K is ADAPTIVE (round-10 sf1 probe): with K pinned at 16, cluster size
+# grows as n/16 and the within-cluster verify join is Θ(n²/16) — the
+# probe measured q148 at 18.3x wall for 10x data.  K = max(16, ⌊√n⌋)
+# minimizes assignment + verify work (n·K + n²/K → 2·n^1.5) with no
+# approximation, keeps K = 16 at the sf0.01 correctness scale (n = 200),
+# and is SQL-expressible, so the oracle computes the same K from the
+# same count (DuckDB LIMIT accepts a scalar subquery).  This follows the
+# SemDeDup paper's own scaling (cluster count grows with corpus size).
 # --------------------------------------------------------------------------
 _SEMDEDUP_TAU = 0.8
-_SEMDEDUP_K = 16
+_SEMDEDUP_K = 16  # floor; the effective K is max(16, isqrt(n_nonzero))
+
+# the oracle twin of `max(16, isqrt(n))` over the nz CTE
+_SEMDEDUP_K_SQL = ("(SELECT GREATEST(16, CAST(FLOOR(SQRT(COUNT(*))) "
+                   "AS BIGINT)) FROM nz)")
+
+
+def _semdedup_k(n: int) -> int:
+    import math
+    return max(_SEMDEDUP_K, math.isqrt(n))
 
 _ORACLE_Q148 = f"""
     WITH nz AS (
@@ -1178,7 +1242,7 @@ _ORACLE_Q148 = f"""
     ),
     cent AS (
         SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
-        FROM nz ORDER BY vec_id LIMIT {_SEMDEDUP_K}
+        FROM nz ORDER BY vec_id LIMIT {_SEMDEDUP_K_SQL}
     ),
     assigned AS (
         SELECT vec_id, embedding, nrm, cid,
@@ -1212,7 +1276,10 @@ def q148_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     nz = (e.select("vec_id", "embedding",
                    F.expr(_norm_spark("embedding")).alias("nrm"))
           .filter(F.col("nrm") > 0))
-    cent = (nz.orderBy("vec_id").limit(_SEMDEDUP_K)
+    # adaptive K (see the block comment above): one cheap count sizes
+    # the centroid set so cluster size — and with it the verify join's
+    # Θ(Σ|c|²) — stays bounded as the corpus grows
+    cent = (nz.orderBy("vec_id").limit(_semdedup_k(nz.count()))
             .select(F.col("vec_id").alias("cid"),
                     F.col("embedding").alias("cemb"),
                     F.col("nrm").alias("cnrm")))
@@ -1440,7 +1507,7 @@ _ORACLE_Q201 = f"""
     ),
     cent AS (
         SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
-        FROM nz ORDER BY vec_id LIMIT {_SEMDEDUP_K}
+        FROM nz ORDER BY vec_id LIMIT {_SEMDEDUP_K_SQL}
     ),
     assigned AS (
         SELECT vec_id, label, cid,
@@ -1474,7 +1541,9 @@ def q201_cluster_label_purity(spark: SparkSession,
     nz = (e.select("vec_id", "label", "embedding",
                    F.expr(_norm_spark("embedding")).alias("nrm"))
           .filter(F.col("nrm") > 0))
-    cent = (nz.orderBy("vec_id").limit(_SEMDEDUP_K)
+    # adaptive K — same scheme as q148 so purity evaluates the clusters
+    # SemDeDup actually uses at this corpus size
+    cent = (nz.orderBy("vec_id").limit(_semdedup_k(nz.count()))
             .select(F.col("vec_id").alias("cid"),
                     F.col("embedding").alias("cemb"),
                     F.col("nrm").alias("cnrm")))

@@ -219,10 +219,12 @@ def test_q148_semdedup_vs_python(spark, emb):
     from spatial_data_engineering_spark.operators.similarity import (
         q148_semdedup)
 
+    import math
+
     vecs = {int(r.vec_id): list(r.embedding) for _, r in emb.iterrows()}
     nrm = {d: _fold_dot(v, v) ** 0.5 for d, v in vecs.items()}
     nz = [d for d in sorted(vecs) if nrm[d] > 0]
-    cents = nz[:16]
+    cents = nz[:max(16, math.isqrt(len(nz)))]  # the adaptive-K contract
     member = defaultdict(list)
     for d in nz:
         best = max(cents, key=lambda c: (

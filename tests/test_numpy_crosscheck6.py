@@ -204,14 +204,16 @@ def test_q201_cluster_purity_vs_numpy(spark):
     nrm = np.linalg.norm(X, axis=1)
     keep = nrm > 0
     e, X, nrm = e[keep].reset_index(drop=True), X[keep], nrm[keep]
-    C, Cn = X[:16], nrm[:16]  # first 16 by vec_id = the fixed centroids
+    import math
+    K = max(16, math.isqrt(len(e)))  # the adaptive-K contract (q148)
+    C, Cn = X[:K], nrm[:K]  # first K by vec_id = the fixed centroids
     cos = (X @ C.T) / np.outer(nrm, Cn)
     # argmax with ties to the smallest cid: argmax returns first maximum
     assign = cos.argmax(axis=1)
-    cids = e.vec_id.to_numpy()[:16]
+    cids = e.vec_id.to_numpy()[:K]
     labels = e.label.to_numpy()
     expected = {}
-    for k in range(16):
+    for k in range(K):
         m = assign == k
         if not m.any():
             continue
