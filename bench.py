@@ -131,6 +131,17 @@ def main() -> None:
     failures: dict[str, str] = {}
     run_totals: list[float] = []
     queries = sorted(all_queries().items())
+    # targeted re-measure (e.g. the noise-cluster A/Bs BASELINE.md calls
+    # for): SPARK_GRAFT_QUERIES="q81_substring_dup,q156_..." restricts
+    # the suite; the emitted JSON still carries n_queries so a subset
+    # run can't be mistaken for a full-suite total
+    subset = os.environ.get("SPARK_GRAFT_QUERIES")
+    if subset:
+        want = {s.strip() for s in subset.split(",") if s.strip()}
+        unknown = want - {n for n, _ in queries}
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_QUERIES unknown: {sorted(unknown)}")
+        queries = [(n, f) for n, f in queries if n in want]
     for _ in range(n_runs):
         run_total = 0.0
         for name, fn in queries:

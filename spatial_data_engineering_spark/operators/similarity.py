@@ -1218,7 +1218,8 @@ def q140_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # grows as n/16 and the within-cluster verify join is Θ(n²/16) — the
 # probe measured q148 at 18.3x wall for 10x data.  K = max(16, ⌊√n⌋)
 # minimizes assignment + verify work (n·K + n²/K → 2·n^1.5) with no
-# approximation, keeps K = 16 at the sf0.01 correctness scale (n = 200),
+# approximation, keeps K small at the sf0.01 correctness scale (n ~ 500
+# -> K = 22),
 # and is SQL-expressible, so the oracle computes the same K from the
 # same count (DuckDB LIMIT accepts a scalar subquery).  This follows the
 # SemDeDup paper's own scaling (cluster count grows with corpus size).
