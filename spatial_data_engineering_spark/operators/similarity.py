@@ -42,25 +42,42 @@ def query(name: str, oracle: str | None = None):
 
 
 # dot(a, b) as a strict left fold in index order, double math throughout.
-def _dot_spark(a: str, b: str) -> str:
+# Row-count threshold above which the UNROLLED dot/plane expressions
+# pay for themselves: the unrolled tree is ~60x larger, costing a fixed
+# ~0.3-0.5 s of Catalyst planning per execution (measured: q51 warm at
+# sf0.1 went 0.94 -> 1.47 s when unconditionally unrolled), while the
+# per-evaluation win is ~2.2-2.4x on a ~5.7 us lambda fold.  Break-even
+# is a few hundred thousand evaluations; n >= 10k rows implies >= n x K
+# or pair-count evaluations well past it (at sf1's 20k rows the unroll
+# won 9.5 -> 4.7 s including planning).  Callers probe their corpus
+# count once (the q50/q154 block-sizing pattern) and pass dim64=True.
+_UNROLL_MIN_ROWS = 10_000
+
+
+def _dot_spark(a: str, b: str, dim64: bool = False) -> str:
     """Strict left-fold dot product, bit-identical to the oracle's
     list_reduce (0.0 + p0 + p1 + ... in source order — IEEE-identical
     because 0.0 + p0 == p0).
 
-    The common dim=64 case takes an UNROLLED straight-line sum guarded
-    by a size check: the higher-order aggregate/zip_with lambda costs
-    ~5.7 us per evaluation under codegen's lambda dispatch, and the
-    round-10 sf1 probe showed it dominating every fold-dot consumer
-    (q201's n x K assignment measured 2.8M dots = 16 s).  The unrolled
-    branch is the SAME float-widen-then-multiply-then-left-add op
-    sequence (measured 2.2x faster on 2.8M dots, sum bit-identical);
-    arbitrary dims fall back to the generic fold.  Callers pass plain
-    column references — the operands are repeated 128x in the unrolled
-    text, so a computed expression here would be re-evaluated per term.
+    With ``dim64`` (callers set it after a corpus-size probe, see
+    _UNROLL_MIN_ROWS) the dim=64 case takes an UNROLLED straight-line
+    sum guarded by a size check: the higher-order aggregate/zip_with
+    lambda costs ~5.7 us per evaluation under codegen's lambda
+    dispatch, and the round-10 sf1 probe showed it dominating every
+    fold-dot consumer (q201's n x K assignment measured 2.8M dots =
+    16 s).  The unrolled branch is the SAME
+    float-widen-then-multiply-then-left-add op sequence (measured 2.2x
+    faster on 2.8M dots, sum bit-identical); other dims fall back to
+    the generic fold at runtime, so either flag value is value-safe.
+    Callers pass plain column references — the operands are repeated
+    128x in the unrolled text, so a computed expression here would be
+    re-evaluated per term.
     """
     fold = (f"aggregate(zip_with({a}, {b},"
             f" (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
             f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    if not dim64:
+        return fold
     unroll = "(CAST(0.0 AS DOUBLE) + " + " + ".join(
         f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
         for i in range(64)) + ")"
@@ -74,8 +91,8 @@ def _dot_sql(a: str, b: str) -> str:
             f" (x, y) -> x + y)")
 
 
-def _norm_spark(a: str) -> str:
-    return f"sqrt({_dot_spark(a, a)})"
+def _norm_spark(a: str, dim64: bool = False) -> str:
+    return f"sqrt({_dot_spark(a, a, dim64)})"
 
 
 def _norm_sql(a: str) -> str:
@@ -108,11 +125,14 @@ _ORACLE_Q49 = f"""
 @query("q49_cosine_topk", _ORACLE_Q49)
 def q49_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
+    # one metadata-cheap count gates the unrolled dot (_UNROLL_MIN_ROWS)
+    u = e.count() >= _UNROLL_MIN_ROWS
     # zero-norm vectors make cosine 0/0 = NaN, whose comparison semantics
     # differ between numpy/Spark and DuckDB's total float order — exclude
     # them identically on both sides (the oracle filters nrm > 0 too)
     withn = e.select(
-        "vec_id", "embedding", F.expr(_norm_spark("embedding")).alias("nrm")
+        "vec_id", "embedding",
+        F.expr(_norm_spark("embedding", u)).alias("nrm")
     ).filter(F.col("nrm") > 0)
     q = withn.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
@@ -125,7 +145,7 @@ def q49_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (F.expr(_dot_spark("q_emb", "embedding"))
+            (F.expr(_dot_spark("q_emb", "embedding", u))
              / (F.col("q_nrm") * F.col("nrm"))).alias("cosine"),
         )
     )
@@ -273,7 +293,7 @@ import os as _os
 _N_PLANES = int(_os.environ.get("SPARK_GRAFT_SRP_PLANES", "12"))
 
 
-def _plane_dot(engine: str, emb: str, p: int) -> str:
+def _plane_dot(engine: str, emb: str, p: int, dim64: bool = False) -> str:
     # i is cast to BIGINT before the multiply: Spark's sequence() yields
     # array<int>, and p*73856093 + i*19349663 exceeds INT32_MAX from
     # dim 69 (ANSI overflow error); DuckDB's generate_series is already
@@ -284,11 +304,14 @@ def _plane_dot(engine: str, emb: str, p: int) -> str:
         fold = (f"aggregate(zip_with(sequence(1, size({emb})), {emb},"
                 f" (i, x) -> CAST({w} AS DOUBLE) * CAST(x AS DOUBLE)),"
                 f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-        # dim=64 fast path: the weights are compile-time constants, so
-        # the plane dot unrolls to a straight-line literal-weighted sum
-        # — same left-fold op order, bit-identical values, ~2.4x faster
-        # than the lambda fold (the _dot_spark rationale; measured on
-        # the sf1 probe's 20k-row signature build: 3.2 -> 1.4 s)
+        if not dim64:
+            return fold
+        # dim=64 fast path (scale-gated like _dot_spark): the weights
+        # are compile-time constants, so the plane dot unrolls to a
+        # straight-line literal-weighted sum — same left-fold op order,
+        # bit-identical values, ~2.4x faster than the lambda fold
+        # (measured on the sf1 probe's 20k-row signature build:
+        # 3.2 -> 1.4 s)
         unroll = " + ".join(
             f"CAST({((p * 73856093 + i * 19349663) % 2003) - 1001} AS"
             f" DOUBLE) * CAST({emb}[{i - 1}] AS DOUBLE)"
@@ -300,9 +323,10 @@ def _plane_dot(engine: str, emb: str, p: int) -> str:
             f" (x, y) -> x + y)")
 
 
-def _bucket(engine: str, emb: str) -> str:
+def _bucket(engine: str, emb: str, dim64: bool = False) -> str:
     return " + ".join(
-        f"(CASE WHEN {_plane_dot(engine, emb, p)} > 0 THEN {2 ** p} ELSE 0 END)"
+        f"(CASE WHEN {_plane_dot(engine, emb, p, dim64)} > 0"
+        f" THEN {2 ** p} ELSE 0 END)"
         for p in range(_N_PLANES)
     )
 
@@ -479,16 +503,19 @@ _ORACLE_Q51 = f"""
 @query("q51_srp_lsh_buckets", _ORACLE_Q51)
 def q51_srp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
+    u = e.count() >= _UNROLL_MIN_ROWS  # gate the unrolled plane/pair dots
     sig = e.select(
         "vec_id", "embedding",
-        F.expr(_norm_spark("embedding")).alias("nrm"),
-        F.expr(f"CAST({_bucket('spark', 'embedding')} AS BIGINT)").alias("bucket"),
+        F.expr(_norm_spark("embedding", u)).alias("nrm"),
+        F.expr(f"CAST({_bucket('spark', 'embedding', u)} AS BIGINT)")
+        .alias("bucket"),
     ).filter(F.col("nrm") > 0)  # zero-norm -> NaN cosine; see q49/q50 note
     a = sig.select(F.col("vec_id").alias("a_id"), F.col("bucket"),
                    F.col("embedding").alias("a_emb"), F.col("nrm").alias("a_nrm"))
     b = sig.select(F.col("vec_id").alias("b_id"), F.col("bucket").alias("b_bucket"),
                    F.col("embedding").alias("b_emb"), F.col("nrm").alias("b_nrm"))
-    cos = (F.expr(_dot_spark("a_emb", "b_emb")) / (F.col("a_nrm") * F.col("b_nrm")))
+    cos = (F.expr(_dot_spark("a_emb", "b_emb", u))
+           / (F.col("a_nrm") * F.col("b_nrm")))
     return (
         a.join(b, (F.col("bucket") == F.col("b_bucket"))
                & (F.col("a_id") < F.col("b_id")))
@@ -1279,12 +1306,15 @@ def q148_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
           .filter(F.col("nrm") > 0))
     # adaptive K (see the block comment above): one cheap count sizes
     # the centroid set so cluster size — and with it the verify join's
-    # Θ(Σ|c|²) — stays bounded as the corpus grows
-    cent = (nz.orderBy("vec_id").limit(_semdedup_k(nz.count()))
+    # Θ(Σ|c|²) — stays bounded as the corpus grows; the same count
+    # gates the unrolled dot (_UNROLL_MIN_ROWS)
+    n_nz = nz.count()
+    u = n_nz >= _UNROLL_MIN_ROWS
+    cent = (nz.orderBy("vec_id").limit(_semdedup_k(n_nz))
             .select(F.col("vec_id").alias("cid"),
                     F.col("embedding").alias("cemb"),
                     F.col("nrm").alias("cnrm")))
-    cos = (F.expr(_dot_spark("embedding", "cemb"))
+    cos = (F.expr(_dot_spark("embedding", "cemb", u))
            / (F.col("nrm") * F.col("cnrm")))
     rk = F.row_number().over(
         W.partitionBy("vec_id").orderBy(F.desc(cos), F.asc("cid")))
@@ -1300,7 +1330,7 @@ def q148_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("vec_id").alias("b_id"),
                       F.col("embedding").alias("bemb"),
                       F.col("nrm").alias("bnrm"))
-    pcos = (F.expr(_dot_spark("aemb", "bemb"))
+    pcos = (F.expr(_dot_spark("aemb", "bemb", u))
             / (F.col("anrm") * F.col("bnrm")))
     dropped = (a.join(b, "cid")
                .filter(F.col("a_id") < F.col("b_id"))
@@ -1543,12 +1573,15 @@ def q201_cluster_label_purity(spark: SparkSession,
                    F.expr(_norm_spark("embedding")).alias("nrm"))
           .filter(F.col("nrm") > 0))
     # adaptive K — same scheme as q148 so purity evaluates the clusters
-    # SemDeDup actually uses at this corpus size
-    cent = (nz.orderBy("vec_id").limit(_semdedup_k(nz.count()))
+    # SemDeDup actually uses at this corpus size; the count also gates
+    # the unrolled dot
+    n_nz = nz.count()
+    u = n_nz >= _UNROLL_MIN_ROWS
+    cent = (nz.orderBy("vec_id").limit(_semdedup_k(n_nz))
             .select(F.col("vec_id").alias("cid"),
                     F.col("embedding").alias("cemb"),
                     F.col("nrm").alias("cnrm")))
-    cos = (F.expr(_dot_spark("embedding", "cemb"))
+    cos = (F.expr(_dot_spark("embedding", "cemb", u))
            / (F.col("nrm") * F.col("cnrm")))
     rk = F.row_number().over(
         W.partitionBy("vec_id").orderBy(F.desc(cos), F.asc("cid")))

@@ -46,17 +46,19 @@ def _modules():
 #      rule-(2) forces, so they owe first.
 #   2. slots 4-28: the 25 remaining r4-verified rows (q70 .. q87), the
 #      oldest driver evidence in the registry (5 rounds).
-#   3. slots 29-44: the 16 oldest r5-verified rows (q97 .. q116).
-#   4. slots 45-50: rule-(2) forces — queries whose Spark DAG changed
+#   3. slots 29-46: the 18 oldest r5-verified rows (q97 .. q120).
+#   4. slots 47-50: rule-(2) forces — queries whose Spark DAG changed
 #      this round after the sf1 scale probe: q148/q201 (adaptive
 #      SemDeDup K = max(16, isqrt(n)) — outputs legitimately change,
-#      oracle co-moves) and q49/q51/q52/q208 (the unrolled dim-64
-#      fold-dot/plane-dot fast path — values bit-identical, plan text
-#      new).  q92 and q110, also touched by the unroll, already sit
-#      in-window at slots 27 and 41.
+#      oracle co-moves; plus the count-gated unrolled dot) and
+#      q49/q51 (corpus-count probe gating the unrolled dim-64
+#      fold-dot/plane-dot fast path — values bit-identical, plan gains
+#      the probe).  q52/q208/q92/q110 briefly carried the unroll
+#      mid-round but ship with their r9 DAGs (the gate defaults to the
+#      fold), so they owe no force.
 # WRITTEN SCHEDULE (continuing):
-#   - r11: the 6 displaced r5 rows (q117/q120/q121/q122/q123/q124) +
-#     the 21 remaining r5-verified rows (q125 .. q105) + the 23 oldest
+#   - r11: the 4 displaced r5 rows (q121/q122/q123/q124) + the 21
+#     remaining r5-verified rows (q125 .. q105) + the 25 oldest
 #     r6-verified rows = 50; after r11, max staleness is r6 evidence
 #     (<= 5 rounds) and the steady-state full rotation continues every
 #     ~4-5 rounds (r12: remaining r6 rows + oldest r8 rows; r13:
@@ -80,22 +82,23 @@ _PRIORITY = [
     "q75_golden_variance", "q80_quality_filter", "q82_incremental_dedup",
     "q62_dissolve_area", "q88_containment_join", "q89_bigram_lift",
     "q90_pattern_redact", "q92_random_projection", "q87_ngram_novelty",
-    # slots 29-44: the 16 oldest r5-verified rows
+    # slots 29-46: the 18 oldest r5-verified rows
     "q97_funnel", "q98_cohort_retention", "q99_zscore_anomaly",
     "q100_time_weighted_avg", "q101_gap_fill_interpolate",
     "q102_bottomk_sample", "q103_order_count_distribution",
     "q104_large_volume_orders", "q106_bloom_semi_join", "q107_line_dedup",
     "q108_tfidf_keywords", "q109_triangle_count", "q110_mmr_diversify",
     "q111_pq_adc_topk", "q115_bfs_hops", "q116_psi_drift",
-    # slots 45-50: rule-(2) forces — DAGs changed this round (adaptive
-    # SemDeDup K; unrolled dim-64 fold-dot/plane-dot fast path)
+    "q117_rolling_median", "q120_asof_forward",
+    # slots 47-50: rule-(2) forces — DAGs changed this round (adaptive
+    # SemDeDup K; count-gated unrolled dim-64 dot fast path)
     "q148_semdedup", "q201_cluster_label_purity", "q49_cosine_topk",
-    "q51_srp_lsh_buckets", "q52_ivf_ann", "q208_embedding_norm_qa",
+    "q51_srp_lsh_buckets",
     # --- tail: rotate into r11+ windows, least-recently-verified
-    # first — the 6 displaced r5 rows, remaining r5 block (21), then
-    # r6 (43), r8 (48), and the r9-verified newest (47) last ---
-    # displaced r5 rows (6) + remaining r5 block (21) — the r11 lead
-    "q117_rolling_median", "q120_asof_forward", "q121_token_entropy",
+    # first — the 4 displaced r5 rows, remaining r5 block (21), then
+    # r6 (43), r8 (49), and the r9-verified newest (48) last ---
+    # displaced r5 rows (4) + remaining r5 block (21) — the r11 lead
+    "q121_token_entropy",
     "q122_grouping_sets", "q123_mad_outliers", "q124_incremental_agg_merge",
     "q125_small_quantity_revenue", "q126_revenue_share", "q129_hamming_topk",
     "q130_weighted_median", "q131_user_trend", "q132_skew_report",
@@ -127,7 +130,7 @@ _PRIORITY = [
     "q32_session_window", "q35_rank_functions", "q36_full_outer",
     "q37_array_agg", "q38_profile", "q39_local_supplier_revenue",
     "q63_date_functions", "q64_bag_set_ops", "q28_approx_distinct",
-    "q34_approx_quantiles", "q76_ngram_jaccard_join",
+    "q34_approx_quantiles", "q52_ivf_ann", "q76_ngram_jaccard_join",
     "q77_pack_sequences", "q83_embedding_stats", "q84_sample_exact_k",
     "q85_twophase_topk", "q10_row_number", "q71_frame_sample",
     "q50_embedding_neardup", "q53_embedding_centroids",
@@ -148,7 +151,7 @@ _PRIORITY = [
     "q198_position_value_decay", "q200_corpus_stats",
     "q203_quantization_error",
     "q204_forecast_revenue", "q205_supplier_coverage", "q206_ship_latency",
-    "q207_brand_return_rate",
+    "q207_brand_return_rate", "q208_embedding_norm_qa",
     "q209_source_scorecard", "q210_word_length_hist",
     "q79_decontaminate", "q81_substring_dup", "q67_overlap_dissolve",
     "q60_point_in_polygon", "q61_zonal_histogram",

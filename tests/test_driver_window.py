@@ -25,9 +25,10 @@ from spatial_data_engineering_spark.queries_registry import all_queries
 # (the oldest driver evidence in the registry, 5 rounds), then the 16
 # oldest r5-verified rows, then this round's rule-(2) forces: the sf1
 # scale probe drove an adaptive SemDeDup K (q148/q201 — outputs change,
-# oracle co-moves) and an unrolled dim-64 fold-dot/plane-dot fast path
-# (q49/q51/q52/q208 — values bit-identical, plan text new; q92/q110
-# also touched but already in-window at slots 27/41).
+# oracle co-moves) and a corpus-count probe gating an unrolled dim-64
+# fold-dot/plane-dot fast path (q49/q51 — values bit-identical, plan
+# gains the probe; q52/q208/q92/q110 ship with their r9 DAGs since the
+# gate defaults to the fold).
 EXPECTED_WINDOW = [
     # displaced r9 rows (3)
     "q66_repetition", "q68_chunk_documents", "q69_embedding_quantize",
@@ -40,23 +41,24 @@ EXPECTED_WINDOW = [
     "q75_golden_variance", "q80_quality_filter", "q82_incremental_dedup",
     "q62_dissolve_area", "q88_containment_join", "q89_bigram_lift",
     "q90_pattern_redact", "q92_random_projection", "q87_ngram_novelty",
-    # oldest r5-verified (16)
+    # oldest r5-verified (18)
     "q97_funnel", "q98_cohort_retention", "q99_zscore_anomaly",
     "q100_time_weighted_avg", "q101_gap_fill_interpolate",
     "q102_bottomk_sample", "q103_order_count_distribution",
     "q104_large_volume_orders", "q106_bloom_semi_join", "q107_line_dedup",
     "q108_tfidf_keywords", "q109_triangle_count", "q110_mmr_diversify",
     "q111_pq_adc_topk", "q115_bfs_hops", "q116_psi_drift",
-    # rule-(2) forces (6)
+    "q117_rolling_median", "q120_asof_forward",
+    # rule-(2) forces (4)
     "q148_semdedup", "q201_cluster_label_purity", "q49_cosine_topk",
-    "q51_srp_lsh_buckets", "q52_ivf_ann", "q208_embedding_norm_qa",
+    "q51_srp_lsh_buckets",
 ]
 
 # The rows that must LEAD the round-11 window (the written schedule's
-# next step): the 6 displaced r5 rows, then the 21 remaining r5-verified
+# next step): the 4 displaced r5 rows, then the 21 remaining r5-verified
 # rows.  Guarded so the r11 rotation cannot accidentally bury them.
 EXPECTED_R11_LEAD = [
-    "q117_rolling_median", "q120_asof_forward", "q121_token_entropy",
+    "q121_token_entropy",
     "q122_grouping_sets", "q123_mad_outliers", "q124_incremental_agg_merge",
     "q125_small_quantity_revenue", "q126_revenue_share", "q129_hamming_topk",
     "q130_weighted_median", "q131_user_trend", "q132_skew_report",
@@ -90,9 +92,9 @@ def test_round11_queue_is_next():
 def test_r9_window_rotated_to_tail():
     # the rows verified in round 9 are the freshest evidence and must
     # close the registry (they rotate back in at r13 per the schedule;
-    # q49/q201/q208 were pulled forward by this round's rule-2 forces)
+    # q49/q201 were pulled forward by this round's rule-2 forces)
     names = list(all_queries())
-    r9_tail = set(names[-47:])
+    r9_tail = set(names[-48:])
     for probe in ("q180_basket_lift", "q209_source_scorecard",
                   "q169_vocab_coverage", "q01_pricing_summary",
                   "q79_decontaminate"):
