@@ -230,3 +230,45 @@ def test_hamming_recall_floor(spark):
     # (3/500) and consistent with the bits-vs-recall ladder (1-bit 0.17,
     # 16-byte PQ 0.43, exact 1.0); 0.1 is the non-flaky floor
     assert recall >= 0.1, f"hamming recall {recall:.2f}"
+
+
+def test_unrolled_dot_is_bit_identical_to_fold(spark):
+    """Round-10 gate invariant: _dot_spark/_plane_dot emit either the
+    generic lambda fold (small corpora — cheap planning) or a dim-64
+    unrolled straight-line sum (large corpora — cheap evaluation), and
+    the two must be BIT-identical on dim-64 rows, with the unrolled
+    form's CASE guard falling back to the fold on any other dim.  This
+    is what makes the _UNROLL_MIN_ROWS gate a pure physical-plan
+    decision that can never shift a driver value hash."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from spatial_data_engineering_spark.operators.similarity import (
+        _bucket, _dot_spark)
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=64).astype(np.float32)],
+             [float(x) for x in rng.normal(size=64).astype(np.float32)])
+            for i in range(200)]
+    # mixed dims: the guard must route short rows through the fold
+    rows += [(1000 + i,
+              [float(x) for x in rng.normal(size=32).astype(np.float32)],
+              [float(x) for x in rng.normal(size=32).astype(np.float32)])
+             for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "id long, a array<float>, b array<float>")
+    got = df.select(
+        "id",
+        F.expr(_dot_spark("a", "b", dim64=False)).alias("fold"),
+        F.expr(_dot_spark("a", "b", dim64=True)).alias("unrolled"),
+        F.expr(f"CAST({_bucket('spark', 'a', False)} AS BIGINT)")
+        .alias("bucket_fold"),
+        F.expr(f"CAST({_bucket('spark', 'a', True)} AS BIGINT)")
+        .alias("bucket_unrolled"),
+    ).collect()
+    assert len(got) == 220
+    for r in got:
+        # bit-identical, not approximately equal: the driver hash
+        # depends on it
+        assert r.fold == r.unrolled, (r.id, r.fold, r.unrolled)
+        assert r.bucket_fold == r.bucket_unrolled, r.id
