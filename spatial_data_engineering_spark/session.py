@@ -76,6 +76,17 @@ def build_session(app_name: str = "spatial_data_engineering_spark",
         # (measured: warm suite pass 149s -> 144s).  defaultJavaOptions
         # so a user's extraJavaOptions still override.
         .config("spark.driver.defaultJavaOptions", "-XX:+UseParallelGC")
+        # ContextCleaner reclaims localCheckpoint/broadcast/shuffle
+        # blocks only when the JVM garbage-collects their weak refs,
+        # and the default periodic GC interval (30min) is longer than
+        # an entire suite pass — so a long session running hundreds of
+        # distinct queries accumulates dead checkpoint blocks (the LSH
+        # shingle tables are GB-sized at 10x bench scale) until storage
+        # eviction and GC pressure tax late queries.  The round-10 sf1
+        # probe measured q47 at 11s isolated vs 53s late-in-suite.  A
+        # 1-minute periodic GC bounds the leak; the same setting is the
+        # standard fix for long-lived drivers on real clusters.
+        .config("spark.cleaner.periodicGC.interval", "1min")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
