@@ -142,9 +142,21 @@ def main() -> None:
         if unknown:
             raise SystemExit(f"SPARK_GRAFT_QUERIES unknown: {sorted(unknown)}")
         queries = [(n, f) for n, f in queries if n in want]
+    import gc
     for _ in range(n_runs):
         run_total = 0.0
         for name, fn in queries:
+            # release the previous query's py4j handles BEFORE timing:
+            # localCheckpoint()-pinned frames (the LSH shingle tables,
+            # kernel offsets) hold executor storage until Python GC
+            # drops their JVM refs AND the JVM GC lets ContextCleaner
+            # unpersist them (the JVM half is the session's 1-minute
+            # spark.cleaner.periodicGC.interval).  Without both, blocks
+            # accumulate across the 212-query suite and late queries pay
+            # the memory pressure — the sf1 probe measured q47 at 11 s
+            # isolated vs 53 s late-in-suite.  The gc runs OUTSIDE the
+            # timed region.
+            gc.collect()
             t0 = time.perf_counter()
             try:
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
