@@ -39,92 +39,77 @@ def _modules():
 # most one round old.  The driver window is the sampling gate, not the
 # completeness gate.
 #
-# Round-10 window (driver verifies the FIRST 50), executing the written
-# r10 schedule committed in round 9 (VERDICT r9 task 1 — now routine
-# debt service; max driver staleness after this round: r5 evidence):
-#   1. slots 1-3: q66/q68/q69 — displaced from the r9 window by the
-#      rule-(2) forces, so they owe first.
-#   2. slots 4-28: the 25 remaining r4-verified rows (q70 .. q87), the
-#      oldest driver evidence in the registry (5 rounds).
-#   3. slots 29-46: the 18 oldest r5-verified rows (q97 .. q120).
-#   4. slots 47-50: rule-(2) forces — queries whose Spark DAG changed
-#      this round after the sf1 scale probe: q148/q201 (adaptive
-#      SemDeDup K = max(16, isqrt(n)) — outputs legitimately change,
-#      oracle co-moves; plus the count-gated unrolled dot) and
-#      q49/q51 (corpus-count probe gating the unrolled dim-64
-#      fold-dot/plane-dot fast path — values bit-identical, plan gains
-#      the probe).  q52/q208/q92/q110 briefly carried the unroll
-#      mid-round but ship with their r9 DAGs (the gate defaults to the
-#      fold), so they owe no force.
+# Round-11 window (driver verifies the FIRST 50), executing the written
+# r11 schedule committed in round 10 (VERDICT r10 task 1 — routine debt
+# service; max driver staleness after this round: r6 evidence):
+#   1. slots 1-25: the 4 rows displaced from the r10 window by that
+#      round's rule-(2) forces (q121/q122/q123/q124) + the 21 remaining
+#      r5-verified rows (q125 .. q105) — the registry's oldest driver
+#      evidence (6 rounds).
+#   2. slots 26-50: the 25 oldest rows of the r6-verified block
+#      (q112 .. q162).
+#   No rule-(2) forces this round: the ADVICE fixes are byte-identical
+#   on the default path (the SemDeDup K literal interpolation produces
+#   the same SQL text; the SRP-plane env validation only rejects
+#   non-default values; the audit regex and artifact normalization are
+#   plan-metadata only), so no query's DAG, oracle text, or output
+#   changed.
 # WRITTEN SCHEDULE (continuing):
-#   - r11: the 4 displaced r5 rows (q121/q122/q123/q124) + the 21
-#     remaining r5-verified rows (q125 .. q105) + the 25 oldest
-#     r6-verified rows = 50; after r11, max staleness is r6 evidence
-#     (<= 5 rounds) and the steady-state full rotation continues every
-#     ~4-5 rounds (r12: remaining r6 rows + oldest r8 rows; r13:
-#     remaining r8 + oldest r9).
+#   - r12: the 16 remaining r6-verified rows + the 34 oldest
+#     r8-verified rows (q22_cube .. q113_cms_heavy_hitters) = 50, with
+#     any never-driver-verified queries added in r11 placed at the head
+#     (new rows outrank stale ones); after r12, max staleness is r8
+#     evidence and the steady rotation continues (r13: remaining r8 +
+#     oldest r9; r14: remaining r9 + the r10-verified tail).
 # tests/test_driver_window.py pins the first 50 names to this plan so the
 # rotation is reviewed code, not comment policy.  The FULL inventory is
 # still re-proven by tests/test_oracle_parity.py on every pytest run (the
 # completeness gate); the driver window is the sampling gate.
 _PRIORITY = [
-    # --- ROUND-10 DRIVER WINDOW (first 50) ---
-    # slots 1-3: displaced from the r9 window by that round's rule-(2)
-    # forces
-    "q66_repetition", "q68_chunk_documents", "q69_embedding_quantize",
-    # slots 4-28: the 25 remaining r4-verified rows — the registry's
-    # oldest driver evidence
-    "q70_multimodal_meta", "q74_vocab_topk", "q02_ilike_filter",
-    "q03_join_enrich", "q04_semi_join", "q05_anti_join",
-    "q06_monthly_revenue", "q07_month_spine", "q09_histogram",
-    "q11_topk_per_group", "q12_pivot", "q13_setops", "q14_rollup",
-    "q16_extent", "q17_case_thresholds", "q20_above_avg",
-    "q75_golden_variance", "q80_quality_filter", "q82_incremental_dedup",
-    "q62_dissolve_area", "q88_containment_join", "q89_bigram_lift",
-    "q90_pattern_redact", "q92_random_projection", "q87_ngram_novelty",
-    # slots 29-46: the 18 oldest r5-verified rows
-    "q97_funnel", "q98_cohort_retention", "q99_zscore_anomaly",
-    "q100_time_weighted_avg", "q101_gap_fill_interpolate",
-    "q102_bottomk_sample", "q103_order_count_distribution",
-    "q104_large_volume_orders", "q106_bloom_semi_join", "q107_line_dedup",
-    "q108_tfidf_keywords", "q109_triangle_count", "q110_mmr_diversify",
-    "q111_pq_adc_topk", "q115_bfs_hops", "q116_psi_drift",
-    "q117_rolling_median", "q120_asof_forward",
-    # slots 47-50: rule-(2) forces — DAGs changed this round (adaptive
-    # SemDeDup K; count-gated unrolled dim-64 dot fast path)
-    "q148_semdedup", "q201_cluster_label_purity", "q49_cosine_topk",
-    "q51_srp_lsh_buckets",
-    # --- tail: rotate into r11+ windows, least-recently-verified
-    # first — the 4 displaced r5 rows, remaining r5 block (21), then
-    # r6 (43), r8 (49), and the r9-verified newest (48) last ---
-    # displaced r5 rows (4) + remaining r5 block (21) — the r11 lead
-    "q121_token_entropy",
-    "q122_grouping_sets", "q123_mad_outliers", "q124_incremental_agg_merge",
-    "q125_small_quantity_revenue", "q126_revenue_share", "q129_hamming_topk",
-    "q130_weighted_median", "q131_user_trend", "q132_skew_report",
-    "q133_video_neardup", "q134_ewma", "q135_benford_audit",
-    "q136_transition_matrix", "q137_time_to_convert", "q138_session_stats",
-    "q140_class_separation", "q94_dedup_canonical", "q95_stratified_split",
-    "q96_doc_bigram_lift", "q93_embedding_covariance", "q56_dedup_components",
-    "q86_pagerank_centrality", "q127_score_calibration", "q105_lone_returner",
-    # r6 block (44)
+    # --- ROUND-11 DRIVER WINDOW (first 50) ---
+    # Executing the written r11 schedule committed in round 10 (VERDICT
+    # r10 task 1 — routine debt service; max driver staleness after this
+    # round: r6 evidence, <= 5 rounds).
+    # slots 1-25: the 4 rows displaced from the r10 window by that
+    # round's rule-(2) forces + the 21 remaining r5-verified rows — the
+    # registry's oldest driver evidence (6 rounds)
+    "q121_token_entropy", "q122_grouping_sets", "q123_mad_outliers",
+    "q124_incremental_agg_merge", "q125_small_quantity_revenue",
+    "q126_revenue_share", "q129_hamming_topk", "q130_weighted_median",
+    "q131_user_trend", "q132_skew_report", "q133_video_neardup", "q134_ewma",
+    "q135_benford_audit", "q136_transition_matrix", "q137_time_to_convert",
+    "q138_session_stats", "q140_class_separation", "q94_dedup_canonical",
+    "q95_stratified_split", "q96_doc_bigram_lift", "q93_embedding_covariance",
+    "q56_dedup_components", "q86_pagerank_centrality",
+    "q127_score_calibration", "q105_lone_returner",
+    # slots 26-50: the 25 oldest r5/r6-verified rows of the r6 block
     "q112_scd2_intervals", "q29_asof_join", "q154_knn_label_accuracy",
     "q155_pmi_collocations", "q172_zipf_fit", "q185_bigram_cond_entropy",
     "q186_negative_sampling", "q202_cramers_v", "q211_discount_quantity_corr",
     "q199_dup_quality_link", "q141_unigram_logprob",
     "q142_stopword_discovery", "q143_bpe_pair_counts", "q146_vocab_overlap",
-    "q147_chi2_keywords", "q149_winsorized_stats",
-    "q150_hhi_concentration", "q151_returned_revenue",
-    "q152_dup_cluster_sizes", "q157_mix_rebalance", "q158_session_paths",
-    "q159_bm25_topk", "q160_lang_mislabel", "q161_wilson_proportion",
-    "q162_churn_rate", "q165_nation_trade_volume", "q166_market_share",
-    "q168_dedup_cost_model", "q170_burst_detection",
-    "q171_dup_degree_distribution", "q173_order_reconciliation",
-    "q175_error_rate_timeline", "q176_score_normalization",
-    "q177_weekday_seasonality", "q178_new_vs_returning",
-    "q145_curriculum_stages", "q163_score_auc", "q164_rfm_segments",
-    "q174_value_gini", "q189_runs_test", "q193_heaps_law",
-    # r8-verified newest (50)
+    "q147_chi2_keywords", "q149_winsorized_stats", "q150_hhi_concentration",
+    "q151_returned_revenue", "q152_dup_cluster_sizes", "q157_mix_rebalance",
+    "q158_session_paths", "q159_bm25_topk", "q160_lang_mislabel",
+    "q161_wilson_proportion", "q162_churn_rate",
+    # --- tail: rotates into r12+ windows, least-recently-verified
+    # first ---
+    # WRITTEN SCHEDULE (continuing): r12 window = the 16 remaining
+    # r6-verified rows below + the 34 oldest r8-verified rows (q22_cube
+    # .. q113_cms_heavy_hitters) + any rule-(2) forces; r13 = remaining
+    # r8 rows + oldest r9 rows; r14 = remaining r9 + oldest r10 rows.
+    # New queries added in r11 (if any) are placed at the HEAD of the
+    # r12 lead — never-driver-verified rows outrank stale ones.
+    # remaining r6-verified rows (16) — the r12 lead
+    "q165_nation_trade_volume", "q166_market_share", "q168_dedup_cost_model",
+    "q170_burst_detection", "q171_dup_degree_distribution",
+    "q173_order_reconciliation", "q175_error_rate_timeline",
+    "q176_score_normalization", "q177_weekday_seasonality",
+    "q178_new_vs_returning", "q145_curriculum_stages", "q163_score_auc",
+    "q164_rfm_segments", "q174_value_gini", "q189_runs_test",
+    "q193_heaps_law",
+    # r8-verified block (48) — r12 fills from its head, r13 takes
+    # the rest
     "q22_cube", "q23_unpivot", "q24_in_subquery", "q25_window_analytics",
     "q26_median", "q27_first_limit", "q30_range_join", "q31_sliding_window",
     "q32_session_window", "q35_rank_functions", "q36_full_outer",
@@ -133,37 +118,51 @@ _PRIORITY = [
     "q34_approx_quantiles", "q52_ivf_ann", "q76_ngram_jaccard_join",
     "q77_pack_sequences", "q83_embedding_stats", "q84_sample_exact_k",
     "q85_twophase_topk", "q10_row_number", "q71_frame_sample",
-    "q50_embedding_neardup", "q53_embedding_centroids",
-    "q47_minhash_lsh", "q48_simhash", "q73_hash_split", "q78_balance_corpus",
+    "q50_embedding_neardup", "q53_embedding_centroids", "q47_minhash_lsh",
+    "q48_simhash", "q73_hash_split", "q78_balance_corpus",
     "q91_temperature_sample", "q113_cms_heavy_hitters", "q114_kmv_distinct",
     "q118_weighted_sample", "q119_kmv_setops", "q128_detector_agreement",
     "q139_split_contamination", "q144_training_order",
     "q153_simhash_hamming_join", "q156_minhash_estimate_audit",
-    "q167_dedup_strategy_venn", "q188_aa_test",
-    "q212_curation_shards", "q213_curation_funnel", "q55_kmeans",
-    "q42_lang_id",
-    # r9-verified newest (50) — the full round-9 window, freshest
-    # evidence, rotates last (r13 per the written schedule)
+    "q167_dedup_strategy_venn", "q188_aa_test", "q212_curation_shards",
+    "q213_curation_funnel", "q55_kmeans", "q42_lang_id",
+    # r9-verified block (48) — rotates in at r13/r14
     "q180_basket_lift", "q181_order_interarrival", "q182_subword_diversity",
     "q183_fk_audit", "q184_bounce_rate", "q187_dedup_survivor_bias",
     "q190_prefix_dup", "q191_dim_redundancy", "q192_segment_migration",
     "q194_truncation_loss", "q195_effective_tokens", "q197_session_survival",
     "q198_position_value_decay", "q200_corpus_stats",
-    "q203_quantization_error",
-    "q204_forecast_revenue", "q205_supplier_coverage", "q206_ship_latency",
-    "q207_brand_return_rate", "q208_embedding_norm_qa",
-    "q209_source_scorecard", "q210_word_length_hist",
-    "q79_decontaminate", "q81_substring_dup", "q67_overlap_dissolve",
-    "q60_point_in_polygon", "q61_zonal_histogram",
+    "q203_quantization_error", "q204_forecast_revenue",
+    "q205_supplier_coverage", "q206_ship_latency", "q207_brand_return_rate",
+    "q208_embedding_norm_qa", "q209_source_scorecard",
+    "q210_word_length_hist", "q79_decontaminate", "q81_substring_dup",
+    "q67_overlap_dissolve", "q60_point_in_polygon", "q61_zonal_histogram",
     "q43_fingerprint", "q54_dedup_materialize", "q15_count_distinct",
-    "q19_hourly_window", "q21_props_extract",
-    "q44_quality_score", "q18_sessionization", "q01_pricing_summary",
-    "q45_dedup_exact", "q46_dedup_tokensort", "q40_text_stats",
-    "q41_token_count", "q08_var_argmax", "q33_percentiles",
-    "q72_hierarchical_rollup", "q57_normalize_text", "q58_edit_distance",
-    "q65_blocklist_filter",
-    "q169_vocab_coverage", "q179_hapax_ratio",
-    "q196_crosssplit_perplexity",
+    "q19_hourly_window", "q21_props_extract", "q44_quality_score",
+    "q18_sessionization", "q01_pricing_summary", "q45_dedup_exact",
+    "q46_dedup_tokensort", "q40_text_stats", "q41_token_count",
+    "q08_var_argmax", "q33_percentiles", "q72_hierarchical_rollup",
+    "q57_normalize_text", "q58_edit_distance", "q65_blocklist_filter",
+    "q169_vocab_coverage", "q179_hapax_ratio", "q196_crosssplit_perplexity",
+    # r10-verified (the full round-10 window, freshest evidence) —
+    # rotates last (r14 per the schedule)
+    "q66_repetition", "q68_chunk_documents", "q69_embedding_quantize",
+    "q70_multimodal_meta", "q74_vocab_topk", "q02_ilike_filter",
+    "q03_join_enrich", "q04_semi_join", "q05_anti_join",
+    "q06_monthly_revenue", "q07_month_spine", "q09_histogram",
+    "q11_topk_per_group", "q12_pivot", "q13_setops", "q14_rollup",
+    "q16_extent", "q17_case_thresholds", "q20_above_avg",
+    "q75_golden_variance", "q80_quality_filter", "q82_incremental_dedup",
+    "q62_dissolve_area", "q88_containment_join", "q89_bigram_lift",
+    "q90_pattern_redact", "q92_random_projection", "q87_ngram_novelty",
+    "q97_funnel", "q98_cohort_retention", "q99_zscore_anomaly",
+    "q100_time_weighted_avg", "q101_gap_fill_interpolate",
+    "q102_bottomk_sample", "q103_order_count_distribution",
+    "q104_large_volume_orders", "q106_bloom_semi_join", "q107_line_dedup",
+    "q108_tfidf_keywords", "q109_triangle_count", "q110_mmr_diversify",
+    "q111_pq_adc_topk", "q115_bfs_hops", "q116_psi_drift",
+    "q117_rolling_median", "q120_asof_forward", "q148_semdedup",
+    "q201_cluster_label_purity", "q49_cosine_topk", "q51_srp_lsh_buckets",
 ]
 
 
