@@ -290,7 +290,34 @@ def q50_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 import os as _os
 
-_N_PLANES = int(_os.environ.get("SPARK_GRAFT_SRP_PLANES", "12"))
+_N_PLANES_DEFAULT = 12  # the correctness-gate fixture value
+
+
+def _read_n_planes() -> int:
+    """Validated once-at-import read of the SRP bucket-width knob.
+
+    b is a deployment knob (pairs ~ n^2 / 2^b), but the DRIVER gates
+    store value hashes computed at the default: a stray env var changes
+    q51's bucket values and admitted pairs, and the oracle co-moves only
+    within the same process, so stored expectations would silently
+    drift (ADVICE r10).  Out-of-range values fail loudly here; the
+    correctness/driver paths additionally pin the default via
+    tests/test_plan_invariants.py.
+    """
+    raw = _os.environ.get("SPARK_GRAFT_SRP_PLANES", str(_N_PLANES_DEFAULT))
+    try:
+        val = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"SPARK_GRAFT_SRP_PLANES={raw!r} is not an integer") from None
+    if not 1 <= val <= 32:
+        raise ValueError(
+            f"SPARK_GRAFT_SRP_PLANES={val} outside the supported 1..32 "
+            "(the band key packs into a 32-bit bucket id)")
+    return val
+
+
+_N_PLANES = _read_n_planes()
 
 
 def _plane_dot(engine: str, emb: str, p: int, dim64: bool = False) -> str:
@@ -1254,9 +1281,14 @@ def q140_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMDEDUP_TAU = 0.8
 _SEMDEDUP_K = 16  # floor; the effective K is max(16, isqrt(n_nonzero))
 
-# the oracle twin of `max(16, isqrt(n))` over the nz CTE
-_SEMDEDUP_K_SQL = ("(SELECT GREATEST(16, CAST(FLOOR(SQRT(COUNT(*))) "
-                   "AS BIGINT)) FROM nz)")
+# The oracle twin of `max(_SEMDEDUP_K, isqrt(n))` over the nz CTE.  The
+# floor is INTERPOLATED so editing _SEMDEDUP_K can never desynchronize
+# the two sides (ADVICE r10).  FLOOR(SQRT(n)) == isqrt(n) exactly while
+# n is representable in a double (n < 2^53): sqrt of a perfect square is
+# exact in IEEE754 and FLOOR then matches isqrt; corpus counts at any
+# reachable bench or production scale sit far below that bound.
+_SEMDEDUP_K_SQL = (f"(SELECT GREATEST({_SEMDEDUP_K}, "
+                   "CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) FROM nz)")
 
 
 def _semdedup_k(n: int) -> int:

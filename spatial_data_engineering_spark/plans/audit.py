@@ -66,8 +66,16 @@ _BOUNDED_EXPR_RE = re.compile(
     r"dayofweek|dayofmonth|hour|to_date|make_date|window)\(",
     re.IGNORECASE)
 
+# The cast wrapper's tail: `as <type>)`.  <type> may be a scalar
+# (`bigint`, `decimal(10,2)`) or a complex rendering — e.g.
+# `cast(window(ts, ...) as struct<start:timestamp,end:timestamp>)`
+# (ADVICE r10: the scalar-only version spuriously flagged the struct
+# form).  The character class deliberately excludes a bare `)` so the
+# final `\)` can only bind to the cast's own close; parens are admitted
+# solely as a balanced numeric group (decimal precision, possibly
+# nested inside struct<...>).
 _CAST_TAIL_RE = re.compile(
-    r"as\s+\w+(\(\d+(,\s*\d+)?\))?\s*\)", re.IGNORECASE)
+    r"as\s+(?:[\w<>,:\s]|\(\d+(?:,\s*\d+)?\))+\)", re.IGNORECASE)
 
 
 def _is_calendar_call(expr: str) -> bool:
@@ -281,5 +289,27 @@ def audit_registry(spark, sf_dir: str, names=None,
     finally:
         R._ROW_ID_WINDOW_THRESHOLD = saved
     return {"sf": sf_dir, "n_checked": len(names),
-            "n_flagged": len(flagged), "flagged": flagged,
-            "global_windows": table}
+            "n_flagged": len(flagged),
+            "flagged": _stable_ids(flagged),
+            "global_windows": _stable_ids(table)}
+
+
+_ATTR_ID_RE = re.compile(r"#\d+")
+
+
+def _stable_ids(obj):
+    """Replace Catalyst attribute ids (``name#123``) with ``#N`` in every
+    string of a JSON-able payload.
+
+    The ids are allocated per-session, so without this the committed
+    GLOBAL_WINDOW_AUDIT.json artifact churned on every pytest run and
+    per-round diffs were pure noise (ADVICE r10).  Applied only to the
+    serialized artifact — live ``global_window_report`` rows keep real
+    ids for debugging."""
+    if isinstance(obj, str):
+        return _ATTR_ID_RE.sub("#N", obj)
+    if isinstance(obj, dict):
+        return {k: _stable_ids(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_stable_ids(v) for v in obj]
+    return obj

@@ -205,6 +205,67 @@ def test_is_calendar_call_requires_whole_expression():
     assert not _is_calendar_call("cast(year(ts#1) as int) + c_custkey#2")
     assert not _is_calendar_call("cast(concat(year(ts#1), ck#2) as string)")
     assert not _is_calendar_call("c_custkey#2")
+    # round-10 ADVICE: a calendar bucket cast to a COMPLEX type must be
+    # excused too — e.g. window() renders as a struct cast
+    assert _is_calendar_call(
+        "cast(window(ts#3, 3600000000) as "
+        "struct<start:timestamp,end:timestamp>)")
+    assert _is_calendar_call(
+        "cast(date_trunc(month, ts#3) as array<date>)")
+    assert _is_calendar_call(
+        "cast(window(ts#3, 60) as struct<start:decimal(10,2),end:int>)")
+    # ...without weakening the composite rejection through the new tail
+    assert not _is_calendar_call(
+        "cast(window(ts#3, 60) as struct<a:int>) + c_custkey#2")
+    assert not _is_calendar_call(
+        "cast(concat(window(ts#3, 60), ck#2) as struct<a:int>)")
+
+
+def test_audit_artifact_ids_are_stable():
+    # round-10 ADVICE: Catalyst attribute ids are per-session, so the
+    # serialized audit artifact must normalize them or every pytest run
+    # dirties GLOBAL_WINDOW_AUDIT.json with pure #id churn.
+    from spatial_data_engineering_spark.plans.audit import _stable_ids
+    payload = {"flagged": {"q1": ["Window [sum(x#123) ovr]"]},
+               "global_windows": [{"window": "y#4 z#56", "ok": True,
+                                   "evidence": None, "n": 3}]}
+    out = _stable_ids(payload)
+    assert out["flagged"]["q1"] == ["Window [sum(x#N) ovr]"]
+    assert out["global_windows"][0]["window"] == "y#N z#N"
+    assert out["global_windows"][0]["n"] == 3
+    assert out["global_windows"][0]["evidence"] is None
+
+
+def test_srp_planes_env_is_default_under_the_gates():
+    # round-10 ADVICE: q51's bucket values (and therefore the driver's
+    # stored value hashes) depend on SPARK_GRAFT_SRP_PLANES.  The knob
+    # is legitimate for deployments, but the correctness/driver gates
+    # must run at the fixture default or expectations silently drift.
+    import os
+
+    from spatial_data_engineering_spark.operators.similarity import (
+        _N_PLANES, _N_PLANES_DEFAULT, _read_n_planes)
+    raw = os.environ.get("SPARK_GRAFT_SRP_PLANES")
+    assert raw is None or int(raw) == _N_PLANES_DEFAULT, (
+        f"SPARK_GRAFT_SRP_PLANES={raw} would desynchronize stored "
+        "driver expectations; unset it for gate runs")
+    assert _N_PLANES == _N_PLANES_DEFAULT == 12
+    # and the import-time read validates its domain loudly
+    import pytest as _pytest
+    os.environ["SPARK_GRAFT_SRP_PLANES"] = "0"
+    try:
+        with _pytest.raises(ValueError, match="1..32"):
+            _read_n_planes()
+        os.environ["SPARK_GRAFT_SRP_PLANES"] = "nope"
+        with _pytest.raises(ValueError, match="not an integer"):
+            _read_n_planes()
+        os.environ["SPARK_GRAFT_SRP_PLANES"] = "16"
+        assert _read_n_planes() == 16
+    finally:
+        if raw is None:
+            del os.environ["SPARK_GRAFT_SRP_PLANES"]
+        else:
+            os.environ["SPARK_GRAFT_SRP_PLANES"] = raw
 
 
 def test_q175_calendar_bucket_attribution(spark):
