@@ -116,6 +116,13 @@ def main() -> None:
          .groupBy("n_regionkey")
          .agg(F.sum(F.col("n_nationkey").cast("decimal(30,6)")))
          .write.mode("overwrite").format("noop").save())
+        # one real query untimed (VERDICT r10 task 7): BENCH_r10's first
+        # suite pass ran 203 s vs 122/113 warm — JIT/codegen/shuffle-
+        # machinery cold start was ~45% of a pass and lands entirely on
+        # run 1, skewing a 3-run median upward.  q01 exercises the
+        # decimal-agg + join + sort paths the suite leans on.
+        all_queries()["q01_pricing_summary"](spark, sf_dir).write.mode(
+            "overwrite").format("noop").save()
     except Exception as exc:
         # still emit the one-line contract even if the data dir is wrong
         emit({

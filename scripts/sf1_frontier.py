@@ -1,0 +1,105 @@
+"""Standing sf1 scale-frontier probe (VERDICT r10 task 2).
+
+The round-10 sf1 whole-suite probe cost 3x300 s and caught every real
+super-linearity in ten specific queries.  This script re-runs just that
+scale-sensitive subset at sf1 each round (~1-2 min), appends a labeled
+row to BENCH_history.jsonl, and attributes any per-query drift > 1.3x
+against the committed `r10-sf1-3run-final` medians — turning the one-off
+probe into a cheap per-round regression gate.
+
+Usage: python scripts/sf1_frontier.py [label]   (default: rN read from
+the round arg, e.g. "r11-sf1-frontier")
+Exit 0 iff every frontier query ran and none drifted > 1.3x without an
+attribution having been recorded by the operator (the script always
+prints the drift table; a nonzero exit is the signal to investigate).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# The queries the r10 sf1 probe showed are scale-sensitive: the LSH /
+# embedding family (adaptive K, gated unroll, BLAS tiling), the two
+# by-contract exact-O(n^2) baselines, the dup-graph frontier loop, the
+# token-instance joins, and the end-to-end curation plan.
+FRONTIER = [
+    "q148_semdedup", "q51_srp_lsh_buckets", "q47_minhash_lsh",
+    "q50_embedding_neardup", "q154_knn_label_accuracy", "q49_cosine_topk",
+    "q193_heaps_law", "q209_source_scorecard", "q56_dedup_components",
+    "q212_curation_shards",
+]
+
+# Drift is judged against the committed r10 3-run-median row; fall back
+# to the newest *-sf1-frontier row so the anchor advances as rounds
+# re-baseline (a fix that legitimately speeds a query up would otherwise
+# read as permanent "drift" in the other direction).
+ANCHOR_LABELS = ("r10-sf1-3run-final",)
+DRIFT = 1.3
+
+
+def _anchor() -> dict[str, float]:
+    hist = os.path.join(REPO, "BENCH_history.jsonl")
+    anchor: dict[str, float] = {}
+    with open(hist) as fh:
+        for line in fh:
+            row = json.loads(line)
+            if row.get("label") in ANCHOR_LABELS:
+                anchor = {q: t for q, t in row["queries"].items()
+                          if q in FRONTIER}
+    if not anchor:
+        raise SystemExit(f"no anchor row ({ANCHOR_LABELS}) in history")
+    return anchor
+
+
+def main() -> int:
+    label = sys.argv[1] if len(sys.argv) > 1 else "r11-sf1-frontier"
+    env = dict(os.environ)
+    env.update({
+        "SPARK_GRAFT_SF_DIR": os.path.join(REPO, "testdata_sf1"),
+        "SPARK_GRAFT_QUERIES": ",".join(FRONTIER),
+        "SPARK_GRAFT_RUNS": env.get("SPARK_GRAFT_RUNS", "3"),
+        "SPARK_GRAFT_BENCH_LABEL": label,
+    })
+    env.pop("SPARK_GRAFT_SRP_PLANES", None)  # gates run fixture defaults
+    proc = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                          env=env, cwd=REPO, capture_output=True, text=True)
+    sys.stderr.write(proc.stderr[-2000:])
+    print(proc.stdout.strip())
+    if proc.returncode != 0:
+        return proc.returncode
+
+    with open(os.path.join(REPO, "BENCH.json")) as fh:
+        payload = json.load(fh)
+    timings = payload["queries"]
+    anchor = _anchor()
+    missing = [q for q in FRONTIER if q not in timings]
+    drifted = []
+    print(f"\n{'query':34} {'anchor':>8} {'now':>8} {'ratio':>6}")
+    for q in FRONTIER:
+        if q in missing:
+            print(f"{q:34} {anchor.get(q, float('nan')):8.2f} {'FAIL':>8}")
+            continue
+        a, t = anchor.get(q), timings[q]
+        ratio = t / a if a else float("nan")
+        mark = " <-- DRIFT" if a and ratio > DRIFT else ""
+        print(f"{q:34} {a:8.2f} {t:8.2f} {ratio:6.2f}{mark}")
+        if a and ratio > DRIFT:
+            drifted.append((q, ratio))
+    if missing:
+        print(f"FAILED queries: {missing}")
+        return 2
+    if drifted:
+        print(f"\n>{DRIFT}x drift vs anchor — attribute in SCALE_NOTES/"
+              f"BENCH notes before shipping: {drifted}")
+        return 1
+    print("\nfrontier: no drift > 1.3x vs anchor")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -22,7 +22,13 @@ counts match the batch-mode mix expectation (evens near-dup the base
 and reject; odds are fresh vs base but near-dup each other in-group).
 
 Usage: python scripts/stress_admit_stream.py [n_base] [n_batches] [batch_rows]
-Defaults: 400_000 4 1_000.
+           [base_parquet]
+Defaults: 400_000 4 1_000.  When ``base_parquet`` is given (e.g.
+``testdata_sf1/documents.parquet`` — VERDICT r10 task 5), the REAL
+corpus at that path is the admission base instead of the synthetic
+template corpus (n_base is then ignored); even delta rows exact-dup a
+base document (must reject), odd rows carry unique synthetic text
+(must admit).
 """
 
 from __future__ import annotations
@@ -48,6 +54,7 @@ def main() -> None:
     n_base = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     batch_rows = int(sys.argv[3]) if len(sys.argv) > 3 else 1_000
+    base_path = sys.argv[4] if len(sys.argv) > 4 else None
 
     from pyspark.sql import functions as F
     from pyspark.sql.streaming import StreamingQueryListener
@@ -73,13 +80,19 @@ def main() -> None:
                  "batch_rows": batch_rows,
                  "loadavg": open("/proc/loadavg").read().split()[0]}
     try:
-        src = f"{tmp}/documents.parquet"
-        (spark.range(n_base).select(
-            F.col("id").alias("doc_id"),
-            F.expr(f"concat(concat_ws(' ', {terms}), ' v',"
-                   f" CAST(id AS STRING))").alias("text"))
-         .write.mode("overwrite").parquet(src))
-        base = spark.read.parquet(src)
+        if base_path:
+            src = os.path.abspath(base_path)
+            base = spark.read.parquet(src).select("doc_id", "text")
+            n_base = base.count()
+            out["n_base"], out["base"] = n_base, src
+        else:
+            src = f"{tmp}/documents.parquet"
+            (spark.range(n_base).select(
+                F.col("id").alias("doc_id"),
+                F.expr(f"concat(concat_ws(' ', {terms}), ' v',"
+                       f" CAST(id AS STRING))").alias("text"))
+             .write.mode("overwrite").parquet(src))
+            base = spark.read.parquet(src)
 
         # the stored tables: built + persisted ONCE, outside the
         # stream (the refresh pattern admit_delta documents), and
@@ -98,7 +111,28 @@ def main() -> None:
         # roughly one per group)
         stream_dir = f"{tmp}/incoming"
         os.makedirs(stream_dir)
-        for b in range(n_batches):
+        if base_path:
+            # real-corpus mode: evens exact-dup a base document (the
+            # exact tier must reject), odds carry unique pseudo-random
+            # 40-word texts (must admit).  The dup pool is one
+            # batch-sized collect — a bounded driver artifact.
+            pool = [r["text"] for r in
+                    base.orderBy("doc_id").limit(batch_rows).collect()]
+            for b in range(n_batches):
+                off = 10_000_000 + b * batch_rows
+                rows = []
+                for i in range(batch_rows):
+                    if i % 2 == 0:
+                        txt = pool[(b * 37 + i) % len(pool)]
+                    else:
+                        txt = " ".join(
+                            f"w{(i * 7 + j * 13 + b * 29) % 9973}"
+                            for j in range(40))
+                    rows.append((off + i, txt))
+                (spark.createDataFrame(rows, "doc_id long, text string")
+                 .coalesce(1).write.parquet(f"{stream_dir}/f{b}"))
+                time.sleep(1.1)  # distinct mtimes => deterministic order
+        for b in range(n_batches) if not base_path else []:
             off = 10_000_000 + b * batch_rows
             (spark.range(batch_rows).select(
                 (F.col("id") + off).alias("doc_id"),
