@@ -1553,3 +1553,144 @@ def q190_prefix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min(F.length("text")).cast("bigint").alias("min_len"),
                  F.max(F.length("text")).cast("bigint").alias("max_len"))
             .filter(F.col("n_docs") > 1))
+
+
+# --------------------------------------------------------------------------
+# q214 — URL / registered-domain dedup (round-11 inventory growth, the
+# highest-value training-pipeline gap per VERDICT r10 task 6a).
+#
+# Web-crawl curation dedups documents by REGISTERED domain + normalized
+# path, not raw host: www.example.co.uk and blog.example.co.uk are the
+# same publisher, while example.co.uk and sample.co.uk are not — and the
+# boundary between "subdomain" and "registrable domain" is the public-
+# suffix list (publicsuffix.org), not a fixed label count ("co.uk" is a
+# suffix, "github.io" is a suffix, "example.com"'s suffix is one label).
+#
+# Spark-first shape: suffix matching is LONGEST-MATCH over a compile-time
+# constant rules table, so it compiles to a pure CASE/element_at
+# expression — no UDF, no join, no shuffle before the final bounded
+# aggregate; whole-stage codegen end to end, which is exactly what you
+# want applied to 1e11 crawl records.  The rules below are a
+# representative snapshot of the public-suffix list's two shapes
+# (multi-label ccTLD/hosting suffixes + plain TLDs); a deployment swaps
+# in the full published list the same way (it is ~9k literals — still a
+# compile-time IN list or a broadcast dim, never a shuffle).
+#
+# The documents table carries no URL column, so the query derives one
+# deterministically from (doc_id) with pure modular arithmetic — the
+# SAME arithmetic in Spark and DuckDB, so the oracle checks the whole
+# pipeline: derivation -> host extraction -> suffix match -> registered
+# domain -> (domain, path) dedup counts.  ~1/31 of rows get a bare
+# public-suffix host (github.io) which must parse to NULL and land in
+# the '(none)' bucket — the PSL edge case pinned in-query.
+# --------------------------------------------------------------------------
+_PSL_TWO = ("co.uk", "ac.uk", "org.uk", "com.au", "net.au", "co.jp",
+            "com.br", "github.io", "web.app")
+_PSL_ONE = ("com", "org", "net", "io", "edu", "gov", "de", "fr", "jp",
+            "uk", "au", "br", "us", "ca", "in")
+
+
+def _sql_in(vals) -> str:
+    return "(" + ", ".join(f"'{v}'" for v in vals) + ")"
+
+
+def registered_domain_spark(host: str) -> str:
+    """Spark SQL expression: registered domain of ``host`` under the
+    snapshot rules, NULL when the host IS a public suffix or matches no
+    rule.  try_element_at keeps short hosts NULL-safe under ANSI mode;
+    concat is null-intolerant in Spark, so missing labels propagate."""
+    arr = f"split({host}, '\\\\.')"
+    l1 = f"try_element_at({arr}, -1)"
+    l2 = f"try_element_at({arr}, -2)"
+    l3 = f"try_element_at({arr}, -3)"
+    last2 = f"concat({l2}, '.', {l1})"
+    return (f"CASE WHEN {last2} IN {_sql_in(_PSL_TWO)} "
+            f"THEN concat({l3}, '.', {last2}) "
+            f"WHEN {l1} IN {_sql_in(_PSL_ONE)} "
+            f"THEN concat({l2}, '.', {l1}) "
+            f"ELSE NULL END")
+
+
+def registered_domain_sql(host: str) -> str:
+    """DuckDB twin of :func:`registered_domain_spark` (|| is
+    null-intolerant where concat() is not; negative list indexes return
+    NULL out of range)."""
+    arr = f"string_split({host}, '.')"
+    l1, l2, l3 = f"{arr}[-1]", f"{arr}[-2]", f"{arr}[-3]"
+    last2 = f"({l2} || '.' || {l1})"
+    return (f"CASE WHEN {last2} IN {_sql_in(_PSL_TWO)} "
+            f"THEN ({l3} || '.' || {last2}) "
+            f"WHEN {l1} IN {_sql_in(_PSL_ONE)} "
+            f"THEN ({l2} || '.' || {l1}) "
+            f"ELSE NULL END")
+
+
+# deterministic URL derivation — identical modular arithmetic in both
+# engines (no engine hash functions), exercising subdomain collapse,
+# two-label + one-label suffixes, and the bare-suffix NULL edge
+_URL_SUFFIX = ("CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk' "
+               "WHEN 2 THEN 'github.io' ELSE 'org' END")
+_URL_SUB = ("CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'blog.' "
+            "ELSE '' END")
+
+
+def _url_expr() -> str:
+    # engine-portable: concat() and CAST(.. AS STRING) parse identically
+    # in Spark and DuckDB, and every argument is non-null, so the two
+    # engines' concat null-semantics difference never applies
+    host_bare = (f"concat('https://', {_URL_SUFFIX}, '/p', "
+                 f"CAST(doc_id % 7 AS STRING))")
+    host_full = (f"concat('https://', {_URL_SUB}, 'site', "
+                 f"CAST(doc_id % 13 AS STRING), '.', {_URL_SUFFIX}, "
+                 f"'/p', CAST(doc_id % 7 AS STRING))")
+    return f"CASE WHEN doc_id % 31 = 0 THEN {host_bare} ELSE {host_full} END"
+
+
+_HOST_RE = "'^[a-z]+://(?:[^@/]*@)?([^/:]+)'"
+
+_ORACLE_Q214 = f"""
+    WITH urls AS (
+        SELECT doc_id,
+               {_url_expr()} AS url
+        FROM documents
+    ),
+    hosts AS (
+        SELECT doc_id, url,
+               regexp_extract(url, {_HOST_RE}, 1) AS host,
+               regexp_extract(url, '://[^/]+(/.*)$', 1) AS path
+        FROM urls
+    ),
+    reg AS (
+        SELECT doc_id, host, path,
+               COALESCE({registered_domain_sql('host')}, '(none)')
+                   AS registered_domain
+        FROM hosts
+    )
+    SELECT registered_domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(COUNT(DISTINCT path) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) - COUNT(DISTINCT path) AS BIGINT) AS n_dropped
+    FROM reg
+    GROUP BY registered_domain
+"""
+
+
+@query("q214_url_domain_dedup", _ORACLE_Q214)
+def q214_url_domain_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    urls = d.select("doc_id", F.expr(_url_expr()).alias("url"))
+    hosts = urls.select(
+        "doc_id", "url",
+        F.regexp_extract("url", _HOST_RE.strip("'"), 1).alias("host"),
+        F.regexp_extract("url", "://[^/]+(/.*)$", 1).alias("path"))
+    reg = hosts.select(
+        "doc_id", "host", "path",
+        F.coalesce(F.expr(registered_domain_spark("host")),
+                   F.lit("(none)")).alias("registered_domain"))
+    return (reg.groupBy("registered_domain")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.countDistinct("host").cast("bigint").alias("n_hosts"),
+                 F.countDistinct("path").cast("bigint").alias("n_kept"),
+                 (F.count(F.lit(1)) - F.countDistinct("path"))
+                 .cast("bigint").alias("n_dropped")))

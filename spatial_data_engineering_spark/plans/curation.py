@@ -466,3 +466,78 @@ def q213_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --------------------------------------------------------------------------
+# q215 — rate-limited sampling (round-11 inventory growth, VERDICT r10
+# task 6b): admit at most R events per (user, day), keeping the FIRST R
+# by (ts, event_id) — the producer-cap every ingestion pipeline places in
+# front of a training-data firehose so no single key dominates a window.
+# R=2 on day buckets binds on this data (1739 of 4006 user-days capped
+# at sf0.01); hour buckets at this density never cap, which would test
+# nothing.
+#
+# Spark-first shape: a (user, bucket)-partitioned row_number — partial
+# sort within hash partitions, no global window, key cardinality =
+# users x hours.  The STREAMING twin is
+# streaming/stateful.py::rate_limit_stream (applyInPandasWithState,
+# 2-bigint state per user, exactly-once under checkpointing);
+# stream == batch decisions are pinned by
+# tests/test_streaming_ratelimit.py.  The headline query aggregates per
+# hour so the driver row is horizon-bounded.
+# --------------------------------------------------------------------------
+_RATE_R = 2
+
+
+def rate_limited_admissions(events: DataFrame, r: int = _RATE_R
+                            ) -> DataFrame:
+    """Batch twin of ``rate_limit_stream``: the admitted rows —
+    first ``r`` per (user_id, day bucket) by (ts, event_id)."""
+    from pyspark.sql.window import Window as W
+
+    b = F.date_trunc("day", F.col("ts")).alias("bucket_start")
+    rn = F.row_number().over(
+        W.partitionBy("user_id", F.date_trunc("day", F.col("ts")))
+        .orderBy("ts", "event_id"))
+    return (events.select("event_id", "user_id", "ts", b)
+            .withColumn("rn", rn).filter(F.col("rn") <= r).drop("rn"))
+
+
+_ORACLE_Q215 = f"""
+    WITH rnk AS (
+        SELECT date_trunc('day', ts) AS b, user_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, date_trunc('day', ts)
+                   ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    SELECT strftime(b, '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_arrived,
+           CAST(SUM(CASE WHEN rn <= {_RATE_R} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_admitted,
+           CAST(COUNT(DISTINCT CASE WHEN rn > {_RATE_R} THEN user_id END)
+                AS BIGINT) AS n_capped_users
+    FROM rnk GROUP BY b
+"""
+
+
+@query("q215_rate_limited_sample", _ORACLE_Q215)
+def q215_rate_limited_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load(spark, sf_dir, "events")
+    rnk = e.select(
+        F.date_trunc("day", F.col("ts")).alias("b"), "user_id",
+        F.row_number().over(
+            W.partitionBy("user_id", F.date_trunc("day", F.col("ts")))
+            .orderBy("ts", "event_id")).alias("rn"))
+    return (rnk.groupBy("b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_arrived"),
+                 F.sum(F.when(F.col("rn") <= _RATE_R, 1).otherwise(0))
+                 .cast("bigint").alias("n_admitted"),
+                 F.countDistinct(
+                     F.when(F.col("rn") > _RATE_R, F.col("user_id")))
+                 .cast("bigint").alias("n_capped_users"))
+            .select(F.date_format("b", "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_start"),
+                    "n_arrived", "n_admitted", "n_capped_users"))

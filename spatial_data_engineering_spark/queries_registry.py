@@ -94,6 +94,11 @@ _PRIORITY = [
     "q161_wilson_proportion", "q162_churn_rate",
     # --- tail: rotates into r12+ windows, least-recently-verified
     # first ---
+    # NEW in r11 (inventory 212 -> 214; the freeze lifted after this
+    # round's debt service): never-driver-verified rows outrank stale
+    # ones, so these LEAD the r12 window.  Full-inventory oracle parity
+    # already covers them every pytest run.
+    "q214_url_domain_dedup", "q215_rate_limited_sample",
     # WRITTEN SCHEDULE (continuing): r12 window = the 16 remaining
     # r6-verified rows below + the 34 oldest r8-verified rows (q22_cube
     # .. q113_cms_heavy_hitters) + any rule-(2) forces; r13 = remaining

@@ -256,3 +256,73 @@ def sessionize_tws(events: DataFrame, gap: str = "2 days",
             timeMode="eventTime",
         )
     )
+
+
+# ------------------------------------------------------------------------
+# Rate-limited stream sampler (round-11 inventory growth, VERDICT r10
+# task 6b): admit at most ``r`` events per (user, time bucket), keeping
+# the FIRST r by (ts, event_id) — the standard ingestion guard in front
+# of a training-data firehose (caps any one producer's contribution per
+# window without a shuffle or a global sort).
+#
+# Contract: per-key arrival is ts-ordered across micro-batches (the log-
+# stream contract; the harness test feeds ts-split files).  Rows for a
+# bucket OLDER than the key's current bucket are late beyond policy and
+# are dropped — never re-admitted — so replays cannot double-admit.
+# State per key is two bigints (current bucket, admitted count);
+# checkpointed, so decisions are exactly-once across restarts.  The
+# batch twin is plans/curation.py::rate_limited_admissions (row_number
+# over (user, bucket) <= r), and stream == batch is pinned by
+# tests/test_streaming_ratelimit.py.
+# ------------------------------------------------------------------------
+RATE_OUTPUT_SCHEMA = ("event_id bigint, user_id bigint, ts timestamp, "
+                      "bucket_start timestamp")
+RATE_STATE_SCHEMA = "bucket_start bigint, admitted bigint"
+
+
+def make_rate_limit_update(r: int, bucket_us: int):
+    def update(key: Any, pdfs: Iterable[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        bucket_start, admitted = state.get if state.exists else (-1, 0)
+        ids, tss, buckets = [], [], []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ev, ts in zip(pdf["event_id"], pdf["ts"]):
+                us = int(pd.Timestamp(ts).value) // 1000
+                b = us - us % bucket_us
+                if b < bucket_start:
+                    continue  # late beyond policy: drop, never re-admit
+                if b > bucket_start:
+                    bucket_start, admitted = b, 0
+                if admitted < r:
+                    admitted += 1
+                    ids.append(int(ev))
+                    tss.append(ts)
+                    buckets.append(pd.Timestamp(b * 1000))
+        state.update((bucket_start, admitted))
+        if ids:
+            yield pd.DataFrame({"event_id": ids,
+                                "user_id": [user_id] * len(ids),
+                                "ts": tss, "bucket_start": buckets})
+
+    return update
+
+
+def rate_limit_stream(events: DataFrame, r: int = 2,
+                      bucket: str = "1 day") -> DataFrame:
+    """Streaming rate limiter: first ``r`` events per (user_id, bucket).
+
+    ``events`` needs (event_id, user_id, ts); emits admitted rows only
+    (append semantics — an admission decision never retracts)."""
+    unit_us = {"1 hour": 3_600_000_000, "1 minute": 60_000_000,
+               "1 day": 86_400_000_000}[bucket]
+    return (events.groupBy("user_id").applyInPandasWithState(
+        make_rate_limit_update(r, unit_us),
+        outputStructType=RATE_OUTPUT_SCHEMA,
+        stateStructType=RATE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    ))

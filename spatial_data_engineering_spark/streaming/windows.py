@@ -8,6 +8,19 @@ results equal the batch results on the same rows.
 Watermarks bound state (late data beyond the watermark is dropped); on a
 real cluster the event-time shuffle partitions by (window, key), and
 ``dropDuplicatesWithinWatermark`` keeps the dedup state finite.
+
+Deployment note — ``spark.cleaner.periodicGC.interval=1min``
+(session.py): the session factory pins the ContextCleaner's periodic GC
+to 1 minute (default 30min) because a long-lived driver otherwise
+accumulates dead broadcast/checkpoint blocks between full JVM GCs — the
+round-10 sf1 probe measured late-suite queries paying ~4x for it.  For
+ALWAYS-ON streaming jobs this setting is the standard long-lived-driver
+hygiene, not a test hack: each micro-batch of ``admit_stream`` creates
+and drops batch-scoped frames whose JVM handles only unpersist after a
+driver GC, so REMOVING the setting on a deployment reintroduces
+unbounded executor-storage growth between organic full GCs.  Keep it
+(or set it to a few minutes) wherever these streams run unattended; the
+1-minute RPC it triggers is driver-side and costs microseconds.
 """
 
 from __future__ import annotations
