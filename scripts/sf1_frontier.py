@@ -34,10 +34,11 @@ FRONTIER = [
     "q212_curation_shards",
 ]
 
-# Drift is judged against the committed r10 3-run-median row; fall back
-# to the newest *-sf1-frontier row so the anchor advances as rounds
-# re-baseline (a fix that legitimately speeds a query up would otherwise
-# read as permanent "drift" in the other direction).
+# Drift is judged against the committed r10 3-run full-suite medians —
+# a FIXED anchor, deliberately not a ratchet: re-anchoring to each
+# round's frontier row would let slow creep compound unflagged.  When a
+# future round records a new 3-run full-suite sf1 baseline, add its
+# label here (the LAST matching history row wins).
 ANCHOR_LABELS = ("r10-sf1-3run-final",)
 DRIFT = 1.3
 

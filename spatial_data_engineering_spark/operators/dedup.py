@@ -1588,6 +1588,13 @@ _PSL_TWO = ("co.uk", "ac.uk", "org.uk", "com.au", "net.au", "co.jp",
             "com.br", "github.io", "web.app")
 _PSL_ONE = ("com", "org", "net", "io", "edu", "gov", "de", "fr", "jp",
             "uk", "au", "br", "us", "ca", "in")
+# The PSL's two remaining rule shapes, so the whole published grammar is
+# provably expression-compilable: wildcard rules (`*.ck` — EVERY direct
+# label under the TLD is itself a public suffix) and exception rules
+# (`!www.ck` — carved back out of the wildcard; the exception label IS
+# the registrable domain).  Real examples from the published list.
+_PSL_WILD = ("ck", "bd")
+_PSL_EXC = ("www.ck",)
 
 
 def _sql_in(vals) -> str:
@@ -1604,8 +1611,10 @@ def registered_domain_spark(host: str) -> str:
     l2 = f"try_element_at({arr}, -2)"
     l3 = f"try_element_at({arr}, -3)"
     last2 = f"concat({l2}, '.', {l1})"
-    return (f"CASE WHEN {last2} IN {_sql_in(_PSL_TWO)} "
-            f"THEN concat({l3}, '.', {last2}) "
+    last3 = f"concat({l3}, '.', {last2})"
+    return (f"CASE WHEN {last2} IN {_sql_in(_PSL_EXC)} THEN {last2} "
+            f"WHEN {l1} IN {_sql_in(_PSL_WILD)} THEN {last3} "
+            f"WHEN {last2} IN {_sql_in(_PSL_TWO)} THEN {last3} "
             f"WHEN {l1} IN {_sql_in(_PSL_ONE)} "
             f"THEN concat({l2}, '.', {l1}) "
             f"ELSE NULL END")
@@ -1618,8 +1627,10 @@ def registered_domain_sql(host: str) -> str:
     arr = f"string_split({host}, '.')"
     l1, l2, l3 = f"{arr}[-1]", f"{arr}[-2]", f"{arr}[-3]"
     last2 = f"({l2} || '.' || {l1})"
-    return (f"CASE WHEN {last2} IN {_sql_in(_PSL_TWO)} "
-            f"THEN ({l3} || '.' || {last2}) "
+    last3 = f"({l3} || '.' || {last2})"
+    return (f"CASE WHEN {last2} IN {_sql_in(_PSL_EXC)} THEN {last2} "
+            f"WHEN {l1} IN {_sql_in(_PSL_WILD)} THEN {last3} "
+            f"WHEN {last2} IN {_sql_in(_PSL_TWO)} THEN {last3} "
             f"WHEN {l1} IN {_sql_in(_PSL_ONE)} "
             f"THEN ({l2} || '.' || {l1}) "
             f"ELSE NULL END")
@@ -1643,7 +1654,17 @@ def _url_expr() -> str:
     host_full = (f"concat('https://', {_URL_SUB}, 'site', "
                  f"CAST(doc_id % 13 AS STRING), '.', {_URL_SUFFIX}, "
                  f"'/p', CAST(doc_id % 7 AS STRING))")
-    return f"CASE WHEN doc_id % 31 = 0 THEN {host_bare} ELSE {host_full} END"
+    # exception-rule hosts (www.ck) and wildcard-rule hosts (zoneN.ck,
+    # optionally subdomained) so the oracle exercises the full PSL
+    # grammar, including the bare-wildcard-suffix -> NULL edge
+    host_exc = "concat('https://www.ck/p', CAST(doc_id % 7 AS STRING))"
+    host_wild = (f"concat('https://', {_URL_SUB}, 'zone', "
+                 f"CAST(doc_id % 5 AS STRING), '.ck/p', "
+                 f"CAST(doc_id % 7 AS STRING))")
+    return (f"CASE WHEN doc_id % 31 = 0 THEN {host_bare} "
+            f"WHEN doc_id % 37 = 0 THEN {host_exc} "
+            f"WHEN doc_id % 29 = 0 THEN {host_wild} "
+            f"ELSE {host_full} END")
 
 
 _HOST_RE = "'^[a-z]+://(?:[^@/]*@)?([^/:]+)'"

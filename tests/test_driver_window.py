@@ -79,7 +79,6 @@ def test_round12_queue_is_next():
     names = list(all_queries())
     # new never-driver-verified rows may precede the stale block
     known = set(EXPECTED_WINDOW) | set(EXPECTED_R12_LEAD)
-    tail = [n for n in names[50:] if n in set(EXPECTED_R12_LEAD) or n not in known]
     stale_positions = [n for n in names[50:] if n in set(EXPECTED_R12_LEAD)]
     assert stale_positions == EXPECTED_R12_LEAD, (
         "the remaining r6-verified rows must keep their order immediately "

@@ -31,8 +31,16 @@ _ONE = {"com", "org", "net", "io", "edu", "gov", "de", "fr", "jp",
         "uk", "au", "br", "us", "ca", "in"}
 
 
+_WILD = {"ck", "bd"}
+_EXC = {"www.ck"}
+
+
 def _reg_domain(host: str) -> str | None:
     labels = host.split(".")
+    if len(labels) >= 2 and ".".join(labels[-2:]) in _EXC:
+        return ".".join(labels[-2:])
+    if labels[-1] in _WILD:
+        return ".".join(labels[-3:]) if len(labels) >= 3 else None
     if len(labels) >= 2 and ".".join(labels[-2:]) in _TWO:
         return ".".join(labels[-3:]) if len(labels) >= 3 else None
     if len(labels) >= 2 and labels[-1] in _ONE:
@@ -42,9 +50,13 @@ def _reg_domain(host: str) -> str | None:
 
 def _url(doc_id: int) -> str:
     suffix = ["com", "co.uk", "github.io", "org"][doc_id % 4]
+    sub = ["www.", "blog.", ""][doc_id % 3]
     if doc_id % 31 == 0:
         return f"https://{suffix}/p{doc_id % 7}"
-    sub = ["www.", "blog.", ""][doc_id % 3]
+    if doc_id % 37 == 0:
+        return f"https://www.ck/p{doc_id % 7}"
+    if doc_id % 29 == 0:
+        return f"https://{sub}zone{doc_id % 5}.ck/p{doc_id % 7}"
     return f"https://{sub}site{doc_id % 13}.{suffix}/p{doc_id % 7}"
 
 

@@ -25,6 +25,18 @@ CASES = [
     ("com", None),            # single-label TLD
     ("localhost", None),      # matches no rule
     ("deep.a.b.c.example.com", "example.com"),  # many subdomains
+    # wildcard rules (*.ck, *.bd): every direct label under the TLD is
+    # itself a public suffix
+    ("www.zone3.ck", "www.zone3.ck"),
+    ("a.b.zone.ck", "b.zone.ck"),
+    ("zone3.ck", None),       # bare wildcard suffix
+    ("ck", None),
+    ("foo.bd", None),
+    ("x.foo.bd", "x.foo.bd"),
+    # exception rule (!www.ck): carved back out of the wildcard — the
+    # exception label IS the registrable domain
+    ("www.ck", "www.ck"),
+    ("a.www.ck", "www.ck"),
 ]
 
 
