@@ -52,8 +52,12 @@ def _modules():
 #   on the default path (the SemDeDup K literal interpolation produces
 #   the same SQL text; the SRP-plane env validation only rejects
 #   non-default values; the audit regex and artifact normalization are
-#   plan-metadata only), so no query's DAG, oracle text, or output
-#   changed.
+#   plan-metadata only), and the q148/q201 _semdedup_member refactor
+#   follows the r10 q52/q208 precedent — it adds a two-level scale path
+#   whose gate (K > 2^18) defaults OFF at every reachable scale, so the
+#   SHIPPED DAG, oracle text and outputs are unchanged (oracle parity +
+#   numpy crosschecks re-proven; the routed path is pinned by its own
+#   tests).  q214/q215 are NEW (never driver-verified) and lead r12.
 # WRITTEN SCHEDULE (continuing):
 #   - r12: the 16 remaining r6-verified rows + the 34 oldest
 #     r8-verified rows (q22_cube .. q113_cms_heavy_hitters) = 50, with

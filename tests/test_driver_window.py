@@ -25,7 +25,8 @@ from spatial_data_engineering_spark.queries_registry import all_queries
 # registry's oldest driver evidence, 6 rounds), then the 25 oldest
 # r6-verified rows.  No rule-(2) forces this round — the ADVICE fixes
 # are byte-identical on the default path (same oracle SQL text, same
-# DAGs, same outputs).
+# DAGs, same outputs), and the q148/q201 scale-path refactor ships the
+# identical DAG (its gate defaults off; r10 q52/q208 precedent).
 EXPECTED_WINDOW = [
     "q121_token_entropy", "q122_grouping_sets", "q123_mad_outliers",
     "q124_incremental_agg_merge", "q125_small_quantity_revenue",
