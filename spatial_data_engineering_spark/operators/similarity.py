@@ -1342,6 +1342,24 @@ def _semdedup_member(nz, n_nz: int, u: bool):
                 .withColumn("rk", F.row_number().over(rk_w))
                 .filter(F.col("rk") == 1)
                 .select(*out_cols))
+    # Routed regime: K > 2^18 also breaks the exact path's OTHER silent
+    # assumption — `orderBy.limit(K)` is a TakeOrderedAndProject whose
+    # single-task merge materializes partitions x K rows.  Re-derive the
+    # seed set with the range-partition global-order kernel (rank the
+    # 8-byte ids only, never the embeddings), then broadcast the K seed
+    # ids (~2 MB at the crossover) back onto nz.  Below the gate the
+    # kernel's small-probe takes the plain window, so the seed set is
+    # the same K smallest vec_ids either way — the nprobe>=m anchor
+    # test proves end-to-end bit-equality against the exact path.
+    from .relational import global_row_number
+
+    seeds = (global_row_number(nz.select("vec_id"), [("vec_id", True)],
+                               out_col="__rk", n_rows=n_nz)
+             .filter(F.col("__rk") <= k).select("vec_id"))
+    cent = (nz.join(F.broadcast(seeds), "vec_id")
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("cemb"),
+                    F.col("nrm").alias("cnrm")))
     m = max(1, math.isqrt(k))
     nprobe = min(_SEMDEDUP_NPROBE, m)
     sup = (cent.orderBy("cid").limit(m)
