@@ -1319,6 +1319,33 @@ def _semdedup_k(n: int) -> int:
 _SEMDEDUP_TWO_LEVEL_K = 1 << 18
 _SEMDEDUP_NPROBE = 8
 
+# Seed-selection physical strategy: `orderBy.limit(K)` compiles to
+# TakeOrderedAndProject, whose single reduce merges partitions x K FULL
+# rows — embeddings included (~600 B each).  At K = 2^18 on 1000
+# partitions that is ~10^2 GB through one task, a cliff reached well
+# below the routing crossover.  Past this (much smaller) gate the K
+# smallest vec_ids come from the range-partition global-order kernel
+# over the 8-byte ids alone, broadcast back onto nz (K x 8 B — 32 KB at
+# the gate, 2 MB at the routing crossover).  Both strategies select the
+# same K smallest unique ids, so outputs are bit-identical — a pure
+# physical-plan choice, pinned by tests/test_semdedup_twolevel.py.
+_SEMDEDUP_SEED_TAKEORDERED_MAX = 4096
+
+
+def _semdedup_seeds(nz, k: int, n_nz: int):
+    """The K seniority-ordered seed centroids as (cid, cemb, cnrm)."""
+    sel = [F.col("vec_id").alias("cid"),
+           F.col("embedding").alias("cemb"),
+           F.col("nrm").alias("cnrm")]
+    if k <= _SEMDEDUP_SEED_TAKEORDERED_MAX:
+        return nz.orderBy("vec_id").limit(k).select(*sel)
+    from .relational import global_row_number
+
+    seed_ids = (global_row_number(nz.select("vec_id"), [("vec_id", True)],
+                                  out_col="__rk", n_rows=n_nz)
+                .filter(F.col("__rk") <= k).select("vec_id"))
+    return nz.join(F.broadcast(seed_ids), "vec_id").select(*sel)
+
 
 def _semdedup_member(nz, n_nz: int, u: bool):
     """Nearest-centroid assignment shared by q148/q201: every ``nz`` row
@@ -1328,38 +1355,19 @@ def _semdedup_member(nz, n_nz: int, u: bool):
 
     from pyspark.sql.window import Window as W
 
-    cent = (nz.orderBy("vec_id").limit(_semdedup_k(n_nz))
-            .select(F.col("vec_id").alias("cid"),
-                    F.col("embedding").alias("cemb"),
-                    F.col("nrm").alias("cnrm")))
+    k = _semdedup_k(n_nz)
+    cent = _semdedup_seeds(nz, k, n_nz)
     cos = (F.expr(_dot_spark("embedding", "cemb", u))
            / (F.col("nrm") * F.col("cnrm")))
     rk_w = W.partitionBy("vec_id").orderBy(F.desc(cos), F.asc("cid"))
     out_cols = [*nz.columns, "cid"]
-    k = _semdedup_k(n_nz)
     if k <= _SEMDEDUP_TWO_LEVEL_K:
         return (nz.crossJoin(F.broadcast(cent))
                 .withColumn("rk", F.row_number().over(rk_w))
                 .filter(F.col("rk") == 1)
                 .select(*out_cols))
-    # Routed regime: K > 2^18 also breaks the exact path's OTHER silent
-    # assumption — `orderBy.limit(K)` is a TakeOrderedAndProject whose
-    # single-task merge materializes partitions x K rows.  Re-derive the
-    # seed set with the range-partition global-order kernel (rank the
-    # 8-byte ids only, never the embeddings), then broadcast the K seed
-    # ids (~2 MB at the crossover) back onto nz.  Below the gate the
-    # kernel's small-probe takes the plain window, so the seed set is
-    # the same K smallest vec_ids either way — the nprobe>=m anchor
-    # test proves end-to-end bit-equality against the exact path.
-    from .relational import global_row_number
-
-    seeds = (global_row_number(nz.select("vec_id"), [("vec_id", True)],
-                               out_col="__rk", n_rows=n_nz)
-             .filter(F.col("__rk") <= k).select("vec_id"))
-    cent = (nz.join(F.broadcast(seeds), "vec_id")
-            .select(F.col("vec_id").alias("cid"),
-                    F.col("embedding").alias("cemb"),
-                    F.col("nrm").alias("cnrm")))
+    # Routed regime (cent already comes from the kernel-based seed
+    # selection — K > 2^18 implies K > the TakeOrdered gate)
     m = max(1, math.isqrt(k))
     nprobe = min(_SEMDEDUP_NPROBE, m)
     sup = (cent.orderBy("cid").limit(m)

@@ -101,6 +101,20 @@ def test_partial_probe_fidelity_vs_exact(spark, forced_two_level,
         prev = agree
 
 
+def test_seed_strategy_is_a_pure_physical_choice(spark, monkeypatch):
+    # The EXACT (broadcast) path must produce bit-identical members
+    # whether seeds come from TakeOrderedAndProject or from the
+    # range-partition id-rank kernel — forcing the seed gate to 1 flips
+    # the strategy while K=22 keeps the assignment exact.
+    nz = _nz(spark)
+    n = nz.count()
+    take_ordered = _pairs(S._semdedup_member(nz, n, False))
+    monkeypatch.setattr(S, "_SEMDEDUP_SEED_TAKEORDERED_MAX", 1)
+    kernel = _pairs(S._semdedup_member(nz, n, False))
+    assert kernel == take_ordered
+    assert len(kernel) == n
+
+
 def test_default_thresholds_keep_bench_scales_exact():
     # the crossover must stay unreachable for every shipped testdata
     # scale (sf1 has 2e4 vectors -> K ~ 141), so driver outputs never
