@@ -54,3 +54,38 @@ def test_registered_domain_duckdb_twin(host, want):
     expr = registered_domain_sql("'" + host + "'")
     got = duckdb.sql("SELECT " + expr).fetchone()[0]
     assert got == want, (host, got, want)
+
+
+def _reg_domain_py(host):
+    # independent reference (mirrors test_numpy_crosscheck23._reg_domain)
+    from .test_numpy_crosscheck23 import _reg_domain
+    return _reg_domain(host)
+
+
+def test_registered_domain_randomized_triple_check(spark):
+    # 400 seeded random hosts over an adversarial label alphabet (rule
+    # tokens as both suffix and non-suffix positions, 1-6 labels):
+    # Spark expression == DuckDB expression == pure-Python reference.
+    import random
+
+    rng = random.Random(1137)
+    alphabet = ["www", "blog", "a", "b", "example", "zone3", "foo",
+                "site1", "co", "ac", "com", "org", "net", "github", "io",
+                "uk", "au", "ck", "bd", "jp", "localhost", "er", "app",
+                "web", "gov"]
+    hosts = [".".join(rng.choices(alphabet, k=rng.randint(1, 6)))
+             for _ in range(400)]
+    expected = [_reg_domain_py(h) for h in hosts]
+
+    sdf = spark.createDataFrame([(h,) for h in hosts], "h string")
+    import pyspark.sql.functions as F
+    got_spark = [r["r"] for r in sdf.select(
+        F.expr(registered_domain_spark("h")).alias("r")).collect()]
+    assert got_spark == expected
+
+    con = duckdb.connect()
+    con.register("hosts_t", __import__("pandas").DataFrame({"h": hosts}))
+    got_duck = [r[0] for r in con.sql(
+        "SELECT " + registered_domain_sql("h") + " FROM hosts_t"
+    ).fetchall()]
+    assert got_duck == expected
