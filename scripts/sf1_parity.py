@@ -59,6 +59,7 @@ def main() -> int:
 
     spark = (SparkSession.builder.master("local[8]")
              .appName("sf1-parity")
+             .config("spark.driver.memory", "24g")  # sf1 broadcasts OOM the 1g default
              .config("spark.ui.enabled", "false")
              .config("spark.sql.shuffle.partitions", "16")
              .config("spark.sql.session.timeZone", "UTC")

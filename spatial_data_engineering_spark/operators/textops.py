@@ -438,10 +438,18 @@ _SCORED_SQL = f"""
         FROM documents
     ),
     scored AS (
+        -- floor(x*1e6 + 0.5)/1e6, NOT ROUND(x, 6): the plain IEEE ops
+        -- give BOTH engines the same halfway semantics on the exact
+        -- binary value.  Spark's ROUND works on the double's SHORTEST
+        -- decimal repr (BigDecimal.valueOf) where DuckDB rounds the
+        -- binary value — at sf1 three docs land exactly on a .5e-6
+        -- boundary and the engines disagreed by 1e-6 (caught by
+        -- scripts/sf1_parity.py, round 11).  sf0.01 values unchanged.
         SELECT doc_id, lang,
-               ROUND(  0.25 * least(n / 400.0, 1.0)
-                     + 0.25 * least(nstop * 4.0 / nt, 1.0)
-                     + 0.50 * (ndt * 1.0 / nt), 6) AS quality
+               floor((  0.25 * least(n / 400.0, 1.0)
+                      + 0.25 * least(nstop * 4.0 / nt, 1.0)
+                      + 0.50 * (ndt * 1.0 / nt)) * 1000000.0 + 0.5)
+                   / 1000000.0 AS quality
         FROM feats
     )
 """
@@ -456,12 +464,13 @@ def _scored_quality(d: DataFrame) -> DataFrame:
         F.expr(f"size(array_distinct({_TOKENS}))").alias("ndt"),
         F.expr(f"size(filter({_TOKENS}, t -> t IN ({_STOPWORDS})))").alias("nstop"),
     )
-    quality = F.round(
-        0.25 * F.least(F.col("n") / 400.0, F.lit(1.0))
-        + 0.25 * F.least(F.col("nstop") * 4.0 / F.col("nt"), F.lit(1.0))
-        + 0.50 * (F.col("ndt") * 1.0 / F.col("nt")),
-        6,
-    )
+    # floor-device, not F.round — see the _SCORED_SQL comment (engines
+    # must share halfway semantics on the exact binary value)
+    quality = F.floor(
+        (0.25 * F.least(F.col("n") / 400.0, F.lit(1.0))
+         + 0.25 * F.least(F.col("nstop") * 4.0 / F.col("nt"), F.lit(1.0))
+         + 0.50 * (F.col("ndt") * 1.0 / F.col("nt"))) * 1000000.0 + 0.5
+    ) / 1000000.0
     return feats.select("doc_id", "lang", quality.alias("quality"))
 
 
@@ -2849,6 +2858,31 @@ def q172_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is the partition key — parallel across sources), then exact per-source
 # quantiles of the raw score at the q33-proven interpolation.
 # --------------------------------------------------------------------------
+def _lerp_pct_sql(p: str, out: str) -> str:
+    """DuckDB fragment: Spark-Percentile-identical interpolation for
+    prob ``p`` over ``ranked`` (source, quality, r, n).
+
+    Spark's exact percentile computes
+    ``(higherIndex - position) * lowerKey + (position - lowerIndex) *
+    higherKey`` — but FIRST short-circuits to ``lowerKey`` when the two
+    keys are EQUAL.  quantile_cont lerps blindly, and ``k*(1-f) + k*f``
+    is NOT exactly ``k`` in FP: at sf1 the p90 endpoints of one source
+    are equal values and the engines diverged by 1 ulp
+    (scripts/sf1_parity.py, round 11).  This fragment replicates
+    Spark's arithmetic including the short-circuit, bit for bit."""
+    # CAST the prob literal: a bare 0.9 is DECIMAL in DuckDB, and
+    # decimal-exact weights are precisely the divergence this fragment
+    # exists to avoid — Spark's percentage is a double
+    pos = f"(CAST({p} AS DOUBLE) * (a.n - 1))"
+    return (f"SELECT a.source, CASE WHEN b.quality = a.quality "
+            f"THEN a.quality ELSE "
+            f"(CEIL({pos}) - {pos}) * a.quality "
+            f"+ ({pos} - FLOOR({pos})) * b.quality END AS {out} "
+            f"FROM ranked a JOIN ranked b ON a.source = b.source "
+            f"AND a.r = CAST(FLOOR({pos}) AS BIGINT) "
+            f"AND b.r = CAST(CEIL({pos}) AS BIGINT)")
+
+
 @query(
     "q176_score_normalization",
     f"""
@@ -2856,14 +2890,28 @@ def q172_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     src AS (
         SELECT d.source, s.quality
         FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+    ),
+    ranked AS (
+        SELECT source, quality,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality)
+                   - 1 AS r,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM src
+    ),
+    p50 AS ({_lerp_pct_sql('0.5', 'raw_p50')}),
+    p90 AS ({_lerp_pct_sql('0.9', 'raw_p90')}),
+    stats AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(MIN(quality), 6) AS raw_min,
+               ROUND(MAX(quality), 6) AS raw_max
+        FROM src GROUP BY source
     )
-    SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           quantile_cont(quality, 0.5) AS raw_p50,
-           quantile_cont(quality, 0.9) AS raw_p90,
-           ROUND(MIN(quality), 6) AS raw_min,
-           ROUND(MAX(quality), 6) AS raw_max
-    FROM src GROUP BY source
+    SELECT s.source, s.n_docs, p50.raw_p50, p90.raw_p90,
+           s.raw_min, s.raw_max
+    FROM stats s
+    JOIN p50 ON p50.source = s.source
+    JOIN p90 ON p90.source = s.source
     """,
 )
 def q176_score_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:

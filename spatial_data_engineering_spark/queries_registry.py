@@ -40,31 +40,35 @@ def _modules():
 # completeness gate.
 #
 # Round-11 window (driver verifies the FIRST 50), executing the written
-# r11 schedule committed in round 10 (VERDICT r10 task 1 — routine debt
-# service; max driver staleness after this round: r6 evidence):
+# r11 schedule committed in round 10 (VERDICT r10 task 1), amended
+# mid-round by rule (2) — see the block comment inside _PRIORITY:
 #   1. slots 1-25: the 4 rows displaced from the r10 window by that
 #      round's rule-(2) forces (q121/q122/q123/q124) + the 21 remaining
 #      r5-verified rows (q125 .. q105) — the registry's oldest driver
 #      evidence (6 rounds).
-#   2. slots 26-50: the 25 oldest rows of the r6-verified block
-#      (q112 .. q162).
-#   No rule-(2) forces this round: the ADVICE fixes are byte-identical
-#   on the default path (the SemDeDup K literal interpolation produces
-#   the same SQL text; the SRP-plane env validation only rejects
-#   non-default values; the audit regex and artifact normalization are
-#   plan-metadata only), and the q148/q201 _semdedup_member refactor
-#   follows the r10 q52/q208 precedent — it adds a two-level scale path
-#   whose gate (K > 2^18) defaults OFF at every reachable scale, so the
-#   SHIPPED DAG, oracle text and outputs are unchanged (oracle parity +
-#   numpy crosschecks re-proven; the routed path is pinned by its own
-#   tests).  q214/q215 are NEW (never driver-verified) and lead r12.
+#   2. slots 26-41: the 16 oldest rows of the r6-verified block
+#      (q112 .. q149; q127/q199 among them are also rule-(2) forced).
+#   3. slots 42-50: rule-(2) forces — the sf1 parity sweep
+#      (scripts/sf1_parity.py, new this round) caught Spark and DuckDB
+#      disagreeing by 1e-6 on 3 of 50k docs' quality scores (halfway
+#      rounding at 6 dp: Spark ROUNDs the double's shortest decimal
+#      repr, DuckDB rounds the binary value).  _scored_quality /
+#      _SCORED_SQL now use the engine-neutral floor(x*1e6 + 0.5)/1e6,
+#      and q176's oracle replicates Spark's exact-percentile
+#      interpolation (two-weight form + equal-endpoint short-circuit,
+#      prob cast to DOUBLE).  The 11 quality consumers changed
+#      implementation AND oracle text; the 9 not already in-window
+#      (q44/q80/q145/q163/q176/q188/q209/q212/q213) are forced in,
+#      displacing the 9 youngest r6 rows of the original plan
+#      (q150/q151/q152/q157/q158/q159/q160/q161/q162) to the r12 lead.
+#   The q148/q201 scale-path refactor ships the identical DAG (gate
+#   defaults off; r10 q52/q208 precedent) and owes no force; the other
+#   ADVICE fixes are byte-identical on the default path.
 # WRITTEN SCHEDULE (continuing):
-#   - r12: the 16 remaining r6-verified rows + the 34 oldest
-#     r8-verified rows (q22_cube .. q113_cms_heavy_hitters) = 50, with
-#     any never-driver-verified queries added in r11 placed at the head
-#     (new rows outrank stale ones); after r12, max staleness is r8
-#     evidence and the steady rotation continues (r13: remaining r8 +
-#     oldest r9; r14: remaining r9 + the r10-verified tail).
+#   - r12: q214/q215 (new) + the 9 displaced r6 rows + the 16 remaining
+#     r6 rows + the 23 oldest r8-verified rows = 50; after r12, max
+#     staleness is r8 evidence (r13: remaining r8 + oldest r9; r14:
+#     remaining r9 + the r10-verified tail).
 # tests/test_driver_window.py pins the first 50 names to this plan so the
 # rotation is reviewed code, not comment policy.  The FULL inventory is
 # still re-proven by tests/test_oracle_parity.py on every pytest run (the
@@ -72,11 +76,17 @@ def _modules():
 _PRIORITY = [
     # --- ROUND-11 DRIVER WINDOW (first 50) ---
     # Executing the written r11 schedule committed in round 10 (VERDICT
-    # r10 task 1 — routine debt service; max driver staleness after this
-    # round: r6 evidence, <= 5 rounds).
-    # slots 1-25: the 4 rows displaced from the r10 window by that
-    # round's rule-(2) forces + the 21 remaining r5-verified rows — the
-    # registry's oldest driver evidence (6 rounds)
+    # r10 task 1), AMENDED mid-round by rule (2): the new sf1 parity
+    # sweep (scripts/sf1_parity.py) caught a cross-engine halfway-
+    # rounding divergence in the shared quality score, so
+    # _scored_quality/_SCORED_SQL switched to the floor-device and
+    # q176's oracle now replicates Spark's exact-percentile arithmetic.
+    # All 11 consumer queries changed implementation+oracle and owe a
+    # fresh driver row; q127 and q199 were already in-window, the other
+    # 9 take slots 42-50, displacing the 9 youngest r6 rows of the
+    # original plan to the r12 lead.
+    # slots 1-25: the 4 rows displaced from the r10 window + the 21
+    # remaining r5-verified rows — the oldest driver evidence (6 rounds)
     "q121_token_entropy", "q122_grouping_sets", "q123_mad_outliers",
     "q124_incremental_agg_merge", "q125_small_quantity_revenue",
     "q126_revenue_share", "q129_hamming_topk", "q130_weighted_median",
@@ -86,41 +96,41 @@ _PRIORITY = [
     "q95_stratified_split", "q96_doc_bigram_lift", "q93_embedding_covariance",
     "q56_dedup_components", "q86_pagerank_centrality",
     "q127_score_calibration", "q105_lone_returner",
-    # slots 26-50: the 25 oldest r5/r6-verified rows of the r6 block
+    # slots 26-41: the oldest r6-verified rows (q127/q199 among them —
+    # both also rule-(2) forced this round)
     "q112_scd2_intervals", "q29_asof_join", "q154_knn_label_accuracy",
     "q155_pmi_collocations", "q172_zipf_fit", "q185_bigram_cond_entropy",
     "q186_negative_sampling", "q202_cramers_v", "q211_discount_quantity_corr",
     "q199_dup_quality_link", "q141_unigram_logprob",
     "q142_stopword_discovery", "q143_bpe_pair_counts", "q146_vocab_overlap",
-    "q147_chi2_keywords", "q149_winsorized_stats", "q150_hhi_concentration",
-    "q151_returned_revenue", "q152_dup_cluster_sizes", "q157_mix_rebalance",
-    "q158_session_paths", "q159_bm25_topk", "q160_lang_mislabel",
-    "q161_wilson_proportion", "q162_churn_rate",
+    "q147_chi2_keywords", "q149_winsorized_stats",
+    # slots 42-50: rule-(2) forces — quality floor-device consumers
+    "q44_quality_score", "q80_quality_filter", "q145_curriculum_stages",
+    "q163_score_auc", "q176_score_normalization", "q188_aa_test",
+    "q209_source_scorecard", "q212_curation_shards", "q213_curation_funnel",
     # --- tail: rotates into r12+ windows, least-recently-verified
     # first ---
-    # NEW in r11 (inventory 212 -> 214; the freeze lifted after this
-    # round's debt service): never-driver-verified rows outrank stale
-    # ones, so these LEAD the r12 window.  Full-inventory oracle parity
-    # already covers them every pytest run.
+    # WRITTEN SCHEDULE (continuing): r12 window = q214/q215 (new,
+    # never-driver-verified) + the 9 displaced r6 rows + the 16
+    # remaining r6 rows + the 23 oldest r8 rows = 50; r13 = remaining
+    # r8 + oldest r9; r14 = remaining r9 + the r10-verified tail.
+    # NEW in r11 (inventory 212 -> 214): lead the r12 window
     "q214_url_domain_dedup", "q215_rate_limited_sample",
-    # WRITTEN SCHEDULE (continuing): r12 window = the 16 remaining
-    # r6-verified rows below + the 34 oldest r8-verified rows (q22_cube
-    # .. q113_cms_heavy_hitters) + any rule-(2) forces; r13 = remaining
-    # r8 rows + oldest r9 rows; r14 = remaining r9 + oldest r10 rows.
-    # New queries added in r11 (if any) are placed at the HEAD of the
-    # r12 lead — never-driver-verified rows outrank stale ones.
-    # remaining r6-verified rows (16) — the r12 lead
+    # the 9 r6 rows displaced by this round's forces — owed next (r12)
+    "q150_hhi_concentration", "q151_returned_revenue",
+    "q152_dup_cluster_sizes", "q157_mix_rebalance", "q158_session_paths",
+    "q159_bm25_topk", "q160_lang_mislabel", "q161_wilson_proportion",
+    "q162_churn_rate",
+    # remaining stale tail, least-recently-verified first: the 16
+    # remaining r6 rows, then the r8 block (minus this round's forces),
+    # the r9 block (minus forces), and the r10-verified window last
     "q165_nation_trade_volume", "q166_market_share", "q168_dedup_cost_model",
     "q170_burst_detection", "q171_dup_degree_distribution",
     "q173_order_reconciliation", "q175_error_rate_timeline",
-    "q176_score_normalization", "q177_weekday_seasonality",
-    "q178_new_vs_returning", "q145_curriculum_stages", "q163_score_auc",
-    "q164_rfm_segments", "q174_value_gini", "q189_runs_test",
-    "q193_heaps_law",
-    # r8-verified block (48) — r12 fills from its head, r13 takes
-    # the rest
-    "q22_cube", "q23_unpivot", "q24_in_subquery", "q25_window_analytics",
-    "q26_median", "q27_first_limit", "q30_range_join", "q31_sliding_window",
+    "q177_weekday_seasonality", "q178_new_vs_returning", "q164_rfm_segments",
+    "q174_value_gini", "q189_runs_test", "q193_heaps_law", "q22_cube",
+    "q23_unpivot", "q24_in_subquery", "q25_window_analytics", "q26_median",
+    "q27_first_limit", "q30_range_join", "q31_sliding_window",
     "q32_session_window", "q35_rank_functions", "q36_full_outer",
     "q37_array_agg", "q38_profile", "q39_local_supplier_revenue",
     "q63_date_functions", "q64_bag_set_ops", "q28_approx_distinct",
@@ -133,9 +143,7 @@ _PRIORITY = [
     "q118_weighted_sample", "q119_kmv_setops", "q128_detector_agreement",
     "q139_split_contamination", "q144_training_order",
     "q153_simhash_hamming_join", "q156_minhash_estimate_audit",
-    "q167_dedup_strategy_venn", "q188_aa_test", "q212_curation_shards",
-    "q213_curation_funnel", "q55_kmeans", "q42_lang_id",
-    # r9-verified block (48) — rotates in at r13/r14
+    "q167_dedup_strategy_venn", "q55_kmeans", "q42_lang_id",
     "q180_basket_lift", "q181_order_interarrival", "q182_subword_diversity",
     "q183_fk_audit", "q184_bounce_rate", "q187_dedup_survivor_bias",
     "q190_prefix_dup", "q191_dim_redundancy", "q192_segment_migration",
@@ -143,36 +151,34 @@ _PRIORITY = [
     "q198_position_value_decay", "q200_corpus_stats",
     "q203_quantization_error", "q204_forecast_revenue",
     "q205_supplier_coverage", "q206_ship_latency", "q207_brand_return_rate",
-    "q208_embedding_norm_qa", "q209_source_scorecard",
-    "q210_word_length_hist", "q79_decontaminate", "q81_substring_dup",
-    "q67_overlap_dissolve", "q60_point_in_polygon", "q61_zonal_histogram",
-    "q43_fingerprint", "q54_dedup_materialize", "q15_count_distinct",
-    "q19_hourly_window", "q21_props_extract", "q44_quality_score",
+    "q208_embedding_norm_qa", "q210_word_length_hist", "q79_decontaminate",
+    "q81_substring_dup", "q67_overlap_dissolve", "q60_point_in_polygon",
+    "q61_zonal_histogram", "q43_fingerprint", "q54_dedup_materialize",
+    "q15_count_distinct", "q19_hourly_window", "q21_props_extract",
     "q18_sessionization", "q01_pricing_summary", "q45_dedup_exact",
     "q46_dedup_tokensort", "q40_text_stats", "q41_token_count",
     "q08_var_argmax", "q33_percentiles", "q72_hierarchical_rollup",
     "q57_normalize_text", "q58_edit_distance", "q65_blocklist_filter",
     "q169_vocab_coverage", "q179_hapax_ratio", "q196_crosssplit_perplexity",
-    # r10-verified (the full round-10 window, freshest evidence) —
-    # rotates last (r14 per the schedule)
     "q66_repetition", "q68_chunk_documents", "q69_embedding_quantize",
     "q70_multimodal_meta", "q74_vocab_topk", "q02_ilike_filter",
     "q03_join_enrich", "q04_semi_join", "q05_anti_join",
     "q06_monthly_revenue", "q07_month_spine", "q09_histogram",
     "q11_topk_per_group", "q12_pivot", "q13_setops", "q14_rollup",
     "q16_extent", "q17_case_thresholds", "q20_above_avg",
-    "q75_golden_variance", "q80_quality_filter", "q82_incremental_dedup",
-    "q62_dissolve_area", "q88_containment_join", "q89_bigram_lift",
-    "q90_pattern_redact", "q92_random_projection", "q87_ngram_novelty",
-    "q97_funnel", "q98_cohort_retention", "q99_zscore_anomaly",
-    "q100_time_weighted_avg", "q101_gap_fill_interpolate",
-    "q102_bottomk_sample", "q103_order_count_distribution",
-    "q104_large_volume_orders", "q106_bloom_semi_join", "q107_line_dedup",
-    "q108_tfidf_keywords", "q109_triangle_count", "q110_mmr_diversify",
-    "q111_pq_adc_topk", "q115_bfs_hops", "q116_psi_drift",
-    "q117_rolling_median", "q120_asof_forward", "q148_semdedup",
-    "q201_cluster_label_purity", "q49_cosine_topk", "q51_srp_lsh_buckets",
+    "q75_golden_variance", "q82_incremental_dedup", "q62_dissolve_area",
+    "q88_containment_join", "q89_bigram_lift", "q90_pattern_redact",
+    "q92_random_projection", "q87_ngram_novelty", "q97_funnel",
+    "q98_cohort_retention", "q99_zscore_anomaly", "q100_time_weighted_avg",
+    "q101_gap_fill_interpolate", "q102_bottomk_sample",
+    "q103_order_count_distribution", "q104_large_volume_orders",
+    "q106_bloom_semi_join", "q107_line_dedup", "q108_tfidf_keywords",
+    "q109_triangle_count", "q110_mmr_diversify", "q111_pq_adc_topk",
+    "q115_bfs_hops", "q116_psi_drift", "q117_rolling_median",
+    "q120_asof_forward", "q148_semdedup", "q201_cluster_label_purity",
+    "q49_cosine_topk", "q51_srp_lsh_buckets",
 ]
+
 
 
 def _ordered(merged: dict) -> dict:

@@ -92,9 +92,12 @@ def _quality(row) -> float:
     ndt = len(set(toks))
     nstop = sum(t in ("the", "a", "of", "and", "to", "in") for t in toks)
     n = len(row["text"])
-    return round(0.25 * min(n / 400.0, 1.0)
-                 + 0.25 * min(nstop * 4.0 / nt, 1.0)
-                 + 0.50 * (ndt / nt), 6)
+    x = (0.25 * min(n / 400.0, 1.0)
+         + 0.25 * min(nstop * 4.0 / nt, 1.0)
+         + 0.50 * (ndt / nt))
+    # floor-device, mirroring _scored_quality/_SCORED_SQL halfway
+    # semantics on the exact binary value (python round() is banker's)
+    return math.floor(x * 1000000.0 + 0.5) / 1000000.0
 
 
 # -------------------------------------------------------------- q163
