@@ -1,0 +1,92 @@
+"""Pins for the cross-engine float divergences the round-11 sf1 parity
+sweep exposed (SCALE_NOTES "oracle parity re-proven at sf1").  These
+tests document the traps on MINIMAL inputs so the patterns can't
+silently regress or be reintroduced by a future oracle:
+
+1. ROUND halfway semantics: Spark rounds the double's shortest decimal
+   repr, DuckDB the binary value — divergent on .5e-6 boundaries.
+   The floor-device floor(x*1e6 + 0.5)/1e6 agrees everywhere.
+2. quantile_cont lerps blindly (k*(1-f) + k*f != k in FP) where Spark's
+   exact percentile short-circuits equal endpoints; _lerp_pct_sql
+   replicates Spark bit for bit.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyspark.sql.functions as F
+
+# doc 876's quality lands exactly on a .5e-6 boundary: the real sf1 row
+# that caught divergence (binary double 0.5046874999999999...).
+HALFWAY = 0.5046875
+
+
+def test_round_halfway_diverges_and_floor_device_agrees(spark):
+    s_round, s_floor = spark.range(1).select(
+        F.round(F.lit(HALFWAY), 6).alias("r"),
+        (F.floor(F.lit(HALFWAY) * 1000000.0 + 0.5) / 1000000.0).alias("f")
+    ).first()
+    d_round, d_floor = duckdb.sql(
+        f"SELECT ROUND(CAST({HALFWAY!r} AS DOUBLE), 6), "
+        f"floor(CAST({HALFWAY!r} AS DOUBLE) * 1000000.0 + 0.5) "
+        f"/ 1000000.0").fetchone()
+    # the trap, pinned: the engines' ROUNDs disagree on this value
+    assert s_round == 0.504688 and d_round == 0.504687
+    # the fix: identical plain-IEEE arithmetic agrees (and matches the
+    # binary-value side — floor sees 0.50468749999999994 < .5 halfway)
+    assert s_floor == d_floor == 0.504687
+
+
+def test_quantile_cont_equal_endpoints_off_by_ulp():
+    # 4 values; p90 pos = 0.9*3 = 2.7 interpolates between sorted[2] and
+    # sorted[3], both 0.473512 — quantile_cont returns a value NOT
+    # PRESENT in the data (one ulp high), because k*(1-f)+k*f != k
+    (got,) = duckdb.sql(
+        "SELECT quantile_cont(x, CAST(0.9 AS DOUBLE)) FROM (VALUES "
+        "(0.1::DOUBLE), (0.473512), (0.473512), (0.473512)) t(x)"
+    ).fetchone()
+    assert got == 0.47351200000000004
+    assert got != 0.473512
+
+
+def test_lerp_pct_sql_matches_spark_percentile(spark):
+    # same 4 values: Spark's exact percentile short-circuits the equal
+    # endpoints; the oracle fragment must reproduce that, where
+    # quantile_cont (above) drifts
+    vals = [0.1, 0.473512, 0.473512, 0.473512]
+    (sp,) = (spark.createDataFrame([(v,) for v in vals], "q double")
+             .agg(F.percentile("q", F.lit(0.9))).first())
+    assert sp == 0.473512
+
+    from spatial_data_engineering_spark.operators.textops import \
+        _lerp_pct_sql
+    con = duckdb.connect()
+    con.sql("CREATE VIEW src AS SELECT 's' AS source, x AS quality "
+            "FROM (VALUES (0.1::DOUBLE), (0.473512), (0.473512), "
+            "(0.473512)) t(x)")
+    frag = _lerp_pct_sql("0.9", "p90")
+    (dd,) = con.sql(
+        "WITH ranked AS (SELECT source, quality, ROW_NUMBER() OVER "
+        "(PARTITION BY source ORDER BY quality) - 1 AS r, COUNT(*) OVER "
+        f"(PARTITION BY source) AS n FROM src) {frag}").fetchone()[1:]
+    assert dd == sp == 0.473512
+
+
+def test_lerp_pct_sql_matches_spark_on_distinct_endpoints(spark):
+    # distinct endpoints: the two-weight form itself must match Spark's
+    # bits (this is where the naive lo + (hi-lo)*frac form drifted)
+    vals = [0.402557, 0.457202, 0.490741, 0.497102, 0.549511]
+    (sp,) = (spark.createDataFrame([(v,) for v in vals], "q double")
+             .agg(F.percentile("q", F.lit(0.9))).first())
+    from spatial_data_engineering_spark.operators.textops import \
+        _lerp_pct_sql
+    con = duckdb.connect()
+    rows = ", ".join(f"({v})" for v in vals)
+    con.sql(f"CREATE VIEW src AS SELECT 's' AS source, "
+            f"CAST(x AS DOUBLE) AS quality FROM (VALUES {rows}) t(x)")
+    frag = _lerp_pct_sql("0.9", "p90")
+    (dd,) = con.sql(
+        "WITH ranked AS (SELECT source, quality, ROW_NUMBER() OVER "
+        "(PARTITION BY source ORDER BY quality) - 1 AS r, COUNT(*) OVER "
+        f"(PARTITION BY source) AS n FROM src) {frag}").fetchone()[1:]
+    assert dd == sp

@@ -54,6 +54,54 @@ def test_frontier_query_completes_at_sf1(spark, name):
         assert n > 100, f"{name}: adaptive K did not adapt (rows={n})"
 
 
+# The oracled queries most exposed to at-scale-only divergence: every
+# quality-score consumer (the round-11 halfway-rounding find), the
+# percentile/quantile family (the lerp find), and the scale-frontier
+# queries with oracles.  The FULL 204-query sf1 sweep lives in
+# scripts/sf1_parity.py; this marked subset keeps the evidence class
+# un-bit-rottable in CI at ~1/6 the cost.
+PARITY_SUBSET = [
+    "q44_quality_score", "q80_quality_filter", "q127_score_calibration",
+    "q145_curriculum_stages", "q163_score_auc",
+    "q176_score_normalization", "q188_aa_test", "q199_dup_quality_link",
+    "q209_source_scorecard", "q212_curation_shards",
+    "q213_curation_funnel",
+    "q33_percentiles", "q26_median", "q117_rolling_median",
+    "q130_weighted_median", "q149_winsorized_stats",
+    "q137_time_to_convert", "q138_session_stats",
+    "q181_order_interarrival", "q203_quantization_error",
+    "q206_ship_latency",
+    "q47_minhash_lsh", "q51_srp_lsh_buckets", "q148_semdedup",
+    "q193_heaps_law", "q56_dedup_components",
+    "q214_url_domain_dedup", "q215_rate_limited_sample",
+]
+
+
+@pytest.fixture(scope="module")
+def duck_sf1():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        p = os.path.join(SF1, f"{t}.parquet")
+        pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", PARITY_SUBSET)
+def test_oracle_parity_at_sf1(spark, duck_sf1, name):
+    import __spark_entry__ as entrymod
+
+    from .parity import compare
+
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    compare(qs[name](spark, SF1), duck_sf1.sql(osql[name]).df(),
+            name=name)
+
+
 def test_semdedup_k_adapts_at_sf1(spark):
     import pyspark.sql.functions as F
 
