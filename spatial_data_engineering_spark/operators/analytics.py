@@ -29,7 +29,7 @@ from pyspark.sql.window import Window as W
 
 from ..catalog import load
 from .common import (davg, dsum, dvar_samp, sql_davg, sql_dsum,
-                     sql_dsum_expr, sql_dvar_expr)
+                     sql_dsum_expr, sql_dvar_expr, sql_spark_pct)
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -769,12 +769,13 @@ def q136_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE e.event_type = 'purchase' AND e.ts >= v.t_view
         GROUP BY e.user_id
     )
+    ,{sql_spark_pct('p', 'dt_us', [('0.5', '__p50'), ('0.9', '__p90')])}
     SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
            ROUND({sql_dsum_expr('dt_us / 3600000000.0')} / COUNT(*), 6)
                AS mean_hours,
-           ROUND(quantile_cont(dt_us, 0.5) / 3600000000.0, 6) AS p50_hours,
-           ROUND(quantile_cont(dt_us, 0.9) / 3600000000.0, 6) AS p90_hours
-    FROM p
+           ROUND(MIN(__p50) / 3600000000.0, 6) AS p50_hours,
+           ROUND(MIN(__p90) / 3600000000.0, 6) AS p90_hours
+    FROM p, pct
     """,
 )
 def q137_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -808,7 +809,7 @@ def q137_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q138_session_stats",
-    """
+    f"""
     WITH flagged AS (
         SELECT user_id, ts, event_id,
                CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
@@ -829,15 +830,15 @@ def q137_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM flagged)
         GROUP BY user_id, sid
     )
+    ,{sql_spark_pct('sess', 'dur_us', [('0.5', '__p50'),
+                                          ('0.9', '__p90')])}
     SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
            ROUND(AVG(CAST(n_events AS DOUBLE)), 6) AS avg_events,
-           ROUND(quantile_cont(dur_us, 0.5) / 60000000.0, 6)
-               AS p50_minutes,
-           ROUND(quantile_cont(dur_us, 0.9) / 60000000.0, 6)
-               AS p90_minutes,
+           ROUND(MIN(__p50) / 60000000.0, 6) AS p50_minutes,
+           ROUND(MIN(__p90) / 60000000.0, 6) AS p90_minutes,
            CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) AS BIGINT)
                AS n_single_event
-    FROM sess
+    FROM sess, pct
     """,
 )
 def q138_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

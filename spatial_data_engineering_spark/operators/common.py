@@ -85,3 +85,56 @@ def sql_dvar_expr(expr: str) -> str:
 def sql_dcv_expr(expr: str) -> str:
     """DuckDB twin of dcv."""
     return f"(sqrt({sql_dvar_expr(expr)}) / ({sql_dsum_expr(expr)} / COUNT(*)))"
+
+
+def sql_spark_pct(rel: str, val: str, probs, part=None,
+                  prefix: str = "pct") -> str:
+    """DuckDB CTE chain replicating Spark's EXACT percentile bit for bit.
+
+    Returns text for three chained CTEs; the final relation ``{prefix}``
+    has the ``part`` columns plus one column per ``(prob, alias)`` in
+    ``probs``.  Splice into an oracle's WITH list and join/select from
+    ``{prefix}`` (single row when ``part`` is None).
+
+    Why not quantile_cont: Spark's Percentile computes
+    ``(ceil(pos) - pos) * lo + (pos - floor(pos)) * hi`` with
+    ``pos = p * (n - 1)`` over DOUBLE-cast values and SHORT-CIRCUITS to
+    ``lo`` when the endpoint VALUES are equal; quantile_cont lerps
+    blindly and ``k*(1-f) + k*f != k`` in FP, so with duplicate runs at
+    the interpolation index the engines can split by 1 ulp — observed at
+    sf1 on q176 (round 11, scripts/sf1_parity.py) and pinned by
+    tests/test_cross_engine_float.py.  A bare prob literal is DECIMAL in
+    DuckDB, hence the CAST AS DOUBLE.
+    """
+    part = list(part or [])
+    pby = ("PARTITION BY " + ", ".join(part) + " ") if part else ""
+    psel = (", ".join(part) + ", ") if part else ""
+    gby = ("GROUP BY " + ", ".join(part)) if part else ""
+    sel, out = [], []
+    for p, alias in probs:
+        pos_r = f"(CAST({p} AS DOUBLE) * (__n - 1))"
+        sel.append(f"MAX(CASE WHEN __r = CAST(FLOOR({pos_r}) AS BIGINT) "
+                   f"THEN __v END) AS __lo_{alias}")
+        sel.append(f"MAX(CASE WHEN __r = CAST(CEIL({pos_r}) AS BIGINT) "
+                   f"THEN __v END) AS __hi_{alias}")
+        pos = f"(CAST({p} AS DOUBLE) * (__gn - 1))"
+        out.append(f"CASE WHEN __hi_{alias} = __lo_{alias} "
+                   f"THEN __lo_{alias} "
+                   f"ELSE (CEIL({pos}) - {pos}) * __lo_{alias} "
+                   f"+ ({pos} - FLOOR({pos})) * __hi_{alias} END AS {alias}")
+    return f"""{prefix}_ranked AS (
+        SELECT {psel}CAST({val} AS DOUBLE) AS __v,
+               ROW_NUMBER() OVER ({pby}ORDER BY CAST({val} AS DOUBLE)) - 1
+                   AS __r,
+               COUNT(*) OVER ({pby.strip() or ''}) AS __n
+        FROM {rel}
+    ),
+    {prefix}_sel AS (
+        SELECT {psel}MAX(__n) AS __gn,
+               {", ".join(sel)}
+        FROM {prefix}_ranked {gby}
+    ),
+    {prefix} AS (
+        SELECT {psel}{", ".join(out)}
+        FROM {prefix}_sel
+    )"""

@@ -16,6 +16,7 @@ from pyspark.sql.window import Window as W
 
 from ..catalog import load
 from .common import (davg, dcv, dsum, dvar_samp, sql_davg, sql_dcv_expr,
+                     sql_spark_pct,
                      sql_dsum, sql_dsum_expr, sql_dvar_expr)
 
 QUERIES: dict = {}
@@ -1360,20 +1361,21 @@ def grouped_percentiles(df: DataFrame, group_cols: list[str], value_col: str,
 
 
 # --------------------------------------------------------------------------
-# q33 — exact quantiles (generalizes q26's median; both engines use the
-# standard (n-1)*p linear interpolation on the sorted values, so results
-# are bit-identical).  exact=True is what makes the oracle hash-match;
-# the operator's default is the sketch path — see grouped_percentiles.
+# q33 — exact quantiles (generalizes q26's median).  exact=True is what
+# makes the oracle hash-match; the operator's default is the sketch
+# path — see grouped_percentiles.  The oracle replicates Spark's exact
+# interpolation via sql_spark_pct rather than quantile_cont (round 11:
+# the lerp forms differ by 1 ulp when the interpolation endpoints are
+# equal values — common in price columns with duplicate runs at scale).
 # --------------------------------------------------------------------------
 @query(
     "q33_percentiles",
-    """
-    SELECT l_returnflag,
-           quantile_cont(l_extendedprice, 0.25) AS p25,
-           quantile_cont(l_extendedprice, 0.50) AS p50,
-           quantile_cont(l_extendedprice, 0.75) AS p75,
-           quantile_cont(l_extendedprice, 0.95) AS p95
-    FROM lineitem GROUP BY l_returnflag
+    f"""
+    WITH {sql_spark_pct('lineitem', 'l_extendedprice',
+                        [('0.25', 'p25'), ('0.50', 'p50'),
+                         ('0.75', 'p75'), ('0.95', 'p95')],
+                        part=['l_returnflag'])}
+    SELECT l_returnflag, p25, p50, p75, p95 FROM pct
     """,
 )
 def q33_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1889,12 +1891,10 @@ def winsorized_stats(li: DataFrame, exact: bool = True,
 @query(
     "q149_winsorized_stats",
     f"""
-    WITH b AS (
-        SELECT l_returnflag,
-               quantile_cont(l_extendedprice, 0.05) AS p05,
-               quantile_cont(l_extendedprice, 0.95) AS p95
-        FROM lineitem GROUP BY l_returnflag
-    )
+    WITH {sql_spark_pct('lineitem', 'l_extendedprice',
+                        [('0.05', 'p05'), ('0.95', 'p95')],
+                        part=['l_returnflag'], prefix='bp')},
+    b AS (SELECT l_returnflag, p05, p95 FROM bp)
     SELECT l.l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n,
            {sql_davg('least(greatest(l.l_extendedprice, b.p05), b.p95)',
@@ -2422,7 +2422,7 @@ def q180_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q181_order_interarrival",
-    """
+    f"""
     WITH gaps AS (
         SELECT o_custkey,
                date_diff('day',
@@ -2432,12 +2432,15 @@ def q180_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                          o_orderdate) AS gap_days
         FROM orders
     ),
-    g AS (SELECT gap_days FROM gaps WHERE gap_days IS NOT NULL)
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
-           quantile_cont(gap_days, 0.5) AS p50_days,
-           quantile_cont(gap_days, 0.9) AS p90_days,
-           CAST(MAX(gap_days) AS BIGINT) AS max_days
-    FROM g
+    g AS (SELECT gap_days FROM gaps WHERE gap_days IS NOT NULL),
+    {sql_spark_pct('g', 'gap_days', [('0.5', 'p50_days'),
+                                     ('0.9', 'p90_days')])},
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               CAST(MAX(gap_days) AS BIGINT) AS max_days
+        FROM g
+    )
+    SELECT n_gaps, p50_days, p90_days, max_days FROM agg, pct
     """,
 )
 def q181_order_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2734,19 +2737,25 @@ def q205_supplier_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q206_ship_latency",
-    """
+    f"""
     WITH lat AS (
         SELECT o.o_orderpriority,
                date_diff('day', o.o_orderdate, l.l_shipdate) AS days
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         WHERE l.l_shipdate >= o.o_orderdate
+    ),
+    {sql_spark_pct('lat', 'days', [('0.5', 'p50_days'),
+                                   ('0.95', 'p95_days')],
+                   part=['o_orderpriority'])},
+    agg AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(MAX(days) AS BIGINT) AS max_days
+        FROM lat GROUP BY o_orderpriority
     )
-    SELECT o_orderpriority,
-           CAST(COUNT(*) AS BIGINT) AS n_items,
-           quantile_cont(days, 0.5) AS p50_days,
-           quantile_cont(days, 0.95) AS p95_days,
-           CAST(MAX(days) AS BIGINT) AS max_days
-    FROM lat GROUP BY o_orderpriority
+    SELECT a.o_orderpriority, a.n_items, p.p50_days, p.p95_days,
+           a.max_days
+    FROM agg a JOIN pct p ON a.o_orderpriority = p.o_orderpriority
     """,
 )
 def q206_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -26,7 +26,8 @@ from pyspark.sql.window import Window as W
 
 from ..catalog import load
 from .common import (davg, dvar_samp, sql_davg,
-                     sql_dvar_expr)
+                     sql_dvar_expr,
+                     sql_spark_pct)
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -1745,12 +1746,13 @@ _Q203_ERR_DUCK = (
                ROUND({_Q203_ERR_DUCK} / (scale / 127.0), 9) AS rel_mae
         FROM scaled WHERE scale > 0
     )
+    ,{sql_spark_pct('err', 'mae', [('0.95', '__p95')])}
     SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
            CAST(SUM(CAST(mae AS DECIMAL(30,9))) AS DOUBLE) / COUNT(*)
                AS avg_mae,
-           quantile_cont(mae, 0.95) AS p95_mae,
+           MIN(__p95) AS p95_mae,
            ROUND(MAX(rel_mae), 6) AS max_rel_mae
-    FROM err
+    FROM err, pct
     """,
 )
 def q203_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:

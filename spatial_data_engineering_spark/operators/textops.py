@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from .common import davg, sql_davg, sql_dvar_expr
+from .common import davg, sql_davg, sql_dvar_expr, sql_spark_pct
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -921,10 +921,8 @@ _QF_P = 0.25
     "q80_quality_filter",
     f"""
     {_SCORED_SQL},
-    thr AS (
-        SELECT lang, quantile_cont(quality, {_QF_P}) AS p25
-        FROM scored GROUP BY 1
-    )
+    {sql_spark_pct('scored', 'quality', [(str(_QF_P), 'p25')],
+                   part=['lang'], prefix='thr')}
     SELECT s.doc_id, s.lang, s.quality, ROUND(t.p25, 6) AS p25
     FROM scored s JOIN thr t ON s.lang = t.lang
     WHERE s.quality >= t.p25
@@ -1746,7 +1744,7 @@ def q121_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q127_score_calibration",
     f"""
     {_SCORED_SQL},
-    med AS (SELECT quantile_cont(n_chars, 0.5) AS m FROM documents),
+    {sql_spark_pct('documents', 'n_chars', [('0.5', 'm')], prefix='med')},
     labeled AS (
         SELECT s.doc_id, s.quality,
                CASE WHEN d.n_chars > med.m THEN 1 ELSE 0 END AS gold
@@ -2645,7 +2643,7 @@ def q160_lang_mislabel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q163_score_auc",
     f"""
     {_SCORED_SQL},
-    med AS (SELECT quantile_cont(n_chars, 0.5) AS m FROM documents),
+    {sql_spark_pct('documents', 'n_chars', [('0.5', 'm')], prefix='med')},
     labeled AS (
         SELECT s.doc_id, s.quality,
                CASE WHEN d.n_chars > med.m THEN 1 ELSE 0 END AS gold

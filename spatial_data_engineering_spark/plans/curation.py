@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..operators.common import sql_spark_pct
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -346,8 +347,8 @@ def _survivor_ctes() -> str:
            WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
              AND doc_id % {_DECON_MOD} <> 0),
     {_scored_cte('c3', 'c3')},
-    thr AS (SELECT lang, quantile_cont(quality, {_QF_P}) AS p25
-            FROM scored_c3 GROUP BY 1),
+    {sql_spark_pct('scored_c3', 'quality', [(str(_QF_P), 'p25')],
+                   part=['lang'], prefix='thr')},
     c4 AS (SELECT c3.* FROM c3
            JOIN scored_c3 s ON c3.doc_id = s.doc_id
            JOIN thr t ON c3.lang = t.lang

@@ -40,35 +40,24 @@ def _modules():
 # completeness gate.
 #
 # Round-11 window (driver verifies the FIRST 50), executing the written
-# r11 schedule committed in round 10 (VERDICT r10 task 1), amended
-# mid-round by rule (2) — see the block comment inside _PRIORITY:
-#   1. slots 1-25: the 4 rows displaced from the r10 window by that
-#      round's rule-(2) forces (q121/q122/q123/q124) + the 21 remaining
-#      r5-verified rows (q125 .. q105) — the registry's oldest driver
-#      evidence (6 rounds).
-#   2. slots 26-41: the 16 oldest rows of the r6-verified block
-#      (q112 .. q149; q127/q199 among them are also rule-(2) forced).
-#   3. slots 42-50: rule-(2) forces — the sf1 parity sweep
-#      (scripts/sf1_parity.py, new this round) caught Spark and DuckDB
-#      disagreeing by 1e-6 on 3 of 50k docs' quality scores (halfway
-#      rounding at 6 dp: Spark ROUNDs the double's shortest decimal
-#      repr, DuckDB rounds the binary value).  _scored_quality /
-#      _SCORED_SQL now use the engine-neutral floor(x*1e6 + 0.5)/1e6,
-#      and q176's oracle replicates Spark's exact-percentile
-#      interpolation (two-weight form + equal-endpoint short-circuit,
-#      prob cast to DOUBLE).  The 11 quality consumers changed
-#      implementation AND oracle text; the 9 not already in-window
-#      (q44/q80/q145/q163/q176/q188/q209/q212/q213) are forced in,
-#      displacing the 9 youngest r6 rows of the original plan
-#      (q150/q151/q152/q157/q158/q159/q160/q161/q162) to the r12 lead.
-#   The q148/q201 scale-path refactor ships the identical DAG (gate
-#   defaults off; r10 q52/q208 precedent) and owes no force; the other
-#   ADVICE fixes are byte-identical on the default path.
+# r11 schedule committed in round 10 (VERDICT r10 task 1), amended twice
+# mid-round by rule (2) — the full story in the _PRIORITY block comment:
+# the new sf1 parity sweep caught (a) a cross-engine halfway-rounding
+# divergence in the shared quality score (fixed with the floor-device;
+# 11 consumers changed) and (b) the latent quantile_cont-vs-Spark
+# interpolation mismatch, after which EVERY oracle's percentile was
+# ported to common.sql_spark_pct (Spark's exact arithmetic, incl. the
+# equal-endpoint short-circuit; prob literals cast to DOUBLE).  Changed
+# queries already in-window keep their slots; the other 13
+# (9 quality consumers + 4 percentile-family) are forced into slots
+# 38-50, displacing the 13 youngest r6 rows to the r12 lead.  The
+# q148/q201 scale-path refactor ships the identical DAG (gate defaults
+# off; r10 q52/q208 precedent) and owes no force.
 # WRITTEN SCHEDULE (continuing):
-#   - r12: q214/q215 (new) + the 9 displaced r6 rows + the 16 remaining
-#     r6 rows + the 23 oldest r8-verified rows = 50; after r12, max
-#     staleness is r8 evidence (r13: remaining r8 + oldest r9; r14:
-#     remaining r9 + the r10-verified tail).
+#   - r12: q214/q215 (new) + the 13 displaced r6 rows + the 16
+#     remaining r6 rows + the 19 oldest r8-verified rows = 50; after
+#     r12, max staleness is r8 evidence (r13: remaining r8 + oldest r9;
+#     r14: remaining r9 + the r10-verified tail).
 # tests/test_driver_window.py pins the first 50 names to this plan so the
 # rotation is reviewed code, not comment policy.  The FULL inventory is
 # still re-proven by tests/test_oracle_parity.py on every pytest run (the
@@ -76,15 +65,16 @@ def _modules():
 _PRIORITY = [
     # --- ROUND-11 DRIVER WINDOW (first 50) ---
     # Executing the written r11 schedule committed in round 10 (VERDICT
-    # r10 task 1), AMENDED mid-round by rule (2): the new sf1 parity
-    # sweep (scripts/sf1_parity.py) caught a cross-engine halfway-
-    # rounding divergence in the shared quality score, so
-    # _scored_quality/_SCORED_SQL switched to the floor-device and
-    # q176's oracle now replicates Spark's exact-percentile arithmetic.
-    # All 11 consumer queries changed implementation+oracle and owe a
-    # fresh driver row; q127 and q199 were already in-window, the other
-    # 9 take slots 42-50, displacing the 9 youngest r6 rows of the
-    # original plan to the r12 lead.
+    # r10 task 1), AMENDED TWICE mid-round by rule (2) after the new
+    # sf1 parity sweep (scripts/sf1_parity.py):
+    #  (a) the quality-score halfway-rounding fix (floor-device in
+    #      _scored_quality/_SCORED_SQL) changed 11 consumers;
+    #  (b) eliminating quantile_cont from EVERY oracle (sql_spark_pct
+    #      replicates Spark's exact-percentile arithmetic incl. the
+    #      equal-endpoint short-circuit) changed the percentile family.
+    # All changed queries owe a fresh driver row; those already in the
+    # window stay put, the rest are forced into slots 38-50, displacing
+    # the 13 youngest r6 rows of the original plan to the r12 lead.
     # slots 1-25: the 4 rows displaced from the r10 window + the 21
     # remaining r5-verified rows — the oldest driver evidence (6 rounds)
     "q121_token_entropy", "q122_grouping_sets", "q123_mad_outliers",
@@ -96,28 +86,32 @@ _PRIORITY = [
     "q95_stratified_split", "q96_doc_bigram_lift", "q93_embedding_covariance",
     "q56_dedup_components", "q86_pagerank_centrality",
     "q127_score_calibration", "q105_lone_returner",
-    # slots 26-41: the oldest r6-verified rows (q127/q199 among them —
-    # both also rule-(2) forced this round)
+    # slots 26-37: the oldest r6-verified rows (q127/q199/q149 among
+    # them are also rule-(2) forced)
     "q112_scd2_intervals", "q29_asof_join", "q154_knn_label_accuracy",
     "q155_pmi_collocations", "q172_zipf_fit", "q185_bigram_cond_entropy",
     "q186_negative_sampling", "q202_cramers_v", "q211_discount_quantity_corr",
-    "q199_dup_quality_link", "q141_unigram_logprob",
-    "q142_stopword_discovery", "q143_bpe_pair_counts", "q146_vocab_overlap",
-    "q147_chi2_keywords", "q149_winsorized_stats",
-    # slots 42-50: rule-(2) forces — quality floor-device consumers
+    "q199_dup_quality_link", "q141_unigram_logprob", "q149_winsorized_stats",
+    # slots 38-46: rule-(2) forces — quality floor-device consumers
     "q44_quality_score", "q80_quality_filter", "q145_curriculum_stages",
     "q163_score_auc", "q176_score_normalization", "q188_aa_test",
     "q209_source_scorecard", "q212_curation_shards", "q213_curation_funnel",
+    # slots 47-50: rule-(2) forces — quantile_cont -> sql_spark_pct
+    # oracle ports (q137/q138/q127/q163/q149/q80/q212/q213 also ported
+    # but already hold window slots above)
+    "q33_percentiles", "q181_order_interarrival", "q203_quantization_error",
+    "q206_ship_latency",
     # --- tail: rotates into r12+ windows, least-recently-verified
     # first ---
     # WRITTEN SCHEDULE (continuing): r12 window = q214/q215 (new,
-    # never-driver-verified) + the 9 displaced r6 rows + the 16
-    # remaining r6 rows + the 23 oldest r8 rows = 50; r13 = remaining
+    # never-driver-verified) + the 13 displaced r6 rows + the 16
+    # remaining r6 rows + the 19 oldest r8 rows = 50; r13 = remaining
     # r8 + oldest r9; r14 = remaining r9 + the r10-verified tail.
     # NEW in r11 (inventory 212 -> 214): lead the r12 window
     "q214_url_domain_dedup", "q215_rate_limited_sample",
-    # the 9 r6 rows displaced by this round's forces — owed next (r12)
-    "q150_hhi_concentration", "q151_returned_revenue",
+    # the 13 r6 rows displaced by this round's forces — owed next (r12)
+    "q142_stopword_discovery", "q143_bpe_pair_counts", "q146_vocab_overlap",
+    "q147_chi2_keywords", "q150_hhi_concentration", "q151_returned_revenue",
     "q152_dup_cluster_sizes", "q157_mix_rebalance", "q158_session_paths",
     "q159_bm25_topk", "q160_lang_mislabel", "q161_wilson_proportion",
     "q162_churn_rate",
@@ -144,28 +138,26 @@ _PRIORITY = [
     "q139_split_contamination", "q144_training_order",
     "q153_simhash_hamming_join", "q156_minhash_estimate_audit",
     "q167_dedup_strategy_venn", "q55_kmeans", "q42_lang_id",
-    "q180_basket_lift", "q181_order_interarrival", "q182_subword_diversity",
-    "q183_fk_audit", "q184_bounce_rate", "q187_dedup_survivor_bias",
-    "q190_prefix_dup", "q191_dim_redundancy", "q192_segment_migration",
-    "q194_truncation_loss", "q195_effective_tokens", "q197_session_survival",
-    "q198_position_value_decay", "q200_corpus_stats",
-    "q203_quantization_error", "q204_forecast_revenue",
-    "q205_supplier_coverage", "q206_ship_latency", "q207_brand_return_rate",
+    "q180_basket_lift", "q182_subword_diversity", "q183_fk_audit",
+    "q184_bounce_rate", "q187_dedup_survivor_bias", "q190_prefix_dup",
+    "q191_dim_redundancy", "q192_segment_migration", "q194_truncation_loss",
+    "q195_effective_tokens", "q197_session_survival",
+    "q198_position_value_decay", "q200_corpus_stats", "q204_forecast_revenue",
+    "q205_supplier_coverage", "q207_brand_return_rate",
     "q208_embedding_norm_qa", "q210_word_length_hist", "q79_decontaminate",
     "q81_substring_dup", "q67_overlap_dissolve", "q60_point_in_polygon",
     "q61_zonal_histogram", "q43_fingerprint", "q54_dedup_materialize",
     "q15_count_distinct", "q19_hourly_window", "q21_props_extract",
     "q18_sessionization", "q01_pricing_summary", "q45_dedup_exact",
     "q46_dedup_tokensort", "q40_text_stats", "q41_token_count",
-    "q08_var_argmax", "q33_percentiles", "q72_hierarchical_rollup",
-    "q57_normalize_text", "q58_edit_distance", "q65_blocklist_filter",
-    "q169_vocab_coverage", "q179_hapax_ratio", "q196_crosssplit_perplexity",
-    "q66_repetition", "q68_chunk_documents", "q69_embedding_quantize",
-    "q70_multimodal_meta", "q74_vocab_topk", "q02_ilike_filter",
-    "q03_join_enrich", "q04_semi_join", "q05_anti_join",
-    "q06_monthly_revenue", "q07_month_spine", "q09_histogram",
-    "q11_topk_per_group", "q12_pivot", "q13_setops", "q14_rollup",
-    "q16_extent", "q17_case_thresholds", "q20_above_avg",
+    "q08_var_argmax", "q72_hierarchical_rollup", "q57_normalize_text",
+    "q58_edit_distance", "q65_blocklist_filter", "q169_vocab_coverage",
+    "q179_hapax_ratio", "q196_crosssplit_perplexity", "q66_repetition",
+    "q68_chunk_documents", "q69_embedding_quantize", "q70_multimodal_meta",
+    "q74_vocab_topk", "q02_ilike_filter", "q03_join_enrich", "q04_semi_join",
+    "q05_anti_join", "q06_monthly_revenue", "q07_month_spine",
+    "q09_histogram", "q11_topk_per_group", "q12_pivot", "q13_setops",
+    "q14_rollup", "q16_extent", "q17_case_thresholds", "q20_above_avg",
     "q75_golden_variance", "q82_incremental_dedup", "q62_dissolve_area",
     "q88_containment_join", "q89_bigram_lift", "q90_pattern_redact",
     "q92_random_projection", "q87_ngram_novelty", "q97_funnel",
@@ -178,6 +170,7 @@ _PRIORITY = [
     "q120_asof_forward", "q148_semdedup", "q201_cluster_label_purity",
     "q49_cosine_topk", "q51_srp_lsh_buckets",
 ]
+
 
 
 

@@ -24,9 +24,11 @@ from spatial_data_engineering_spark.queries_registry import all_queries
 # parity sweep caught a cross-engine halfway-rounding divergence in the
 # shared quality score; the floor-device fix changed 11 queries'
 # implementation + oracle text, so the 9 consumers not already in-window
-# (q44/q80/q145/q163/q176/q188/q209/q212/q213) are forced into slots
-# 42-50, displacing the 9 youngest r6 rows of the original plan to the
-# r12 lead.  The q148/q201 scale-path refactor ships the identical DAG
+# (q44/q80/q145/q163/q176/q188/q209/q212/q213) are forced in, and a
+# second amendment ported EVERY oracle percentile from quantile_cont to
+# common.sql_spark_pct (Spark-faithful interpolation), forcing
+# q33/q181/q203/q206 too — 13 forces in slots 38-50, displacing the 13
+# youngest r6 rows of the original plan to the r12 lead.  The q148/q201 scale-path refactor ships the identical DAG
 # (gate defaults off; r10 q52/q208 precedent) and owes no force.
 EXPECTED_WINDOW = [
     "q121_token_entropy", "q122_grouping_sets", "q123_mad_outliers",
@@ -41,20 +43,21 @@ EXPECTED_WINDOW = [
     "q29_asof_join", "q154_knn_label_accuracy", "q155_pmi_collocations",
     "q172_zipf_fit", "q185_bigram_cond_entropy", "q186_negative_sampling",
     "q202_cramers_v", "q211_discount_quantity_corr", "q199_dup_quality_link",
-    "q141_unigram_logprob", "q142_stopword_discovery", "q143_bpe_pair_counts",
-    "q146_vocab_overlap", "q147_chi2_keywords", "q149_winsorized_stats",
-    "q44_quality_score", "q80_quality_filter", "q145_curriculum_stages",
-    "q163_score_auc", "q176_score_normalization", "q188_aa_test",
-    "q209_source_scorecard", "q212_curation_shards", "q213_curation_funnel",
+    "q141_unigram_logprob", "q149_winsorized_stats", "q44_quality_score",
+    "q80_quality_filter", "q145_curriculum_stages", "q163_score_auc",
+    "q176_score_normalization", "q188_aa_test", "q209_source_scorecard",
+    "q212_curation_shards", "q213_curation_funnel", "q33_percentiles",
+    "q181_order_interarrival", "q203_quantization_error", "q206_ship_latency",
 ]
 
 # The rows that must LEAD the round-12 window: the two NEW queries
-# (never driver-verified), then the 9 r6 rows displaced by this round's
-# forces.  r12 fills the rest with the 16 remaining r6 rows and the 23
-# oldest r8-verified rows that follow in the registry.
+# (never driver-verified), then the 13 r6 rows displaced by this
+# round's forces.  r12 fills the rest with the 16 remaining r6 rows and
+# the 19 oldest r8-verified rows that follow in the registry.
 EXPECTED_R12_LEAD = [
     "q214_url_domain_dedup", "q215_rate_limited_sample",
-    "q150_hhi_concentration", "q151_returned_revenue",
+    "q142_stopword_discovery", "q143_bpe_pair_counts", "q146_vocab_overlap",
+    "q147_chi2_keywords", "q150_hhi_concentration", "q151_returned_revenue",
     "q152_dup_cluster_sizes", "q157_mix_rebalance", "q158_session_paths",
     "q159_bm25_topk", "q160_lang_mislabel", "q161_wilson_proportion",
     "q162_churn_rate",
