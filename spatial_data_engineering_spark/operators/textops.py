@@ -2844,43 +2844,6 @@ def q172_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("r2"))
 
 
-# --------------------------------------------------------------------------
-# q176 — cross-source score calibration: percent_rank-normalize the
-# production quality score WITHIN each source, then report how raw
-# scores at fixed normalized quantiles differ across sources.  When the
-# same raw threshold means "top 10%" for one source and "top 60%" for
-# another, a global cut silently skews the mix — this is the query that
-# shows it, and percent_rank is the fix (quantile normalization).
-#
-# Shape: one window per source over the doc-sized score table (source
-# is the partition key — parallel across sources), then exact per-source
-# quantiles of the raw score at the q33-proven interpolation.
-# --------------------------------------------------------------------------
-def _lerp_pct_sql(p: str, out: str) -> str:
-    """DuckDB fragment: Spark-Percentile-identical interpolation for
-    prob ``p`` over ``ranked`` (source, quality, r, n).
-
-    Spark's exact percentile computes
-    ``(higherIndex - position) * lowerKey + (position - lowerIndex) *
-    higherKey`` — but FIRST short-circuits to ``lowerKey`` when the two
-    keys are EQUAL.  quantile_cont lerps blindly, and ``k*(1-f) + k*f``
-    is NOT exactly ``k`` in FP: at sf1 the p90 endpoints of one source
-    are equal values and the engines diverged by 1 ulp
-    (scripts/sf1_parity.py, round 11).  This fragment replicates
-    Spark's arithmetic including the short-circuit, bit for bit."""
-    # CAST the prob literal: a bare 0.9 is DECIMAL in DuckDB, and
-    # decimal-exact weights are precisely the divergence this fragment
-    # exists to avoid — Spark's percentage is a double
-    pos = f"(CAST({p} AS DOUBLE) * (a.n - 1))"
-    return (f"SELECT a.source, CASE WHEN b.quality = a.quality "
-            f"THEN a.quality ELSE "
-            f"(CEIL({pos}) - {pos}) * a.quality "
-            f"+ ({pos} - FLOOR({pos})) * b.quality END AS {out} "
-            f"FROM ranked a JOIN ranked b ON a.source = b.source "
-            f"AND a.r = CAST(FLOOR({pos}) AS BIGINT) "
-            f"AND b.r = CAST(CEIL({pos}) AS BIGINT)")
-
-
 @query(
     "q176_score_normalization",
     f"""
@@ -2889,15 +2852,9 @@ def _lerp_pct_sql(p: str, out: str) -> str:
         SELECT d.source, s.quality
         FROM scored s JOIN documents d ON s.doc_id = d.doc_id
     ),
-    ranked AS (
-        SELECT source, quality,
-               ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality)
-                   - 1 AS r,
-               COUNT(*) OVER (PARTITION BY source) AS n
-        FROM src
-    ),
-    p50 AS ({_lerp_pct_sql('0.5', 'raw_p50')}),
-    p90 AS ({_lerp_pct_sql('0.9', 'raw_p90')}),
+    {sql_spark_pct('src', 'quality',
+                   [('0.5', 'raw_p50'), ('0.9', 'raw_p90')],
+                   part=['source'])},
     stats AS (
         SELECT source,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -2905,11 +2862,9 @@ def _lerp_pct_sql(p: str, out: str) -> str:
                ROUND(MAX(quality), 6) AS raw_max
         FROM src GROUP BY source
     )
-    SELECT s.source, s.n_docs, p50.raw_p50, p90.raw_p90,
+    SELECT s.source, s.n_docs, p.raw_p50, p.raw_p90,
            s.raw_min, s.raw_max
-    FROM stats s
-    JOIN p50 ON p50.source = s.source
-    JOIN p90 ON p90.source = s.source
+    FROM stats s JOIN pct p ON p.source = s.source
     """,
 )
 def q176_score_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:

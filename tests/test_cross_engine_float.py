@@ -7,8 +7,8 @@ silently regress or be reintroduced by a future oracle:
    repr, DuckDB the binary value — divergent on .5e-6 boundaries.
    The floor-device floor(x*1e6 + 0.5)/1e6 agrees everywhere.
 2. quantile_cont lerps blindly (k*(1-f) + k*f != k in FP) where Spark's
-   exact percentile short-circuits equal endpoints; _lerp_pct_sql
-   replicates Spark bit for bit.
+   exact percentile short-circuits equal endpoints; common.sql_spark_pct
+   replicates Spark bit for bit (every oracle percentile uses it).
 """
 
 from __future__ import annotations
@@ -49,44 +49,35 @@ def test_quantile_cont_equal_endpoints_off_by_ulp():
     assert got != 0.473512
 
 
-def test_lerp_pct_sql_matches_spark_percentile(spark):
+def _pct_via_sql_spark_pct(vals, prob, part=False):
+    from spatial_data_engineering_spark.operators.common import \
+        sql_spark_pct
+    con = duckdb.connect()
+    rows = ", ".join(f"({v})" for v in vals)
+    con.sql(f"CREATE VIEW src AS SELECT 's' AS source, "
+            f"CAST(x AS DOUBLE) AS q FROM (VALUES {rows}) t(x)")
+    cte = sql_spark_pct("src", "q", [(prob, "p")],
+                        part=["source"] if part else None)
+    return con.sql(f"WITH {cte} SELECT p FROM pct").fetchone()[0]
+
+
+def test_sql_spark_pct_matches_spark_percentile(spark):
     # same 4 values: Spark's exact percentile short-circuits the equal
-    # endpoints; the oracle fragment must reproduce that, where
+    # endpoints; the oracle generator must reproduce that, where
     # quantile_cont (above) drifts
     vals = [0.1, 0.473512, 0.473512, 0.473512]
     (sp,) = (spark.createDataFrame([(v,) for v in vals], "q double")
              .agg(F.percentile("q", F.lit(0.9))).first())
     assert sp == 0.473512
-
-    from spatial_data_engineering_spark.operators.textops import \
-        _lerp_pct_sql
-    con = duckdb.connect()
-    con.sql("CREATE VIEW src AS SELECT 's' AS source, x AS quality "
-            "FROM (VALUES (0.1::DOUBLE), (0.473512), (0.473512), "
-            "(0.473512)) t(x)")
-    frag = _lerp_pct_sql("0.9", "p90")
-    (dd,) = con.sql(
-        "WITH ranked AS (SELECT source, quality, ROW_NUMBER() OVER "
-        "(PARTITION BY source ORDER BY quality) - 1 AS r, COUNT(*) OVER "
-        f"(PARTITION BY source) AS n FROM src) {frag}").fetchone()[1:]
-    assert dd == sp == 0.473512
+    for part in (False, True):
+        assert _pct_via_sql_spark_pct(vals, "0.9", part) == sp
 
 
-def test_lerp_pct_sql_matches_spark_on_distinct_endpoints(spark):
+def test_sql_spark_pct_matches_spark_on_distinct_endpoints(spark):
     # distinct endpoints: the two-weight form itself must match Spark's
     # bits (this is where the naive lo + (hi-lo)*frac form drifted)
     vals = [0.402557, 0.457202, 0.490741, 0.497102, 0.549511]
     (sp,) = (spark.createDataFrame([(v,) for v in vals], "q double")
              .agg(F.percentile("q", F.lit(0.9))).first())
-    from spatial_data_engineering_spark.operators.textops import \
-        _lerp_pct_sql
-    con = duckdb.connect()
-    rows = ", ".join(f"({v})" for v in vals)
-    con.sql(f"CREATE VIEW src AS SELECT 's' AS source, "
-            f"CAST(x AS DOUBLE) AS quality FROM (VALUES {rows}) t(x)")
-    frag = _lerp_pct_sql("0.9", "p90")
-    (dd,) = con.sql(
-        "WITH ranked AS (SELECT source, quality, ROW_NUMBER() OVER "
-        "(PARTITION BY source ORDER BY quality) - 1 AS r, COUNT(*) OVER "
-        f"(PARTITION BY source) AS n FROM src) {frag}").fetchone()[1:]
-    assert dd == sp
+    for part in (False, True):
+        assert _pct_via_sql_spark_pct(vals, "0.9", part) == sp
