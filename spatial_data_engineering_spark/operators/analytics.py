@@ -28,8 +28,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..catalog import load
-from .common import (davg, dsum, dvar_samp, sql_davg, sql_dsum,
-                     sql_dsum_expr, sql_dvar_expr, sql_spark_pct)
+from .common import (davg, dsum, dvar_samp, fround6, sql_davg, sql_dsum,
+                     sql_dsum_expr, sql_dvar_expr, sql_fround6,
+                     sql_spark_pct)
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -773,8 +774,8 @@ def q136_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
            ROUND({sql_dsum_expr('dt_us / 3600000000.0')} / COUNT(*), 6)
                AS mean_hours,
-           ROUND(MIN(__p50) / 3600000000.0, 6) AS p50_hours,
-           ROUND(MIN(__p90) / 3600000000.0, 6) AS p90_hours
+           {sql_fround6('MIN(__p50) / 3600000000.0')} AS p50_hours,
+           {sql_fround6('MIN(__p90) / 3600000000.0')} AS p90_hours
     FROM p, pct
     """,
 )
@@ -794,10 +795,12 @@ def q137_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(hours.cast("decimal(30,6)")).cast("double")
                 / F.count(F.lit(1)), 6).alias("mean_hours"),
         F.expr("percentile(dt_us, array(0.5, 0.9))").alias("_ps"))
+    # fround6, not F.round, on the interpolated percentiles — the .5e-6
+    # halfway boundary splits the engines under plain ROUND (ADVICE r11)
     return a.select(
         "n_converted", "mean_hours",
-        F.round(F.col("_ps")[0] / 3_600_000_000.0, 6).alias("p50_hours"),
-        F.round(F.col("_ps")[1] / 3_600_000_000.0, 6).alias("p90_hours"))
+        fround6(F.col("_ps")[0] / 3_600_000_000.0).alias("p50_hours"),
+        fround6(F.col("_ps")[1] / 3_600_000_000.0).alias("p90_hours"))
 
 
 # --------------------------------------------------------------------------
@@ -834,8 +837,8 @@ def q137_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           ('0.9', '__p90')])}
     SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
            ROUND(AVG(CAST(n_events AS DOUBLE)), 6) AS avg_events,
-           ROUND(MIN(__p50) / 60000000.0, 6) AS p50_minutes,
-           ROUND(MIN(__p90) / 60000000.0, 6) AS p90_minutes,
+           {sql_fround6('MIN(__p50) / 60000000.0')} AS p50_minutes,
+           {sql_fround6('MIN(__p90) / 60000000.0')} AS p90_minutes,
            CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) AS BIGINT)
                AS n_single_event
     FROM sess, pct
@@ -862,10 +865,11 @@ def q138_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(dur_us, array(0.5, 0.9))").alias("_ps"),
         F.count(F.when(F.col("n_events") == 1, 1)).cast("bigint")
         .alias("n_single_event"))
+    # fround6 on the interpolated percentiles (ADVICE r11 halfway trap)
     return a.select(
         "n_sessions", "avg_events",
-        F.round(F.col("_ps")[0] / 60_000_000.0, 6).alias("p50_minutes"),
-        F.round(F.col("_ps")[1] / 60_000_000.0, 6).alias("p90_minutes"),
+        fround6(F.col("_ps")[0] / 60_000_000.0).alias("p50_minutes"),
+        fround6(F.col("_ps")[1] / 60_000_000.0).alias("p90_minutes"),
         "n_single_event")
 
 

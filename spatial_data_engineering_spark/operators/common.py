@@ -87,6 +87,26 @@ def sql_dcv_expr(expr: str) -> str:
     return f"(sqrt({sql_dvar_expr(expr)}) / ({sql_dsum_expr(expr)} / COUNT(*)))"
 
 
+def fround6(col: Column) -> Column:
+    """Engine-neutral ROUND(x, 6) for NON-NEGATIVE doubles (Spark side).
+
+    ``floor(x*1e6 + 0.5)/1e6`` — plain IEEE ops, so both engines share
+    halfway semantics on the exact binary value.  Spark's ROUND rounds
+    the double's SHORTEST decimal repr (BigDecimal.valueOf) where DuckDB
+    rounds the binary value; a value exactly on a .5e-6 boundary splits
+    the engines by 1e-6 (first observed on the q44 quality score at sf1,
+    round 11; same failure mode for any interpolated percentile output —
+    ADVICE r11).  Negative inputs would round half-UP instead of
+    half-away-from-zero — callers guarantee x >= 0.
+    """
+    return F.floor(col * 1000000.0 + 0.5) / 1000000.0
+
+
+def sql_fround6(expr: str) -> str:
+    """DuckDB twin of fround6 (alias-free, for composition)."""
+    return f"(floor(({expr}) * 1000000.0 + 0.5) / 1000000.0)"
+
+
 def sql_spark_pct(rel: str, val: str, probs, part=None,
                   prefix: str = "pct") -> str:
     """DuckDB CTE chain replicating Spark's EXACT percentile bit for bit.
@@ -105,6 +125,16 @@ def sql_spark_pct(rel: str, val: str, probs, part=None,
     sf1 on q176 (round 11, scripts/sf1_parity.py) and pinned by
     tests/test_cross_engine_float.py.  A bare prob literal is DECIMAL in
     DuckDB, hence the CAST AS DOUBLE.
+
+    NULL semantics (ADVICE r11): Spark's percentile() IGNORES NULLs, so
+    the ranked CTE filters them out before numbering — without the
+    filter, COUNT(*) OVER and ROW_NUMBER (ordered NULLS LAST in DuckDB)
+    would count NULL rows and shift every position.  All call sites to
+    date are non-null by construction; the filter makes the helper match
+    Spark on any column with at least one non-null value per group
+    (tests/test_cross_engine_float.py pins it on a nullable column).
+    Remaining caveat: an ALL-null group yields no row here where Spark's
+    groupBy would emit the group with a NULL percentile.
     """
     part = list(part or [])
     pby = ("PARTITION BY " + ", ".join(part) + " ") if part else ""
@@ -127,7 +157,7 @@ def sql_spark_pct(rel: str, val: str, probs, part=None,
                ROW_NUMBER() OVER ({pby}ORDER BY CAST({val} AS DOUBLE)) - 1
                    AS __r,
                COUNT(*) OVER ({pby.strip() or ''}) AS __n
-        FROM {rel}
+        FROM {rel} WHERE ({val}) IS NOT NULL
     ),
     {prefix}_sel AS (
         SELECT {psel}MAX(__n) AS __gn,

@@ -1348,6 +1348,37 @@ def _semdedup_seeds(nz, k: int, n_nz: int):
     return nz.join(F.broadcast(seed_ids), "vec_id").select(*sel)
 
 
+def _semdedup_cent_cells(cent, sup, u: bool):
+    """Route every centroid to one super cell — (sid, cid, cemb, cnrm).
+
+    No-empty-cell guarantee (ADVICE r11): a super-centroid can route
+    AWAY from its own cell under an exact-cosine tie (e.g. duplicate
+    embeddings) or an FP-rounding inversion of cos(s,s) vs a near-
+    parallel rival, leaving cell ``sid`` empty — a vector probing only
+    empty cells would then vanish from _semdedup_member's inner join,
+    breaking the every-vector-assigned-exactly-once contract.  Union
+    each super's own identity row back in: a cell gains at most one
+    extra candidate, the probed-candidate SET at full probe is
+    unchanged, so the nprobe >= m bit-identical anchor still holds;
+    dropDuplicates is a K-row aggregate (tiny next to n).  Pinned by
+    tests/test_semdedup_twolevel.py on a duplicate-super input.
+    """
+    from pyspark.sql.window import Window as W
+
+    ccos = (F.expr(_dot_spark("cemb", "semb", u))
+            / (F.col("cnrm") * F.col("snrm")))
+    routed = (cent.crossJoin(F.broadcast(sup))
+              .withColumn("crk", F.row_number().over(
+                  W.partitionBy("cid")
+                  .orderBy(F.desc(ccos), F.asc("sid"))))
+              .filter(F.col("crk") == 1)
+              .select("sid", "cid", "cemb", "cnrm"))
+    own = (cent.join(F.broadcast(sup.select("sid")),
+                     F.col("cid") == F.col("sid"))
+           .select("sid", "cid", "cemb", "cnrm"))
+    return routed.unionByName(own).dropDuplicates(["sid", "cid"])
+
+
 def _semdedup_member(nz, n_nz: int, u: bool):
     """Nearest-centroid assignment shared by q148/q201: every ``nz`` row
     plus its ``cid``, exact broadcast argmax below the crossover and
@@ -1375,15 +1406,7 @@ def _semdedup_member(nz, n_nz: int, u: bool):
            .select(F.col("cid").alias("sid"),
                    F.col("cemb").alias("semb"),
                    F.col("cnrm").alias("snrm")))
-    # centroids -> their one nearest super cell (broadcast of m rows)
-    ccos = (F.expr(_dot_spark("cemb", "semb", u))
-            / (F.col("cnrm") * F.col("snrm")))
-    cent_cells = (cent.crossJoin(F.broadcast(sup))
-                  .withColumn("crk", F.row_number().over(
-                      W.partitionBy("cid")
-                      .orderBy(F.desc(ccos), F.asc("sid"))))
-                  .filter(F.col("crk") == 1)
-                  .select("sid", "cid", "cemb", "cnrm"))
+    cent_cells = _semdedup_cent_cells(cent, sup, u)
     # vectors -> their nprobe nearest super cells
     vcos = (F.expr(_dot_spark("embedding", "semb", u))
             / (F.col("nrm") * F.col("snrm")))

@@ -14,7 +14,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from .common import davg, sql_davg, sql_dvar_expr, sql_spark_pct
+from .common import (davg, fround6, sql_davg, sql_dvar_expr, sql_fround6,
+                     sql_spark_pct)
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -923,7 +924,7 @@ _QF_P = 0.25
     {_SCORED_SQL},
     {sql_spark_pct('scored', 'quality', [(str(_QF_P), 'p25')],
                    part=['lang'], prefix='thr')}
-    SELECT s.doc_id, s.lang, s.quality, ROUND(t.p25, 6) AS p25
+    SELECT s.doc_id, s.lang, s.quality, {sql_fround6('t.p25')} AS p25
     FROM scored s JOIN thr t ON s.lang = t.lang
     WHERE s.quality >= t.p25
     """,
@@ -944,8 +945,12 @@ def quality_filter(d: DataFrame, p: float = _QF_P, scorer=None) -> DataFrame:
     return (
         scored.join(F.broadcast(thr), "lang")
         .filter(F.col("quality") >= F.col("p25"))
+        # fround6, not F.round: the interpolated p25 can land exactly on
+        # a .5e-6 boundary where Spark's shortest-decimal ROUND and
+        # DuckDB's binary ROUND split by 1e-6 (ADVICE r11 — same trap
+        # the r11 sf1 sweep caught on the quality score itself)
         .select("doc_id", "lang", "quality",
-                F.round("p25", 6).alias("p25"))
+                fround6(F.col("p25")).alias("p25"))
     )
 
 

@@ -294,7 +294,9 @@ def audit_registry(spark, sf_dir: str, names=None,
             "global_windows": _stable_ids(table)}
 
 
-_ATTR_ID_RE = re.compile(r"#\d+")
+# `L?` swallows Catalyst's long-type suffix too (n#61396L), so typed and
+# untyped attributes normalize to the same `#N` token (ADVICE r11)
+_ATTR_ID_RE = re.compile(r"#\d+L?")
 
 
 def _stable_ids(obj):

@@ -53,7 +53,7 @@ def _pct_via_sql_spark_pct(vals, prob, part=False):
     from spatial_data_engineering_spark.operators.common import \
         sql_spark_pct
     con = duckdb.connect()
-    rows = ", ".join(f"({v})" for v in vals)
+    rows = ", ".join("(NULL)" if v is None else f"({v})" for v in vals)
     con.sql(f"CREATE VIEW src AS SELECT 's' AS source, "
             f"CAST(x AS DOUBLE) AS q FROM (VALUES {rows}) t(x)")
     cte = sql_spark_pct("src", "q", [(prob, "p")],
@@ -71,6 +71,20 @@ def test_sql_spark_pct_matches_spark_percentile(spark):
     assert sp == 0.473512
     for part in (False, True):
         assert _pct_via_sql_spark_pct(vals, "0.9", part) == sp
+
+
+def test_sql_spark_pct_ignores_nulls_like_spark(spark):
+    # ADVICE r11: Spark's percentile() IGNORES NULLs; the ranked CTE must
+    # filter them out before ROW_NUMBER/COUNT(*) OVER or every position
+    # shifts (DuckDB orders NULLS LAST, so they'd inflate __n and park at
+    # the top ranks).  Pin on a nullable column where the NULL-counting
+    # bug changes both the interpolation index and the endpoint values.
+    vals = [0.1, None, 0.3, 0.5, None, 0.9]
+    (sp,) = (spark.createDataFrame([(v,) for v in vals], "q double")
+             .agg(F.percentile("q", F.lit(0.75))).first())
+    assert sp == 0.6  # over the 4 non-null values: pos=2.25 -> 0.5..0.9
+    for part in (False, True):
+        assert _pct_via_sql_spark_pct(vals, "0.75", part) == sp
 
 
 def test_sql_spark_pct_matches_spark_on_distinct_endpoints(spark):

@@ -123,3 +123,39 @@ def test_default_thresholds_keep_bench_scales_exact():
     assert S._semdedup_k(20_000) < S._SEMDEDUP_TWO_LEVEL_K
     # the gate needs n > ~6.9e10 vectors before routing activates
     assert S._semdedup_k(68_719_476_736) == 1 << 18
+
+
+def test_no_super_cell_is_ever_empty_of_centroids(spark):
+    # ADVICE r11: a super-centroid that routes AWAY from its own cell
+    # (exact-cosine tie with a smaller-sid super — here cid 40 is a
+    # bitwise DUPLICATE of super cid 10, so the asc(sid) tie-break sends
+    # it to cell 10) would leave its cell empty; a vector probing only
+    # empty cells then vanishes from the assignment join.  The
+    # _semdedup_cent_cells guarantee: every super's cell retains at
+    # least its own centroid, so ANY probed cell yields candidates.
+    rows = [
+        (10, [1.0, 0.0, 0.0, 0.0]),   # super, cell 10
+        (20, [0.0, 1.0, 0.0, 0.0]),   # super, cell 20
+        (30, [0.0, 0.0, 1.0, 0.0]),   # super, cell 30
+        (40, [1.0, 0.0, 0.0, 0.0]),   # super, duplicate of cid 10
+        (50, [0.9, 0.1, 0.0, 0.0]),   # plain centroids
+        (60, [0.1, 0.9, 0.0, 0.0]),
+    ]
+    cent = (spark.createDataFrame(rows, "cid long, cemb array<double>")
+            .select("cid", "cemb",
+                    F.expr(S._norm_spark("cemb")).alias("cnrm")))
+    sup = (cent.orderBy("cid").limit(4)
+           .select(F.col("cid").alias("sid"), F.col("cemb").alias("semb"),
+                   F.col("cnrm").alias("snrm")))
+    cells = S._semdedup_cent_cells(cent, sup, False)
+    got = {(r["sid"], r["cid"]) for r in cells.select("sid", "cid").collect()}
+    # the duplicate DID route away (the tie-break fires) ...
+    assert (10, 40) in got
+    # ... but its own cell is NOT empty (the ADVICE fix) ...
+    assert (40, 40) in got
+    # ... every super cell has candidates, and each (sid, cid) is unique
+    assert {s for s, _ in got} == {10, 20, 30, 40}
+    assert len(got) == cells.count()
+    # routing itself is otherwise untouched: plain centroids go to their
+    # nearest super exactly once
+    assert (10, 50) in got and (20, 60) in got
