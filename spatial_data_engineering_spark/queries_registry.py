@@ -39,100 +39,67 @@ def _modules():
 # most one round old.  The driver window is the sampling gate, not the
 # completeness gate.
 #
-# Round-11 window (driver verifies the FIRST 50), executing the written
-# r11 schedule committed in round 10 (VERDICT r10 task 1), amended twice
-# mid-round by rule (2) — the full story in the _PRIORITY block comment:
-# the new sf1 parity sweep caught (a) a cross-engine halfway-rounding
-# divergence in the shared quality score (fixed with the floor-device;
-# 11 consumers changed) and (b) the latent quantile_cont-vs-Spark
-# interpolation mismatch, after which EVERY oracle's percentile was
-# ported to common.sql_spark_pct (Spark's exact arithmetic, incl. the
-# equal-endpoint short-circuit; prob literals cast to DOUBLE).  Changed
-# queries already in-window keep their slots; the other 13
-# (9 quality consumers + 4 percentile-family) are forced into slots
-# 38-50, displacing the 13 youngest r6 rows to the r12 lead.  The
-# q148/q201 scale-path refactor ships the identical DAG (gate defaults
-# off; r10 q52/q208 precedent) and owes no force.
+# Round-12 window (driver verifies the FIRST 50), executing the written
+# r12 schedule committed in round 11 (VERDICT r11 task 1), amended once
+# mid-round by rule (2): the ADVICE-r11 fixes changed oracle text for
+# every sql_spark_pct consumer (the NULL-semantics filter in the ranked
+# CTE) and additionally the implementation of q80/q137/q138 (floor-
+# device on interpolated percentile outputs) — 13 forces in slots 38-50,
+# identical in kind to r11's quantile_cont-port amendment.  The 13
+# displaced rows (the youngest 13 of the 19 planned r8 rows) move to
+# the r13 lead.  The SemDeDup empty-cell guarantee ships an identical
+# DAG at every reachable scale (routed regime gated off by default;
+# r10 q52/q208 precedent) and owes no force.
 # WRITTEN SCHEDULE (continuing):
-#   - r12: q214/q215 (new) + the 13 displaced r6 rows + the 16
-#     remaining r6 rows + the 19 oldest r8-verified rows = 50; after
-#     r12, max staleness is r8 evidence (r13: remaining r8 + oldest r9;
-#     r14: remaining r9 + the r10-verified tail).
-# tests/test_driver_window.py pins the first 50 names to this plan so the
-# rotation is reviewed code, not comment policy.  The FULL inventory is
-# still re-proven by tests/test_oracle_parity.py on every pytest run (the
-# completeness gate); the driver window is the sampling gate.
+#   - r13: the 13 displaced r8 rows + the remaining r8 rows + the
+#     oldest r9 rows = 50 (max staleness advances to r9 evidence);
+#   - r14: remaining r9 + the r10-verified tail;
+#   - r15: the r11-verified tail (incl. this round's 13 forces'
+#     neighbours already re-verified in r12).
 _PRIORITY = [
-    # --- ROUND-11 DRIVER WINDOW (first 50) ---
-    # Executing the written r11 schedule committed in round 10 (VERDICT
-    # r10 task 1), AMENDED TWICE mid-round by rule (2) after the new
-    # sf1 parity sweep (scripts/sf1_parity.py):
-    #  (a) the quality-score halfway-rounding fix (floor-device in
-    #      _scored_quality/_SCORED_SQL) changed 11 consumers;
-    #  (b) eliminating quantile_cont from EVERY oracle (sql_spark_pct
-    #      replicates Spark's exact-percentile arithmetic incl. the
-    #      equal-endpoint short-circuit) changed the percentile family.
-    # All changed queries owe a fresh driver row; those already in the
-    # window stay put, the rest are forced into slots 38-50, displacing
-    # the 13 youngest r6 rows of the original plan to the r12 lead.
-    # slots 1-25: the 4 rows displaced from the r10 window + the 21
-    # remaining r5-verified rows — the oldest driver evidence (6 rounds)
-    "q121_token_entropy", "q122_grouping_sets", "q123_mad_outliers",
-    "q124_incremental_agg_merge", "q125_small_quantity_revenue",
-    "q126_revenue_share", "q129_hamming_topk", "q130_weighted_median",
-    "q131_user_trend", "q132_skew_report", "q133_video_neardup", "q134_ewma",
-    "q135_benford_audit", "q136_transition_matrix", "q137_time_to_convert",
-    "q138_session_stats", "q140_class_separation", "q94_dedup_canonical",
-    "q95_stratified_split", "q96_doc_bigram_lift", "q93_embedding_covariance",
-    "q56_dedup_components", "q86_pagerank_centrality",
-    "q127_score_calibration", "q105_lone_returner",
-    # slots 26-37: the oldest r6-verified rows (q127/q199/q149 among
-    # them are also rule-(2) forced)
-    "q112_scd2_intervals", "q29_asof_join", "q154_knn_label_accuracy",
-    "q155_pmi_collocations", "q172_zipf_fit", "q185_bigram_cond_entropy",
-    "q186_negative_sampling", "q202_cramers_v", "q211_discount_quantity_corr",
-    "q199_dup_quality_link", "q141_unigram_logprob", "q149_winsorized_stats",
-    # slots 38-46: rule-(2) forces — quality floor-device consumers
-    "q44_quality_score", "q80_quality_filter", "q145_curriculum_stages",
-    "q163_score_auc", "q176_score_normalization", "q188_aa_test",
-    "q209_source_scorecard", "q212_curation_shards", "q213_curation_funnel",
-    # slots 47-50: rule-(2) forces — quantile_cont -> sql_spark_pct
-    # oracle ports (q137/q138/q127/q163/q149/q80/q212/q213 also ported
-    # but already hold window slots above)
-    "q33_percentiles", "q181_order_interarrival", "q203_quantization_error",
-    "q206_ship_latency",
-    # --- tail: rotates into r12+ windows, least-recently-verified
-    # first ---
-    # WRITTEN SCHEDULE (continuing): r12 window = q214/q215 (new,
-    # never-driver-verified) + the 13 displaced r6 rows + the 16
-    # remaining r6 rows + the 19 oldest r8 rows = 50; r13 = remaining
-    # r8 + oldest r9; r14 = remaining r9 + the r10-verified tail.
-    # NEW in r11 (inventory 212 -> 214): lead the r12 window
+    # --- ROUND-12 DRIVER WINDOW (first 50) ---
+    # slots 1-2: the two r11 additions — the only oracled queries never
+    # driver-verified (VERDICT r11 "What's missing" #1)
     "q214_url_domain_dedup", "q215_rate_limited_sample",
-    # the 13 r6 rows displaced by this round's forces — owed next (r12)
+    # slots 3-28: ALL 26 remaining r6-verified rows (6 rounds stale —
+    # the 13 displaced by r11's forces, then the rest) — retires the
+    # whole r6 debt (VERDICT r11 "What's missing" #2)
     "q142_stopword_discovery", "q143_bpe_pair_counts", "q146_vocab_overlap",
     "q147_chi2_keywords", "q150_hhi_concentration", "q151_returned_revenue",
     "q152_dup_cluster_sizes", "q157_mix_rebalance", "q158_session_paths",
     "q159_bm25_topk", "q160_lang_mislabel", "q161_wilson_proportion",
-    "q162_churn_rate",
-    # remaining stale tail, least-recently-verified first: the 16
-    # remaining r6 rows, then the r8 block (minus this round's forces),
-    # the r9 block (minus forces), and the r10-verified window last
-    "q165_nation_trade_volume", "q166_market_share", "q168_dedup_cost_model",
-    "q170_burst_detection", "q171_dup_degree_distribution",
-    "q173_order_reconciliation", "q175_error_rate_timeline",
-    "q177_weekday_seasonality", "q178_new_vs_returning", "q164_rfm_segments",
-    "q174_value_gini", "q189_runs_test", "q193_heaps_law", "q22_cube",
-    "q23_unpivot", "q24_in_subquery", "q25_window_analytics", "q26_median",
+    "q162_churn_rate", "q165_nation_trade_volume", "q166_market_share",
+    "q168_dedup_cost_model", "q170_burst_detection",
+    "q171_dup_degree_distribution", "q173_order_reconciliation",
+    "q175_error_rate_timeline", "q177_weekday_seasonality",
+    "q178_new_vs_returning", "q164_rfm_segments", "q174_value_gini",
+    "q189_runs_test", "q193_heaps_law",
+    # slots 29-37: the 9 oldest r8-verified rows
+    "q22_cube", "q23_unpivot",
+    "q24_in_subquery", "q25_window_analytics", "q26_median",
     "q27_first_limit", "q30_range_join", "q31_sliding_window",
-    "q32_session_window", "q35_rank_functions", "q36_full_outer",
-    "q37_array_agg", "q38_profile", "q39_local_supplier_revenue",
-    "q63_date_functions", "q64_bag_set_ops", "q28_approx_distinct",
-    "q34_approx_quantiles", "q52_ivf_ann", "q76_ngram_jaccard_join",
-    "q77_pack_sequences", "q83_embedding_stats", "q84_sample_exact_k",
-    "q85_twophase_topk", "q10_row_number", "q71_frame_sample",
-    "q50_embedding_neardup", "q53_embedding_centroids", "q47_minhash_lsh",
-    "q48_simhash", "q73_hash_split", "q78_balance_corpus",
+    "q32_session_window",
+    # slots 38-50: rule-(2) forces — every sql_spark_pct consumer's
+    # oracle gained the NULL-semantics filter (ADVICE r11), and
+    # q80/q137/q138 additionally moved their interpolated-percentile
+    # outputs onto the floor-device; all owe a fresh driver row
+    "q137_time_to_convert", "q138_session_stats",
+    "q127_score_calibration", "q149_winsorized_stats", "q80_quality_filter",
+    "q163_score_auc", "q176_score_normalization", "q212_curation_shards",
+    "q213_curation_funnel", "q33_percentiles", "q181_order_interarrival",
+    "q203_quantization_error", "q206_ship_latency",
+    # --- tail: rotates into r13+ windows, least-recently-verified
+    # first ---
+    # the 13 r8 rows displaced by this round's forces — lead r13
+    "q35_rank_functions", "q36_full_outer", "q37_array_agg", "q38_profile",
+    "q39_local_supplier_revenue", "q63_date_functions", "q64_bag_set_ops",
+    "q28_approx_distinct", "q34_approx_quantiles", "q52_ivf_ann",
+    "q76_ngram_jaccard_join", "q77_pack_sequences", "q83_embedding_stats",
+    # remaining stale tail, least-recently-verified first: the rest of
+    # the r8 block, then the r9 block, then the r10-verified window
+    "q84_sample_exact_k", "q85_twophase_topk", "q10_row_number",
+    "q71_frame_sample", "q50_embedding_neardup", "q53_embedding_centroids",
+    "q47_minhash_lsh", "q48_simhash", "q73_hash_split", "q78_balance_corpus",
     "q91_temperature_sample", "q113_cms_heavy_hitters", "q114_kmv_distinct",
     "q118_weighted_sample", "q119_kmv_setops", "q128_detector_agreement",
     "q139_split_contamination", "q144_training_order",
@@ -169,6 +136,21 @@ _PRIORITY = [
     "q115_bfs_hops", "q116_psi_drift", "q117_rolling_median",
     "q120_asof_forward", "q148_semdedup", "q201_cluster_label_purity",
     "q49_cosine_topk", "q51_srp_lsh_buckets",
+    # the r11-verified window (minus this round's 13 forces) — the
+    # freshest evidence closes the registry; rotates back in at r15
+    "q121_token_entropy", "q122_grouping_sets", "q123_mad_outliers",
+    "q124_incremental_agg_merge", "q125_small_quantity_revenue",
+    "q126_revenue_share", "q129_hamming_topk", "q130_weighted_median",
+    "q131_user_trend", "q132_skew_report", "q133_video_neardup", "q134_ewma",
+    "q135_benford_audit", "q136_transition_matrix", "q140_class_separation",
+    "q94_dedup_canonical", "q95_stratified_split", "q96_doc_bigram_lift",
+    "q93_embedding_covariance", "q56_dedup_components",
+    "q86_pagerank_centrality", "q105_lone_returner", "q112_scd2_intervals",
+    "q29_asof_join", "q154_knn_label_accuracy", "q155_pmi_collocations",
+    "q172_zipf_fit", "q185_bigram_cond_entropy", "q186_negative_sampling",
+    "q202_cramers_v", "q211_discount_quantity_corr", "q199_dup_quality_link",
+    "q141_unigram_logprob", "q44_quality_score", "q145_curriculum_stages",
+    "q188_aa_test", "q209_source_scorecard",
 ]
 
 
