@@ -102,6 +102,55 @@ def test_oracle_parity_at_sf1(spark, duck_sf1, name):
             name=name)
 
 
+# The four quadratic-ORACLE queries get deterministic subset strategies
+# (VERDICT r11 task 2) instead of a skip — definitions live in
+# scripts/sf1_parity.py so the per-round sweep and this gate can never
+# drift apart.  q49 runs whole (its oracle is 10 queries x n — linear);
+# q50 verifies the FULL-corpus Spark output on a stratified pair slice;
+# q154/q156 run both engines on a stratified corpus slice sized above
+# sf0.1.
+def _sf1_parity_mod():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "sf1_parity", os.path.join(REPO, "scripts", "sf1_parity.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.parametrize("name", [
+    "q49_cosine_topk", "q50_embedding_neardup",
+    "q154_knn_label_accuracy", "q156_minhash_estimate_audit"])
+def test_quadratic_oracle_subset_parity_at_sf1(spark, name):
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    from .parity import TABLES, compare
+
+    mod = _sf1_parity_mod()
+    strat = mod.SUBSET[name]
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF1, f"{t}.parquet")
+        pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+        w = (f" WHERE {strat['pred']}"
+             if strat["mode"] != "full" and t == strat["table"] else "")
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}'){w}")
+
+    if strat["mode"] == "full":
+        df = qs[name](spark, SF1)
+    elif strat["mode"] == "output-slice":
+        df = qs[name](spark, SF1).filter(strat["post"])
+    else:
+        sdir = mod.materialize_slice(SF1, strat["table"], strat["pred"])
+        df = qs[name](spark, sdir)
+    compare(df, con.sql(osql[name]).df(), name=name)
+
+
 def test_semdedup_k_adapts_at_sf1(spark):
     import pyspark.sql.functions as F
 
