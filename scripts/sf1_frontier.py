@@ -9,9 +9,21 @@ probe into a cheap per-round regression gate.
 
 Usage: python scripts/sf1_frontier.py [label]   (default: rN read from
 the round arg, e.g. "r11-sf1-frontier")
-Exit 0 iff every frontier query ran and none drifted > 1.3x without an
-attribution having been recorded by the operator (the script always
-prints the drift table; a nonzero exit is the signal to investigate).
+
+Flag auto-adjudication (VERDICT r11 task 3): round 11 resolved both of
+its in-suite flags (q148 1.30x, q56 1.45x) as composition noise via
+MANUAL isolated 5-run A/Bs — this script now runs that arbiter itself.
+On a drift flag, the query is re-benched ISOLATED (its own bench.py
+invocation, SPARK_GRAFT_RUNS=5, median) in the same session and
+re-judged against the anchor with the same rule; only a CONFIRMED
+isolated drift fails the probe.  Both the in-suite row and every
+arbiter row land in BENCH_history.jsonl (labels `<label>` and
+`<label>-arbiter-<query>`), so the adjudication is a committed
+artifact, not a judgment call.
+
+Exit 0 iff every frontier query ran and no drift survived the isolated
+arbiter (the script always prints the drift table; nonzero exit means a
+REPRODUCIBLE drift needs attribution).
 """
 
 from __future__ import annotations
@@ -62,13 +74,12 @@ def _anchor() -> dict[str, float]:
     return anchor
 
 
-def main() -> int:
-    label = sys.argv[1] if len(sys.argv) > 1 else "r11-sf1-frontier"
+def _run_bench(queries: list[str], runs: str, label: str) -> dict | None:
     env = dict(os.environ)
     env.update({
         "SPARK_GRAFT_SF_DIR": os.path.join(REPO, "testdata_sf1"),
-        "SPARK_GRAFT_QUERIES": ",".join(FRONTIER),
-        "SPARK_GRAFT_RUNS": env.get("SPARK_GRAFT_RUNS", "3"),
+        "SPARK_GRAFT_QUERIES": ",".join(queries),
+        "SPARK_GRAFT_RUNS": env.get("SPARK_GRAFT_RUNS", runs),
         "SPARK_GRAFT_BENCH_LABEL": label,
     })
     env.pop("SPARK_GRAFT_SRP_PLANES", None)  # gates run fixture defaults
@@ -77,10 +88,37 @@ def main() -> int:
     sys.stderr.write(proc.stderr[-2000:])
     print(proc.stdout.strip())
     if proc.returncode != 0:
-        return proc.returncode
-
+        return None
     with open(os.path.join(REPO, "BENCH.json")) as fh:
-        payload = json.load(fh)
+        return json.load(fh)
+
+
+ARBITER_RUNS = "5"
+
+
+def _arbitrate(q: str, a: float, suite_t: float, label: str) -> bool:
+    """Re-judge a flagged query ISOLATED (own JVM, 5-run median) against
+    the same anchor + rule.  True = drift is REAL (reproduces isolated);
+    False = composition/session noise, auto-resolved."""
+    print(f"\narbiter: re-benching {q} isolated x{ARBITER_RUNS} "
+          f"(in-suite read {suite_t:.2f}s vs anchor {a:.2f}s)...")
+    payload = _run_bench([q], ARBITER_RUNS, f"{label}-arbiter-{q}")
+    if payload is None or q not in payload.get("queries", {}):
+        print(f"arbiter: isolated bench FAILED for {q} — treating as real")
+        return True
+    t = payload["queries"][q]
+    real = t / a > DRIFT and (t - a) > DRIFT_MIN_ABS
+    verdict = "CONFIRMED (investigate)" if real else "noise (auto-resolved)"
+    print(f"arbiter: {q} isolated median {t:.2f}s vs anchor {a:.2f}s "
+          f"(ratio {t / a:.2f}) -> {verdict}")
+    return real
+
+
+def main() -> int:
+    label = sys.argv[1] if len(sys.argv) > 1 else "r12-sf1-frontier"
+    payload = _run_bench(FRONTIER, "3", label)
+    if payload is None:
+        return 3
     timings = payload["queries"]
     anchor = _anchor()
     missing = [q for q in FRONTIER if q not in timings]
@@ -100,11 +138,18 @@ def main() -> int:
     if missing:
         print(f"FAILED queries: {missing}")
         return 2
-    if drifted:
-        print(f"\n>{DRIFT}x drift vs anchor — attribute in SCALE_NOTES/"
-              f"BENCH notes before shipping: {drifted}")
+    confirmed = [(q, r) for q, r in drifted
+                 if _arbitrate(q, anchor[q], timings[q], label)]
+    if confirmed:
+        print(f"\n>{DRIFT}x drift CONFIRMED by the isolated arbiter — "
+              f"attribute in SCALE_NOTES/BENCH notes before shipping: "
+              f"{confirmed}")
         return 1
-    print("\nfrontier: no drift > 1.3x vs anchor")
+    if drifted:
+        print(f"\nall {len(drifted)} in-suite flags auto-resolved as "
+              f"noise by the isolated arbiter (rows in BENCH_history)")
+    else:
+        print("\nfrontier: no drift > 1.3x vs anchor")
     return 0
 
 
