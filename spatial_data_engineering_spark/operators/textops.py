@@ -3797,3 +3797,208 @@ def q210_word_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("t") != "")
             .groupBy(F.length("t").cast("bigint").alias("word_len"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens")))
+
+
+# --------------------------------------------------------------------------
+# q216 — DSIR-style importance resampling (round-12 inventory growth):
+# select source-corpus documents whose unigram distribution looks like a
+# TARGET domain, by log-likelihood ratio under two smoothed unigram LMs
+# — the published Data Selection via Importance Resampling recipe
+# (Xie et al. 2023, arXiv:2302.03169; method description only) with the
+# paper's Gumbel resampling replaced by a deterministic top-N so the
+# result is reproducible and oracle-checkable.  The target domain here
+# is lang='en' (the corpus's majority language standing in for "looks
+# like Wikipedia"); the source LM is the whole corpus.
+#
+# Per doc: w(d) = sum_t ln( p_tgt(t) / p_src(t) ) over its tokens, with
+# add-1 smoothing over the SOURCE vocab (target vocab is a subset by
+# construction).  Selected = top _DSIR_N docs by (w DESC, doc_id).
+#
+# Plan shape at 100 TB: one token explode feeds BOTH LM aggregations
+# (vocab-sized groupBys with map-side partials); the per-token
+# log-ratio dim joins back on the token (uniform key, broadcast-able
+# vocab at dim scale); one doc_id-keyed reduce; the top-N is
+# TakeOrderedAndProject (no global window — K rows through one reduce,
+# never the corpus).  Cross-engine floats: each token's log-ratio is
+# rounded to 9dp then decimal-summed (the q141 ln() device), so the
+# doc weights are bit-identical and the top-N boundary cannot split
+# the engines; reported means go through fround6.
+# --------------------------------------------------------------------------
+_DSIR_TARGET_LANG = "en"
+_DSIR_N = 120
+
+
+@query(
+    "q216_dsir_importance",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS t
+        FROM documents
+    ),
+    tokf AS (SELECT doc_id, lang, t FROM tok WHERE t <> ''),
+    src AS (SELECT t, COUNT(*) AS ns FROM tokf GROUP BY t),
+    tgt AS (SELECT t, COUNT(*) AS nt FROM tokf
+            WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY t),
+    tots AS (
+        SELECT (SELECT SUM(ns) FROM src) AS ts,
+               (SELECT COALESCE(SUM(nt), 0) FROM tgt) AS tt,
+               (SELECT COUNT(*) FROM src) AS v
+    ),
+    ratio AS (
+        SELECT src.t,
+               ROUND(ln(((COALESCE(tgt.nt, 0) + 1.0) / (tots.tt + tots.v))
+                        / ((src.ns + 1.0) / (tots.ts + tots.v))), 9)
+                   AS lr
+        FROM src LEFT JOIN tgt ON src.t = tgt.t CROSS JOIN tots
+    ),
+    weights AS (
+        SELECT tokf.doc_id, tokf.lang,
+               CAST(SUM(CAST(lr AS DECIMAL(30,9))) AS DOUBLE) AS w
+        FROM tokf JOIN ratio ON tokf.t = ratio.t
+        GROUP BY tokf.doc_id, tokf.lang
+    ),
+    selected AS (
+        SELECT doc_id, lang, w FROM weights
+        ORDER BY w DESC, doc_id LIMIT {_DSIR_N}
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_selected,
+           {{avg_w}} AS avg_weight,
+           {{min_w}} AS min_weight
+    FROM selected GROUP BY lang
+    """.format(
+        avg_w=("(floor((CAST(SUM(CAST(ROUND(w, 9) AS DECIMAL(30,9))) "
+               "AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0)"),
+        min_w="(floor(MIN(w) * 1000000.0 + 0.5) / 1000000.0)",
+    ),
+)
+def q216_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = (d.select("doc_id", "lang",
+                    F.explode(F.split("text", " ")).alias("t"))
+           .filter(F.col("t") != ""))
+    src = tok.groupBy("t").agg(F.count(F.lit(1)).alias("ns"))
+    tgt = (tok.filter(F.col("lang") == _DSIR_TARGET_LANG)
+           .groupBy("t").agg(F.count(F.lit(1)).alias("nt")))
+    tots = (src.agg(F.sum("ns").alias("ts"),
+                    F.count(F.lit(1)).alias("v"))
+            .crossJoin(tgt.agg(
+                F.coalesce(F.sum("nt"), F.lit(0)).alias("tt"))))
+    # smoothed per-token log-ratio dim: vocab-sized, the 9dp-round +
+    # decimal-sum ln() device from q141
+    lr = F.round(F.log(
+        ((F.coalesce(F.col("nt"), F.lit(0)) + 1.0)
+         / (F.col("tt") + F.col("v")))
+        / ((F.col("ns") + 1.0) / (F.col("ts") + F.col("v")))), 9)
+    ratio = (src.join(tgt, "t", "left")
+             .crossJoin(F.broadcast(tots))
+             .select("t", lr.alias("lr")))
+    weights = (tok.join(ratio, "t")
+               .groupBy("doc_id", "lang")
+               .agg(F.sum(F.col("lr").cast("decimal(30,9)"))
+                    .cast("double").alias("w")))
+    # deterministic top-N: TakeOrderedAndProject, never a global window
+    selected = weights.orderBy(F.desc("w"), F.asc("doc_id")).limit(_DSIR_N)
+    from .common import fround6
+    return (selected.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_selected"),
+                 fround6(F.sum(F.round(F.col("w"), 9)
+                               .cast("decimal(30,9)")).cast("double")
+                         / F.count(F.lit(1))).alias("avg_weight"),
+                 fround6(F.min("w")).alias("min_weight")))
+
+
+# --------------------------------------------------------------------------
+# q217 — per-domain quota sampling (round-12 inventory growth): cap how
+# many documents any one REGISTERED DOMAIN contributes to the training
+# corpus, keeping each domain's highest-quality docs — the standard
+# web-crawl balance step (a single hyper-crawled site must not dominate
+# the mix), composing q214's registered-domain extraction with q44's
+# quality score.  Within a domain, rank by (quality DESC, doc_id) and
+# keep rank <= _DOMAIN_QUOTA; report per-domain kept/dropped and the
+# kept docs' mean quality.  (Lives here, not in dedup.py, because it
+# needs _SCORED_SQL at module-eval time and textops already imports
+# dedup's builders — the reverse import would be circular.)
+#
+# Plan shape at 100 TB: the URL->domain derivation is pure codegen
+# (q214's expression — no UDF, no join); quality is a per-row formula;
+# the only shuffle is the domain-keyed rank window, which is
+# partition-parallel across millions of domains (keys are many and the
+# per-key group is crawl-bounded; for a pathological mega-domain the
+# q85 two-phase thinning composes in front).  Output is domain-count
+# rows.  Floats: quality already uses the engine-neutral floor-device;
+# the mean goes through decimal accumulation + fround6.
+# --------------------------------------------------------------------------
+_DOMAIN_QUOTA = 6
+
+from .dedup import _HOST_RE as _Q217_HOST_RE  # noqa: E402
+from .dedup import _url_expr as _q217_url_expr  # noqa: E402
+from .dedup import registered_domain_spark as _q217_rd_spark  # noqa: E402
+from .dedup import registered_domain_sql as _q217_rd_sql  # noqa: E402
+
+_ORACLE_Q217 = f"""
+    {_SCORED_SQL},
+    -- the synthetic URL is a pure function of doc_id, so the domain
+    -- derives on the scored relation directly: ZERO joins in the whole
+    -- query (one scan, one window, one groupBy)
+    reg AS (
+        SELECT doc_id,
+               COALESCE({_q217_rd_sql(
+                   f"regexp_extract({_q217_url_expr()}, "
+                   f"{_Q217_HOST_RE}, 1)")}, '(none)')
+                   AS registered_domain,
+               quality
+        FROM scored
+    ),
+    ranked AS (
+        SELECT doc_id, registered_domain, quality,
+               ROW_NUMBER() OVER (PARTITION BY registered_domain
+                                  ORDER BY quality DESC, doc_id) AS rk
+        FROM reg
+    )
+    SELECT registered_domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN rk <= {_DOMAIN_QUOTA} THEN 1 END)
+                AS BIGINT) AS n_kept,
+           CAST(COUNT(CASE WHEN rk > {_DOMAIN_QUOTA} THEN 1 END)
+                AS BIGINT) AS n_dropped,
+           (floor((CAST(SUM(CASE WHEN rk <= {_DOMAIN_QUOTA}
+                              THEN CAST(ROUND(quality, 9) AS DECIMAL(30,9))
+                              END) AS DOUBLE)
+                   / COUNT(CASE WHEN rk <= {_DOMAIN_QUOTA} THEN 1 END))
+                  * 1000000.0 + 0.5) / 1000000.0) AS avg_kept_quality
+    FROM ranked GROUP BY registered_domain
+"""
+
+
+@query("q217_domain_quota_sample", _ORACLE_Q217)
+def q217_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from .common import fround6
+
+    d = load(spark, sf_dir, "documents")
+    # url (hence domain) is a pure function of doc_id — derive it on the
+    # scored frame: one scan, no join (mirrors the oracle)
+    reg = _scored_quality(d).select(
+        "doc_id",
+        F.coalesce(
+            F.expr(_q217_rd_spark(
+                f"regexp_extract({_q217_url_expr()}, "
+                f"{_Q217_HOST_RE}, 1)")),
+            F.lit("(none)")).alias("registered_domain"),
+        "quality")
+    w = W.partitionBy("registered_domain").orderBy(
+        F.desc("quality"), F.asc("doc_id"))
+    ranked = reg.withColumn("rk", F.row_number().over(w))
+    kept = F.col("rk") <= _DOMAIN_QUOTA
+    return (ranked.groupBy("registered_domain")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.count(F.when(kept, 1)).cast("bigint").alias("n_kept"),
+                 F.count(F.when(~kept, 1)).cast("bigint")
+                 .alias("n_dropped"),
+                 fround6(
+                     F.sum(F.when(kept, F.round(F.col("quality"), 9)
+                                  .cast("decimal(30,9)"))).cast("double")
+                     / F.count(F.when(kept, 1)))
+                 .alias("avg_kept_quality")))

@@ -90,7 +90,10 @@ _PRIORITY = [
     "q203_quantization_error", "q206_ship_latency",
     # --- tail: rotates into r13+ windows, least-recently-verified
     # first ---
-    # the 13 r8 rows displaced by this round's forces — lead r13
+    # NEW in r12 (inventory 214 -> 216): never-driver-verified rows
+    # outrank stale ones — lead the r13 window
+    "q216_dsir_importance", "q217_domain_quota_sample",
+    # the 13 r8 rows displaced by this round's forces — next in r13
     "q35_rank_functions", "q36_full_outer", "q37_array_agg", "q38_profile",
     "q39_local_supplier_revenue", "q63_date_functions", "q64_bag_set_ops",
     "q28_approx_distinct", "q34_approx_quantiles", "q52_ivf_ann",

@@ -48,10 +48,12 @@ EXPECTED_WINDOW = [
     "q203_quantization_error", "q206_ship_latency",
 ]
 
-# The rows that must LEAD the round-13 window: the 13 r8-verified rows
-# displaced by this round's rule-(2) forces.  r13 fills the rest with
-# the remaining r8 rows and the oldest r9 rows that follow.
+# The rows that must LEAD the round-13 window: the two NEW r12 queries
+# (never driver-verified), then the 13 r8-verified rows displaced by
+# this round's rule-(2) forces.  r13 fills the rest with the remaining
+# r8 rows and the oldest r9 rows that follow.
 EXPECTED_R13_LEAD = [
+    "q216_dsir_importance", "q217_domain_quota_sample",
     "q35_rank_functions", "q36_full_outer", "q37_array_agg", "q38_profile",
     "q39_local_supplier_revenue", "q63_date_functions", "q64_bag_set_ops",
     "q28_approx_distinct", "q34_approx_quantiles", "q52_ivf_ann",

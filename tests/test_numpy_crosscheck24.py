@@ -1,0 +1,108 @@
+"""Pure-Python replay of the round-12 additions (q216/q217) — the
+third-way check (no Spark expressions, no DuckDB SQL): the DSIR
+log-likelihood-ratio selection with math.log + Counter, and the
+per-domain quota with plain sorted groupbys over the same URL/PSL
+replay helpers crosscheck23 uses for q214.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+
+import pandas as pd
+import pytest
+
+from .conftest import SF_ORACLE
+from .test_numpy_crosscheck23 import _reg_domain, _url
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return pd.read_parquet(SF_ORACLE + "/documents.parquet")
+
+
+def _close(a, b, tol=2e-6):
+    return (a is None and b is None) or abs(a - b) <= tol
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in text.split(" ") if t != ""]
+
+
+# -------------------------------------------------------------- q216
+def test_q216_dsir_importance_vs_python(spark, docs):
+    from spatial_data_engineering_spark.operators.textops import (
+        _DSIR_N, _DSIR_TARGET_LANG, q216_dsir_importance)
+
+    src, tgt = Counter(), Counter()
+    doc_toks = {}
+    for _, r in docs.iterrows():
+        toks = _tokens(r["text"])
+        doc_toks[int(r["doc_id"])] = (r["lang"], toks)
+        src.update(toks)
+        if r["lang"] == _DSIR_TARGET_LANG:
+            tgt.update(toks)
+    ts, tt, v = sum(src.values()), sum(tgt.values()), len(src)
+    lr = {t: round(math.log(((tgt.get(t, 0) + 1.0) / (tt + v))
+                            / ((n + 1.0) / (ts + v))), 9)
+          for t, n in src.items()}
+    weights = {d: (lang, sum(lr[t] for t in toks))
+               for d, (lang, toks) in doc_toks.items()}
+    ranked = sorted(weights.items(), key=lambda kv: (-kv[1][1], kv[0]))
+    sel = ranked[:_DSIR_N]
+    per = defaultdict(list)
+    for _, (lang, w) in sel:
+        per[lang].append(w)
+    got = {r.lang: r for r in
+           q216_dsir_importance(spark, SF_ORACLE).collect()}
+    assert set(got) == set(per)
+    assert sum(r.n_selected for r in got.values()) == _DSIR_N
+    for lang, ws in per.items():
+        assert got[lang].n_selected == len(ws)
+        assert _close(got[lang].avg_weight, sum(ws) / len(ws))
+        assert _close(got[lang].min_weight, min(ws))
+    # the selection must actually favor the target domain: the target
+    # language's share among selected docs exceeds its corpus share
+    n_tgt_corpus = sum(1 for lang, _ in doc_toks.values()
+                       if lang == _DSIR_TARGET_LANG)
+    assert (len(per.get(_DSIR_TARGET_LANG, [])) / _DSIR_N
+            > n_tgt_corpus / len(doc_toks))
+
+
+# -------------------------------------------------------------- q217
+def _quality(r) -> float:
+    toks = r["text"].split(" ")
+    n, nt = len(r["text"]), len(toks)
+    ndt = len(set(toks))
+    stop = {"the", "a", "of", "and", "to", "in"}
+    nstop = sum(1 for t in toks if t in stop)
+    raw = (0.25 * min(n / 400.0, 1.0) + 0.25 * min(nstop * 4.0 / nt, 1.0)
+           + 0.50 * (ndt * 1.0 / nt))
+    return math.floor(raw * 1000000.0 + 0.5) / 1000000.0
+
+
+def test_q217_domain_quota_vs_python(spark, docs):
+    from spatial_data_engineering_spark.operators.textops import (
+        _DOMAIN_QUOTA, q217_domain_quota_sample)
+
+    per = defaultdict(list)  # domain -> [(quality, doc_id)]
+    for _, r in docs.iterrows():
+        doc_id = int(r["doc_id"])
+        host = re.match(r"^[a-z]+://(?:[^@/]*@)?([^/:]+)",
+                        _url(doc_id)).group(1)
+        dom = _reg_domain(host) or "(none)"
+        per[dom].append((_quality(r), doc_id))
+    got = {r.registered_domain: r for r in
+           q217_domain_quota_sample(spark, SF_ORACLE).collect()}
+    assert set(got) == set(per)
+    for dom, rows in per.items():
+        rows.sort(key=lambda qd: (-qd[0], qd[1]))
+        kept = rows[:_DOMAIN_QUOTA]
+        g = got[dom]
+        assert g.n_docs == len(rows)
+        assert g.n_kept == len(kept)
+        assert g.n_dropped == len(rows) - len(kept)
+        assert _close(g.avg_kept_quality,
+                      sum(q for q, _ in kept) / len(kept))

@@ -89,6 +89,8 @@ REPLAYS = {
     "q201_cluster_label_purity": "test_numpy_crosscheck6.py",
     "q114_kmv_distinct": "test_numpy_crosscheck18.py",
     "q119_kmv_setops": "test_numpy_crosscheck18.py",
+    "q216_dsir_importance": "test_numpy_crosscheck24.py",
+    "q217_domain_quota_sample": "test_numpy_crosscheck24.py",
 }
 
 
