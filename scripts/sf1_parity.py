@@ -152,14 +152,18 @@ def main() -> int:
                 oracle_pdf = duck.sql(os_[name]).df()
             elif mode == "output-slice":
                 df = qs[name](spark, SF1).filter(strat["post"])
-                oracle_pdf = duckdb_connection_sf1(
-                    SF1, strat["table"], strat["pred"]).sql(os_[name]).df()
+                # keep the connection referenced until .df() finishes —
+                # a bare chained call gets GC-closed mid-query
+                scon = duckdb_connection_sf1(
+                    SF1, strat["table"], strat["pred"])
+                oracle_pdf = scon.sql(os_[name]).df()
             elif mode == "corpus-slice":
                 sdir = materialize_slice(SF1, strat["table"],
                                          strat["pred"])
                 df = qs[name](spark, sdir)
-                oracle_pdf = duckdb_connection_sf1(
-                    SF1, strat["table"], strat["pred"]).sql(os_[name]).df()
+                scon = duckdb_connection_sf1(
+                    SF1, strat["table"], strat["pred"])
+                oracle_pdf = scon.sql(os_[name]).df()
             compare(df, oracle_pdf, name=name)
             dt = time.perf_counter() - t0
             tag = "PASS" if mode == "whole" else f"PASS({mode})"

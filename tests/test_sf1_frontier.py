@@ -74,6 +74,7 @@ PARITY_SUBSET = [
     "q47_minhash_lsh", "q51_srp_lsh_buckets", "q148_semdedup",
     "q193_heaps_law", "q56_dedup_components",
     "q214_url_domain_dedup", "q215_rate_limited_sample",
+    "q216_dsir_importance", "q217_domain_quota_sample",
 ]
 
 
