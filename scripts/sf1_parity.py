@@ -79,8 +79,21 @@ def materialize_slice(sf_dir: str, table: str, pred: str) -> str:
     tag = re.sub(r"\W+", "_", f"{table}_{pred}").strip("_")
     out = os.path.join(sf_dir, "_slices", tag)
     marker = os.path.join(out, "_SLICE_OK")
-    if os.path.exists(marker):
+    # the marker encodes the SOURCE table's identity (file sizes +
+    # mtimes), so a regenerated sf1 corpus invalidates old slices
+    # instead of silently verifying against stale data
+    src_tbl = os.path.join(sf_dir, f"{table}.parquet")
+    parts = ([os.path.join(src_tbl, f) for f in sorted(os.listdir(src_tbl))]
+             if os.path.isdir(src_tbl) else [src_tbl])
+    ident = pred + "|" + "|".join(
+        f"{os.path.basename(p)}:{os.path.getsize(p)}:"
+        f"{int(os.path.getmtime(p))}"
+        for p in parts if p.endswith(".parquet") or not os.path.isdir(p))
+    if os.path.exists(marker) and open(marker).read() == ident:
         return out
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     tables = ("region nation customer supplier part orders lineitem "
               "events documents embeddings").split()
@@ -96,7 +109,7 @@ def materialize_slice(sf_dir: str, table: str, pred: str) -> str:
             pq.write_table(tbl.filter(keep), dst)
         elif not os.path.exists(dst):
             os.symlink(os.path.abspath(src), dst)
-    open(marker, "w").write(pred)
+    open(marker, "w").write(ident)
     return out
 
 
