@@ -74,12 +74,18 @@ def _anchor() -> dict[str, float]:
     return anchor
 
 
-def _run_bench(queries: list[str], runs: str, label: str) -> dict | None:
+def _run_bench(queries: list[str], runs: str, label: str,
+               force_runs: bool = False) -> dict | None:
     env = dict(os.environ)
     env.update({
         "SPARK_GRAFT_SF_DIR": os.path.join(REPO, "testdata_sf1"),
         "SPARK_GRAFT_QUERIES": ",".join(queries),
-        "SPARK_GRAFT_RUNS": env.get("SPARK_GRAFT_RUNS", runs),
+        # the ARBITER must always get its full 5-run median — a
+        # pre-set SPARK_GRAFT_RUNS=1 quick-probe env var must not let
+        # it "adjudicate" real drift from a single lucky run (r12
+        # self-review); only the in-suite pass honors the env override
+        "SPARK_GRAFT_RUNS": runs if force_runs
+        else env.get("SPARK_GRAFT_RUNS", runs),
         "SPARK_GRAFT_BENCH_LABEL": label,
     })
     env.pop("SPARK_GRAFT_SRP_PLANES", None)  # gates run fixture defaults
@@ -102,7 +108,8 @@ def _arbitrate(q: str, a: float, suite_t: float, label: str) -> bool:
     False = composition/session noise, auto-resolved."""
     print(f"\narbiter: re-benching {q} isolated x{ARBITER_RUNS} "
           f"(in-suite read {suite_t:.2f}s vs anchor {a:.2f}s)...")
-    payload = _run_bench([q], ARBITER_RUNS, f"{label}-arbiter-{q}")
+    payload = _run_bench([q], ARBITER_RUNS, f"{label}-arbiter-{q}",
+                         force_runs=True)
     if payload is None or q not in payload.get("queries", {}):
         print(f"arbiter: isolated bench FAILED for {q} — treating as real")
         return True

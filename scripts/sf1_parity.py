@@ -95,9 +95,8 @@ def materialize_slice(sf_dir: str, table: str, pred: str) -> str:
 
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
-    tables = ("region nation customer supplier part orders lineitem "
-              "events documents embeddings").split()
-    for t in tables:
+    from parity import TABLES  # single source of truth for the corpus
+    for t in TABLES:
         src = os.path.join(sf_dir, f"{t}.parquet")
         dst = os.path.join(out, f"{t}.parquet")
         if t == table:
@@ -113,6 +112,28 @@ def materialize_slice(sf_dir: str, table: str, pred: str) -> str:
     return out
 
 
+def duckdb_connection_sf1(sf_dir: str, slice_table=None, pred=None):
+    """DuckDB connection with the corpus views; ``slice_table``/``pred``
+    restrict ONE table to a stratified slice (the subset strategies).
+    Module-level so tests/test_sf1_frontier.py uses the same view
+    construction as the sweep — the glob and the WHERE injection cannot
+    drift apart.  sf1 tables are Spark-written DIRECTORIES
+    (table.parquet/part-*) where driver testdata uses single files —
+    glob accordingly."""
+    import duckdb
+
+    from parity import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+        w = f" WHERE {pred}" if t == slice_table else ""
+        con.sql(f"CREATE VIEW {t} AS SELECT * "
+                f"FROM read_parquet('{pat}'){w}")
+    return con
+
+
 def main() -> int:
     extra = set(sys.argv[1].split(",")) if len(sys.argv) > 1 else set()
     skip = {s for s in extra if s}
@@ -122,18 +143,6 @@ def main() -> int:
     from parity import TABLES, compare
 
     import duckdb
-
-    def duckdb_connection_sf1(sf_dir: str, slice_table=None, pred=None):
-        # sf1 tables are Spark-written DIRECTORIES (table.parquet/part-*)
-        # where the driver testdata uses single files — glob accordingly
-        con = duckdb.connect()
-        for t in TABLES:
-            p = os.path.join(sf_dir, f"{t}.parquet")
-            pat = f"{p}/*.parquet" if os.path.isdir(p) else p
-            w = f" WHERE {pred}" if t == slice_table else ""
-            con.sql(f"CREATE VIEW {t} AS SELECT * "
-                    f"FROM read_parquet('{pat}'){w}")
-        return con
 
     spark = (SparkSession.builder.master("local[8]")
              .appName("sf1-parity")

@@ -88,7 +88,7 @@ def sql_dcv_expr(expr: str) -> str:
 
 
 def fround6(col: Column) -> Column:
-    """Engine-neutral ROUND(x, 6) for NON-NEGATIVE doubles (Spark side).
+    """Engine-neutral 6-decimal rounding device (Spark side).
 
     ``floor(x*1e6 + 0.5)/1e6`` — plain IEEE ops, so both engines share
     halfway semantics on the exact binary value.  Spark's ROUND rounds
@@ -96,8 +96,15 @@ def fround6(col: Column) -> Column:
     rounds the binary value; a value exactly on a .5e-6 boundary splits
     the engines by 1e-6 (first observed on the q44 quality score at sf1,
     round 11; same failure mode for any interpolated percentile output —
-    ADVICE r11).  Negative inputs would round half-UP instead of
-    half-away-from-zero — callers guarantee x >= 0.
+    ADVICE r11).
+
+    Sign domain: the device is engine-IDENTICAL for any sign (that is
+    its whole job), but on negative halfway inputs it rounds half-UP
+    (-3.0000005 -> -3.0) where ROUND's display convention is
+    half-away-from-zero (-3.000001).  Callers that must match ROUND's
+    decimal convention guarantee x >= 0 (quality scores, percentiles of
+    non-negative quantities); callers that only need cross-engine
+    agreement (q216's signed log-ratios) may pass any sign.
     """
     return F.floor(col * 1000000.0 + 0.5) / 1000000.0
 

@@ -111,7 +111,15 @@ def _sql_in(vals) -> str:
 def _levels(host: str, n: int, dialect: str) -> tuple[list[str], list[str]]:
     """(labels l[1..n], suffix-strings last[1..n+?]) — l[i] is the i-th
     label from the right, last[k] the last-k-labels string; both NULL
-    when the host is too short (concat/|| are null-intolerant)."""
+    when the host is too short (concat/|| are null-intolerant).
+
+    The host is LOWERCASED first: PSL matching is case-insensitive per
+    spec, rules are stored lowercase, and the pure-Python replay lowers
+    too — without this, any mixed-case host silently falls through to
+    NULL (caught by the round-12 self-review, pinned in
+    test_psl_loader.py).
+    """
+    host = f"lower({host})"
     if dialect == "spark":
         arr = f"split({host}, '\\\\.')"
         lab = [None] + [f"try_element_at({arr}, -{i})"
@@ -139,7 +147,14 @@ def compile_registered_domain(rules: PslRules, host: str,
     first (any length), then suffix rules longest-first; within one
     suffix length, plain and wildcard branches cannot disagree (a
     host matching both yields the same registrable domain).
+
+    Raises ValueError on an empty rule set — a comment-only or
+    wrongly-sliced snapshot should fail loudly, not emit a CASE that
+    maps every host to NULL (or crash in _levels).
     """
+    if rules.n_rules == 0:
+        raise ValueError("PSL snapshot contains no rules — check the "
+                         ".dat slicing (comment-only input?)")
     n = rules.max_labels()
     lab, last = _levels(host, n, dialect)
     branches: list[str] = []

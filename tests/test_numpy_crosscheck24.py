@@ -24,7 +24,9 @@ def docs():
 
 
 def _close(a, b, tol=2e-6):
-    return (a is None and b is None) or abs(a - b) <= tol
+    if a is None or b is None:
+        return a is None and b is None  # one-sided None is a mismatch
+    return abs(a - b) <= tol
 
 
 def _tokens(text: str) -> list[str]:

@@ -103,8 +103,10 @@ def test_loader_reproduces_shipped_q214_expression(spark):
     hand-written dedup.registered_domain_spark/_sql constants AND the
     Python replay on the actual q214 URL corpus — three engines, two
     expression generators, one truth."""
+    from .conftest import SF_ORACLE
+
     rules = parse_psl(FIXTURE_DAT)
-    hosts = (spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    hosts = (spark.read.parquet(SF_ORACLE + "/documents.parquet")
              .select("doc_id", F.expr(dedup._url_expr()).alias("url"))
              .select(F.regexp_extract(
                  "url", dedup._HOST_RE.strip("'"), 1).alias("host")))
@@ -168,6 +170,33 @@ def test_loader_three_way_on_deep_rules(spark, dialect):
     # three-way check caught: an unguarded wildcard branch swallowed it)
     assert by_host["kawasaki.jp"] == "kawasaki.jp"
     assert by_host["kobe.jp"] is None  # plain suffix, no fallthrough
+
+
+@pytest.mark.parametrize("dialect", ["spark", "duckdb"])
+def test_mixed_case_hosts_match_case_insensitively(spark, dialect):
+    # PSL matching is case-insensitive per spec; the compiled expression
+    # lowercases the host (r12 self-review caught the miss — without
+    # lower(), 'Example.COM' silently fell through to NULL while the
+    # replay matched it)
+    rules = parse_psl(FIXTURE_DAT)
+    hosts = ["Example.COM", "EXAMPLE.CO.UK", "WwW.Example.Co.Uk",
+             "WWW.CK", "A.Zone1.CK"]
+    expect = [registered_domain_py(h, rules) for h in hosts]
+    assert expect[0] == "example.com" and expect[3] == "www.ck"
+    expr = compile_registered_domain(rules, "host", dialect)
+    if dialect == "spark":
+        df = spark.createDataFrame([(h,) for h in hosts], "host string")
+        got = [r[0] for r in df.select(F.expr(expr)).collect()]
+    else:
+        rows = ", ".join(f"('{h}')" for h in hosts)
+        got = [r[0] for r in duckdb.sql(
+            f"SELECT {expr} FROM (VALUES {rows}) t(host)").fetchall()]
+    assert got == expect
+
+
+def test_empty_snapshot_fails_loudly():
+    with pytest.raises(ValueError, match="no rules"):
+        compile_registered_domain(parse_psl("// only comments\n"), "host")
 
 
 def _synthetic_full_list(n_rules: int) -> str:

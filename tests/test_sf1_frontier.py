@@ -124,24 +124,20 @@ def _sf1_parity_mod():
     "q49_cosine_topk", "q50_embedding_neardup",
     "q154_knn_label_accuracy", "q156_minhash_estimate_audit"])
 def test_quadratic_oracle_subset_parity_at_sf1(spark, name):
-    import duckdb
-
     import __spark_entry__ as entrymod
 
-    from .parity import TABLES, compare
+    from .parity import compare
 
     mod = _sf1_parity_mod()
     strat = mod.SUBSET[name]
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
 
-    con = duckdb.connect()
-    for t in TABLES:
-        p = os.path.join(SF1, f"{t}.parquet")
-        pat = f"{p}/*.parquet" if os.path.isdir(p) else p
-        w = (f" WHERE {strat['pred']}"
-             if strat["mode"] != "full" and t == strat["table"] else "")
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}'){w}")
-
+    # the SAME view construction as the sweep (shared helper — the glob
+    # and WHERE injection cannot drift between gate and sweep)
+    con = (mod.duckdb_connection_sf1(SF1)
+           if strat["mode"] == "full"
+           else mod.duckdb_connection_sf1(SF1, strat["table"],
+                                          strat["pred"]))
     if strat["mode"] == "full":
         df = qs[name](spark, SF1)
     elif strat["mode"] == "output-slice":
