@@ -743,3 +743,41 @@ def q171_dup_degree_distribution(spark: SparkSession,
            .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
     return deg.groupBy("degree").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+
+
+# --------------------------------------------------------------------------
+# q219 — k-means audit (round-12 no-oracle shrink): q55's cluster sizes
+# are iteration-valued (rows-only driver check by nature), but Lloyd's
+# contract is checkable: every point assigned exactly once (n_points —
+# independently recomputed by the DuckDB oracle from the corpus), at
+# most k clusters, and the inertia history non-increasing (Lloyd's
+# monotonicity guarantee — a broken assign/update step flips it).  The
+# flags are deterministic per dataset (seeded init, fixed iteration
+# count), so this is a stable driver hash row, not a flaky gate.
+# --------------------------------------------------------------------------
+@query(
+    "q219_kmeans_audit",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(8 AS BIGINT) AS k,
+           CAST(1 AS BIGINT) AS inertia_monotone,
+           CAST(1 AS BIGINT) AS n_clusters_le_k
+    FROM embeddings
+    """,
+)
+def q219_kmeans_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load
+
+    e = load(spark, sf_dir, "embeddings")
+    assignments, _, hist = kmeans_fit(spark, e, k=8, max_iter=5)
+    n_points = assignments.count()
+    n_clusters = assignments.select("cluster").distinct().count()
+    # float-noise tolerance: partial re-aggregation order can wiggle the
+    # reported inertia by ~1e-9 relative; Lloyd violations are orders of
+    # magnitude larger
+    monotone = int(all(b <= a * (1 + 1e-9)
+                       for a, b in zip(hist, hist[1:])))
+    return spark.createDataFrame(
+        [(n_points, 8, monotone, int(n_clusters <= 8))],
+        "n_points bigint, k bigint, inertia_monotone bigint, "
+        "n_clusters_le_k bigint")

@@ -1140,17 +1140,54 @@ def q27_first_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q28 — approximate distinct profiling (HLL).  Sketches differ between
-# engines by design -> no oracle; the driver records the rows-only check.
-# The companion exact counts are oracle-checked in q15.
+# q28 — approximate distinct profiling (HLL).  The sketch VALUE differs
+# between engines by design, but HLL++ is a DETERMINISTIC function of
+# the data — so since round 12 the query SELF-CERTIFIES it: the output
+# carries the exact distinct counts (independently recomputed by the
+# DuckDB oracle) plus an in-query bounded-relative-error flag on the
+# sketch.  A broken sketch flips the flag and hash-mismatches the
+# oracle's literal 1 — the rows-only check becomes a full t2 row.  The
+# bound is 3x the default rsd (0.05), deterministic at every shipped
+# scale (raw sketch surface: ``approx_distinct_profile`` +
+# tests/test_approx.py).
 # --------------------------------------------------------------------------
-@query("q28_approx_distinct")
-def q28_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+_Q28_REL_ERR = 0.15
+
+
+def approx_distinct_profile(li: DataFrame) -> DataFrame:
+    """Raw sketch + exact columns (the pre-r12 q28 surface plus exact)."""
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_suppkey").alias("exact_suppliers"),
     )
+
+
+@query(
+    "q28_approx_distinct",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_suppliers,
+           CAST(1 AS BIGINT) AS parts_ok,
+           CAST(1 AS BIGINT) AS suppliers_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q28_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+
+    def ok(a: str, e: str):
+        return ((F.abs(F.col(a) - F.col(e)) / F.col(e))
+                <= _Q28_REL_ERR).cast("bigint")
+
+    return approx_distinct_profile(li).select(
+        "l_returnflag",
+        F.col("exact_parts").cast("bigint").alias("exact_parts"),
+        F.col("exact_suppliers").cast("bigint").alias("exact_suppliers"),
+        ok("approx_parts", "exact_parts").alias("parts_ok"),
+        ok("approx_suppliers", "exact_suppliers").alias("suppliers_ok"))
 
 
 # --------------------------------------------------------------------------
@@ -1386,16 +1423,45 @@ def q33_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q34 — approximate quantiles (sketch class; like q28 the sketch is
-# engine-specific -> rows-only driver check, accuracy asserted against the
-# exact q33 in tests/test_approx.py).
+# q34 — approximate quantiles (GK sketch).  Engine-specific sketch
+# value, but deterministic per dataset — so like q28 (round 12) the
+# query self-certifies: output = the EXACT percentiles (independently
+# recomputed by the oracle via sql_spark_pct) + in-query flags that the
+# sketch landed within 1% relative error of them (the
+# tests/test_approx.py contract, now a driver hard signal).  Raw sketch
+# surface: ``grouped_percentiles(exact=False)``.
 # --------------------------------------------------------------------------
-@query("q34_approx_quantiles")
+_Q34_REL_ERR = 0.01
+
+
+@query(
+    "q34_approx_quantiles",
+    f"""
+    WITH {sql_spark_pct('lineitem', 'l_extendedprice',
+                        [('0.50', 'p50'), ('0.95', 'p95')],
+                        part=['l_returnflag'])}
+    SELECT l_returnflag, p50, p95,
+           CAST(1 AS BIGINT) AS ap50_ok, CAST(1 AS BIGINT) AS ap95_ok
+    FROM pct
+    """,
+)
 def q34_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    return grouped_percentiles(
+    exact = grouped_percentiles(
+        li, ["l_returnflag"], "l_extendedprice",
+        [0.5, 0.95], ["p50", "p95"], exact=True)
+    approx = grouped_percentiles(
         li, ["l_returnflag"], "l_extendedprice",
         [0.5, 0.95], ["ap50", "ap95"], exact=False)
+
+    def ok(a: str, e: str):
+        return ((F.abs(F.col(a) - F.col(e)) / F.col(e))
+                <= _Q34_REL_ERR).cast("bigint")
+
+    return (exact.join(F.broadcast(approx), "l_returnflag")
+            .select("l_returnflag", "p50", "p95",
+                    ok("ap50", "p50").alias("ap50_ok"),
+                    ok("ap95", "p95").alias("ap95_ok")))
 
 
 # --------------------------------------------------------------------------

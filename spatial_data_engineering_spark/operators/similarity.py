@@ -436,7 +436,63 @@ def ivf_centroids_kmeans(spark: SparkSession, vectors: DataFrame,
     return cent / nrm[:, None]
 
 
-@query("q52_ivf_ann")
+# Round-12 oracle upgrade (shrinks the no-oracle set): the default q52
+# path is FULLY deterministic — centroids are the first
+# _IVF_N_CENTROIDS nonzero vectors by vec_id, assignment is an exact
+# argmax, probing is top-_IVF_NPROBE by cosine — so the whole IVF
+# algorithm replays in SQL and the driver's hash check applies.  Tie
+# semantics: Spark's np.argmax returns the FIRST max (= smallest
+# centroid index, i.e. smallest cid); ROW_NUMBER ... ORDER BY cos DESC,
+# cid matches.  Candidate cosines are rounded to 6 before the top-k on
+# both sides (the q50 BLAS-vs-fold precedent).
+_ORACLE_Q52 = f"""
+    WITH nz AS (
+        SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm
+        FROM embeddings WHERE {_norm_sql('embedding')} > 0
+    ),
+    cent AS (
+        SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+        FROM nz ORDER BY vec_id LIMIT {_IVF_N_CENTROIDS}
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, nrm, cid AS cluster FROM (
+            SELECT n.vec_id, n.embedding, n.nrm, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY {_dot_sql('n.embedding', 'c.cemb')}
+                                / (n.nrm * c.cnrm) DESC, c.cid) AS crk
+            FROM nz n CROSS JOIN cent c) WHERE crk = 1
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS qemb, nrm AS qnrm
+        FROM nz WHERE vec_id < 10
+    ),
+    probed AS (
+        SELECT query_id, qemb, qnrm, cid FROM (
+            SELECT q.query_id, q.qemb, q.qnrm, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_dot_sql('q.qemb', 'c.cemb')}
+                                / (q.qnrm * c.cnrm) DESC, c.cid) AS prk
+            FROM q CROSS JOIN cent c) WHERE prk <= {_IVF_NPROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               ROUND({_dot_sql('p.qemb', 'a.embedding')}
+                     / (p.qnrm * a.nrm), 6) AS cosine
+        FROM probed p JOIN assigned a ON a.cluster = p.cid
+        WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, rk, cosine
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id)
+              AS rk
+          FROM scored)
+    WHERE rk <= 3
+"""
+
+
+@query("q52_ivf_ann", _ORACLE_Q52)
 def q52_ivf_ann(spark: SparkSession, sf_dir: str, n_query: int = 10,
                 k: int = 3, centroids=None) -> DataFrame:
     import numpy as np
@@ -1832,3 +1888,139 @@ def q208_embedding_norm_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .cast("double") / F.count(F.lit(1))).alias("avg_norm"),
                  F.round(F.min("nrm"), 6).alias("min_norm"),
                  F.round(F.max("nrm"), 6).alias("max_norm")))
+
+
+# --------------------------------------------------------------------------
+# q218 — PQ recall audit (round-12 no-oracle shrink): q111's ADC top-k is
+# sketch-valued (rows-only driver check by nature), but its QUALITY
+# CONTRACT is deterministic per dataset — so this companion puts that
+# contract on the driver's hash-verified path.  It computes the exact
+# L2 top-k for the same 10 queries JVM-side (fold arithmetic — the same
+# left-fold the DuckDB oracle uses, so `exact_pairs_sum` is genuine
+# cross-engine content, not self-certification), joins q111's ADC picks
+# against it, and certifies recall >= the measured floor (0.43 at
+# 16x64 on near-random embeddings; floor 0.30 = the test_ann contract
+# with margin).  A broken encoder/ADC path flips the flag and
+# hash-mismatches the oracle's literal 1.
+# --------------------------------------------------------------------------
+_Q218_RECALL_FLOOR = 0.30
+
+
+@query(
+    "q218_pq_recall_audit",
+    f"""
+    WITH nz AS (
+        SELECT vec_id, embedding FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qemb
+          FROM nz WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, n.vec_id AS neighbor_id,
+               list_reduce(list_transform(generate_series(1, len(q.qemb)),
+                   i -> (CAST(q.qemb[i] AS DOUBLE)
+                         - CAST(n.embedding[i] AS DOUBLE))
+                        * (CAST(q.qemb[i] AS DOUBLE)
+                           - CAST(n.embedding[i] AS DOUBLE))),
+                   (x, y) -> x + y) AS d2
+        FROM q CROSS JOIN nz n WHERE n.vec_id <> q.query_id
+    ),
+    topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY d2, neighbor_id) AS rk
+            FROM scored) WHERE rk <= 3
+    )
+    SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+           CAST(3 AS BIGINT) AS k,
+           CAST(SUM(query_id * 100000 + neighbor_id) AS BIGINT)
+               AS exact_pairs_sum,
+           CAST(1 AS BIGINT) AS recall_ok
+    FROM topk
+    """,
+)
+def q218_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qemb")))
+    d2 = ("aggregate(zip_with(qemb, embedding, (x, y) ->"
+          " (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+          " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+          " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    scored = (e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+              .join(F.broadcast(q))
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id", F.expr(d2).alias("d2")))
+    w = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    exact = (scored.withColumn("rk", F.row_number().over(w))
+             .filter(F.col("rk") <= 3).select("query_id", "neighbor_id"))
+    adc = q111_pq_adc_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = exact.join(adc, ["query_id", "neighbor_id"]).count()
+    agg = exact.agg(
+        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+        F.lit(3).cast("bigint").alias("k"),
+        F.sum(F.col("query_id") * 100000 + F.col("neighbor_id"))
+        .cast("bigint").alias("exact_pairs_sum"),
+        F.count(F.lit(1)).alias("_n_exact"))
+    return agg.select(
+        "n_queries", "k", "exact_pairs_sum",
+        (F.lit(hits) / F.col("_n_exact") >= _Q218_RECALL_FLOOR)
+        .cast("bigint").alias("recall_ok"))
+
+
+# --------------------------------------------------------------------------
+# q220 — MMR audit (round-12 no-oracle shrink): q110's greedy selection
+# is driver-side and order-dependent (rows-only by nature), but its
+# anchor invariants are not: the FIRST pick is the plain relevance
+# argmax (independently computable by the oracle — fold cosine, same
+# tie-break), every pick comes from the top-_MMR_CAND candidate pool,
+# and exactly K items are selected.  The fold-dot relevance is
+# bit-identical across engines (the q49 contract), so first_pick_id /
+# first_pick_rel are genuine cross-engine content.
+# --------------------------------------------------------------------------
+@query(
+    "q220_mmr_audit",
+    f"""
+    WITH nz AS (
+        SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm
+        FROM embeddings WHERE {_norm_sql('embedding')} > 0
+    ),
+    q AS (SELECT embedding AS qemb, nrm AS qnrm FROM nz WHERE vec_id = 0),
+    scored AS (
+        SELECT n.vec_id, {_dot_sql('q.qemb', 'n.embedding')}
+                   / (q.qnrm * n.nrm) AS rel
+        FROM nz n CROSS JOIN q WHERE n.vec_id <> 0
+    )
+    SELECT CAST(vec_id AS BIGINT) AS first_pick_id,
+           ROUND(rel, 6) AS first_pick_rel,
+           CAST({_MMR_K} AS BIGINT) AS n_selected,
+           CAST(1 AS BIGINT) AS picks_from_candidates
+    FROM scored ORDER BY rel DESC, vec_id LIMIT 1
+    """,
+)
+def q220_mmr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sel = q110_mmr_diversify(spark, sf_dir).orderBy("rank").collect()
+    e = load(spark, sf_dir, "embeddings")
+    withn = (e.select("vec_id", "embedding",
+                      F.expr(_norm_spark("embedding")).alias("nrm"))
+             .filter(F.col("nrm") > 0))
+    q = (withn.filter(F.col("vec_id") == 0)
+         .select(F.col("embedding").alias("q_emb"),
+                 F.col("nrm").alias("q_nrm")))
+    scored = (withn.join(F.broadcast(q))
+              .filter(F.col("vec_id") != 0)
+              .select("vec_id",
+                      (F.expr(_dot_spark("q_emb", "embedding"))
+                       / (F.col("q_nrm") * F.col("nrm"))).alias("rel")))
+    w = W.orderBy(F.desc("rel"), F.asc("vec_id"))
+    cand_ids = {r["vec_id"] for r in
+                (scored.withColumn("rk", F.row_number().over(w))
+                 .filter(F.col("rk") <= _MMR_CAND)
+                 .select("vec_id").collect())}
+    picks_ok = int(all(r["vec_id"] in cand_ids for r in sel))
+    first = sel[0]
+    return spark.createDataFrame(
+        [(int(first["vec_id"]), float(first["relevance"]), len(sel),
+          picks_ok)],
+        "first_pick_id bigint, first_pick_rel double, "
+        "n_selected bigint, picks_from_candidates bigint")

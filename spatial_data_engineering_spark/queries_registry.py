@@ -74,11 +74,15 @@ _PRIORITY = [
     "q175_error_rate_timeline", "q177_weekday_seasonality",
     "q178_new_vs_returning", "q164_rfm_segments", "q174_value_gini",
     "q189_runs_test", "q193_heaps_law",
-    # slots 29-37: the 9 oldest r8-verified rows
+    # slots 29-34: the 6 oldest r8-verified rows
     "q22_cube", "q23_unpivot",
     "q24_in_subquery", "q25_window_analytics", "q26_median",
-    "q27_first_limit", "q30_range_join", "q31_sliding_window",
-    "q32_session_window",
+    "q27_first_limit",
+    # slots 35-37: rule-(2) forces (second amendment) — the round-12
+    # no-oracle shrink gave q28/q34 self-certifying exact+flag outputs
+    # and q52 a FULL IVF-replay oracle; all three owe their first
+    # hash-verified driver row (they displace q30/q31/q32 to r13)
+    "q28_approx_distinct", "q34_approx_quantiles", "q52_ivf_ann",
     # slots 38-50: rule-(2) forces — every sql_spark_pct consumer's
     # oracle gained the NULL-semantics filter (ADVICE r11), and
     # q80/q137/q138 additionally moved their interpolated-percentile
@@ -90,13 +94,14 @@ _PRIORITY = [
     "q203_quantization_error", "q206_ship_latency",
     # --- tail: rotates into r13+ windows, least-recently-verified
     # first ---
-    # NEW in r12 (inventory 214 -> 216): never-driver-verified rows
+    # NEW in r12 (inventory 214 -> 219): never-driver-verified rows
     # outrank stale ones — lead the r13 window
     "q216_dsir_importance", "q217_domain_quota_sample",
-    # the 13 r8 rows displaced by this round's forces — next in r13
+    "q218_pq_recall_audit", "q219_kmeans_audit", "q220_mmr_audit",
+    # the r8 rows displaced by this round's forces — next in r13
+    "q30_range_join", "q31_sliding_window", "q32_session_window",
     "q35_rank_functions", "q36_full_outer", "q37_array_agg", "q38_profile",
     "q39_local_supplier_revenue", "q63_date_functions", "q64_bag_set_ops",
-    "q28_approx_distinct", "q34_approx_quantiles", "q52_ivf_ann",
     "q76_ngram_jaccard_join", "q77_pack_sequences", "q83_embedding_stats",
     # remaining stale tail, least-recently-verified first: the rest of
     # the r8 block, then the r9 block, then the r10-verified window

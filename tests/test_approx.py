@@ -7,11 +7,15 @@ from .conftest import SF_ORACLE
 
 
 def test_approx_quantiles_within_bound(spark):
+    from spatial_data_engineering_spark.catalog import load
     from spatial_data_engineering_spark.operators.relational import (
-        q33_percentiles, q34_approx_quantiles)
+        grouped_percentiles, q33_percentiles, q34_approx_quantiles)
 
+    li = load(spark, SF_ORACLE, "lineitem")
     exact = {r.l_returnflag: r for r in q33_percentiles(spark, SF_ORACLE).collect()}
-    approx = {r.l_returnflag: r for r in q34_approx_quantiles(spark, SF_ORACLE).collect()}
+    approx = {r.l_returnflag: r for r in grouped_percentiles(
+        li, ["l_returnflag"], "l_extendedprice",
+        [0.5, 0.95], ["ap50", "ap95"], exact=False).collect()}
     assert set(exact) == set(approx)
     # GK sketch at accuracy=10000: rank error <= 1e-4, well under 1% in
     # value space for this distribution — the grouped_percentiles default
@@ -19,16 +23,28 @@ def test_approx_quantiles_within_bound(spark):
     for k in exact:
         assert abs(approx[k].ap50 - exact[k].p50) / exact[k].p50 < 0.01
         assert abs(approx[k].ap95 - exact[k].p95) / exact[k].p95 < 0.01
+    # the registered q34 (since r12) certifies the same bound in-query:
+    # every flag must be 1 and the exact columns must equal q33's
+    for r in q34_approx_quantiles(spark, SF_ORACLE).collect():
+        assert r.ap50_ok == 1 and r.ap95_ok == 1
+        assert r.p50 == exact[r.l_returnflag].p50
 
 
 def test_approx_count_distinct_within_bound(spark):
+    from spatial_data_engineering_spark.catalog import load
     from spatial_data_engineering_spark.operators.relational import (
-        q15_count_distinct, q28_approx_distinct)
+        approx_distinct_profile, q15_count_distinct, q28_approx_distinct)
 
+    li = load(spark, SF_ORACLE, "lineitem")
     exact = {r.l_returnflag: r for r in q15_count_distinct(spark, SF_ORACLE).collect()}
-    approx = {r.l_returnflag: r for r in q28_approx_distinct(spark, SF_ORACLE).collect()}
+    approx = {r.l_returnflag: r for r in
+              approx_distinct_profile(li).collect()}
     for k in exact:
         assert abs(approx[k].approx_parts - exact[k].n_parts) / exact[k].n_parts < 0.1
+        assert approx[k].exact_parts == exact[k].n_parts
+    # the registered q28 (since r12) certifies a 3x-rsd bound in-query
+    for r in q28_approx_distinct(spark, SF_ORACLE).collect():
+        assert r.parts_ok == 1 and r.suppliers_ok == 1
 
 
 def test_cms_overestimate_bounds(spark):

@@ -40,23 +40,24 @@ EXPECTED_WINDOW = [
     "q178_new_vs_returning", "q164_rfm_segments", "q174_value_gini",
     "q189_runs_test", "q193_heaps_law", "q22_cube", "q23_unpivot",
     "q24_in_subquery", "q25_window_analytics", "q26_median",
-    "q27_first_limit", "q30_range_join", "q31_sliding_window",
-    "q32_session_window", "q137_time_to_convert", "q138_session_stats",
+    "q27_first_limit", "q28_approx_distinct", "q34_approx_quantiles",
+    "q52_ivf_ann", "q137_time_to_convert", "q138_session_stats",
     "q127_score_calibration", "q149_winsorized_stats", "q80_quality_filter",
     "q163_score_auc", "q176_score_normalization", "q212_curation_shards",
     "q213_curation_funnel", "q33_percentiles", "q181_order_interarrival",
     "q203_quantization_error", "q206_ship_latency",
 ]
 
-# The rows that must LEAD the round-13 window: the two NEW r12 queries
-# (never driver-verified), then the 13 r8-verified rows displaced by
-# this round's rule-(2) forces.  r13 fills the rest with the remaining
-# r8 rows and the oldest r9 rows that follow.
+# The rows that must LEAD the round-13 window: the five NEW r12 queries
+# (never driver-verified), then the 16 r8-verified rows displaced by
+# this round's two rule-(2) force amendments.  r13 fills the rest with
+# the remaining r8 rows and the oldest r9 rows that follow.
 EXPECTED_R13_LEAD = [
     "q216_dsir_importance", "q217_domain_quota_sample",
+    "q218_pq_recall_audit", "q219_kmeans_audit", "q220_mmr_audit",
+    "q30_range_join", "q31_sliding_window", "q32_session_window",
     "q35_rank_functions", "q36_full_outer", "q37_array_agg", "q38_profile",
     "q39_local_supplier_revenue", "q63_date_functions", "q64_bag_set_ops",
-    "q28_approx_distinct", "q34_approx_quantiles", "q52_ivf_ann",
     "q76_ngram_jaccard_join", "q77_pack_sequences", "q83_embedding_stats",
 ]
 
@@ -97,4 +98,4 @@ def test_inventory_growth_is_a_rotation_decision():
     # (never-driver-verified rows outrank stale ones) and keep
     # (new + stale) <= 50 per round.
     n = len(all_queries())
-    assert 214 <= n <= 218, n
+    assert 216 <= n <= 222, n
