@@ -75,6 +75,10 @@ PARITY_SUBSET = [
     "q193_heaps_law", "q56_dedup_components",
     "q214_url_domain_dedup", "q215_rate_limited_sample",
     "q216_dsir_importance", "q217_domain_quota_sample",
+    # the r12 no-oracle-shrink family: the IVF-replay oracle and the
+    # self-certifying / audit rows must hold at 10x data too
+    "q28_approx_distinct", "q34_approx_quantiles", "q52_ivf_ann",
+    "q218_pq_recall_audit", "q219_kmeans_audit", "q220_mmr_audit",
 ]
 
 
