@@ -108,3 +108,43 @@ def test_q217_domain_quota_vs_python(spark, docs):
         assert g.n_dropped == len(rows) - len(kept)
         assert _close(g.avg_kept_quality,
                       sum(q for q, _ in kept) / len(kept))
+
+
+# -------------------------------------------------------------- q52
+def test_q52_ivf_output_vs_python(spark):
+    """The q52 IVF oracle is NEW in r12 (full algorithm replay in SQL)
+    — triangulate it: a third from-scratch IVF implementation (flat
+    numpy, no mapInPandas pipeline, no SQL) must reproduce the
+    registered query's exact output rows."""
+    import numpy as np
+
+    from spatial_data_engineering_spark.operators.similarity import (
+        _IVF_N_CENTROIDS, _IVF_NPROBE, q52_ivf_ann)
+
+    emb = pd.read_parquet(SF_ORACLE + "/embeddings.parquet")
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    ids = emb["vec_id"].to_numpy()
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    nrm = np.linalg.norm(mat, axis=1)
+    keep = nrm > 0
+    ids, mat, nrm = ids[keep], mat[keep], nrm[keep]
+
+    cent = mat[:_IVF_N_CENTROIDS] / nrm[:_IVF_N_CENTROIDS, None]
+    # every vector's cluster: argmax cosine (first max = smallest idx)
+    cl = np.argmax((mat / nrm[:, None]) @ cent.T, axis=1)
+    expected = []
+    for qpos in np.where(ids < 10)[0]:
+        qcos = (mat[qpos] / nrm[qpos]) @ cent.T
+        probe = set(np.argsort(-qcos, kind="stable")[:_IVF_NPROBE])
+        cand = [i for i in range(len(ids))
+                if cl[i] in probe and ids[i] != ids[qpos]]
+        cos = np.round((mat[cand] @ mat[qpos])
+                       / (nrm[cand] * nrm[qpos]), 6)
+        order = sorted(range(len(cand)), key=lambda j: (-cos[j],
+                                                        ids[cand[j]]))
+        for rk, j in enumerate(order[:3], 1):
+            expected.append((int(ids[qpos]), int(ids[cand[j]]), rk,
+                             float(cos[j])))
+    got = sorted((r.query_id, r.neighbor_id, r.rk, r.cosine)
+                 for r in q52_ivf_ann(spark, SF_ORACLE).collect())
+    assert got == sorted(expected)

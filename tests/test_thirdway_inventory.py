@@ -91,6 +91,10 @@ REPLAYS = {
     "q119_kmv_setops": "test_numpy_crosscheck18.py",
     "q216_dsir_importance": "test_numpy_crosscheck24.py",
     "q217_domain_quota_sample": "test_numpy_crosscheck24.py",
+    # not auto-flagged (its oracle shares no builder with the numpy
+    # Spark side), but the r12 IVF-replay oracle is new — registered so
+    # the triangulation is discoverable
+    "q52_ivf_ann": "test_numpy_crosscheck24.py",
 }
 
 
