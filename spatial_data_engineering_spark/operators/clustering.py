@@ -761,23 +761,43 @@ def q171_dup_degree_distribution(spark: SparkSession,
     SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
            CAST(8 AS BIGINT) AS k,
            CAST(1 AS BIGINT) AS inertia_monotone,
-           CAST(1 AS BIGINT) AS n_clusters_le_k
+           CAST(1 AS BIGINT) AS final_inertia_ok
     FROM embeddings
     """,
 )
 def q219_kmeans_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import load
+    from .common import dsum
 
     e = load(spark, sf_dir, "embeddings")
-    assignments, _, hist = kmeans_fit(spark, e, k=8, max_iter=5)
+    assignments, centroids, hist = kmeans_fit(spark, e, k=8, max_iter=5)
     n_points = assignments.count()
-    n_clusters = assignments.select("cluster").distinct().count()
     # float-noise tolerance: partial re-aggregation order can wiggle the
     # reported inertia by ~1e-9 relative; Lloyd violations are orders of
     # magnitude larger
     monotone = int(all(b <= a * (1 + 1e-9)
                        for a, b in zip(hist, hist[1:])))
+    # the RETURNED assignment's inertia, recomputed independently from
+    # (assignments x centroids), must not exceed the last training
+    # inertia — Lloyd's final update+reassign can only descend.  This
+    # exercises real detection power (an argmin/update bug breaks it),
+    # unlike a cluster-count bound that argmin satisfies by construction
+    # (r12 review).
+    cdf = e.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster int, cvec array<double>")
+    d2 = ("aggregate(zip_with(embedding, cvec, (x, y) ->"
+          " (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+          " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+          " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    (final_inertia,) = (
+        assignments
+        .join(e.select(F.col("vec_id").alias("id"), "embedding"), "id")
+        .join(F.broadcast(cdf), "cluster")
+        .select(F.expr(d2).alias("d2"))
+        .agg(dsum("d2", "inertia")).first())
+    final_ok = int(final_inertia <= hist[-1] * (1 + 1e-9))
     return spark.createDataFrame(
-        [(n_points, 8, monotone, int(n_clusters <= 8))],
+        [(n_points, 8, monotone, final_ok)],
         "n_points bigint, k bigint, inertia_monotone bigint, "
-        "n_clusters_le_k bigint")
+        "final_inertia_ok bigint")

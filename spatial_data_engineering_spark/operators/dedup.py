@@ -1605,7 +1605,11 @@ def registered_domain_spark(host: str) -> str:
     """Spark SQL expression: registered domain of ``host`` under the
     snapshot rules, NULL when the host IS a public suffix or matches no
     rule.  try_element_at keeps short hosts NULL-safe under ANSI mode;
-    concat is null-intolerant in Spark, so missing labels propagate."""
+    concat is null-intolerant in Spark, so missing labels propagate.
+    The host is lowercased first — PSL matching is case-insensitive per
+    spec (r12 review: keeps this hand-written twin in lockstep with the
+    psl.py loader, which test_psl_loader certifies as one truth)."""
+    host = f"lower({host})"
     arr = f"split({host}, '\\\\.')"
     l1 = f"try_element_at({arr}, -1)"
     l2 = f"try_element_at({arr}, -2)"
@@ -1623,7 +1627,9 @@ def registered_domain_spark(host: str) -> str:
 def registered_domain_sql(host: str) -> str:
     """DuckDB twin of :func:`registered_domain_spark` (|| is
     null-intolerant where concat() is not; negative list indexes return
-    NULL out of range)."""
+    NULL out of range).  Lowercased like the Spark twin and the
+    loader."""
+    host = f"lower({host})"
     arr = f"string_split({host}, '.')"
     l1, l2, l3 = f"{arr}[-1]", f"{arr}[-2]", f"{arr}[-3]"
     last2 = f"({l2} || '.' || {l1})"

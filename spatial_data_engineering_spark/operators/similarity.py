@@ -459,8 +459,9 @@ _ORACLE_Q52 = f"""
             SELECT n.vec_id, n.embedding, n.nrm, c.cid,
                    ROW_NUMBER() OVER (
                        PARTITION BY n.vec_id
-                       ORDER BY {_dot_sql('n.embedding', 'c.cemb')}
-                                / (n.nrm * c.cnrm) DESC, c.cid) AS crk
+                       ORDER BY ROUND({_dot_sql('n.embedding', 'c.cemb')}
+                                      / (n.nrm * c.cnrm), 6) DESC,
+                                c.cid) AS crk
             FROM nz n CROSS JOIN cent c) WHERE crk = 1
     ),
     q AS (
@@ -472,8 +473,9 @@ _ORACLE_Q52 = f"""
             SELECT q.query_id, q.qemb, q.qnrm, c.cid,
                    ROW_NUMBER() OVER (
                        PARTITION BY q.query_id
-                       ORDER BY {_dot_sql('q.qemb', 'c.cemb')}
-                                / (q.qnrm * c.cnrm) DESC, c.cid) AS prk
+                       ORDER BY ROUND({_dot_sql('q.qemb', 'c.cemb')}
+                                      / (q.qnrm * c.cnrm), 6) DESC,
+                                c.cid) AS prk
             FROM q CROSS JOIN cent c) WHERE prk <= {_IVF_NPROBE}
     ),
     scored AS (
@@ -513,15 +515,25 @@ def q52_ivf_ann(spark: SparkSession, sf_dir: str, n_query: int = 10,
                          for r in cent_rows])
         cent = cmat / np.linalg.norm(cmat, axis=1)[:, None]
 
+    # queries and candidates both exclude zero-norm vectors — the same
+    # domain the oracle's nz CTE uses (r12 review: the asymmetry would
+    # surface as NaN cosines sorting FIRST on a regenerated corpus)
     q_rows = (e.select("vec_id", "embedding")
-              .filter(F.col("vec_id") < n_query).orderBy("vec_id").collect())
+              .filter(F.col("vec_id") < n_query)
+              .filter(F.expr(_norm_spark("embedding")) > 0)
+              .orderBy("vec_id").collect())
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     q_mat = np.stack([np.asarray(r["embedding"], dtype=np.float64)
                       for r in q_rows])
     q_norms = np.linalg.norm(q_mat, axis=1)
-    # clusters each query probes (nprobe nearest centroids)
-    q_cent = (q_mat / q_norms[:, None]) @ cent.T
-    probed = np.argsort(-q_cent, axis=1)[:, :_IVF_NPROBE]
+    # clusters each query probes (nprobe nearest centroids).  Cosines
+    # are rounded to 6 BEFORE the ranking and ties resolve to the
+    # smallest centroid index (stable argsort on the negated rounded
+    # row) — the q50/q154 argmax contract, mirrored by the oracle's
+    # ROUND + (cos DESC, cid) ordering, so an exact or near tie can
+    # never split the engines (r12 review)
+    q_cent = np.round((q_mat / q_norms[:, None]) @ cent.T, 6)
+    probed = np.argsort(-q_cent, axis=1, kind="stable")[:, :_IVF_NPROBE]
     probe_map: dict[int, list[int]] = {}
     for qi, clusters in enumerate(probed):
         for c in clusters:
@@ -534,7 +546,19 @@ def q52_ivf_ann(spark: SparkSession, sf_dir: str, n_query: int = 10,
         for pdf in batches:
             m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             n = np.linalg.norm(m, axis=1)
-            cl = np.argmax((m / n[:, None]) @ cent_.T, axis=1)
+            nzr = n > 0  # candidate domain = the oracle's nz CTE
+            if not nzr.all():
+                pdf, m, n = pdf[nzr], m[nzr], n[nzr]
+            if len(m) == 0:
+                yield pd.DataFrame({
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "cluster": pd.Series([], dtype="int32"),
+                    "embedding": pdf["embedding"]})
+                continue
+            # round-6 before argmax; first-max = smallest cid on ties
+            # (matches the oracle's ROUND + cos DESC, cid ordering)
+            cl = np.argmax(np.round((m / n[:, None]) @ cent_.T, 6),
+                           axis=1)
             yield pd.DataFrame({
                 "vec_id": pdf["vec_id"], "cluster": cl.astype("int32"),
                 "embedding": pdf["embedding"],
@@ -963,6 +987,26 @@ _MMR_K = 10
 _MMR_CAND = 50
 
 
+def _mmr_scored(e: DataFrame, query_vec_id: int) -> DataFrame:
+    """(vec_id, embedding, rel): fold-cosine relevance of every nonzero
+    vector to the query — ONE definition shared by q110 and its q220
+    audit, so the audit can never certify against a different candidate
+    pool than the operator used (r12 review)."""
+    withn = e.select(
+        "vec_id", "embedding", F.expr(_norm_spark("embedding")).alias("nrm")
+    ).filter(F.col("nrm") > 0)
+    q = (withn.filter(F.col("vec_id") == query_vec_id)
+         .select(F.col("embedding").alias("q_emb"),
+                 F.col("nrm").alias("q_nrm")))
+    return (
+        withn.join(F.broadcast(q))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "embedding",
+                (F.expr(_dot_spark("q_emb", "embedding"))
+                 / (F.col("q_nrm") * F.col("nrm"))).alias("rel"))
+    )
+
+
 @query("q110_mmr_diversify")
 def q110_mmr_diversify(spark: SparkSession, sf_dir: str,
                        query_vec_id: int = 0, k: int = _MMR_K,
@@ -971,19 +1015,7 @@ def q110_mmr_diversify(spark: SparkSession, sf_dir: str,
     import numpy as np
 
     e = load(spark, sf_dir, "embeddings")
-    withn = e.select(
-        "vec_id", "embedding", F.expr(_norm_spark("embedding")).alias("nrm")
-    ).filter(F.col("nrm") > 0)
-    q = (withn.filter(F.col("vec_id") == query_vec_id)
-         .select(F.col("embedding").alias("q_emb"),
-                 F.col("nrm").alias("q_nrm")))
-    scored = (
-        withn.join(F.broadcast(q))
-        .filter(F.col("vec_id") != query_vec_id)
-        .select("vec_id", "embedding",
-                (F.expr(_dot_spark("q_emb", "embedding"))
-                 / (F.col("q_nrm") * F.col("nrm"))).alias("rel"))
-    )
+    scored = _mmr_scored(e, query_vec_id)
     w = W.orderBy(F.desc("rel"), F.asc("vec_id"))
     cand = (scored.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= n_cand))
@@ -1992,35 +2024,31 @@ def q218_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM nz n CROSS JOIN q WHERE n.vec_id <> 0
     )
     SELECT CAST(vec_id AS BIGINT) AS first_pick_id,
-           ROUND(rel, 6) AS first_pick_rel,
+           (floor(rel * 1000000.0 + 0.5) / 1000000.0) AS first_pick_rel,
            CAST({_MMR_K} AS BIGINT) AS n_selected,
            CAST(1 AS BIGINT) AS picks_from_candidates
     FROM scored ORDER BY rel DESC, vec_id LIMIT 1
     """,
 )
 def q220_mmr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .common import fround6
+
     sel = q110_mmr_diversify(spark, sf_dir).orderBy("rank").collect()
-    e = load(spark, sf_dir, "embeddings")
-    withn = (e.select("vec_id", "embedding",
-                      F.expr(_norm_spark("embedding")).alias("nrm"))
-             .filter(F.col("nrm") > 0))
-    q = (withn.filter(F.col("vec_id") == 0)
-         .select(F.col("embedding").alias("q_emb"),
-                 F.col("nrm").alias("q_nrm")))
-    scored = (withn.join(F.broadcast(q))
-              .filter(F.col("vec_id") != 0)
-              .select("vec_id",
-                      (F.expr(_dot_spark("q_emb", "embedding"))
-                       / (F.col("q_nrm") * F.col("nrm"))).alias("rel")))
+    # the SAME scored relation q110 ranks (shared helper — the audit
+    # cannot drift from the operator); first_pick_rel goes through the
+    # fround6 device on BOTH sides rather than q110's display round()
+    scored = _mmr_scored(load(spark, sf_dir, "embeddings"), 0)
     w = W.orderBy(F.desc("rel"), F.asc("vec_id"))
-    cand_ids = {r["vec_id"] for r in
-                (scored.withColumn("rk", F.row_number().over(w))
-                 .filter(F.col("rk") <= _MMR_CAND)
-                 .select("vec_id").collect())}
+    cand = (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _MMR_CAND)
+            .select("vec_id", fround6(F.col("rel")).alias("frel"))
+            .collect())
+    cand_ids = {r["vec_id"] for r in cand}
     picks_ok = int(all(r["vec_id"] in cand_ids for r in sel))
     first = sel[0]
+    first_rel = next(r["frel"] for r in cand
+                     if r["vec_id"] == first["vec_id"])
     return spark.createDataFrame(
-        [(int(first["vec_id"]), float(first["relevance"]), len(sel),
-          picks_ok)],
+        [(int(first["vec_id"]), float(first_rel), len(sel), picks_ok)],
         "first_pick_id bigint, first_pick_rel double, "
         "n_selected bigint, picks_from_candidates bigint")

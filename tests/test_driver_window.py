@@ -49,9 +49,11 @@ EXPECTED_WINDOW = [
 ]
 
 # The rows that must LEAD the round-13 window: the five NEW r12 queries
-# (never driver-verified), then the 16 r8-verified rows displaced by
-# this round's two rule-(2) force amendments.  r13 fills the rest with
-# the remaining r8 rows and the oldest r9 rows that follow.
+# (never driver-verified), then the 13 r8-verified rows displaced by
+# this round's two rule-(2) force amendments (q30/q31/q32 by the
+# second, q35..q83 by the first; q28/q34/q52 were displaced and then
+# re-admitted).  r13 fills the rest with the remaining r8 rows and the
+# oldest r9 rows that follow.
 EXPECTED_R13_LEAD = [
     "q216_dsir_importance", "q217_domain_quota_sample",
     "q218_pq_recall_audit", "q219_kmeans_audit", "q220_mmr_audit",

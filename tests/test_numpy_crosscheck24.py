@@ -130,11 +130,12 @@ def test_q52_ivf_output_vs_python(spark):
     ids, mat, nrm = ids[keep], mat[keep], nrm[keep]
 
     cent = mat[:_IVF_N_CENTROIDS] / nrm[:_IVF_N_CENTROIDS, None]
-    # every vector's cluster: argmax cosine (first max = smallest idx)
-    cl = np.argmax((mat / nrm[:, None]) @ cent.T, axis=1)
+    # every vector's cluster: argmax over ROUND-6 cosines (first max =
+    # smallest idx) — the r12 tie contract shared by all three ways
+    cl = np.argmax(np.round((mat / nrm[:, None]) @ cent.T, 6), axis=1)
     expected = []
     for qpos in np.where(ids < 10)[0]:
-        qcos = (mat[qpos] / nrm[qpos]) @ cent.T
+        qcos = np.round((mat[qpos] / nrm[qpos]) @ cent.T, 6)
         probe = set(np.argsort(-qcos, kind="stable")[:_IVF_NPROBE])
         cand = [i for i in range(len(ids))
                 if cl[i] in probe and ids[i] != ids[qpos]]

@@ -194,6 +194,26 @@ def test_mixed_case_hosts_match_case_insensitively(spark, dialect):
     assert got == expect
 
 
+def test_shipped_q214_twins_match_case_insensitively(spark):
+    # the hand-written dedup twins must share the loader's lowercasing
+    # (r12 review: the fix originally landed only in the loader)
+    rules = parse_psl(FIXTURE_DAT)
+    hosts = ["Example.COM", "WwW.Example.Co.Uk", "WWW.CK", "A.Zone1.CK"]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = df.select(
+        F.expr(dedup.registered_domain_spark("host")).alias("s"),
+        F.expr(compile_registered_domain(rules, "host")).alias("l"),
+    ).collect()
+    rows = ", ".join(f"('{h}')" for h in hosts)
+    dk = [r[0] for r in duckdb.sql(
+        f"SELECT {dedup.registered_domain_sql('host')} "
+        f"FROM (VALUES {rows}) t(host)").fetchall()]
+    for (r, d, h) in zip(got, dk, hosts):
+        py = registered_domain_py(h, rules)
+        assert r["s"] == r["l"] == d == py, (h, r["s"], r["l"], d, py)
+    assert got[0]["s"] == "example.com"
+
+
 def test_empty_snapshot_fails_loudly():
     with pytest.raises(ValueError, match="no rules"):
         compile_registered_domain(parse_psl("// only comments\n"), "host")
