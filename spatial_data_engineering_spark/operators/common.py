@@ -114,8 +114,24 @@ def sql_fround6(expr: str) -> str:
     return f"(floor(({expr}) * 1000000.0 + 0.5) / 1000000.0)"
 
 
+def np_fround6(x):
+    """numpy twin of fround6, for driver/executor-side kernels.
+
+    Same IEEE sequence (``floor(x*1e6 + 0.5)/1e6``) so a numpy-side
+    rounding is bit-identical to the Spark/DuckDB device on the same
+    binary value — np.round's half-to-even vs SQL ROUND's
+    half-away-from-zero is exactly the halfway split the device exists
+    to eliminate (ADVICE r12 on q52).
+    """
+    import numpy as np
+
+    return np.floor(np.asarray(x, dtype=np.float64) * 1000000.0
+                    + 0.5) / 1000000.0
+
+
 def sql_spark_pct(rel: str, val: str, probs, part=None,
-                  prefix: str = "pct") -> str:
+                  prefix: str = "pct",
+                  keep_null_groups: bool = False) -> str:
     """DuckDB CTE chain replicating Spark's EXACT percentile bit for bit.
 
     Returns text for three chained CTEs; the final relation ``{prefix}``
@@ -140,8 +156,19 @@ def sql_spark_pct(rel: str, val: str, probs, part=None,
     date are non-null by construction; the filter makes the helper match
     Spark on any column with at least one non-null value per group
     (tests/test_cross_engine_float.py pins it on a nullable column).
-    Remaining caveat: an ALL-null group yields no row here where Spark's
-    groupBy would emit the group with a NULL percentile.
+
+    ALL-null groups (ADVICE r12): the default mode drops such a group
+    where Spark's groupBy emits it with a NULL percentile — a HARD
+    CONTRACT on callers: every group must carry at least one non-null
+    value (true by construction at every current call site; pinned
+    executable in test_cross_engine_float.py).  ``keep_null_groups=True``
+    closes the gap for callers that cannot guarantee it: NULL rows stay
+    in the ranked relation but are ordered last and numbered past every
+    non-null row (__n counts non-null only), so positions are unchanged
+    for real data while an all-NULL group survives with a NULL output —
+    exactly Spark.  Opt-in rather than default because flipping the
+    generated text would change 13 shipped oracle strings at once
+    (rule-2 forces) with zero value change on their non-null inputs.
     """
     part = list(part or [])
     pby = ("PARTITION BY " + ", ".join(part) + " ") if part else ""
@@ -159,13 +186,30 @@ def sql_spark_pct(rel: str, val: str, probs, part=None,
                    f"THEN __lo_{alias} "
                    f"ELSE (CEIL({pos}) - {pos}) * __lo_{alias} "
                    f"+ ({pos} - FLOOR({pos})) * __hi_{alias} END AS {alias}")
-    return f"""{prefix}_ranked AS (
+    if keep_null_groups:
+        # NULLs ordered strictly last (explicit key — never rely on a
+        # dialect default), numbered past every non-null row; __n counts
+        # non-null only, so no FLOOR/CEIL position can reach a NULL row
+        # (CEIL(p*(n-1)) <= n-1 < first NULL rank).  An all-NULL group
+        # keeps its rows, matches no position, and emits NULL.
+        ranked = f"""{prefix}_ranked AS (
+        SELECT {psel}CAST({val} AS DOUBLE) AS __v,
+               ROW_NUMBER() OVER ({pby}ORDER BY
+                   (CAST({val} AS DOUBLE) IS NULL),
+                   CAST({val} AS DOUBLE)) - 1 AS __r,
+               COUNT(CAST({val} AS DOUBLE)) OVER ({pby.strip() or ''})
+                   AS __n
+        FROM {rel}
+    ),"""
+    else:
+        ranked = f"""{prefix}_ranked AS (
         SELECT {psel}CAST({val} AS DOUBLE) AS __v,
                ROW_NUMBER() OVER ({pby}ORDER BY CAST({val} AS DOUBLE)) - 1
                    AS __r,
                COUNT(*) OVER ({pby.strip() or ''}) AS __n
         FROM {rel} WHERE ({val}) IS NOT NULL
-    ),
+    ),"""
+    return f"""{ranked}
     {prefix}_sel AS (
         SELECT {psel}MAX(__n) AS __gn,
                {", ".join(sel)}

@@ -37,7 +37,18 @@ algorithm description only (public document); no code consulted.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
+
+# Conservative rule-body allowlist (ADVICE r12): lowercase ASCII
+# alphanumerics, dot, hyphen, underscore, plus any non-ASCII codepoint
+# (the published list carries raw-unicode IDN rules alongside their
+# punycode xn-- twins).  The point is what it EXCLUDES: quotes,
+# backslashes, whitespace, and control characters — the rule bodies are
+# spliced into single-quoted SQL literals executed by both engines, so a
+# tampered or corrupted .dat line must fail the parse loudly, never
+# reach the generated expression.
+_RULE_BODY_RE = re.compile(r"^(?:[a-z0-9._\-]|[^\x00-\x7f])+$")
 
 
 @dataclass
@@ -66,6 +77,15 @@ class PslRules:
             tgt, body = self.wild, ""
         else:
             tgt, body = self.plain, rule
+        # Fail LOUDLY on any body outside the conservative charset —
+        # rules are spliced into SQL string literals downstream, so a
+        # malformed/tampered list line (quotes, backslash, whitespace,
+        # control chars) must never reach _sql_in (ADVICE r12).
+        if body and not _RULE_BODY_RE.match(body):
+            raise ValueError(
+                f"PSL rule {rule!r} contains characters outside the "
+                f"allowed label charset — refusing to compile it into "
+                f"a SQL expression")
         k = len(body.split(".")) if body else 0
         tgt.setdefault(k, set()).add(body)
 
@@ -105,6 +125,11 @@ def parse_psl(text: str, implicit_star: bool = False) -> PslRules:
 
 
 def _sql_in(vals) -> str:
+    # defense in depth behind PslRules.add's charset gate: never emit a
+    # literal that could terminate/escape the quoted string
+    bad = [v for v in vals if "'" in v or "\\" in v]
+    if bad:
+        raise ValueError(f"unquotable PSL rule bodies: {bad[:3]!r}")
     return "(" + ", ".join(f"'{v}'" for v in sorted(vals)) + ")"
 
 

@@ -25,8 +25,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..catalog import load
-from .common import (davg, dvar_samp, sql_davg,
-                     sql_dvar_expr,
+from .common import (davg, dvar_samp, np_fround6, sql_davg,
+                     sql_dvar_expr, sql_fround6,
                      sql_spark_pct)
 
 QUERIES: dict = {}
@@ -443,8 +443,10 @@ def ivf_centroids_kmeans(spark: SparkSession, vectors: DataFrame,
 # algorithm replays in SQL and the driver's hash check applies.  Tie
 # semantics: Spark's np.argmax returns the FIRST max (= smallest
 # centroid index, i.e. smallest cid); ROW_NUMBER ... ORDER BY cos DESC,
-# cid matches.  Candidate cosines are rounded to 6 before the top-k on
-# both sides (the q50 BLAS-vs-fold precedent).
+# cid matches.  Candidate cosines go through the fround6 floor device
+# before the top-k on BOTH sides (ADVICE r12: np.round half-to-even vs
+# ROUND half-away-from-zero can split on a dyadic .5e-7 tie; the floor
+# device shares halfway semantics, the q220 approach).
 _ORACLE_Q52 = f"""
     WITH nz AS (
         SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm
@@ -459,8 +461,9 @@ _ORACLE_Q52 = f"""
             SELECT n.vec_id, n.embedding, n.nrm, c.cid,
                    ROW_NUMBER() OVER (
                        PARTITION BY n.vec_id
-                       ORDER BY ROUND({_dot_sql('n.embedding', 'c.cemb')}
-                                      / (n.nrm * c.cnrm), 6) DESC,
+                       ORDER BY {sql_fround6(
+                           _dot_sql('n.embedding', 'c.cemb')
+                           + ' / (n.nrm * c.cnrm)')} DESC,
                                 c.cid) AS crk
             FROM nz n CROSS JOIN cent c) WHERE crk = 1
     ),
@@ -473,15 +476,16 @@ _ORACLE_Q52 = f"""
             SELECT q.query_id, q.qemb, q.qnrm, c.cid,
                    ROW_NUMBER() OVER (
                        PARTITION BY q.query_id
-                       ORDER BY ROUND({_dot_sql('q.qemb', 'c.cemb')}
-                                      / (q.qnrm * c.cnrm), 6) DESC,
+                       ORDER BY {sql_fround6(
+                           _dot_sql('q.qemb', 'c.cemb')
+                           + ' / (q.qnrm * c.cnrm)')} DESC,
                                 c.cid) AS prk
             FROM q CROSS JOIN cent c) WHERE prk <= {_IVF_NPROBE}
     ),
     scored AS (
         SELECT p.query_id, a.vec_id AS neighbor_id,
-               ROUND({_dot_sql('p.qemb', 'a.embedding')}
-                     / (p.qnrm * a.nrm), 6) AS cosine
+               {sql_fround6(_dot_sql('p.qemb', 'a.embedding')
+                            + ' / (p.qnrm * a.nrm)')} AS cosine
         FROM probed p JOIN assigned a ON a.cluster = p.cid
         WHERE a.vec_id <> p.query_id
     )
@@ -527,12 +531,13 @@ def q52_ivf_ann(spark: SparkSession, sf_dir: str, n_query: int = 10,
                       for r in q_rows])
     q_norms = np.linalg.norm(q_mat, axis=1)
     # clusters each query probes (nprobe nearest centroids).  Cosines
-    # are rounded to 6 BEFORE the ranking and ties resolve to the
-    # smallest centroid index (stable argsort on the negated rounded
-    # row) — the q50/q154 argmax contract, mirrored by the oracle's
-    # ROUND + (cos DESC, cid) ordering, so an exact or near tie can
-    # never split the engines (r12 review)
-    q_cent = np.round((q_mat / q_norms[:, None]) @ cent.T, 6)
+    # go through the fround6 floor device BEFORE the ranking and ties
+    # resolve to the smallest centroid index (stable argsort on the
+    # negated rounded row) — the q50/q154 argmax contract, mirrored by
+    # the oracle's fround6 + (cos DESC, cid) ordering, so an exact or
+    # near tie can never split the engines (r12 review + ADVICE r12:
+    # the device, not np.round, on every rounding the oracle replays)
+    q_cent = np_fround6((q_mat / q_norms[:, None]) @ cent.T)
     probed = np.argsort(-q_cent, axis=1, kind="stable")[:, :_IVF_NPROBE]
     probe_map: dict[int, list[int]] = {}
     for qi, clusters in enumerate(probed):
@@ -555,10 +560,11 @@ def q52_ivf_ann(spark: SparkSession, sf_dir: str, n_query: int = 10,
                     "cluster": pd.Series([], dtype="int32"),
                     "embedding": pdf["embedding"]})
                 continue
-            # round-6 before argmax; first-max = smallest cid on ties
-            # (matches the oracle's ROUND + cos DESC, cid ordering)
-            cl = np.argmax(np.round((m / n[:, None]) @ cent_.T, 6),
-                           axis=1)
+            # fround6 before argmax; first-max = smallest cid on ties
+            # (matches the oracle's fround6 + cos DESC, cid ordering)
+            cl = np.argmax(
+                np.floor((m / n[:, None]) @ cent_.T * 1000000.0 + 0.5)
+                / 1000000.0, axis=1)
             yield pd.DataFrame({
                 "vec_id": pdf["vec_id"], "cluster": cl.astype("int32"),
                 "embedding": pdf["embedding"],
@@ -578,13 +584,15 @@ def q52_ivf_ann(spark: SparkSession, sf_dir: str, n_query: int = 10,
         m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         n = np.linalg.norm(m, axis=1)
         sims = (q_mat_[probing] / q_norms_[probing, None]) @ (m / n[:, None]).T
+        # fround6 device, not Python round (half-to-even) — ADVICE r12
+        sims = np.floor(sims * 1000000.0 + 0.5) / 1000000.0
         rows = []
         cand_ids = pdf["vec_id"].to_numpy()
         for row_i, qi in enumerate(probing):
             for ci in range(len(cand_ids)):
                 if cand_ids[ci] != q_ids_[qi]:
                     rows.append((q_ids_[qi], cand_ids[ci],
-                                 round(float(sims[row_i, ci]), 6)))
+                                 float(sims[row_i, ci])))
         return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
 
     scored = assigned.groupBy("cluster").applyInPandas(
@@ -2001,15 +2009,31 @@ def q218_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q220 — MMR audit (round-12 no-oracle shrink): q110's greedy selection
-# is driver-side and order-dependent (rows-only by nature), but its
-# anchor invariants are not: the FIRST pick is the plain relevance
-# argmax (independently computable by the oracle — fold cosine, same
-# tie-break), every pick comes from the top-_MMR_CAND candidate pool,
-# and exactly K items are selected.  The fold-dot relevance is
-# bit-identical across engines (the q49 contract), so first_pick_id /
-# first_pick_rel are genuine cross-engine content.
+# q220 — MMR audit (round-12 no-oracle shrink; sharpened round 13):
+# q110's greedy selection is driver-side and order-dependent (rows-only
+# by nature), but its anchor invariants are not:
+#   * the FIRST pick is the plain relevance argmax (oracle: fold cosine,
+#     same tie-break);
+#   * the SECOND pick, GIVEN the first, is the MMR argmax
+#     lam*rel - (1-lam)*sim(i, first) — one more fold-cosine per
+#     candidate, still fully deterministic, so a broken diversity term
+#     can no longer pass (VERDICT r12 task 6);
+#   * every pick comes from the top-_MMR_CAND pool; exactly K selected.
+# The Spark side emits the OPERATOR's actual picks with engine-computed
+# (fold + fround6) scores; the oracle recomputes both argmaxes from
+# scratch — any drift in either pick hash-mismatches the driver row.
+# Empty/missing query vector (ADVICE r12): Spark emits a sentinel row
+# (n_selected=0) instead of raising, so a regenerated corpus without
+# vec 0 surfaces as a clean audit mismatch, never a Python crash.
 # --------------------------------------------------------------------------
+_Q220_MMR_SQL = (
+    f"CAST({_MMR_LAMBDA} AS DOUBLE) * c.rel"
+    f" - (CAST(1.0 AS DOUBLE) - CAST({_MMR_LAMBDA} AS DOUBLE))"
+    f" * ({_dot_sql('c.embedding', 'f.femb')} / (c.nrm * f.fnrm))")
+
+_Q220_SENTINEL = (-1, 0.0, -1, 0.0, 0, 0)
+
+
 @query(
     "q220_mmr_audit",
     f"""
@@ -2019,36 +2043,81 @@ def q218_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     q AS (SELECT embedding AS qemb, nrm AS qnrm FROM nz WHERE vec_id = 0),
     scored AS (
-        SELECT n.vec_id, {_dot_sql('q.qemb', 'n.embedding')}
-                   / (q.qnrm * n.nrm) AS rel
+        SELECT n.vec_id, n.embedding, n.nrm,
+               {_dot_sql('q.qemb', 'n.embedding')} / (q.qnrm * n.nrm) AS rel
         FROM nz n CROSS JOIN q WHERE n.vec_id <> 0
+    ),
+    cand AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY rel DESC, vec_id) AS rk
+            FROM scored) WHERE rk <= {_MMR_CAND}
+    ),
+    first AS (
+        SELECT vec_id AS fid, embedding AS femb, nrm AS fnrm, rel AS frel
+        FROM cand WHERE rk = 1
+    ),
+    second AS (
+        SELECT c.vec_id AS sid, {sql_fround6(_Q220_MMR_SQL)} AS smmr
+        FROM cand c CROSS JOIN first f WHERE c.vec_id <> f.fid
+        ORDER BY smmr DESC, c.vec_id LIMIT 1
     )
-    SELECT CAST(vec_id AS BIGINT) AS first_pick_id,
-           (floor(rel * 1000000.0 + 0.5) / 1000000.0) AS first_pick_rel,
+    SELECT CAST(f.fid AS BIGINT) AS first_pick_id,
+           {sql_fround6('f.frel')} AS first_pick_rel,
+           CAST(s.sid AS BIGINT) AS second_pick_id,
+           s.smmr AS second_pick_mmr,
            CAST({_MMR_K} AS BIGINT) AS n_selected,
            CAST(1 AS BIGINT) AS picks_from_candidates
-    FROM scored ORDER BY rel DESC, vec_id LIMIT 1
+    FROM first f CROSS JOIN second s
     """,
 )
 def q220_mmr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .common import fround6
 
+    schema = ("first_pick_id bigint, first_pick_rel double, "
+              "second_pick_id bigint, second_pick_mmr double, "
+              "n_selected bigint, picks_from_candidates bigint")
     sel = q110_mmr_diversify(spark, sf_dir).orderBy("rank").collect()
+    if not sel:  # ADVICE r12: sentinel, not IndexError
+        return spark.createDataFrame([_Q220_SENTINEL], schema)
+
     # the SAME scored relation q110 ranks (shared helper — the audit
-    # cannot drift from the operator); first_pick_rel goes through the
-    # fround6 device on BOTH sides rather than q110's display round()
+    # cannot drift from the operator); all emitted scores go through
+    # the fold + fround6 device, bit-identical to the oracle's
     scored = _mmr_scored(load(spark, sf_dir, "embeddings"), 0)
     w = W.orderBy(F.desc("rel"), F.asc("vec_id"))
     cand = (scored.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= _MMR_CAND)
-            .select("vec_id", fround6(F.col("rel")).alias("frel"))
-            .collect())
-    cand_ids = {r["vec_id"] for r in cand}
+            .withColumn("nrm", F.expr(_norm_spark("embedding"))))
+    cand_rows = cand.select("vec_id", fround6(F.col("rel")).alias("frel")
+                            ).collect()  # bounded: _MMR_CAND rows
+    cand_ids = {r["vec_id"] for r in cand_rows}
     picks_ok = int(all(r["vec_id"] in cand_ids for r in sel))
-    first = sel[0]
-    first_rel = next(r["frel"] for r in cand
-                     if r["vec_id"] == first["vec_id"])
+
+    first_id = int(sel[0]["vec_id"])
+    # guarded lookup (ADVICE r12: no StopIteration) — an out-of-pool
+    # first pick keeps picks_ok=0 and emits a 0.0 score, which the
+    # oracle's independent argmax then hash-mismatches
+    first_rel = next((float(r["frel"]) for r in cand_rows
+                      if r["vec_id"] == first_id), 0.0)
+
+    second_id, second_mmr = -1, 0.0
+    if len(sel) > 1:
+        # engine-side MMR score of the operator's own second pick,
+        # GIVEN the operator's first pick: fold-dot + fround6 so the
+        # value is bit-comparable with the oracle's from-scratch argmax
+        fp = (cand.filter(F.col("vec_id") == first_id)
+              .select(F.col("embedding").alias("femb"),
+                      F.col("nrm").alias("fnrm")))
+        sim = (F.expr(_dot_spark("embedding", "femb"))
+               / (F.col("nrm") * F.col("fnrm")))
+        mmr = fround6(F.lit(_MMR_LAMBDA) * F.col("rel")
+                      - F.lit(1.0 - _MMR_LAMBDA) * sim)
+        second_id = int(sel[1]["vec_id"])
+        srow = (cand.join(F.broadcast(fp))
+                .filter(F.col("vec_id") == second_id)
+                .select(mmr.alias("mmr")).collect())  # bounded: <=1 row
+        second_mmr = float(srow[0]["mmr"]) if srow else 0.0
+
     return spark.createDataFrame(
-        [(int(first["vec_id"]), float(first_rel), len(sel), picks_ok)],
-        "first_pick_id bigint, first_pick_rel double, "
-        "n_selected bigint, picks_from_candidates bigint")
+        [(first_id, first_rel, second_id, second_mmr, len(sel), picks_ok)],
+        schema)

@@ -39,126 +39,128 @@ def _modules():
 # most one round old.  The driver window is the sampling gate, not the
 # completeness gate.
 #
-# Round-12 window (driver verifies the FIRST 50), executing the written
-# r12 schedule committed in round 11 (VERDICT r11 task 1), amended once
-# mid-round by rule (2): the ADVICE-r11 fixes changed oracle text for
-# every sql_spark_pct consumer (the NULL-semantics filter in the ranked
-# CTE) and additionally the implementation of q80/q137/q138 (floor-
-# device on interpolated percentile outputs) — 13 forces in slots 38-50,
-# identical in kind to r11's quantile_cont-port amendment.  The 13
-# displaced rows (the youngest 13 of the 19 planned r8 rows) move to
-# the r13 lead.  The SemDeDup empty-cell guarantee ships an identical
-# DAG at every reachable scale (routed regime gated off by default;
-# r10 q52/q208 precedent) and owes no force.
+# Round-13 window (driver verifies the FIRST 50), executing the written
+# r13 schedule committed in round 12 (VERDICT r12 task 1), amended once
+# by rule (2): the ADVICE-r12 fround6 fix changed q52's oracle text
+# (np.round/ROUND -> the floor device on every cosine the IVF replay
+# ranks), so q52 is forced into slot 42 — displacing one planned r9 row
+# (q194) to the r14 lead.  q220's oracle also changed this round (the
+# second-pick-given-first sharpening, VERDICT r12 task 6) but it
+# already leads the window as a never-driver-verified row.
+#   - slots 1-5: the five r12 additions — the ONLY queries in the
+#     inventory with no driver row ever (VERDICT r12 "What's missing"
+#     #1);
+#   - slots 6-41: ALL 36 remaining r8-verified rows (the 13 displaced
+#     by r12's forces first, then the rest) — retires the whole r8
+#     debt; max driver staleness advances to r9;
+#   - slot 42: the q52 rule-(2) force;
+#   - slots 43-50: the 8 oldest r9-verified rows.
 # WRITTEN SCHEDULE (continuing):
-#   - r13: the 13 displaced r8 rows + the remaining r8 rows + the
-#     oldest r9 rows = 50 (max staleness advances to r9 evidence);
-#   - r14: remaining r9 + the r10-verified tail;
-#   - r15: the r11-verified tail (incl. this round's 13 forces'
-#     neighbours already re-verified in r12).
+#   - r14: q194 + the remaining 33 r9 rows + the oldest 16 r10 rows
+#     = 50 (max staleness advances to r10 evidence);
+#   - r15: the remaining 33 r10 rows + the oldest 17 r11 rows;
+#   - r16: the remaining 20 r11 rows + the oldest 30 r12 rows.
 _PRIORITY = [
-    # --- ROUND-12 DRIVER WINDOW (first 50) ---
-    # slots 1-2: the two r11 additions — the only oracled queries never
-    # driver-verified (VERDICT r11 "What's missing" #1)
+    # --- ROUND-13 DRIVER WINDOW (first 50) ---
+    # slots 1-5: never-driver-verified (the r12 additions)
+    "q216_dsir_importance", "q217_domain_quota_sample",
+    "q218_pq_recall_audit", "q219_kmeans_audit", "q220_mmr_audit",
+    # slots 6-41: the full remaining r8 block (displaced-by-r12-forces
+    # first, then the rest, least-recently-verified order preserved)
+    "q30_range_join", "q31_sliding_window", "q32_session_window",
+    "q35_rank_functions", "q36_full_outer", "q37_array_agg",
+    "q38_profile", "q39_local_supplier_revenue", "q63_date_functions",
+    "q64_bag_set_ops", "q76_ngram_jaccard_join", "q77_pack_sequences",
+    "q83_embedding_stats", "q84_sample_exact_k", "q85_twophase_topk",
+    "q10_row_number", "q71_frame_sample", "q50_embedding_neardup",
+    "q53_embedding_centroids", "q47_minhash_lsh", "q48_simhash",
+    "q73_hash_split", "q78_balance_corpus", "q91_temperature_sample",
+    "q113_cms_heavy_hitters", "q114_kmv_distinct", "q118_weighted_sample",
+    "q119_kmv_setops", "q128_detector_agreement",
+    "q139_split_contamination", "q144_training_order",
+    "q153_simhash_hamming_join", "q156_minhash_estimate_audit",
+    "q167_dedup_strategy_venn", "q55_kmeans", "q42_lang_id",
+    # slot 42: rule-(2) force — the ADVICE-r12 halfway-semantics fix
+    # moved every rounding in q52's IVF replay oracle onto the fround6
+    # floor device; it owes a fresh hash-verified driver row
+    "q52_ivf_ann",
+    # slots 43-50: the 8 oldest r9-verified rows
+    "q180_basket_lift", "q182_subword_diversity", "q183_fk_audit",
+    "q184_bounce_rate", "q187_dedup_survivor_bias", "q190_prefix_dup",
+    "q191_dim_redundancy", "q192_segment_migration",
+    # --- tail: rotates into r14+ windows, least-recently-verified
+    # first ---
+    # the r9-verified remainder (q194 displaced by the q52 force leads)
+    "q194_truncation_loss", "q195_effective_tokens",
+    "q197_session_survival", "q198_position_value_decay",
+    "q200_corpus_stats", "q204_forecast_revenue",
+    "q205_supplier_coverage", "q207_brand_return_rate",
+    "q208_embedding_norm_qa", "q210_word_length_hist",
+    "q79_decontaminate", "q81_substring_dup", "q67_overlap_dissolve",
+    "q60_point_in_polygon", "q61_zonal_histogram", "q43_fingerprint",
+    "q54_dedup_materialize", "q15_count_distinct", "q19_hourly_window",
+    "q21_props_extract", "q18_sessionization", "q01_pricing_summary",
+    "q45_dedup_exact", "q46_dedup_tokensort", "q40_text_stats",
+    "q41_token_count", "q08_var_argmax", "q72_hierarchical_rollup",
+    "q57_normalize_text", "q58_edit_distance", "q65_blocklist_filter",
+    "q169_vocab_coverage", "q179_hapax_ratio",
+    "q196_crosssplit_perplexity",
+    # the r10-verified block
+    "q66_repetition", "q68_chunk_documents", "q69_embedding_quantize",
+    "q70_multimodal_meta", "q74_vocab_topk", "q02_ilike_filter",
+    "q03_join_enrich", "q04_semi_join", "q05_anti_join",
+    "q06_monthly_revenue", "q07_month_spine", "q09_histogram",
+    "q11_topk_per_group", "q12_pivot", "q13_setops", "q14_rollup",
+    "q16_extent", "q17_case_thresholds", "q20_above_avg",
+    "q75_golden_variance", "q82_incremental_dedup", "q62_dissolve_area",
+    "q88_containment_join", "q89_bigram_lift", "q90_pattern_redact",
+    "q92_random_projection", "q87_ngram_novelty", "q97_funnel",
+    "q98_cohort_retention", "q99_zscore_anomaly",
+    "q100_time_weighted_avg", "q101_gap_fill_interpolate",
+    "q102_bottomk_sample", "q103_order_count_distribution",
+    "q104_large_volume_orders", "q106_bloom_semi_join", "q107_line_dedup",
+    "q108_tfidf_keywords", "q109_triangle_count", "q110_mmr_diversify",
+    "q111_pq_adc_topk", "q115_bfs_hops", "q116_psi_drift",
+    "q117_rolling_median", "q120_asof_forward", "q148_semdedup",
+    "q201_cluster_label_purity", "q49_cosine_topk", "q51_srp_lsh_buckets",
+    # the r11-verified block
+    "q121_token_entropy", "q122_grouping_sets", "q123_mad_outliers",
+    "q124_incremental_agg_merge", "q125_small_quantity_revenue",
+    "q126_revenue_share", "q129_hamming_topk", "q130_weighted_median",
+    "q131_user_trend", "q132_skew_report", "q133_video_neardup",
+    "q134_ewma", "q135_benford_audit", "q136_transition_matrix",
+    "q140_class_separation", "q94_dedup_canonical",
+    "q95_stratified_split", "q96_doc_bigram_lift",
+    "q93_embedding_covariance", "q56_dedup_components",
+    "q86_pagerank_centrality", "q105_lone_returner",
+    "q112_scd2_intervals", "q29_asof_join", "q154_knn_label_accuracy",
+    "q155_pmi_collocations", "q172_zipf_fit", "q185_bigram_cond_entropy",
+    "q186_negative_sampling", "q202_cramers_v",
+    "q211_discount_quantity_corr", "q199_dup_quality_link",
+    "q141_unigram_logprob", "q44_quality_score", "q145_curriculum_stages",
+    "q188_aa_test", "q209_source_scorecard",
+    # the r12-verified window (minus this round's q52 force) — the
+    # freshest evidence closes the registry; rotates back in at r16
     "q214_url_domain_dedup", "q215_rate_limited_sample",
-    # slots 3-28: ALL 26 remaining r6-verified rows (6 rounds stale —
-    # the 13 displaced by r11's forces, then the rest) — retires the
-    # whole r6 debt (VERDICT r11 "What's missing" #2)
-    "q142_stopword_discovery", "q143_bpe_pair_counts", "q146_vocab_overlap",
-    "q147_chi2_keywords", "q150_hhi_concentration", "q151_returned_revenue",
-    "q152_dup_cluster_sizes", "q157_mix_rebalance", "q158_session_paths",
-    "q159_bm25_topk", "q160_lang_mislabel", "q161_wilson_proportion",
-    "q162_churn_rate", "q165_nation_trade_volume", "q166_market_share",
+    "q142_stopword_discovery", "q143_bpe_pair_counts",
+    "q146_vocab_overlap", "q147_chi2_keywords", "q150_hhi_concentration",
+    "q151_returned_revenue", "q152_dup_cluster_sizes",
+    "q157_mix_rebalance", "q158_session_paths", "q159_bm25_topk",
+    "q160_lang_mislabel", "q161_wilson_proportion", "q162_churn_rate",
+    "q165_nation_trade_volume", "q166_market_share",
     "q168_dedup_cost_model", "q170_burst_detection",
     "q171_dup_degree_distribution", "q173_order_reconciliation",
     "q175_error_rate_timeline", "q177_weekday_seasonality",
     "q178_new_vs_returning", "q164_rfm_segments", "q174_value_gini",
-    "q189_runs_test", "q193_heaps_law",
-    # slots 29-34: the 6 oldest r8-verified rows
-    "q22_cube", "q23_unpivot",
+    "q189_runs_test", "q193_heaps_law", "q22_cube", "q23_unpivot",
     "q24_in_subquery", "q25_window_analytics", "q26_median",
-    "q27_first_limit",
-    # slots 35-37: rule-(2) forces (second amendment) — the round-12
-    # no-oracle shrink gave q28/q34 self-certifying exact+flag outputs
-    # and q52 a FULL IVF-replay oracle; all three owe their first
-    # hash-verified driver row (they displace q30/q31/q32 to r13)
-    "q28_approx_distinct", "q34_approx_quantiles", "q52_ivf_ann",
-    # slots 38-50: rule-(2) forces — every sql_spark_pct consumer's
-    # oracle gained the NULL-semantics filter (ADVICE r11), and
-    # q80/q137/q138 additionally moved their interpolated-percentile
-    # outputs onto the floor-device; all owe a fresh driver row
+    "q27_first_limit", "q28_approx_distinct", "q34_approx_quantiles",
     "q137_time_to_convert", "q138_session_stats",
-    "q127_score_calibration", "q149_winsorized_stats", "q80_quality_filter",
-    "q163_score_auc", "q176_score_normalization", "q212_curation_shards",
-    "q213_curation_funnel", "q33_percentiles", "q181_order_interarrival",
-    "q203_quantization_error", "q206_ship_latency",
-    # --- tail: rotates into r13+ windows, least-recently-verified
-    # first ---
-    # NEW in r12 (inventory 214 -> 219): never-driver-verified rows
-    # outrank stale ones — lead the r13 window
-    "q216_dsir_importance", "q217_domain_quota_sample",
-    "q218_pq_recall_audit", "q219_kmeans_audit", "q220_mmr_audit",
-    # the r8 rows displaced by this round's forces — next in r13
-    "q30_range_join", "q31_sliding_window", "q32_session_window",
-    "q35_rank_functions", "q36_full_outer", "q37_array_agg", "q38_profile",
-    "q39_local_supplier_revenue", "q63_date_functions", "q64_bag_set_ops",
-    "q76_ngram_jaccard_join", "q77_pack_sequences", "q83_embedding_stats",
-    # remaining stale tail, least-recently-verified first: the rest of
-    # the r8 block, then the r9 block, then the r10-verified window
-    "q84_sample_exact_k", "q85_twophase_topk", "q10_row_number",
-    "q71_frame_sample", "q50_embedding_neardup", "q53_embedding_centroids",
-    "q47_minhash_lsh", "q48_simhash", "q73_hash_split", "q78_balance_corpus",
-    "q91_temperature_sample", "q113_cms_heavy_hitters", "q114_kmv_distinct",
-    "q118_weighted_sample", "q119_kmv_setops", "q128_detector_agreement",
-    "q139_split_contamination", "q144_training_order",
-    "q153_simhash_hamming_join", "q156_minhash_estimate_audit",
-    "q167_dedup_strategy_venn", "q55_kmeans", "q42_lang_id",
-    "q180_basket_lift", "q182_subword_diversity", "q183_fk_audit",
-    "q184_bounce_rate", "q187_dedup_survivor_bias", "q190_prefix_dup",
-    "q191_dim_redundancy", "q192_segment_migration", "q194_truncation_loss",
-    "q195_effective_tokens", "q197_session_survival",
-    "q198_position_value_decay", "q200_corpus_stats", "q204_forecast_revenue",
-    "q205_supplier_coverage", "q207_brand_return_rate",
-    "q208_embedding_norm_qa", "q210_word_length_hist", "q79_decontaminate",
-    "q81_substring_dup", "q67_overlap_dissolve", "q60_point_in_polygon",
-    "q61_zonal_histogram", "q43_fingerprint", "q54_dedup_materialize",
-    "q15_count_distinct", "q19_hourly_window", "q21_props_extract",
-    "q18_sessionization", "q01_pricing_summary", "q45_dedup_exact",
-    "q46_dedup_tokensort", "q40_text_stats", "q41_token_count",
-    "q08_var_argmax", "q72_hierarchical_rollup", "q57_normalize_text",
-    "q58_edit_distance", "q65_blocklist_filter", "q169_vocab_coverage",
-    "q179_hapax_ratio", "q196_crosssplit_perplexity", "q66_repetition",
-    "q68_chunk_documents", "q69_embedding_quantize", "q70_multimodal_meta",
-    "q74_vocab_topk", "q02_ilike_filter", "q03_join_enrich", "q04_semi_join",
-    "q05_anti_join", "q06_monthly_revenue", "q07_month_spine",
-    "q09_histogram", "q11_topk_per_group", "q12_pivot", "q13_setops",
-    "q14_rollup", "q16_extent", "q17_case_thresholds", "q20_above_avg",
-    "q75_golden_variance", "q82_incremental_dedup", "q62_dissolve_area",
-    "q88_containment_join", "q89_bigram_lift", "q90_pattern_redact",
-    "q92_random_projection", "q87_ngram_novelty", "q97_funnel",
-    "q98_cohort_retention", "q99_zscore_anomaly", "q100_time_weighted_avg",
-    "q101_gap_fill_interpolate", "q102_bottomk_sample",
-    "q103_order_count_distribution", "q104_large_volume_orders",
-    "q106_bloom_semi_join", "q107_line_dedup", "q108_tfidf_keywords",
-    "q109_triangle_count", "q110_mmr_diversify", "q111_pq_adc_topk",
-    "q115_bfs_hops", "q116_psi_drift", "q117_rolling_median",
-    "q120_asof_forward", "q148_semdedup", "q201_cluster_label_purity",
-    "q49_cosine_topk", "q51_srp_lsh_buckets",
-    # the r11-verified window (minus this round's 13 forces) — the
-    # freshest evidence closes the registry; rotates back in at r15
-    "q121_token_entropy", "q122_grouping_sets", "q123_mad_outliers",
-    "q124_incremental_agg_merge", "q125_small_quantity_revenue",
-    "q126_revenue_share", "q129_hamming_topk", "q130_weighted_median",
-    "q131_user_trend", "q132_skew_report", "q133_video_neardup", "q134_ewma",
-    "q135_benford_audit", "q136_transition_matrix", "q140_class_separation",
-    "q94_dedup_canonical", "q95_stratified_split", "q96_doc_bigram_lift",
-    "q93_embedding_covariance", "q56_dedup_components",
-    "q86_pagerank_centrality", "q105_lone_returner", "q112_scd2_intervals",
-    "q29_asof_join", "q154_knn_label_accuracy", "q155_pmi_collocations",
-    "q172_zipf_fit", "q185_bigram_cond_entropy", "q186_negative_sampling",
-    "q202_cramers_v", "q211_discount_quantity_corr", "q199_dup_quality_link",
-    "q141_unigram_logprob", "q44_quality_score", "q145_curriculum_stages",
-    "q188_aa_test", "q209_source_scorecard",
+    "q127_score_calibration", "q149_winsorized_stats",
+    "q80_quality_filter", "q163_score_auc", "q176_score_normalization",
+    "q212_curation_shards", "q213_curation_funnel", "q33_percentiles",
+    "q181_order_interarrival", "q203_quantization_error",
+    "q206_ship_latency",
 ]
 
 

@@ -95,3 +95,55 @@ def test_sql_spark_pct_matches_spark_on_distinct_endpoints(spark):
              .agg(F.percentile("q", F.lit(0.9))).first())
     for part in (False, True):
         assert _pct_via_sql_spark_pct(vals, "0.9", part) == sp
+
+
+def _pct_two_groups(vals_by_group, prob, keep_null_groups):
+    """sql_spark_pct over a two-group relation; returns {group: p}."""
+    from spatial_data_engineering_spark.operators.common import \
+        sql_spark_pct
+    con = duckdb.connect()
+    rows = ", ".join(
+        f"('{g}', {'NULL' if v is None else v})"
+        for g, vs in vals_by_group.items() for v in vs)
+    con.sql(f"CREATE VIEW src AS SELECT g, CAST(x AS DOUBLE) AS q "
+            f"FROM (VALUES {rows}) t(g, x)")
+    cte = sql_spark_pct("src", "q", [(prob, "p")], part=["g"],
+                        keep_null_groups=keep_null_groups)
+    return dict(con.sql(f"WITH {cte} SELECT g, p FROM pct").fetchall())
+
+
+def test_sql_spark_pct_all_null_group_contract(spark):
+    # ADVICE r12: the helper's residual cross-engine divergence is the
+    # ALL-null group — Spark's groupBy emits it with a NULL percentile,
+    # the default oracle mode drops it.  Pin BOTH sides of the contract:
+    # (1) the default mode's documented drop (executable knowledge of
+    # the caveat callers must design around), (2) keep_null_groups=True
+    # restores the group with NULL, matching Spark, without moving any
+    # value in groups that have data.
+    data = {"a": [0.1, 0.3, None, 0.9], "b": [None, None, None]}
+    sp = dict(
+        spark.createDataFrame(
+            [(g, v) for g, vs in data.items() for v in vs],
+            "g string, q double")
+        .groupBy("g").agg(F.percentile("q", F.lit(0.75)).alias("p"))
+        .collect())
+    assert set(sp) == {"a", "b"} and sp["b"] is None
+
+    default = _pct_two_groups(data, "0.75", keep_null_groups=False)
+    assert set(default) == {"a"}  # the documented drop
+    assert default["a"] == sp["a"]
+
+    kept = _pct_two_groups(data, "0.75", keep_null_groups=True)
+    assert set(kept) == {"a", "b"}  # group survives, like Spark
+    assert kept["a"] == sp["a"] and kept["b"] is None
+
+
+def test_sql_spark_pct_keep_null_groups_text_default_unchanged():
+    # the opt-in must not perturb the 13 shipped oracle strings: the
+    # default-mode text is byte-identical with the flag absent or False
+    from spatial_data_engineering_spark.operators.common import \
+        sql_spark_pct
+    a = sql_spark_pct("t", "v", [("0.5", "m")], part=["g"])
+    b = sql_spark_pct("t", "v", [("0.5", "m")], part=["g"],
+                      keep_null_groups=False)
+    assert a == b

@@ -129,18 +129,20 @@ def test_q52_ivf_output_vs_python(spark):
     keep = nrm > 0
     ids, mat, nrm = ids[keep], mat[keep], nrm[keep]
 
+    def fr6(x):  # the fround6 floor device — NOT np.round (ADVICE r12)
+        return np.floor(np.asarray(x) * 1000000.0 + 0.5) / 1000000.0
+
     cent = mat[:_IVF_N_CENTROIDS] / nrm[:_IVF_N_CENTROIDS, None]
-    # every vector's cluster: argmax over ROUND-6 cosines (first max =
+    # every vector's cluster: argmax over fround6 cosines (first max =
     # smallest idx) — the r12 tie contract shared by all three ways
-    cl = np.argmax(np.round((mat / nrm[:, None]) @ cent.T, 6), axis=1)
+    cl = np.argmax(fr6((mat / nrm[:, None]) @ cent.T), axis=1)
     expected = []
     for qpos in np.where(ids < 10)[0]:
-        qcos = np.round((mat[qpos] / nrm[qpos]) @ cent.T, 6)
+        qcos = fr6((mat[qpos] / nrm[qpos]) @ cent.T)
         probe = set(np.argsort(-qcos, kind="stable")[:_IVF_NPROBE])
         cand = [i for i in range(len(ids))
                 if cl[i] in probe and ids[i] != ids[qpos]]
-        cos = np.round((mat[cand] @ mat[qpos])
-                       / (nrm[cand] * nrm[qpos]), 6)
+        cos = fr6((mat[cand] @ mat[qpos]) / (nrm[cand] * nrm[qpos]))
         order = sorted(range(len(cand)), key=lambda j: (-cos[j],
                                                         ids[cand[j]]))
         for rk, j in enumerate(order[:3], 1):
@@ -149,3 +151,47 @@ def test_q52_ivf_output_vs_python(spark):
     got = sorted((r.query_id, r.neighbor_id, r.rk, r.cosine)
                  for r in q52_ivf_ann(spark, SF_ORACLE).collect())
     assert got == sorted(expected)
+
+
+# -------------------------------------------------------------- q220
+def test_q220_mmr_audit_vs_python(spark):
+    """q220's sharpened oracle (first pick AND second-pick-given-first,
+    round 13) shares _dot_sql/fround6 fragments with the Spark side —
+    replay both argmaxes from scratch in flat numpy (third way)."""
+    import numpy as np
+
+    from spatial_data_engineering_spark.operators.similarity import (
+        _MMR_CAND, _MMR_K, _MMR_LAMBDA, q220_mmr_audit)
+
+    emb = pd.read_parquet(SF_ORACLE + "/embeddings.parquet")
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    ids = emb["vec_id"].to_numpy()
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    nrm = np.linalg.norm(mat, axis=1)
+    keep = nrm > 0
+    ids, mat, nrm = ids[keep], mat[keep], nrm[keep]
+
+    def fr6(x):
+        return float(np.floor(np.asarray(x) * 1000000.0 + 0.5)
+                     / 1000000.0)
+
+    (qpos,) = np.where(ids == 0)[0]
+    oth = [i for i in range(len(ids)) if ids[i] != 0]
+    rel = {i: float((mat[qpos] @ mat[i]) / (nrm[qpos] * nrm[i]))
+           for i in oth}
+    cand = sorted(oth, key=lambda i: (-rel[i], ids[i]))[:_MMR_CAND]
+    first = cand[0]
+    coef = 1.0 - _MMR_LAMBDA
+    mmr = {i: fr6(_MMR_LAMBDA * rel[i]
+                  - coef * ((mat[i] @ mat[first])
+                            / (nrm[i] * nrm[first])))
+           for i in cand if i != first}
+    second = min(mmr, key=lambda i: (-mmr[i], ids[i]))
+
+    row = q220_mmr_audit(spark, SF_ORACLE).collect()[0]
+    assert row.first_pick_id == int(ids[first])
+    assert row.first_pick_rel == fr6(rel[first])
+    assert row.second_pick_id == int(ids[second])
+    assert row.second_pick_mmr == mmr[second]
+    assert row.n_selected == _MMR_K
+    assert row.picks_from_candidates == 1

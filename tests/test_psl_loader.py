@@ -270,3 +270,33 @@ def test_full_size_list_stays_expression_only(spark):
     assert len(expr) < 400_000, len(expr)
     assert t_compile < 5, t_compile
     assert t_run < 60, t_run
+
+
+def test_malformed_rules_fail_loudly():
+    # ADVICE r12: rule bodies are spliced into single-quoted SQL
+    # literals executed by both engines — a tampered/corrupted .dat
+    # line with a quote, backslash, whitespace-in-body, or control
+    # char must raise at PARSE time, never reach the expression
+    import pytest
+
+    from spatial_data_engineering_spark.operators.psl import (
+        PslRules, _sql_in, parse_psl)
+
+    for bad in ["evil'); DROP TABLE docs; --", "a\\'b.com",
+                "back\\slash.net", "ctl\x07bell.org", "!quo'te.io",
+                "*.wild'card.gr"]:
+        with pytest.raises(ValueError):
+            PslRules().add(bad)
+    # the spec's whitespace rule still holds: text AFTER the first
+    # whitespace is a comment, the rule itself stays clean
+    r = parse_psl("com  // trailing note\nco.uk\n")
+    assert r.plain == {1: {"com"}, 2: {"co.uk"}}
+    # unicode IDN rules (raw, as published) remain accepted
+    r2 = PslRules()
+    r2.add("xn--p1ai")
+    r2.add("рф")
+    assert r2.n_rules == 2
+    # defense in depth: _sql_in refuses unquotable strings even if
+    # handed values that bypassed add()
+    with pytest.raises(ValueError):
+        _sql_in({"fine.com", "bro'ken.com"})

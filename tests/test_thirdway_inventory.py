@@ -95,6 +95,9 @@ REPLAYS = {
     # Spark side), but the r12 IVF-replay oracle is new — registered so
     # the triangulation is discoverable
     "q52_ivf_ann": "test_numpy_crosscheck24.py",
+    # r13 sharpening: the second-pick-given-first oracle shares
+    # _dot_sql/sql_fround6 fragments with the Spark twin
+    "q220_mmr_audit": "test_numpy_crosscheck24.py",
 }
 
 
