@@ -82,7 +82,10 @@ _PRIORITY = [
     "q167_dedup_strategy_venn", "q55_kmeans", "q42_lang_id",
     # slot 42: rule-(2) force — the ADVICE-r12 halfway-semantics fix
     # moved every rounding in q52's IVF replay oracle onto the fround6
-    # floor device; it owes a fresh hash-verified driver row
+    # floor device; it owes a fresh hash-verified driver row.
+    # (q28's r13 Expand fix is plan-only — value-identical outputs,
+    # oracle text untouched, re-proven by the full parity gate — so by
+    # the SemDeDup r12 precedent it owes no force.)
     "q52_ivf_ann",
     # slots 43-50: the 8 oldest r9-verified rows
     "q180_basket_lift", "q182_subword_diversity", "q183_fk_audit",
