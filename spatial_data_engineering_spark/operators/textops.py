@@ -4002,3 +4002,88 @@ def q217_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   .cast("decimal(30,9)"))).cast("double")
                      / F.count(F.when(kept, 1)))
                  .alias("avg_kept_quality")))
+
+
+# --------------------------------------------------------------------------
+# q221 — Gopher-style quality-rule filter (round 13; new capability).
+# The published rule family from Rae et al. 2021 ("Scaling Language
+# Models: ... Gopher", appendix A1.1 — public paper), re-parameterized
+# for the synthetic corpus and applied per document:
+#   R1 word count within [_GR_MIN_WORDS, _GR_MAX_WORDS];
+#   R2 mean word length within [3.9, 5.1]  (paper: [3, 10]);
+#   R3 repetition: distinct-token ratio >= 0.5 (the paper's
+#      duplicate-n-gram family collapsed to its unigram form);
+#   R4 at least _GR_MIN_STOP of the 6-word stop list present (the
+#      paper's "stop word" rule).
+# Output: per-language rule-failure counts + docs passing ALL rules —
+# the shape a curation dashboard consumes (which rule bites where).
+#
+# Engine neutrality by construction: every rule is an INTEGER
+# comparison (mean-word-length and distinct-ratio thresholds are
+# cross-multiplied: sum_len*10 >= 39*n rather than sum_len/n >= 3.9),
+# so no float ever crosses an engine boundary except the final
+# kept_frac, which goes through the fround6 device on identical
+# integer operands.  All per-row work is codegen higher-order
+# functions over one split() — zero joins, zero windows; the only
+# shuffle is the 5-group final aggregate.  At 100 TB this is a pure
+# map-side scan (the same shape as q80/q44).
+# --------------------------------------------------------------------------
+_GR_MIN_WORDS, _GR_MAX_WORDS = 20, 90
+_GR_MIN_STOP = 1
+_GR_STOP_SQL = "('the', 'a', 'of', 'and', 'to', 'in')"
+
+
+def _gopher_flags(dialect: str) -> dict[str, str]:
+    """rule name -> boolean SQL (TRUE = rule FAILED), shared text shape
+    across engines; only the list-function spellings differ."""
+    if dialect == "spark":
+        toks = "split(text, ' ')"
+        n = f"size({toks})"
+        sumlen = (f"aggregate({toks}, 0, (a, x) -> a + length(x))")
+        ndist = f"size(array_distinct({toks}))"
+        nstop = f"size(filter({toks}, x -> x IN {_GR_STOP_SQL}))"
+    else:
+        toks = "string_split(text, ' ')"
+        n = f"len({toks})"
+        sumlen = f"list_sum(list_transform({toks}, x -> length(x)))"
+        ndist = f"len(list_distinct({toks}))"
+        nstop = f"len(list_filter({toks}, x -> x IN {_GR_STOP_SQL}))"
+    return {
+        "wordcount": f"({n} < {_GR_MIN_WORDS} OR {n} > {_GR_MAX_WORDS})",
+        "wordlen": f"({sumlen} * 10 < 39 * {n} OR {sumlen} * 10 > 51 * {n})",
+        "repetition": f"(2 * {ndist} < {n})",
+        "stopwords": f"({nstop} < {_GR_MIN_STOP})",
+    }
+
+
+def _gopher_oracle() -> str:
+    f = _gopher_flags("duckdb")
+    fails = " OR ".join(f.values())
+    cols = ", ".join(
+        f"CAST(SUM(CASE WHEN {expr} THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS fail_{name}" for name, expr in f.items())
+    return (f"SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, {cols}, "
+            f"CAST(SUM(CASE WHEN NOT ({fails}) THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS n_kept, "
+            + sql_fround6(
+                f"SUM(CASE WHEN NOT ({fails}) THEN 1 ELSE 0 END) * 1.0 "
+                f"/ COUNT(*)")
+            + " AS kept_frac FROM documents GROUP BY lang")
+
+
+@query("q221_gopher_rules", _gopher_oracle())
+def q221_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    flags = _gopher_flags("spark")
+    flagged = d.select(
+        "lang", *[F.expr(expr).alias(f"_f_{name}")
+                  for name, expr in flags.items()])
+    passed = ~sum((F.col(f"_f_{n}").cast("int") for n in flags),
+                  F.lit(0)).cast("boolean")
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        *[F.sum(F.col(f"_f_{n}").cast("int")).cast("bigint")
+          .alias(f"fail_{n}") for n in flags],
+        F.sum(passed.cast("int")).cast("bigint").alias("n_kept"),
+        fround6(F.sum(passed.cast("int")) * 1.0 / F.count(F.lit(1)))
+        .alias("kept_frac"))

@@ -56,10 +56,10 @@ def _modules():
 #   - slot 42: the q52 rule-(2) force;
 #   - slots 43-50: the 8 oldest r9-verified rows.
 # WRITTEN SCHEDULE (continuing):
-#   - r14: q194 + the remaining 33 r9 rows + the oldest 16 r10 rows
-#     = 50 (max staleness advances to r10 evidence);
-#   - r15: the remaining 33 r10 rows + the oldest 17 r11 rows;
-#   - r16: the remaining 20 r11 rows + the oldest 30 r12 rows.
+#   - r14: q221 (the r13 addition) + q194 + the remaining 33 r9 rows
+#     + the oldest 15 r10 rows = 50 (max staleness advances to r10);
+#   - r15: the remaining 34 r10 rows + the oldest 16 r11 rows;
+#   - r16: the remaining 21 r11 rows + the oldest 29 r12 rows.
 _PRIORITY = [
     # --- ROUND-13 DRIVER WINDOW (first 50) ---
     # slots 1-5: never-driver-verified (the r12 additions)
@@ -93,7 +93,10 @@ _PRIORITY = [
     "q191_dim_redundancy", "q192_segment_migration",
     # --- tail: rotates into r14+ windows, least-recently-verified
     # first ---
-    # the r9-verified remainder (q194 displaced by the q52 force leads)
+    # NEW in r13 (inventory 219 -> 220): never-driver-verified rows
+    # outrank stale ones — leads the r14 window
+    "q221_gopher_rules",
+    # the r9-verified remainder (q194 displaced by the q52 force next)
     "q194_truncation_loss", "q195_effective_tokens",
     "q197_session_survival", "q198_position_value_decay",
     "q200_corpus_stats", "q204_forecast_revenue",

@@ -48,10 +48,12 @@ EXPECTED_WINDOW = [
     "q191_dim_redundancy", "q192_segment_migration",
 ]
 
-# The rows that must LEAD the round-14 window: q194 (the r9 row
-# displaced by this round's q52 force), then the remaining
-# r9-verified rows in least-recently-verified order.
+# The rows that must LEAD the round-14 window: the r13 addition (the
+# only never-driver-verified query), then q194 (the r9 row displaced
+# by this round's q52 force), then the remaining r9-verified rows in
+# least-recently-verified order.
 EXPECTED_R14_LEAD = [
+    "q221_gopher_rules",
     "q194_truncation_loss", "q195_effective_tokens",
     "q197_session_survival", "q198_position_value_decay",
     "q200_corpus_stats", "q204_forecast_revenue",

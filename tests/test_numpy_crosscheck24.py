@@ -195,3 +195,47 @@ def test_q220_mmr_audit_vs_python(spark):
     assert row.second_pick_mmr == mmr[second]
     assert row.n_selected == _MMR_K
     assert row.picks_from_candidates == 1
+
+
+# -------------------------------------------------------------- q221
+def test_q221_gopher_rules_vs_python(spark, docs):
+    """q221's oracle is generated from the same _gopher_flags builder
+    as the Spark side — replay every rule from scratch (plain str ops,
+    no SQL fragments) per the thirdway discipline."""
+    from spatial_data_engineering_spark.operators.textops import (
+        _GR_MIN_STOP, _GR_MIN_WORDS, _GR_MAX_WORDS, q221_gopher_rules)
+
+    stop = {"the", "a", "of", "and", "to", "in"}
+    per = defaultdict(lambda: {"n": 0, "wc": 0, "wl": 0, "rep": 0,
+                               "sw": 0, "kept": 0})
+    for _, r in docs.iterrows():
+        toks = r["text"].split(" ")
+        n = len(toks)
+        sumlen = sum(len(t) for t in toks)
+        f_wc = n < _GR_MIN_WORDS or n > _GR_MAX_WORDS
+        f_wl = sumlen * 10 < 39 * n or sumlen * 10 > 51 * n
+        f_rep = 2 * len(set(toks)) < n
+        f_sw = sum(1 for t in toks if t in stop) < _GR_MIN_STOP
+        g = per[r["lang"]]
+        g["n"] += 1
+        g["wc"] += f_wc
+        g["wl"] += f_wl
+        g["rep"] += f_rep
+        g["sw"] += f_sw
+        g["kept"] += not (f_wc or f_wl or f_rep or f_sw)
+    got = {r.lang: r for r in q221_gopher_rules(spark, SF_ORACLE).collect()}
+    assert set(got) == set(per)
+    total_kept = 0
+    for lang, g in per.items():
+        r = got[lang]
+        assert (r.n_docs, r.fail_wordcount, r.fail_wordlen,
+                r.fail_repetition, r.fail_stopwords, r.n_kept) == (
+            g["n"], g["wc"], g["wl"], g["rep"], g["sw"], g["kept"])
+        assert r.kept_frac == math.floor(
+            g["kept"] * 1.0 / g["n"] * 1000000.0 + 0.5) / 1000000.0
+        total_kept += g["kept"]
+    # the rule set must actually BITE on the fixture (non-trivial both
+    # ways) — a threshold drift that lets everything through or kills
+    # everything is a spec bug, not just a parity event
+    n_total = sum(g["n"] for g in per.values())
+    assert 0 < total_kept < n_total

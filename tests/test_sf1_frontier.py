@@ -27,6 +27,10 @@ FRONTIER = [
     "q50_embedding_neardup", "q154_knn_label_accuracy", "q49_cosine_topk",
     "q193_heaps_law", "q209_source_scorecard", "q56_dedup_components",
     "q212_curation_shards",
+    # r13 rotation (VERDICT r12 task 4): the two Spark-side-heavy rows
+    # from the parity heavy tail (the rest of that tail is
+    # DuckDB-oracle time — see scripts/sf1_frontier.py)
+    "q168_dedup_cost_model", "q152_dup_cluster_sizes",
 ]
 
 
@@ -79,6 +83,8 @@ PARITY_SUBSET = [
     # self-certifying / audit rows must hold at 10x data too
     "q28_approx_distinct", "q34_approx_quantiles", "q52_ivf_ann",
     "q218_pq_recall_audit", "q219_kmeans_audit", "q220_mmr_audit",
+    # r13 addition — integer-comparison rules must hold at 10x data
+    "q221_gopher_rules",
 ]
 
 

@@ -98,6 +98,9 @@ REPLAYS = {
     # r13 sharpening: the second-pick-given-first oracle shares
     # _dot_sql/sql_fround6 fragments with the Spark twin
     "q220_mmr_audit": "test_numpy_crosscheck24.py",
+    # r13 addition: oracle and Spark side both generated from
+    # _gopher_flags — the canonical shared-builder case
+    "q221_gopher_rules": "test_numpy_crosscheck24.py",
 }
 
 
