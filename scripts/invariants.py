@@ -62,7 +62,7 @@ def main(argv) -> int:
     from spatial_data_engineering_spark.session import build_session
     from spatial_data_engineering_spark.operators import relational as R
     from spatial_data_engineering_spark.plans.audit import (
-        _stable_ids, audit_registry, global_window_report)
+        _stable_ids, global_window_report)
     from spatial_data_engineering_spark.queries_registry import all_queries
 
     # keep the q56/q86/q199 LSH pair-cache side effect out of the repo
@@ -84,6 +84,12 @@ def main(argv) -> int:
                 plan = df._jdf.queryExecution().executedPlan().toString()
             except Exception as ex:  # noqa: BLE001
                 errors[name] = str(ex)[:200]
+                # audit_registry's error convention, mirrored so the
+                # GLOBAL_WINDOW_AUDIT.json this script writes can never
+                # disagree with the pytest-refreshed one on a broken
+                # query (r13 review)
+                window_table[name] = {"error": str(ex)[:200]}
+                window_flagged[name] = [f"error: {str(ex)[:200]}"]
                 continue
             hits = [m for m in FORBIDDEN if m in plan]
             if hits:

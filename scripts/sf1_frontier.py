@@ -57,19 +57,22 @@ FRONTIER = [
 
 # Drift is judged against committed 3-run medians — a FIXED anchor,
 # deliberately not a ratchet: re-anchoring to each round's frontier row
-# would let slow creep compound unflagged.  Later labels MERGE over
-# earlier ones per-query (new members enter at their first committed
-# 3-run row; existing members keep their original anchor).
-# One recalibration is allowed and must carry its own proof: q212's
-# r10 anchor (3.67 s) was the historical minimum — every r10-r13
-# reading sat at 4.0-6.0 s, so the arbiter CONFIRMED a "drift" that a
-# cross-tree A/B (fresh-JVM bench alternated between the current tree
-# and the r12 tree, BENCH_history `r13-q212-code-ab`) proved is NOT a
-# code regression (4.86 vs 5.04 — identical within noise).  The
+# would let slow creep compound unflagged.  Labels compose with
+# EARLIEST-WINS semantics: a later label only supplies queries the
+# earlier rows never measured (new members enter at their first
+# committed row; existing members keep their original anchor — the r13
+# review caught a file-order update() silently loosening q152's r10
+# anchor 1.02 -> 1.55 via the scout row).
+# RECAL_LABELS override, one query each, and must carry their own
+# proof: q212's r10 anchor (3.67 s) was the historical minimum — every
+# r10-r13 reading sat at 4.0-6.0 s, so the arbiter CONFIRMED a "drift"
+# that a cross-tree A/B (fresh-JVM bench alternated between the current
+# tree and the r12 tree, BENCH_history `r13-q212-code-ab`) proved is
+# NOT a code regression (4.86 vs 5.04 — identical within noise).  The
 # `r13-q212-anchor-recal` row re-anchors q212 at its representative
-# median; recalibrations without such an A/B row are forbidden.
-ANCHOR_LABELS = ("r10-sf1-3run-final", "r13-sf1-heavytail-scout",
-                 "r13-q212-anchor-recal")
+# median; a recal label without such an A/B row is forbidden.
+ANCHOR_LABELS = ("r10-sf1-3run-final", "r13-sf1-heavytail-scout")
+RECAL_LABELS = ("r13-q212-anchor-recal",)
 DRIFT = 1.3
 # Sub-second queries swing +-0.3-0.5 s on this box between sessions
 # (q56 read 0.96/1.14/1.26 s across one day with no DAG change — see
@@ -81,12 +84,23 @@ DRIFT_MIN_ABS = 0.5
 def _anchor() -> dict[str, float]:
     hist = os.path.join(REPO, "BENCH_history.jsonl")
     anchor: dict[str, float] = {}
+    rows = []
     with open(hist) as fh:
         for line in fh:
-            row = json.loads(line)
-            if row.get("label") in ANCHOR_LABELS:
-                # MERGE, not replace: each frontier member keeps the
-                # anchor from the last committed row that measured it
+            rows.append(json.loads(line))
+    # earliest-wins across ANCHOR_LABELS (anti-ratchet): iterate labels
+    # in declaration order and only fill gaps
+    for label in ANCHOR_LABELS:
+        for row in rows:
+            if row.get("label") == label:
+                for q, t in row["queries"].items():
+                    if q in FRONTIER:
+                        anchor.setdefault(q, t)
+    # explicit recalibrations override — each label must be justified by
+    # a committed cross-tree A/B row (see RECAL_LABELS comment)
+    for label in RECAL_LABELS:
+        for row in rows:
+            if row.get("label") == label:
                 anchor.update({q: t for q, t in row["queries"].items()
                                if q in FRONTIER})
     missing = [q for q in FRONTIER if q not in anchor]
@@ -144,7 +158,13 @@ def _arbitrate(q: str, a: float, suite_t: float, label: str) -> bool:
 
 
 def main() -> int:
-    label = sys.argv[1] if len(sys.argv) > 1 else "r12-sf1-frontier"
+    # the label keys BENCH_history rows per round — a stale default
+    # would file this round's evidence under the wrong round (r13
+    # review), so it is REQUIRED
+    if len(sys.argv) < 2:
+        raise SystemExit("usage: sf1_frontier.py <label>  "
+                         "(e.g. r14-sf1-frontier)")
+    label = sys.argv[1]
     payload = _run_bench(FRONTIER, "3", label)
     if payload is None:
         return 3

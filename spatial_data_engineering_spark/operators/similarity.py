@@ -562,9 +562,8 @@ def q52_ivf_ann(spark: SparkSession, sf_dir: str, n_query: int = 10,
                 continue
             # fround6 before argmax; first-max = smallest cid on ties
             # (matches the oracle's fround6 + cos DESC, cid ordering)
-            cl = np.argmax(
-                np.floor((m / n[:, None]) @ cent_.T * 1000000.0 + 0.5)
-                / 1000000.0, axis=1)
+            cl = np.argmax(np_fround6((m / n[:, None]) @ cent_.T),
+                           axis=1)
             yield pd.DataFrame({
                 "vec_id": pdf["vec_id"], "cluster": cl.astype("int32"),
                 "embedding": pdf["embedding"],
@@ -585,7 +584,7 @@ def q52_ivf_ann(spark: SparkSession, sf_dir: str, n_query: int = 10,
         n = np.linalg.norm(m, axis=1)
         sims = (q_mat_[probing] / q_norms_[probing, None]) @ (m / n[:, None]).T
         # fround6 device, not Python round (half-to-even) — ADVICE r12
-        sims = np.floor(sims * 1000000.0 + 0.5) / 1000000.0
+        sims = np_fround6(sims)
         rows = []
         cand_ids = pdf["vec_id"].to_numpy()
         for row_i, qi in enumerate(probing):
@@ -1042,9 +1041,16 @@ def q110_mmr_diversify(spark: SparkSession, sf_dir: str,
         if not selected:
             best = max(remaining, key=lambda i: (rel[i], -ids[i]))
         else:
+            # the MMR score goes through the fround6 device BEFORE the
+            # argmax, ties to the smallest id — the q50/q52/q154 argmax
+            # contract, and exactly what q220's oracle replays for the
+            # second pick (round-13 review: with unrounded scores, two
+            # candidates in the same 1e-6 bucket could make the
+            # operator and the audit oracle legitimately disagree)
             def mmr(i):
-                return (lam * rel[i]
-                        - (1 - lam) * max(sim[i][j] for j in selected))
+                raw = (lam * rel[i]
+                       - (1 - lam) * max(sim[i][j] for j in selected))
+                return float(np.floor(raw * 1000000.0 + 0.5) / 1000000.0)
             best = max(remaining, key=lambda i: (mmr(i), -ids[i]))
         selected.append(best)
         remaining.remove(best)

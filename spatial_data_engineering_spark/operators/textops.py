@@ -4029,6 +4029,9 @@ def q217_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # map-side scan (the same shape as q80/q44).
 # --------------------------------------------------------------------------
 _GR_MIN_WORDS, _GR_MAX_WORDS = 20, 90
+# mean-word-length band [3.9, 5.1], stored x10 so the rule stays an
+# integer cross-multiplication (sum_len*10 vs LO10/HI10 * n)
+_GR_WLEN_LO10, _GR_WLEN_HI10 = 39, 51
 _GR_MIN_STOP = 1
 _GR_STOP_SQL = "('the', 'a', 'of', 'and', 'to', 'in')"
 
@@ -4050,7 +4053,8 @@ def _gopher_flags(dialect: str) -> dict[str, str]:
         nstop = f"len(list_filter({toks}, x -> x IN {_GR_STOP_SQL}))"
     return {
         "wordcount": f"({n} < {_GR_MIN_WORDS} OR {n} > {_GR_MAX_WORDS})",
-        "wordlen": f"({sumlen} * 10 < 39 * {n} OR {sumlen} * 10 > 51 * {n})",
+        "wordlen": f"({sumlen} * 10 < {_GR_WLEN_LO10} * {n}"
+                   f" OR {sumlen} * 10 > {_GR_WLEN_HI10} * {n})",
         "repetition": f"(2 * {ndist} < {n})",
         "stopwords": f"({nstop} < {_GR_MIN_STOP})",
     }

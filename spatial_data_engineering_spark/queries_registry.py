@@ -85,7 +85,11 @@ _PRIORITY = [
     # floor device; it owes a fresh hash-verified driver row.
     # (q28's r13 Expand fix is plan-only — value-identical outputs,
     # oracle text untouched, re-proven by the full parity gate — so by
-    # the SemDeDup r12 precedent it owes no force.)
+    # the SemDeDup r12 precedent it owes no force.  q110's r13
+    # tie-contract alignment (fround6 before the greedy argmax) is a
+    # rows-only query whose content contract is hash-carried by its
+    # audit twin q220, already in-window at slot 5 — the force lands
+    # on the row that can actually verify it.)
     "q52_ivf_ann",
     # slots 43-50: the 8 oldest r9-verified rows
     "q180_basket_lift", "q182_subword_diversity", "q183_fk_audit",

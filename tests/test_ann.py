@@ -160,9 +160,13 @@ def test_mmr_matches_numpy_reference_and_diversifies(spark):
         if not sel:
             best = max(rem, key=lambda i: (crel[i], -cids[i]))
         else:
+            # fround6 before the argmax, smallest id on ties — the
+            # operator's r13 contract (shared with q220's oracle)
             best = max(rem, key=lambda i: (
-                _MMR_LAMBDA * crel[i]
-                - (1 - _MMR_LAMBDA) * max(sim[i][j] for j in sel),
+                np.floor((_MMR_LAMBDA * crel[i]
+                          - (1 - _MMR_LAMBDA)
+                          * max(sim[i][j] for j in sel))
+                         * 1000000.0 + 0.5) / 1000000.0,
                 -cids[i]))
         sel.append(best)
         rem.remove(best)

@@ -203,7 +203,8 @@ def test_q221_gopher_rules_vs_python(spark, docs):
     as the Spark side — replay every rule from scratch (plain str ops,
     no SQL fragments) per the thirdway discipline."""
     from spatial_data_engineering_spark.operators.textops import (
-        _GR_MIN_STOP, _GR_MIN_WORDS, _GR_MAX_WORDS, q221_gopher_rules)
+        _GR_MIN_STOP, _GR_MIN_WORDS, _GR_MAX_WORDS, _GR_WLEN_HI10,
+        _GR_WLEN_LO10, q221_gopher_rules)
 
     stop = {"the", "a", "of", "and", "to", "in"}
     per = defaultdict(lambda: {"n": 0, "wc": 0, "wl": 0, "rep": 0,
@@ -213,7 +214,8 @@ def test_q221_gopher_rules_vs_python(spark, docs):
         n = len(toks)
         sumlen = sum(len(t) for t in toks)
         f_wc = n < _GR_MIN_WORDS or n > _GR_MAX_WORDS
-        f_wl = sumlen * 10 < 39 * n or sumlen * 10 > 51 * n
+        f_wl = (sumlen * 10 < _GR_WLEN_LO10 * n
+                or sumlen * 10 > _GR_WLEN_HI10 * n)
         f_rep = 2 * len(set(toks)) < n
         f_sw = sum(1 for t in toks if t in stop) < _GR_MIN_STOP
         g = per[r["lang"]]
