@@ -1,11 +1,20 @@
 """Iterative algorithms over DataFrames: distributed k-means and
-connected-components (the BASELINE.json "iterative algorithms" class —
-genuinely non-SQL-expressible, so these ship rows-only driver checks plus
-behavioral pytest contracts).
+connected-components (the BASELINE.json "iterative algorithms" class).
 
 Both follow the canonical Spark iterative shape: a small driver loop over
 fully-distributed steps, state carried in DataFrames/broadcasts, nothing
 per-row on the driver.
+
+Round 13: k-means stopped being "non-SQL-expressible".  Every step of
+the shipped Lloyd configuration is deterministic AND order-independent —
+init = first k vectors by id, assignment = argmin over fround6-rounded
+squared distances (ties to the lowest cluster id), update = per-dim
+decimal(30,10)-exact means, empty clusters keep their centroid, the
+early stop fires only at an exact fixed point (where further iterations
+are no-ops) — so the WHOLE fixed-iteration-count algorithm replays as a
+chain of SQL CTEs and q55 carries a full DuckDB oracle (the q52
+IVF-replay precedent).  Connected components (frontier loop with a
+data-dependent iteration count) remains rows-only by nature.
 """
 
 from __future__ import annotations
@@ -15,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from .common import np_fround6, sql_fround6
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -35,8 +45,10 @@ def query(name: str, oracle: str | None = None):
 # Assignment: broadcast centroid matrix, one BLAS matmul per Arrow batch
 # (mapInPandas) — no shuffle.  Update: per-(cluster, dim) partial sums via
 # posexplode + groupBy — one small shuffle of k*dim partial aggregates per
-# iteration.  Deterministic: init = first k corpus vectors, exact argmin
-# ties broken by lowest cluster id.
+# iteration.  Deterministic AND engine-replayable: init = first k corpus
+# vectors, argmin over fround6-rounded d2 with ties to the lowest
+# cluster id, decimal-exact means (see the module docstring / q55's
+# oracle).
 # --------------------------------------------------------------------------
 def kmeans_fit(spark: SparkSession, vectors: DataFrame, k: int = 8,
                max_iter: int = 5, id_col: str = "vec_id",
@@ -81,7 +93,15 @@ def _kmeans_loop(spark, v, k, max_iter, id_col, vec_col):
                 # squared euclidean via ||x||^2 - 2xC^T + ||c||^2
                 d2 = ((m * m).sum(axis=1)[:, None] - 2.0 * (m @ cent.T)
                       + (cent * cent).sum(axis=1)[None, :])
-                cl = np.argmin(d2, axis=1)
+                # fround6 BEFORE the argmin (first-min = lowest cluster
+                # id on ties) — the engine-neutral argmax/argmin
+                # contract shared with q55's SQL replay oracle, which
+                # computes d2 as an ordered (x-c)^2 fold: the expansion
+                # formula above differs from the fold by reassociation
+                # and cancellation noise (~1e-10 worst case near x=c,
+                # where both round to 0.0), all absorbed by the device.
+                # dist2 stays RAW — inertia is a sum, not a ranking.
+                cl = np.argmin(np_fround6(d2), axis=1)
                 out = {"id": pdf[id_col], "cluster": cl.astype("int32")}
                 if with_dist:
                     out["dist2"] = d2[np.arange(len(cl)), cl]
@@ -125,8 +145,12 @@ def _kmeans_loop(spark, v, k, max_iter, id_col, vec_col):
         for c, dims in by_cluster.items():
             for p, m in dims.items():
                 new_centroids[c, p] = m
-        if np.allclose(new_centroids, centroids, rtol=0.0, atol=1e-12):
-            centroids = new_centroids
+        # EXACT fixed-point early stop (was allclose atol=1e-12): at a
+        # bit-identical fixed point further iterations are provable
+        # no-ops, so stopping early is replay-equivalent to running all
+        # max_iter rounds — which is what q55's SQL oracle does.  A
+        # tolerance stop could quit while the replay keeps moving.
+        if (new_centroids == centroids).all():
             break
         centroids = new_centroids
 
@@ -140,9 +164,88 @@ def _kmeans_loop(spark, v, k, max_iter, id_col, vec_col):
     return assignments, centroids, inertia_hist
 
 
-@query("q55_kmeans")
+def _km_d2_sql(a: str, b: str) -> str:
+    """Ordered (x-c)^2 fold — DuckDB twin of the assignment distance.
+    ``b`` must already be a DOUBLE list (the replay's centroid arrays).
+    """
+    return (f"list_reduce(list_transform(generate_series(1, len({a})),"
+            f" i -> (CAST({a}[i] AS DOUBLE) - {b}[i])"
+            f" * (CAST({a}[i] AS DOUBLE) - {b}[i])),"
+            f" (x, y) -> x + y)")
+
+
+def _km_assign_sql(name: str, cent: str) -> str:
+    """Assignment CTE under centroid relation ``cent(cid, cemb)`` —
+    fround6(d2) ASC, cid: bit-for-bit the Spark argmin contract."""
+    return f"""{name} AS (
+    SELECT vec_id, cid AS cluster FROM (
+        SELECT x.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                   ORDER BY {sql_fround6(_km_d2_sql('x.embedding',
+                                                    'c.cemb'))} ASC,
+                            c.cid) AS rk
+        FROM x CROSS JOIN {cent} c) WHERE rk = 1)"""
+
+
+def _km_explode(rel_cols: str, src: str) -> str:
+    """(…, pos, v) per-dim rows — generate_series is not lateral-joinable
+    in DuckDB, so explode via unnest of a struct list."""
+    return f"""(SELECT {rel_cols}, u.pos AS pos, u.v AS v FROM (
+        SELECT {rel_cols},
+               unnest(list_transform(generate_series(1, len(embedding)),
+                   i -> {{'pos': i, 'v': CAST(embedding[i] AS DOUBLE)}}))
+                   AS u
+        FROM {src}))"""
+
+
+def _q55_oracle(k: int = 8, iters: int = 5) -> str:
+    """Full Lloyd replay in SQL (round 13 — the q52 IVF-replay
+    precedent extended to the iterative class): init = first k vectors
+    by vec_id; each iteration = fround6-argmin assignment + per-dim
+    decimal(30,10)-exact means with empty clusters carrying their
+    previous centroid (COALESCE against the prior per-dim rows); after
+    ``iters`` updates, one final assignment feeds the cluster-size
+    output.  Kosher because every Spark-side step is order-independent
+    (see kmeans_fit) — the only cross-engine float channel is BLAS-vs-
+    fold d2 noise, absorbed by the shared fround6-before-argmin device.
+    Cost is LINEAR in corpus size (n*k folds per assignment — 8.2 s at
+    sf1's 20k vectors), unlike the quadratic all-pairs oracles.
+    """
+    parts = [f"""x AS (SELECT vec_id, embedding FROM embeddings),
+xd AS {_km_explode('vec_id', 'x')},
+cd0 AS (SELECT cid, pos, v AS c FROM {_km_explode(
+    'cid',
+    '(SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding '
+    f'FROM (SELECT * FROM x ORDER BY vec_id LIMIT {k}))')}),
+c0 AS (SELECT cid, list(c ORDER BY pos) AS cemb FROM cd0 GROUP BY cid)"""]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(f"""{_km_assign_sql(f'a{t}', f'c{p}')},
+m{t} AS (
+    SELECT a.cluster AS cid, d.pos,
+           CAST(SUM(CAST(d.v AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS m
+    FROM a{t} a JOIN xd d ON d.vec_id = a.vec_id
+    GROUP BY a.cluster, d.pos),
+cd{t} AS (
+    SELECT p.cid, p.pos, COALESCE(m.m, p.c) AS c
+    FROM cd{p} p LEFT JOIN m{t} m ON m.cid = p.cid AND m.pos = p.pos),
+c{t} AS (SELECT cid, list(c ORDER BY pos) AS cemb FROM cd{t} GROUP BY cid)""")
+    parts.append(_km_assign_sql("afin", f"c{iters}"))
+    return ("WITH " + ",\n".join(parts) + """
+SELECT CAST(cluster AS BIGINT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(MIN(vec_id) AS BIGINT) AS min_vec_id
+FROM afin GROUP BY cluster""")
+
+
+@query("q55_kmeans", _q55_oracle())
 def q55_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster sizes from a deterministic 5-iteration k-means (k=8)."""
+    """Cluster sizes from a deterministic 5-iteration k-means (k=8).
+
+    Fully oracled since round 13 (_q55_oracle — the no-oracle set
+    shrinks 3 -> 2); triangulated by a from-scratch numpy+Decimal Lloyd
+    replay in tests/test_numpy_crosscheck24.py.
+    """
     e = load(spark, sf_dir, "embeddings")
     assignments, _, _ = kmeans_fit(spark, e, k=8, max_iter=5)
     return (assignments.groupBy("cluster")
@@ -746,8 +849,9 @@ def q171_dup_degree_distribution(spark: SparkSession,
 
 
 # --------------------------------------------------------------------------
-# q219 — k-means audit (round-12 no-oracle shrink): q55's cluster sizes
-# are iteration-valued (rows-only driver check by nature), but Lloyd's
+# q219 — k-means audit (round-12 no-oracle shrink; since round 13 q55
+# itself carries a full Lloyd-replay oracle, so this twin is now the
+# CONTRACT-level check layered on top of exact replay): Lloyd's
 # contract is checkable: every point assigned exactly once (n_points —
 # independently recomputed by the DuckDB oracle from the corpus), at
 # most k clusters, and the inertia history non-increasing (Lloyd's

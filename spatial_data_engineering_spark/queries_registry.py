@@ -53,7 +53,9 @@ def _modules():
 #   - slots 6-41: ALL 36 remaining r8-verified rows (the 13 displaced
 #     by r12's forces first, then the rest) — retires the whole r8
 #     debt; max driver staleness advances to r9;
-#   - slot 42: the q52 rule-(2) force;
+#   - slot 42: the q52 rule-(2) force (q55 — slot 40 — also changed
+#     this round: the full Lloyd-replay oracle + the fround6-argmin
+#     contract; already in-window, no displacement needed);
 #   - slots 43-50: the 8 oldest r9-verified rows.
 # WRITTEN SCHEDULE (continuing):
 #   - r14: q221 (the r13 addition) + q194 + the remaining 33 r9 rows

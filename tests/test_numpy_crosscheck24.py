@@ -241,3 +241,58 @@ def test_q221_gopher_rules_vs_python(spark, docs):
     # everything is a spec bug, not just a parity event
     n_total = sum(g["n"] for g in per.values())
     assert 0 < total_kept < n_total
+
+
+# -------------------------------------------------------------- q55
+def test_q55_kmeans_vs_python(spark):
+    """q55's round-13 full-Lloyd SQL oracle, triangulated: a third
+    from-scratch implementation (flat numpy + decimal.Decimal for the
+    exact means; no Spark, no SQL) must reproduce the registered
+    query's exact cluster sizes."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from spatial_data_engineering_spark.operators.clustering import \
+        q55_kmeans
+
+    K, ITERS = 8, 5
+    emb = pd.read_parquet(SF_ORACLE + "/embeddings.parquet")
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    ids = emb["vec_id"].to_numpy()
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+
+    def fr6(x):
+        return np.floor(np.asarray(x) * 1000000.0 + 0.5) / 1000000.0
+
+    def dec_mean(vals):  # the engines' decimal(30,10)-exact mean
+        q = Decimal("1e-10")
+        s = sum((Decimal(float(v)).quantize(q, ROUND_HALF_UP)
+                 for v in vals), Decimal(0))
+        return float(s) / len(vals)
+
+    def assign(cent):
+        d2 = ((mat * mat).sum(1)[:, None] - 2.0 * (mat @ cent.T)
+              + (cent * cent).sum(1)[None, :])
+        return np.argmin(fr6(d2), axis=1)
+
+    cent = mat[:K].copy()
+    for _ in range(ITERS):
+        cl = assign(cent)
+        new = cent.copy()
+        for c in range(K):
+            members = cl == c
+            if members.any():
+                for p in range(mat.shape[1]):
+                    new[c, p] = dec_mean(mat[members, p])
+        cent = new
+    cl = assign(cent)
+
+    expected = {}
+    for c in range(K):
+        members = np.where(cl == c)[0]
+        if len(members):
+            expected[c] = (len(members), int(ids[members].min()))
+    got = {r.cluster: (r.n_vectors, r.min_vec_id)
+           for r in q55_kmeans(spark, SF_ORACLE).collect()}
+    assert got == expected

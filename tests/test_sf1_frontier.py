@@ -85,6 +85,9 @@ PARITY_SUBSET = [
     "q218_pq_recall_audit", "q219_kmeans_audit", "q220_mmr_audit",
     # r13 addition — integer-comparison rules must hold at 10x data
     "q221_gopher_rules",
+    # r13 no-oracle shrink — the full Lloyd replay must hold at 10x
+    # (the oracle is linear in n: 8.2 s at sf1's 20k vectors)
+    "q55_kmeans",
 ]
 
 

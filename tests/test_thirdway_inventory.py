@@ -101,6 +101,9 @@ REPLAYS = {
     # r13 addition: oracle and Spark side both generated from
     # _gopher_flags — the canonical shared-builder case
     "q221_gopher_rules": "test_numpy_crosscheck24.py",
+    # r13 no-oracle shrink: the full-Lloyd replay oracle is generated
+    # SQL — triangulated by a from-scratch numpy+Decimal Lloyd
+    "q55_kmeans": "test_numpy_crosscheck24.py",
 }
 
 
