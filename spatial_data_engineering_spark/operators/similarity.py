@@ -984,14 +984,69 @@ def q93_covariance_explode_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the data.
 #
 # Greedy MMR is order-dependent by definition (selection i depends on the
-# i-1 chosen before it) — not SQL-expressible, so no oracle; the pytest
-# contract checks exact equality against an independent numpy reference
-# plus the diversity property (pairwise sim of MMR set < pairwise sim of
-# plain top-k).
+# i-1 chosen before it) — but order-dependent is NOT non-replayable:
+# since round 13 every pick goes through the fround6-rounded argmax with
+# lowest-id ties, so the WHOLE K-pick sequence unrolls as K chained
+# MATERIALIZED CTEs (pick_t = argmax over candidates of
+# lam*rel - (1-lam)*max-fold-sim-to-sel_{t-1}) and q110 carries a full
+# DuckDB oracle (the q52/q55 replay pattern; MATERIALIZED because the
+# naive inlined chain references sel_{t-1} three times per step — 3^K
+# expansion).  The pytest contract additionally checks exact equality
+# against an independent numpy reference plus the diversity property
+# (pairwise sim of MMR set < pairwise sim of plain top-k), and q220
+# stays as the contract-level audit twin.
 # --------------------------------------------------------------------------
 _MMR_LAMBDA = 0.7
 _MMR_K = 10
 _MMR_CAND = 50
+
+
+def _q110_oracle(k: int = _MMR_K, n_cand: int = _MMR_CAND,
+                 lam: float = _MMR_LAMBDA) -> str:
+    """Full greedy-MMR replay: recall top-n_cand by raw fold rel (the
+    operator's candidate window), pick 1 = relevance argmax, then k-1
+    rounds of fround6(lam*rel - (1-lam)*MAX sim-to-selected) with
+    (score DESC, vec_id) ties — bit-for-bit the operator's selection
+    under the r13 rounded-argmax contract.  Cost: one linear rel scan
+    plus K rounds over <= n_cand*K pairs (~0.15 s at sf0.01)."""
+    mmr = (f"CAST({lam} AS DOUBLE) * c.rel"
+           f" - (CAST(1.0 AS DOUBLE) - CAST({lam} AS DOUBLE)) * mx.s")
+    sim = _dot_sql("c2.embedding", "s.emb") + " / (c2.nrm * s.nrm)"
+    parts = [f"""nz AS (
+    SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm
+    FROM embeddings WHERE {_norm_sql('embedding')} > 0),
+q AS (SELECT embedding AS qemb, nrm AS qnrm FROM nz WHERE vec_id = 0),
+cand AS MATERIALIZED (
+    SELECT * FROM (
+        SELECT n.vec_id, n.embedding, n.nrm,
+               {_dot_sql('q.qemb', 'n.embedding')} / (q.qnrm * n.nrm)
+                   AS rel,
+               ROW_NUMBER() OVER (ORDER BY
+                   {_dot_sql('q.qemb', 'n.embedding')} / (q.qnrm * n.nrm)
+                   DESC, n.vec_id) AS rk
+        FROM nz n CROSS JOIN q WHERE n.vec_id <> 0)
+    WHERE rk <= {n_cand}),
+sel1 AS MATERIALIZED (SELECT vec_id, embedding AS emb, nrm, rel, 1 AS rank
+         FROM cand WHERE rk = 1)"""]
+    for t in range(2, k + 1):
+        p = t - 1
+        parts.append(f"""pick{t} AS (
+    SELECT c.vec_id, {sql_fround6(mmr)} AS score
+    FROM cand c JOIN (
+        SELECT c2.vec_id, MAX({sim}) AS s
+        FROM cand c2 CROSS JOIN sel{p} s
+        GROUP BY c2.vec_id) mx ON mx.vec_id = c.vec_id
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{p})
+    ORDER BY score DESC, c.vec_id LIMIT 1),
+sel{t} AS MATERIALIZED (
+    SELECT * FROM sel{p}
+    UNION ALL
+    SELECT c.vec_id, c.embedding, c.nrm, c.rel, {t} AS rank
+    FROM cand c JOIN pick{t} pk ON pk.vec_id = c.vec_id)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT CAST(rank AS INTEGER) AS rank, CAST(vec_id AS BIGINT) AS vec_id,
+       {sql_fround6('rel')} AS relevance
+FROM sel{k}""")
 
 
 def _mmr_scored(e: DataFrame, query_vec_id: int) -> DataFrame:
@@ -1014,7 +1069,7 @@ def _mmr_scored(e: DataFrame, query_vec_id: int) -> DataFrame:
     )
 
 
-@query("q110_mmr_diversify")
+@query("q110_mmr_diversify", _q110_oracle())
 def q110_mmr_diversify(spark: SparkSession, sf_dir: str,
                        query_vec_id: int = 0, k: int = _MMR_K,
                        n_cand: int = _MMR_CAND,
@@ -1055,7 +1110,11 @@ def q110_mmr_diversify(spark: SparkSession, sf_dir: str,
         selected.append(best)
         remaining.remove(best)
 
-    out = [(int(rank + 1), int(ids[i]), round(float(rel[i]), 6))
+    # fround6 device on the emitted relevance (was Python round's
+    # half-to-even) — the oracle replays the same device on the same
+    # fold-computed rel, so the display column is hash-comparable too
+    out = [(int(rank + 1), int(ids[i]),
+            float(np.floor(rel[i] * 1000000.0 + 0.5) / 1000000.0))
            for rank, i in enumerate(selected)]
     return spark.createDataFrame(out, "rank int, vec_id bigint, relevance double")
 

@@ -56,7 +56,12 @@ def _modules():
 #   - slot 42: the q52 rule-(2) force (q55 — slot 40 — also changed
 #     this round: the full Lloyd-replay oracle + the fround6-argmin
 #     contract; already in-window, no displacement needed);
-#   - slots 43-50: the 8 oldest r9-verified rows.
+#   - slots 43-49: the 7 oldest r9-verified rows;
+#   - slot 50: second rule-(2) amendment — q110 gained a FULL greedy-
+#     MMR replay oracle (the no-oracle set shrinks to q111 alone) and
+#     its relevance column moved onto the fround6 device; it owes its
+#     first hash-verified driver row and displaces q192 to the r14
+#     lead.
 # WRITTEN SCHEDULE (continuing):
 #   - r14: q221 (the r13 addition) + q194 + the remaining 33 r9 rows
 #     + the oldest 15 r10 rows = 50 (max staleness advances to r10);
@@ -93,16 +98,20 @@ _PRIORITY = [
     # audit twin q220, already in-window at slot 5 — the force lands
     # on the row that can actually verify it.)
     "q52_ivf_ann",
-    # slots 43-50: the 8 oldest r9-verified rows
+    # slots 43-49: the 7 oldest r9-verified rows
     "q180_basket_lift", "q182_subword_diversity", "q183_fk_audit",
     "q184_bounce_rate", "q187_dedup_survivor_bias", "q190_prefix_dup",
-    "q191_dim_redundancy", "q192_segment_migration",
+    "q191_dim_redundancy",
+    # slot 50: the q110 rule-(2) force (full MMR-replay oracle, new)
+    "q110_mmr_diversify",
     # --- tail: rotates into r14+ windows, least-recently-verified
     # first ---
     # NEW in r13 (inventory 219 -> 220): never-driver-verified rows
     # outrank stale ones — leads the r14 window
     "q221_gopher_rules",
-    # the r9-verified remainder (q194 displaced by the q52 force next)
+    # then the rows displaced by this round's two forces (q192 by the
+    # q110 amendment, q194 by the q52 amendment), then the r9 remainder
+    "q192_segment_migration",
     "q194_truncation_loss", "q195_effective_tokens",
     "q197_session_survival", "q198_position_value_decay",
     "q200_corpus_stats", "q204_forecast_revenue",
@@ -131,7 +140,7 @@ _PRIORITY = [
     "q100_time_weighted_avg", "q101_gap_fill_interpolate",
     "q102_bottomk_sample", "q103_order_count_distribution",
     "q104_large_volume_orders", "q106_bloom_semi_join", "q107_line_dedup",
-    "q108_tfidf_keywords", "q109_triangle_count", "q110_mmr_diversify",
+    "q108_tfidf_keywords", "q109_triangle_count",
     "q111_pq_adc_topk", "q115_bfs_hops", "q116_psi_drift",
     "q117_rolling_median", "q120_asof_forward", "q148_semdedup",
     "q201_cluster_label_purity", "q49_cosine_topk", "q51_srp_lsh_buckets",

@@ -25,7 +25,9 @@ from spatial_data_engineering_spark.queries_registry import all_queries
 # IVF replay moved onto the fround6 floor device), forcing q52 into
 # slot 42 and displacing one planned r9 row (q194) to the r14 lead.
 # Slots 1-5 are the never-driver-verified r12 additions; slots 6-41
-# retire the ENTIRE r8 debt; slots 43-50 start on the r9 block.
+# retire the ENTIRE r8 debt; slots 43-49 start on the r9 block; a
+# second rule-(2) amendment put q110 (new full MMR-replay oracle) in
+# slot 50, displacing q192 to the r14 lead.
 EXPECTED_WINDOW = [
     "q216_dsir_importance", "q217_domain_quota_sample",
     "q218_pq_recall_audit", "q219_kmeans_audit", "q220_mmr_audit",
@@ -45,15 +47,16 @@ EXPECTED_WINDOW = [
     "q52_ivf_ann",
     "q180_basket_lift", "q182_subword_diversity", "q183_fk_audit",
     "q184_bounce_rate", "q187_dedup_survivor_bias", "q190_prefix_dup",
-    "q191_dim_redundancy", "q192_segment_migration",
+    "q191_dim_redundancy", "q110_mmr_diversify",
 ]
 
 # The rows that must LEAD the round-14 window: the r13 addition (the
-# only never-driver-verified query), then q194 (the r9 row displaced
-# by this round's q52 force), then the remaining r9-verified rows in
-# least-recently-verified order.
+# only never-driver-verified query), then the rows displaced by this
+# round's two rule-(2) forces (q192 by q110, q194 by q52), then the
+# remaining r9-verified rows in least-recently-verified order.
 EXPECTED_R14_LEAD = [
     "q221_gopher_rules",
+    "q192_segment_migration",
     "q194_truncation_loss", "q195_effective_tokens",
     "q197_session_survival", "q198_position_value_decay",
     "q200_corpus_stats", "q204_forecast_revenue",

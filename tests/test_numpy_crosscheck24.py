@@ -296,3 +296,55 @@ def test_q55_kmeans_vs_python(spark):
     got = {r.cluster: (r.n_vectors, r.min_vec_id)
            for r in q55_kmeans(spark, SF_ORACLE).collect()}
     assert got == expected
+
+
+# -------------------------------------------------------------- q110
+def test_q110_mmr_sequence_vs_python(spark):
+    """q110's round-13 full greedy-MMR replay oracle, triangulated: a
+    from-scratch numpy MMR (BLAS sims, the fround6-argmax contract)
+    must reproduce the registered query's exact (rank, id, relevance)
+    rows."""
+    import numpy as np
+
+    from spatial_data_engineering_spark.operators.similarity import (
+        _MMR_CAND, _MMR_K, _MMR_LAMBDA, q110_mmr_diversify)
+
+    emb = pd.read_parquet(SF_ORACLE + "/embeddings.parquet")
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    ids = emb["vec_id"].to_numpy()
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    nrm = np.linalg.norm(mat, axis=1)
+    keep = nrm > 0
+    ids, mat, nrm = ids[keep], mat[keep], nrm[keep]
+
+    def fr6(x):
+        return float(np.floor(np.asarray(x) * 1000000.0 + 0.5)
+                     / 1000000.0)
+
+    (qi,) = np.where(ids == 0)[0]
+    rel = (mat @ mat[qi]) / (nrm * nrm[qi])
+    mask = ids != 0
+    cids, crel = ids[mask], rel[mask]
+    order = np.lexsort((cids, -crel))[:_MMR_CAND]
+    cids, crel = cids[order], crel[order]
+    cmat = mat[np.searchsorted(ids, cids)]
+    cmat = cmat / np.linalg.norm(cmat, axis=1)[:, None]
+    sim = cmat @ cmat.T
+
+    sel, rem = [], list(range(len(cids)))
+    while rem and len(sel) < _MMR_K:
+        if not sel:
+            best = max(rem, key=lambda i: (crel[i], -cids[i]))
+        else:
+            best = max(rem, key=lambda i: (
+                fr6(_MMR_LAMBDA * crel[i]
+                    - (1 - _MMR_LAMBDA) * max(sim[i][j] for j in sel)),
+                -cids[i]))
+        sel.append(best)
+        rem.remove(best)
+    expected = [(r + 1, int(cids[i]), fr6(crel[i]))
+                for r, i in enumerate(sel)]
+    got = [(r.rank, r.vec_id, r.relevance)
+           for r in q110_mmr_diversify(spark, SF_ORACLE)
+           .orderBy("rank").collect()]
+    assert got == expected

@@ -88,6 +88,9 @@ PARITY_SUBSET = [
     # r13 no-oracle shrink — the full Lloyd replay must hold at 10x
     # (the oracle is linear in n: 8.2 s at sf1's 20k vectors)
     "q55_kmeans",
+    # r13 no-oracle shrink — the full greedy-MMR sequence replay
+    # (linear recall scan + K bounded rounds)
+    "q110_mmr_diversify",
 ]
 
 

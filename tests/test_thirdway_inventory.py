@@ -104,6 +104,9 @@ REPLAYS = {
     # r13 no-oracle shrink: the full-Lloyd replay oracle is generated
     # SQL — triangulated by a from-scratch numpy+Decimal Lloyd
     "q55_kmeans": "test_numpy_crosscheck24.py",
+    # r13 no-oracle shrink: the full greedy-MMR sequence replay shares
+    # _dot_sql/_norm_sql/sql_fround6 with the Spark side
+    "q110_mmr_diversify": "test_numpy_crosscheck24.py",
 }
 
 
