@@ -97,10 +97,20 @@ def _anchor() -> dict[str, float]:
                     if q in FRONTIER:
                         anchor.setdefault(q, t)
     # explicit recalibrations override — each label must be justified by
-    # a committed cross-tree A/B row (see RECAL_LABELS comment)
+    # a committed cross-tree A/B row (see RECAL_LABELS comment).  The
+    # one-query-per-label rule is ENFORCED here, not just documented
+    # (ADVICE r13): a recal row carrying several queries would silently
+    # re-anchor (loosen) queries that never got an A/B.
     for label in RECAL_LABELS:
         for row in rows:
             if row.get("label") == label:
+                if len(row["queries"]) != 1:
+                    raise SystemExit(
+                        f"recal row {label!r} carries "
+                        f"{len(row['queries'])} queries "
+                        f"({sorted(row['queries'])}); the rule is ONE "
+                        "query per recal label, each with its own "
+                        "cross-tree A/B proof")
                 anchor.update({q: t for q, t in row["queries"].items()
                                if q in FRONTIER})
     missing = [q for q in FRONTIER if q not in anchor]

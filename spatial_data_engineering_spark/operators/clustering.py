@@ -96,11 +96,21 @@ def _kmeans_loop(spark, v, k, max_iter, id_col, vec_col):
                 # fround6 BEFORE the argmin (first-min = lowest cluster
                 # id on ties) — the engine-neutral argmax/argmin
                 # contract shared with q55's SQL replay oracle, which
-                # computes d2 as an ordered (x-c)^2 fold: the expansion
+                # computes d2 as an ordered (x-c)^2 fold.  The expansion
                 # formula above differs from the fold by reassociation
                 # and cancellation noise (~1e-10 worst case near x=c,
-                # where both round to 0.0), all absorbed by the device.
-                # dist2 stays RAW — inertia is a sum, not a ranking.
+                # where both round to 0.0).  RESIDUAL RISK, not absolute
+                # absorption (ADVICE r13): the device makes a cross-
+                # engine argmin split UNLIKELY (it needs a d2 pair
+                # within ~1e-10 of a 1e-6 floor boundary, ~1e-4
+                # straddle odds per comparison), not impossible — and in
+                # a 5-iteration replay one early split cascades into a
+                # whole-row hash mismatch.  A red driver row on
+                # q55/q219 is therefore triaged as boundary-straddle
+                # FIRST (re-run the q219 contract audit + the
+                # crosscheck24 Decimal replay) before being treated as
+                # a code bug.  dist2 stays RAW — inertia is a sum, not
+                # a ranking.
                 cl = np.argmin(np_fround6(d2), axis=1)
                 out = {"id": pdf[id_col], "cluster": cl.astype("int32")}
                 if with_dist:

@@ -1083,6 +1083,15 @@ def q110_mmr_diversify(spark: SparkSession, sf_dir: str,
             .filter(F.col("rk") <= n_cand))
     # BOUNDED collect: n_cand rows of (id, vec, rel) — the re-rank set.
     rows = cand.orderBy("rk").collect()
+    if not rows:
+        # empty candidate pool (corpus without the query vector, or all
+        # zero-norm): emit an empty frame instead of letting
+        # np.stack([]) raise — this is what makes q220's n_selected=0
+        # sentinel actually reachable (ADVICE r13; value-identical on
+        # any corpus containing vec 0, so no window force owed by the
+        # q28/SemDeDup plan-only precedent)
+        return spark.createDataFrame(
+            [], "rank int, vec_id bigint, relevance double")
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     rel = np.array([r["rel"] for r in rows], dtype=np.float64)
     mat = np.stack([np.asarray(r["embedding"], dtype=np.float64)

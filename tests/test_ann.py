@@ -184,6 +184,20 @@ def test_mmr_matches_numpy_reference_and_diversifies(spark):
     assert mean_pairwise(picked) < mean_pairwise(topk_ids)
 
 
+def test_mmr_empty_candidate_pool_returns_empty_frame(spark):
+    """ADVICE r13: with no candidate rows (query vector absent from the
+    corpus) q110 must return an EMPTY typed frame, not crash in
+    np.stack([]) — this is what makes q220's n_selected=0 sentinel path
+    actually reachable."""
+    from spatial_data_engineering_spark.operators.similarity import \
+        q110_mmr_diversify
+
+    out = q110_mmr_diversify(spark, SF_ORACLE, query_vec_id=-1)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "rank", "vec_id", "relevance"]
+
+
 def test_pq_adc_recall_and_compression_contract(spark):
     """PQ top-k must recover a healthy fraction of exact-L2 neighbors, and
     the ADC distance of every true nearest neighbor must stay within a
