@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..catalog import load
-from .common import (davg, dvar_samp, np_fround6, sql_davg,
+from .common import (davg, dvar_samp, fround6, np_fround6, sql_davg,
                      sql_dvar_expr, sql_fround6,
                      sql_spark_pct)
 
@@ -1148,20 +1148,62 @@ def q110_mmr_diversify(spark: SparkSession, sf_dir: str,
 # row, then rank.  At 100 TB: codebooks persist offline, codes live
 # columnar (8 bytes/vector — the whole point), scan stays map-side.
 #
-# No oracle (trained codebooks are not SQL-expressible); the pytest
-# contract pins recall@k vs exact L2 and the compressed-domain distance
-# error bound.
+# FULLY ORACLED since round 14 (the no-oracle set closes 1 -> 0): the
+# training is per-subspace Lloyd with deterministic first-k* init over a
+# bounded n_train slice — exactly q55's replay shape at m x k* scale — so
+# _q111_oracle() replays the whole pipeline in SQL: 10 chained
+# assignment/update iterations per subspace (all 16 subspaces ride one
+# relation keyed by s), then encode + ADC + rank.  The engine-neutral
+# float contract, channel by channel:
+#   * centroid means: the decimal(30,10)-exact device (quantize HALF_UP,
+#     exact sum, cast-to-double, divide) on BOTH sides — the former
+#     numpy xs[mask].mean() was the one genuinely un-replayable channel
+#     (pairwise summation order is numpy-private), so training now uses
+#     _dec_mean below, matching the oracle's
+#     CAST(SUM(CAST(v AS DECIMAL(30,10))) AS DOUBLE)/COUNT(*) and q55's
+#     proven Spark<->DuckDB decimal-cast equivalence;
+#   * d2: the same ordered (x-c)^2 fold in index order on both sides
+#     (numpy sums <8 elements sequentially; DuckDB list_reduce is a left
+#     fold), fround6 BEFORE every argmin, ties to the lowest cid — the
+#     shared q52/q55 contract (residual boundary-straddle risk
+#     documented at clustering.py's assignment kernel applies here too);
+#   * ADC distances: M table gathers accumulated in subspace order on
+#     both sides (list_reduce over list(d ORDER BY s)) — bit-identical
+#     raw doubles, so the final rank needs no rounding device.
+# The pytest contract additionally pins recall@k vs exact L2 and the
+# compressed-domain distance error bound, and
+# tests/test_numpy_crosscheck25.py triangulates the full replay
+# (pure-Python folds + Decimal means, no Spark, no SQL).
 # --------------------------------------------------------------------------
 _PQ_M = 16         # subspaces
 _PQ_KSTAR = 64     # centroids per subspace
 _PQ_TRAIN_N = 256  # deterministic training sample (bounded driver pull)
 
 
+def _dec_mean(vals) -> float:
+    """decimal(30,10)-exact mean — the engines' shared mean device.
+
+    Quantize each double to 10 decimal places HALF_UP (both Spark's and
+    DuckDB's CAST(DOUBLE AS DECIMAL(30,10)) round half away from zero),
+    sum EXACTLY in Decimal, cast the sum to double (correctly rounded),
+    then IEEE-divide by the count — bit-identical to the oracle's
+    CAST(SUM(CAST(v AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) and to
+    q55's Spark-side decimal aggregation."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal("1e-10")
+    s = sum((Decimal(float(v)).quantize(q, ROUND_HALF_UP) for v in vals),
+            Decimal(0))
+    return float(s) / len(vals)
+
+
 def pq_train_codebooks(spark: SparkSession, sf_dir: str,
                        m: int = _PQ_M, kstar: int = _PQ_KSTAR,
                        n_train: int = _PQ_TRAIN_N, iters: int = 10):
     """(m, kstar, sub_dim) float64 codebooks from per-subspace Lloyd on the
-    first n_train vectors (pure function of the corpus — deterministic)."""
+    first n_train vectors (pure function of the corpus — deterministic,
+    and since round 14 engine-REPLAYABLE: decimal-exact means + the
+    fround6-argmin contract, see the block comment above)."""
     import numpy as np
 
     e = load(spark, sf_dir, "embeddings")
@@ -1176,16 +1218,129 @@ def pq_train_codebooks(spark: SparkSession, sf_dir: str,
         cent = xs[:kstar].copy()  # deterministic init: first k* rows
         for _ in range(iters):
             d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
+            # fround6 before the argmin (first-min = lowest cid on
+            # ties) — the contract the SQL replay's ROW_NUMBER mirrors
+            assign = np_fround6(d2).argmin(axis=1)
             for c in range(kstar):
                 mask = assign == c
                 if mask.any():
-                    cent[c] = xs[mask].mean(axis=0)
+                    # decimal-exact per-dim means (NOT numpy mean, whose
+                    # pairwise summation order no SQL engine can replay)
+                    cent[c] = [_dec_mean(xs[mask, p]) for p in range(sub)]
         books[s] = cent
     return books
 
 
-@query("q111_pq_adc_topk")
+def _pq_d2_sql(a: str, b: str) -> str:
+    """Ordered (x-c)^2 fold over two DOUBLE sub-lists — the DuckDB twin
+    of the numpy sequential sum over the sub_dim axis."""
+    return (f"list_reduce(list_transform(generate_series(1, len({a})),"
+            f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])),"
+            f" (x, y) -> x + y)")
+
+
+def _pq_assign_sql(name: str, src: str, cent: str) -> str:
+    """Assignment CTE: per (s, vec_id), the fround6-argmin centroid —
+    ROW_NUMBER over (fround6(d2) ASC, cid ASC), bit-for-bit the numpy
+    np_fround6(d2).argmin(axis=1) contract."""
+    return f"""{name} AS MATERIALIZED (
+    SELECT vec_id, s, cid FROM (
+        SELECT v.vec_id, v.s, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.s, v.vec_id
+                   ORDER BY {sql_fround6(_pq_d2_sql('v.sv', 'c.cv'))} ASC,
+                            c.cid) AS rk
+        FROM {src} v JOIN {cent} c ON c.s = v.s) WHERE rk = 1)"""
+
+
+def _q111_oracle(m: int = _PQ_M, kstar: int = _PQ_KSTAR,
+                 n_train: int = _PQ_TRAIN_N, iters: int = 10,
+                 n_query: int = 10, k: int = 3) -> str:
+    """Full PQ replay in SQL (round 14 — the q55/q110 precedent closes
+    the no-oracle set to zero): per-subspace Lloyd training (all m
+    subspaces ride one relation keyed by s; 10 chained
+    assignment/update iterations with decimal(30,10)-exact means and
+    empty clusters carrying their previous centroid via per-dim
+    COALESCE), then encode every corpus vector (fround6-argmin over the
+    trained codebook), build the per-query ADC tables (RAW fold d2 —
+    both engines compute the identical formula, so no device is needed
+    past the argmins), accumulate the M gathers in subspace order, and
+    rank (adc_dist ASC, neighbor_id ASC) per query.  Cost is linear in
+    corpus size: n*m*k* fold-4 evals for the encode, the training is
+    bounded at n_train rows."""
+    sub_hi = m - 1
+    parts = [f"""x AS (SELECT vec_id, embedding FROM embeddings),
+ss AS (SELECT unnest(generate_series(0, {sub_hi})) AS s),
+sv AS MATERIALIZED (
+    SELECT x.vec_id, ss.s,
+           list_transform(
+               x.embedding[ss.s * (len(x.embedding) // {m}) + 1 :
+                           (ss.s + 1) * (len(x.embedding) // {m})],
+               e -> CAST(e AS DOUBLE)) AS sv
+    FROM x CROSS JOIN ss),
+tr AS MATERIALIZED (
+    SELECT sv.* FROM sv
+    WHERE vec_id IN (SELECT vec_id FROM x ORDER BY vec_id
+                     LIMIT {n_train})),
+trd AS MATERIALIZED (
+    SELECT vec_id, s, u.pos AS pos, u.v AS v FROM (
+        SELECT vec_id, s,
+               unnest(list_transform(generate_series(1, len(sv)),
+                   i -> {{'pos': i, 'v': sv[i]}})) AS u
+        FROM tr)),
+cb0 AS MATERIALIZED (
+    SELECT s, ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1
+               AS cid,
+           sv AS cv
+    FROM tr
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id)
+            <= {kstar}),
+cbd0 AS MATERIALIZED (
+    SELECT s, cid, u.pos AS pos, u.v AS c FROM (
+        SELECT s, cid,
+               unnest(list_transform(generate_series(1, len(cv)),
+                   i -> {{'pos': i, 'v': cv[i]}})) AS u
+        FROM cb0))"""]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(f"""{_pq_assign_sql(f'a{t}', 'tr', f'cb{p}')},
+m{t} AS (
+    SELECT a.s, a.cid, d.pos,
+           CAST(SUM(CAST(d.v AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*)
+               AS m
+    FROM a{t} a JOIN trd d ON d.vec_id = a.vec_id AND d.s = a.s
+    GROUP BY a.s, a.cid, d.pos),
+cbd{t} AS MATERIALIZED (
+    SELECT p.s, p.cid, p.pos, COALESCE(m.m, p.c) AS c
+    FROM cbd{p} p LEFT JOIN m{t} m
+        ON m.s = p.s AND m.cid = p.cid AND m.pos = p.pos),
+cb{t} AS MATERIALIZED (
+    SELECT s, cid, list(c ORDER BY pos) AS cv
+    FROM cbd{t} GROUP BY s, cid)""")
+    parts.append(f"""{_pq_assign_sql('enc', 'sv', f'cb{iters}')},
+tab AS MATERIALIZED (
+    SELECT q.vec_id AS qid, q.s, c.cid,
+           {_pq_d2_sql('q.sv', 'c.cv')} AS d
+    FROM sv q JOIN cb{iters} c ON c.s = q.s
+    WHERE q.vec_id < {n_query}),
+adc AS (
+    SELECT t.qid, e.vec_id,
+           list_reduce(list(t.d ORDER BY t.s), (acc, v) -> acc + v)
+               AS adc_dist
+    FROM enc e JOIN tab t ON t.s = e.s AND t.cid = e.cid
+    WHERE e.vec_id <> t.qid
+    GROUP BY t.qid, e.vec_id)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT CAST(qid AS BIGINT) AS query_id,
+       CAST(vec_id AS BIGINT) AS neighbor_id,
+       CAST(rk AS INTEGER) AS rk,
+       {sql_fround6('adc_dist')} AS adc_dist
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY adc_dist ASC, vec_id ASC) AS rk
+      FROM adc)
+WHERE rk <= {k}""")
+
+
+@query("q111_pq_adc_topk", _q111_oracle())
 def q111_pq_adc_topk(spark: SparkSession, sf_dir: str, n_query: int = 10,
                      k: int = 3) -> DataFrame:
     import numpy as np
@@ -1222,7 +1377,9 @@ def q111_pq_adc_topk(spark: SparkSession, sf_dir: str, n_query: int = 10,
             for s in range(m_):
                 xs = x[:, s * sub_:(s + 1) * sub_]
                 d2 = ((xs[:, None, :] - books_[s][None, :, :]) ** 2).sum(axis=2)
-                codes[:, s] = d2.argmin(axis=1)
+                # fround6-argmin: the same device as training, mirrored
+                # by the oracle's encode CTE
+                codes[:, s] = np_fround6(d2).argmin(axis=1)
             # ADC: approx dist of every row to every query via table gather
             # (n_q, n_rows) = sum over subspaces of table[q, s, code[row, s]]
             approx = np.zeros((len(q_ids_), len(x)))
@@ -1248,10 +1405,15 @@ def q111_pq_adc_topk(spark: SparkSession, sf_dir: str, n_query: int = 10,
         schema="query_id bigint, neighbor_id bigint, adc_dist double")
     w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"),
                                           F.asc("neighbor_id"))
+    # fround6 device on the emitted distance (was F.round, which rounds
+    # the shortest decimal repr — the q44 halfway split); adc_dist >= 0
+    # so the device matches ROUND's display convention too.  The RANK
+    # stays on the raw double: both engines compute it by the identical
+    # fold, bit-for-bit.
     return (scored.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k)
             .select("query_id", "neighbor_id", "rk",
-                    F.round("adc_dist", 6).alias("adc_dist")))
+                    fround6(F.col("adc_dist")).alias("adc_dist")))
 
 
 # --------------------------------------------------------------------------
@@ -2005,9 +2167,10 @@ def q208_embedding_norm_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q218 — PQ recall audit (round-12 no-oracle shrink): q111's ADC top-k is
-# sketch-valued (rows-only driver check by nature), but its QUALITY
-# CONTRACT is deterministic per dataset — so this companion puts that
+# q218 — PQ recall audit (round-12 no-oracle shrink; since round 14 q111
+# itself carries a full replay oracle, so this twin is defense in depth
+# rather than the only hash signal): q111's QUALITY CONTRACT is
+# deterministic per dataset — this companion puts that
 # contract on the driver's hash-verified path.  It computes the exact
 # L2 top-k for the same 10 queries JVM-side (fold arithmetic — the same
 # left-fold the DuckDB oracle uses, so `exact_pairs_sum` is genuine

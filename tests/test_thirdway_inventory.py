@@ -107,6 +107,11 @@ REPLAYS = {
     # r13 no-oracle shrink: the full greedy-MMR sequence replay shares
     # _dot_sql/_norm_sql/sql_fround6 with the Spark side
     "q110_mmr_diversify": "test_numpy_crosscheck24.py",
+    # r14 no-oracle CLOSE (1 -> 0): the full PQ training+encode+ADC
+    # replay is generated SQL (_pq_d2_sql/_pq_assign_sql) and shares
+    # the _dec_mean/fround6 devices with the Spark side — triangulated
+    # by a pure-Python sequential-fold + Decimal-mean replay
+    "q111_pq_adc_topk": "test_numpy_crosscheck25.py",
 }
 
 
