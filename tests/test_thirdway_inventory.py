@@ -112,6 +112,11 @@ REPLAYS = {
     # the _dec_mean/fround6 devices with the Spark side — triangulated
     # by a pure-Python sequential-fold + Decimal-mean replay
     "q111_pq_adc_topk": "test_numpy_crosscheck25.py",
+    # r14 additions: q222's oracle shares _BLM_REF_LANG/sql_spark_pct
+    # with the Spark side; q223's oracle replays the shared
+    # _lloyd_parts chain — both triangulated from scratch
+    "q222_bigram_lm_buckets": "test_numpy_crosscheck25.py",
+    "q223_cluster_silhouette": "test_numpy_crosscheck25.py",
 }
 
 
