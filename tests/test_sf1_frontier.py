@@ -91,6 +91,11 @@ PARITY_SUBSET = [
     # r13 no-oracle shrink — the full greedy-MMR sequence replay
     # (linear recall scan + K bounded rounds)
     "q110_mmr_diversify",
+    # r14 no-oracle CLOSE — the full PQ replay (training bounded at
+    # n_train rows; encode linear: n x m x k* fold-4 evals)
+    "q111_pq_adc_topk",
+    # r14 additions must hold at 10x data on arrival
+    "q222_bigram_lm_buckets", "q223_cluster_silhouette",
 ]
 
 
