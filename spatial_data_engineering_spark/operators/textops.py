@@ -4218,6 +4218,14 @@ def q222_bigram_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
               .groupBy("doc_id", "lang")
               .agg((F.sum(term).cast("double") / F.count(F.lit(1)))
                    .alias("nll")))
+    # NOT pinned: the threshold branch and the final labeling both
+    # recompute scored (8 parquet scans / 0 ReusedExchange in the
+    # plan), but a localCheckpoint pin A/B'd as a no-op at sf0.1
+    # (pinned [2.07, 2.42, 1.64] vs unpinned [2.21, 1.58] s — the
+    # eager materialization job cancels the saved recompute; README
+    # rule 6, SCALE_NOTES r14).  At fleet scale the documented swap is
+    # persisting scored (3 narrow columns) alongside the
+    # approx_percentile threshold swap.
     thr = (scored.groupBy("lang")
            .agg(F.expr(
                f"percentile(nll, array(cast({_BLM_P1} as double),"
