@@ -123,6 +123,8 @@ def _kmeans_loop(spark, v, k, max_iter, id_col, vec_col):
         def assign(batches):
             cent = bc.value
             for pdf in batches:
+                if len(pdf) == 0:  # zero-row Arrow batch guard
+                    continue
                 m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
                 # squared euclidean via ||x||^2 - 2xC^T + ||c||^2
                 d2 = ((m * m).sum(axis=1)[:, None] - 2.0 * (m @ cent.T)
@@ -373,6 +375,8 @@ def q223_cluster_silhouette(spark: SparkSession, sf_dir: str,
         cent = bc.value
         kk, dim = cent.shape
         for pdf in batches:
+            if len(pdf) == 0:  # zero-row Arrow batch guard
+                continue
             m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             # explicit sequential fold over dims — the oracle's
             # _km_d2_sql order, NOT np.sum/BLAS (whose reassociation

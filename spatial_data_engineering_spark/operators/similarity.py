@@ -549,6 +549,8 @@ def q52_ivf_ann(spark: SparkSession, sf_dir: str, n_query: int = 10,
     def assign(batches):
         _, _, _, _, cent_ = bc.value
         for pdf in batches:
+            if len(pdf) == 0:  # zero-row Arrow batch (q110 find, generalized)
+                continue
             m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             n = np.linalg.norm(m, axis=1)
             nzr = n > 0  # candidate domain = the oracle's nz CTE
@@ -1400,6 +1402,8 @@ def q111_pq_adc_topk(spark: SparkSession, sf_dir: str, n_query: int = 10,
         books_, q_ids_, tables_ = bc.value
         m_, kstar_, sub_ = books_.shape
         for pdf in batches:
+            if len(pdf) == 0:  # zero-row Arrow batch (q110 find, generalized)
+                continue
             x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             codes = np.empty((len(x), m_), dtype=np.int64)
             for s in range(m_):
