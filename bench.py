@@ -150,6 +150,25 @@ def main() -> None:
             raise SystemExit(f"SPARK_GRAFT_QUERIES unknown: {sorted(unknown)}")
         queries = [(n, f) for n, f in queries if n in want]
     import gc
+    # Optional DISCARDED full-suite warm-up pass (round 15; VERDICT r14
+    # task 2).  The sf1 frontier probe's in-suite flags were pure run-1
+    # JIT/codegen warm-up two rounds running (r13: 5 flags, r14: 4 —
+    # every isolated arbiter median landed BELOW anchor): a 3-run median
+    # over [cold, warm, warm] is one noisy co-tenant window away from
+    # reading cold.  With SPARK_GRAFT_WARMUP_SUITE=1 the selected
+    # queries run once UNTIMED first, so all scored runs start with the
+    # JVM, codegen caches and session memos warm — the steady-state
+    # number the anchors represent.  The payload records the mode so a
+    # warm-started row can't be mistaken for a cold-start one.
+    warmup_suite = os.environ.get("SPARK_GRAFT_WARMUP_SUITE") == "1"
+    if warmup_suite:
+        for name, fn in queries:
+            gc.collect()
+            try:
+                fn(spark, sf_dir).write.mode("overwrite").format(
+                    "noop").save()
+            except Exception:
+                pass  # the timed loop records (and re-tries) failures
     for _ in range(n_runs):
         run_total = 0.0
         for name, fn in queries:
@@ -192,6 +211,8 @@ def main() -> None:
         "n_runs": n_runs,
         "runs_total": run_totals,
     }
+    if warmup_suite:
+        out["warmup_suite"] = True
     if failures:
         out["failures"] = failures
     emit(out)

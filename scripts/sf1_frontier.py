@@ -126,6 +126,13 @@ def _run_bench(queries: list[str], runs: str, label: str,
     env.update({
         "SPARK_GRAFT_SF_DIR": os.path.join(REPO, "testdata_sf1"),
         "SPARK_GRAFT_QUERIES": ",".join(queries),
+        # Discarded warm-up pass (VERDICT r14 task 2): r13/r14 every
+        # in-suite flag was run-1 JIT warm-up and every isolated median
+        # landed BELOW anchor — the probe manufactured arbiter work.
+        # All scored runs now start warm (JVM, codegen, session memos),
+        # which is the steady state the anchors represent; a flag that
+        # still fires is a real drift by construction.
+        "SPARK_GRAFT_WARMUP_SUITE": "1",
         # the ARBITER must always get its full 5-run median — a
         # pre-set SPARK_GRAFT_RUNS=1 quick-probe env var must not let
         # it "adjudicate" real drift from a single lucky run (r12

@@ -1863,14 +1863,14 @@ def q128_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near_dup_pairs = the SESSION-SHARED checkpointed q47 pair set
     # (consumed by q56/q86/q94 too) — calling q47 directly would re-run
     # the whole LSH DAG per invocation (measured 8.1 s vs 4.6 s at sf0.1)
-    from .dedup import _simhash_sig, near_dup_pairs
+    from .dedup import near_dup_pairs, simhash_sig_cached
 
     d = load(spark, sf_dir, "documents")
     mh_pairs = near_dup_pairs(spark, sf_dir)
     mh = (mh_pairs.select(F.col("a_id").alias("doc_id"))
           .unionByName(mh_pairs.select(F.col("b_id").alias("doc_id")))
           .distinct())
-    sig = _simhash_sig(d)
+    sig = simhash_sig_cached(spark, sf_dir)  # shared with q48/q167 (r15)
     from pyspark.sql.window import Window as W
     sh = (sig.withColumn("n_bucket",
                          F.count(F.lit(1)).over(W.partitionBy("simhash")))
@@ -4132,6 +4132,29 @@ _BLM_REF_LANG = "en"
 # repr(1/3) / repr(2/3): parse to the same double in both engines
 _BLM_P1, _BLM_P2 = "0.3333333333333333", "0.6666666666666666"
 
+# Fleet-scale tertile mode (round 15; VERDICT r14 task 4 — the swap the
+# r14 plan-shape note documented is now a tested code path, the
+# SPARK_GRAFT_SRP_PLANES env pattern).  "exact" (default, oracle-
+# matched) computes per-language thresholds with Spark's exact
+# percentile() — per-group-memory-bounded, correct at any tested SF;
+# "approx" swaps in approx_percentile(nll, ..., accuracy) so a
+# billion-doc language never materializes its full nll set in one
+# aggregation buffer.  CCNet's buckets are statistical by design, so
+# the approximate thresholds are within the operator's own tolerance —
+# tests/test_q222_pct_modes.py pins bucket-count stability between the
+# two modes at sf0.01.
+_Q222_PCT_ACCURACY = 10000
+
+
+def _q222_pct_mode() -> str:
+    import os as _os
+
+    raw = _os.environ.get("SPARK_GRAFT_Q222_PCT", "exact")
+    if raw not in ("exact", "approx"):
+        raise ValueError(
+            f"SPARK_GRAFT_Q222_PCT={raw!r}: expected 'exact' or 'approx'")
+    return raw
+
 _ORACLE_Q222 = f"""
     WITH doc AS (
         SELECT doc_id, lang,
@@ -4226,10 +4249,14 @@ def q222_bigram_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rule 6, SCALE_NOTES r14).  At fleet scale the documented swap is
     # persisting scored (3 narrow columns) alongside the
     # approx_percentile threshold swap.
+    pct_fn = ("percentile" if _q222_pct_mode() == "exact"
+              else "approx_percentile")
+    acc = ("" if _q222_pct_mode() == "exact"
+           else f", {_Q222_PCT_ACCURACY}")
     thr = (scored.groupBy("lang")
            .agg(F.expr(
-               f"percentile(nll, array(cast({_BLM_P1} as double),"
-               f" cast({_BLM_P2} as double)))").alias("_ps"))
+               f"{pct_fn}(nll, array(cast({_BLM_P1} as double),"
+               f" cast({_BLM_P2} as double)){acc})").alias("_ps"))
            .select("lang", F.col("_ps")[0].alias("t1"),
                    F.col("_ps")[1].alias("t2")))
     bucket = (F.when(F.col("nll") <= F.col("t1"), "head")

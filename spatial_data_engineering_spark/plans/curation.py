@@ -126,12 +126,32 @@ def curation_stages(spark: SparkSession,
     return stages
 
 
+def curation_stages_cached(spark: SparkSession,
+                           sf_dir: str) -> list[tuple[str, DataFrame]]:
+    """Session-memoized ``curation_stages`` (round 15; VERDICT r14 task
+    3 — the kmeans_fit_cached pattern).  q212 (shards) and q213 (funnel)
+    replay the SAME deterministic stage pipeline; without the memo each
+    re-runs the LSH-pair, decontamination and quality-cut upstream that
+    the lazily-checkpointed survivor sets exist to pay once.  Keyed by
+    (session, documents fingerprint) via the dedup module's frame memo,
+    so a regenerated corpus invalidates and two sessions never share;
+    stage frames are pure functions of content hashes (the module
+    docstring's determinism contract), so the memo can only remove
+    recompute, never move a value.  At 100 TB this is the honest shape:
+    a curation run materializes its per-stage survivor tables once and
+    every report reads them."""
+    from ..operators.dedup import _doc_frame_memo
+
+    return _doc_frame_memo(spark, sf_dir, "curation_stages",
+                           lambda: curation_stages(spark, sf_dir))
+
+
 def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the full curation DAG; returns (doc_id, lang, split, shard,
     bin_idx, n_tokens) — the packed training-shard assignment."""
     from ..operators.textops import (_PACK_CAP, _PACK_SHARDS, _md5_bucket)
 
-    corpus = curation_stages(spark, sf_dir)[-1][1]
+    corpus = curation_stages_cached(spark, sf_dir)[-1][1]
 
     # 6. deterministic split assignment (q73's md5 bucket contract)
     bucket = F.expr(_md5_bucket("spark", "doc_id"))
@@ -455,7 +475,8 @@ def q213_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(_scored_quality(d).select("doc_id", "quality"), "doc_id"))
 
     parts = []
-    for idx, (name, frame) in enumerate(curation_stages(spark, sf_dir)):
+    for idx, (name, frame) in enumerate(curation_stages_cached(spark,
+                                                               sf_dir)):
         parts.append(
             frame.select("doc_id").join(per_doc, "doc_id").agg(
                 F.lit(idx).cast("bigint").alias("stage_idx"),

@@ -39,101 +39,76 @@ def _modules():
 # most one round old.  The driver window is the sampling gate, not the
 # completeness gate.
 #
-# Round-14 window (driver verifies the FIRST 50), executing the written
-# r14 schedule committed in round 13 (VERDICT r13 task 1), amended by
-# the standing rules:
-#   - slots 1-3: never-driver-verified rows — q221 (the r13 addition,
-#     the only oracled query with no driver row) and the two r14
-#     additions q222 (CCNet bigram-LM perplexity buckets) and q223
-#     (simplified-silhouette cluster QA), each arriving oracled +
-#     thirdway-replayed (crosscheck25) + invariant-clean;
-#   - slots 4-5: q192/q194, the rows displaced by r13's two rule-(2)
-#     forces;
-#   - slots 6-38: ALL 33 remaining r9-verified rows — retires the whole
-#     r9 debt; max driver staleness advances to r10;
-#   - slots 39-49: the 11 oldest r10-verified rows;
-#   - slot 50: rule-(2) force — q111 gained a FULL PQ replay oracle
-#     this round (training means moved onto the decimal(30,10)-exact
-#     device, fround6 argmins, fround6 output — the no-oracle set
-#     closes 1 -> 0) and owes its first hash-verified driver row.  It
-#     was r10-stale anyway, so the force displaces only q09-q12 et al.
-#     by the two new-query slots.
-#   (q110's r14 empty-candidate guard is value-identical on any corpus
-#   containing vec 0 — the q28/SemDeDup plan-only precedent — so it
-#   owes no force; it was hash-verified in r13.)
+# Round-15 window (driver verifies the FIRST 50), executing the written
+# r15 schedule committed in round 14 (VERDICT r14 tasks 1/3/5/6), amended
+# by the standing rules:
+#   - slot 1: q224 (NEW this round — span-level exact substring dedup,
+#     the Lee et al. 2022 ExactSubstr operator), arriving oracled +
+#     thirdway-replayed (crosscheck26) + invariant-clean;
+#   - slots 2-4: q55/q218/q219 — rule-(2) forces for the ROUND-14
+#     session fit/codebook memo (kmeans_fit_cached /
+#     pq_codebooks_cached): builder re-proved them hash-green post-memo
+#     but their newest driver rows predate it (VERDICT r14 task 6);
+#   - slots 5-13: rule-(2) forces for THIS round's memo extension
+#     (VERDICT r14 task 3): q47/q156 now read the session-memoized
+#     (sh, sig, bands) triple, q48/q128/q167 the memoized 16-bit
+#     SimHash signature, q153 its memoized 64-bit signature, q212/q213
+#     the memoized curation stage frames — all value-identical by the
+#     determinism contracts, all owing a post-change driver row;
+#   - slots 14-49: ALL 36 remaining r10-verified rows — retires the
+#     whole r10 debt; max driver staleness advances to r11;
+#   - slot 50: q121, the oldest r11-verified row.
 # WRITTEN SCHEDULE (continuing):
-#   - r15: the remaining 36 r10 rows + the oldest 14 r11 rows = 50
-#     (max staleness advances to r11);
-#   - r16: the remaining 23 r11 rows + the oldest 27 r12 rows;
-#   - r17: the remaining 22 r12 rows + the oldest 28 r13 rows.
+#   - r16: the remaining 35 r11 rows + the oldest 15 r12 rows = 50
+#     (max staleness advances to r12);
+#   - r17: the remaining 32 r12 rows + the oldest 18 r13 rows;
+#   - r18: the remaining 23 r13 rows + the oldest 27 r14 rows.
 _PRIORITY = [
-    # --- ROUND-14 DRIVER WINDOW (first 50) ---
-    # slots 1-3: never-driver-verified (q221 from r13; q222/q223 NEW
-    # this round), slots 4-5: the rows displaced by r13's forces,
-    # slots 6-38: the full remaining r9 block, slots 39-49: the oldest
-    # r10 rows, slot 50: the q111 rule-(2) force (new replay oracle)
-    "q221_gopher_rules", "q222_bigram_lm_buckets",
-    "q223_cluster_silhouette", "q192_segment_migration",
-    "q194_truncation_loss", "q195_effective_tokens",
-    "q197_session_survival", "q198_position_value_decay",
-    "q200_corpus_stats", "q204_forecast_revenue",
-    "q205_supplier_coverage", "q207_brand_return_rate",
-    "q208_embedding_norm_qa", "q210_word_length_hist",
-    "q79_decontaminate", "q81_substring_dup", "q67_overlap_dissolve",
-    "q60_point_in_polygon", "q61_zonal_histogram", "q43_fingerprint",
-    "q54_dedup_materialize", "q15_count_distinct", "q19_hourly_window",
-    "q21_props_extract", "q18_sessionization", "q01_pricing_summary",
-    "q45_dedup_exact", "q46_dedup_tokensort", "q40_text_stats",
-    "q41_token_count", "q08_var_argmax", "q72_hierarchical_rollup",
-    "q57_normalize_text", "q58_edit_distance", "q65_blocklist_filter",
-    "q169_vocab_coverage", "q179_hapax_ratio",
-    "q196_crosssplit_perplexity", "q66_repetition",
-    "q68_chunk_documents", "q69_embedding_quantize",
-    "q70_multimodal_meta", "q74_vocab_topk", "q02_ilike_filter",
-    "q03_join_enrich", "q04_semi_join", "q05_anti_join",
-    "q06_monthly_revenue", "q07_month_spine", "q111_pq_adc_topk",
-    # --- tail: rotates into r15+ windows, least-recently-verified
+    # --- ROUND-15 DRIVER WINDOW (first 50) ---
+    # slot 1: never-driver-verified (q224 NEW), slots 2-4: r14 memo
+    # forces, slots 5-13: r15 memo forces, slots 14-49: the full
+    # remaining r10 block, slot 50: the oldest r11 row
+    "q224_exact_substring_dedup", "q55_kmeans", "q218_pq_recall_audit",
+    "q219_kmeans_audit", "q47_minhash_lsh", "q48_simhash",
+    "q56_dedup_components", "q128_detector_agreement",
+    "q153_simhash_hamming_join", "q156_minhash_estimate_audit",
+    "q167_dedup_strategy_venn", "q212_curation_shards",
+    "q213_curation_funnel", "q09_histogram", "q11_topk_per_group",
+    "q12_pivot", "q13_setops", "q14_rollup", "q16_extent",
+    "q17_case_thresholds", "q20_above_avg", "q75_golden_variance",
+    "q82_incremental_dedup", "q62_dissolve_area", "q88_containment_join",
+    "q89_bigram_lift", "q90_pattern_redact", "q92_random_projection",
+    "q87_ngram_novelty", "q97_funnel", "q98_cohort_retention",
+    "q99_zscore_anomaly", "q100_time_weighted_avg",
+    "q101_gap_fill_interpolate", "q102_bottomk_sample",
+    "q103_order_count_distribution", "q104_large_volume_orders",
+    "q106_bloom_semi_join", "q107_line_dedup", "q108_tfidf_keywords",
+    "q109_triangle_count", "q115_bfs_hops", "q116_psi_drift",
+    "q117_rolling_median", "q120_asof_forward", "q148_semdedup",
+    "q201_cluster_label_purity", "q49_cosine_topk", "q51_srp_lsh_buckets",
+    "q121_token_entropy",
+    # --- tail: rotates into r16+ windows, least-recently-verified
     # first ---
-    # the r10-verified remainder (r15 lead)
-    "q09_histogram", "q11_topk_per_group", "q12_pivot", "q13_setops",
-    "q14_rollup", "q16_extent", "q17_case_thresholds", "q20_above_avg",
-    "q75_golden_variance", "q82_incremental_dedup", "q62_dissolve_area",
-    "q88_containment_join", "q89_bigram_lift", "q90_pattern_redact",
-    "q92_random_projection", "q87_ngram_novelty", "q97_funnel",
-    "q98_cohort_retention", "q99_zscore_anomaly",
-    "q100_time_weighted_avg", "q101_gap_fill_interpolate",
-    "q102_bottomk_sample", "q103_order_count_distribution",
-    "q104_large_volume_orders", "q106_bloom_semi_join",
-    "q107_line_dedup", "q108_tfidf_keywords", "q109_triangle_count",
-    "q115_bfs_hops", "q116_psi_drift", "q117_rolling_median",
-    "q120_asof_forward", "q148_semdedup", "q201_cluster_label_purity",
-    "q49_cosine_topk", "q51_srp_lsh_buckets",
-    # the r11-verified block
-    "q121_token_entropy", "q122_grouping_sets", "q123_mad_outliers",
-    "q124_incremental_agg_merge", "q125_small_quantity_revenue",
-    "q126_revenue_share", "q129_hamming_topk", "q130_weighted_median",
-    "q131_user_trend", "q132_skew_report", "q133_video_neardup",
-    "q134_ewma", "q135_benford_audit", "q136_transition_matrix",
-    "q140_class_separation", "q94_dedup_canonical",
-    "q95_stratified_split", "q96_doc_bigram_lift",
-    "q93_embedding_covariance", "q56_dedup_components",
-    "q86_pagerank_centrality", "q105_lone_returner",
-    "q112_scd2_intervals", "q29_asof_join", "q154_knn_label_accuracy",
-    "q155_pmi_collocations", "q172_zipf_fit",
-    "q185_bigram_cond_entropy", "q186_negative_sampling",
-    "q202_cramers_v", "q211_discount_quantity_corr",
-    "q199_dup_quality_link", "q141_unigram_logprob",
-    "q44_quality_score", "q145_curriculum_stages", "q188_aa_test",
-    "q209_source_scorecard",
-    # the r12-verified block
+    # the r11-verified remainder (r16 lead)
+    "q122_grouping_sets", "q123_mad_outliers", "q124_incremental_agg_merge",
+    "q125_small_quantity_revenue", "q126_revenue_share", "q129_hamming_topk",
+    "q130_weighted_median", "q131_user_trend", "q132_skew_report",
+    "q133_video_neardup", "q134_ewma", "q135_benford_audit",
+    "q136_transition_matrix", "q140_class_separation", "q94_dedup_canonical",
+    "q95_stratified_split", "q96_doc_bigram_lift", "q93_embedding_covariance",
+    "q86_pagerank_centrality", "q105_lone_returner", "q112_scd2_intervals",
+    "q29_asof_join", "q154_knn_label_accuracy", "q155_pmi_collocations",
+    "q172_zipf_fit", "q185_bigram_cond_entropy", "q186_negative_sampling",
+    "q202_cramers_v", "q211_discount_quantity_corr", "q199_dup_quality_link",
+    "q141_unigram_logprob", "q44_quality_score", "q145_curriculum_stages",
+    "q188_aa_test", "q209_source_scorecard",
+    # the r12-verified remainder
     "q214_url_domain_dedup", "q215_rate_limited_sample",
-    "q142_stopword_discovery", "q143_bpe_pair_counts",
-    "q146_vocab_overlap", "q147_chi2_keywords",
-    "q150_hhi_concentration", "q151_returned_revenue",
-    "q152_dup_cluster_sizes", "q157_mix_rebalance",
-    "q158_session_paths", "q159_bm25_topk", "q160_lang_mislabel",
-    "q161_wilson_proportion", "q162_churn_rate",
-    "q165_nation_trade_volume", "q166_market_share",
+    "q142_stopword_discovery", "q143_bpe_pair_counts", "q146_vocab_overlap",
+    "q147_chi2_keywords", "q150_hhi_concentration", "q151_returned_revenue",
+    "q152_dup_cluster_sizes", "q157_mix_rebalance", "q158_session_paths",
+    "q159_bm25_topk", "q160_lang_mislabel", "q161_wilson_proportion",
+    "q162_churn_rate", "q165_nation_trade_volume", "q166_market_share",
     "q168_dedup_cost_model", "q170_burst_detection",
     "q171_dup_degree_distribution", "q173_order_reconciliation",
     "q175_error_rate_timeline", "q177_weekday_seasonality",
@@ -141,33 +116,44 @@ _PRIORITY = [
     "q189_runs_test", "q193_heaps_law", "q22_cube", "q23_unpivot",
     "q24_in_subquery", "q25_window_analytics", "q26_median",
     "q27_first_limit", "q28_approx_distinct", "q34_approx_quantiles",
-    "q137_time_to_convert", "q138_session_stats",
-    "q127_score_calibration", "q149_winsorized_stats",
-    "q80_quality_filter", "q163_score_auc", "q176_score_normalization",
-    "q212_curation_shards", "q213_curation_funnel", "q33_percentiles",
-    "q181_order_interarrival", "q203_quantization_error",
-    "q206_ship_latency",
-    # the r13-verified window — the freshest evidence closes the
-    # registry; rotates back in at r17
-    "q216_dsir_importance", "q217_domain_quota_sample",
-    "q218_pq_recall_audit", "q219_kmeans_audit", "q220_mmr_audit",
+    "q137_time_to_convert", "q138_session_stats", "q127_score_calibration",
+    "q149_winsorized_stats", "q80_quality_filter", "q163_score_auc",
+    "q176_score_normalization", "q33_percentiles", "q181_order_interarrival",
+    "q203_quantization_error", "q206_ship_latency",
+    # the r13-verified remainder
+    "q216_dsir_importance", "q217_domain_quota_sample", "q220_mmr_audit",
     "q30_range_join", "q31_sliding_window", "q32_session_window",
-    "q35_rank_functions", "q36_full_outer", "q37_array_agg",
-    "q38_profile", "q39_local_supplier_revenue", "q63_date_functions",
-    "q64_bag_set_ops", "q76_ngram_jaccard_join", "q77_pack_sequences",
-    "q83_embedding_stats", "q84_sample_exact_k", "q85_twophase_topk",
-    "q10_row_number", "q71_frame_sample", "q50_embedding_neardup",
-    "q53_embedding_centroids", "q47_minhash_lsh", "q48_simhash",
+    "q35_rank_functions", "q36_full_outer", "q37_array_agg", "q38_profile",
+    "q39_local_supplier_revenue", "q63_date_functions", "q64_bag_set_ops",
+    "q76_ngram_jaccard_join", "q77_pack_sequences", "q83_embedding_stats",
+    "q84_sample_exact_k", "q85_twophase_topk", "q10_row_number",
+    "q71_frame_sample", "q50_embedding_neardup", "q53_embedding_centroids",
     "q73_hash_split", "q78_balance_corpus", "q91_temperature_sample",
-    "q113_cms_heavy_hitters", "q114_kmv_distinct",
-    "q118_weighted_sample", "q119_kmv_setops",
-    "q128_detector_agreement", "q139_split_contamination",
-    "q144_training_order", "q153_simhash_hamming_join",
-    "q156_minhash_estimate_audit", "q167_dedup_strategy_venn",
-    "q55_kmeans", "q42_lang_id", "q52_ivf_ann", "q180_basket_lift",
+    "q113_cms_heavy_hitters", "q114_kmv_distinct", "q118_weighted_sample",
+    "q119_kmv_setops", "q139_split_contamination", "q144_training_order",
+    "q42_lang_id", "q52_ivf_ann", "q180_basket_lift",
     "q182_subword_diversity", "q183_fk_audit", "q184_bounce_rate",
-    "q187_dedup_survivor_bias", "q190_prefix_dup",
-    "q191_dim_redundancy", "q110_mmr_diversify",
+    "q187_dedup_survivor_bias", "q190_prefix_dup", "q191_dim_redundancy",
+    "q110_mmr_diversify",
+    # the r14-verified window — the freshest evidence closes the
+    # registry; rotates back in at r18
+    "q221_gopher_rules", "q222_bigram_lm_buckets", "q223_cluster_silhouette",
+    "q192_segment_migration", "q194_truncation_loss", "q195_effective_tokens",
+    "q197_session_survival", "q198_position_value_decay", "q200_corpus_stats",
+    "q204_forecast_revenue", "q205_supplier_coverage",
+    "q207_brand_return_rate", "q208_embedding_norm_qa",
+    "q210_word_length_hist", "q79_decontaminate", "q81_substring_dup",
+    "q67_overlap_dissolve", "q60_point_in_polygon", "q61_zonal_histogram",
+    "q43_fingerprint", "q54_dedup_materialize", "q15_count_distinct",
+    "q19_hourly_window", "q21_props_extract", "q18_sessionization",
+    "q01_pricing_summary", "q45_dedup_exact", "q46_dedup_tokensort",
+    "q40_text_stats", "q41_token_count", "q08_var_argmax",
+    "q72_hierarchical_rollup", "q57_normalize_text", "q58_edit_distance",
+    "q65_blocklist_filter", "q169_vocab_coverage", "q179_hapax_ratio",
+    "q196_crosssplit_perplexity", "q66_repetition", "q68_chunk_documents",
+    "q69_embedding_quantize", "q70_multimodal_meta", "q74_vocab_topk",
+    "q02_ilike_filter", "q03_join_enrich", "q04_semi_join", "q05_anti_join",
+    "q06_monthly_revenue", "q07_month_spine", "q111_pq_adc_topk",
 ]
 
 

@@ -19,77 +19,78 @@ from __future__ import annotations
 
 from spatial_data_engineering_spark.queries_registry import all_queries
 
-# Round-14 window, executing the written r14 schedule committed in round
-# 13 (VERDICT r13 task 1): slots 1-3 never-driver-verified (q221 + the
-# two r14 additions), slots 4-5 the rows displaced by r13's forces,
-# slots 6-38 the ENTIRE remaining r9 block (retires the r9 debt; max
-# staleness advances to r10), slots 39-49 the oldest r10 rows, slot 50
-# the q111 rule-(2) force (its new full PQ replay oracle closes the
-# no-oracle set to zero and owes a hash-verified driver row).
+# Round-15 window, executing the written r15 schedule committed in round
+# 14 (VERDICT r14 tasks 1/3/5/6): slot 1 the new q224 (never-driver-
+# verified), slots 2-4 the r14 fit/codebook-memo family (q55/q218/q219 —
+# hash-green post-memo but their driver rows predate it), slots 5-13 the
+# r15 memo forces (q47/q48/q56/q128/q153/q156/q167 now read session-
+# memoized signature frames; q212/q213 the memoized curation stages),
+# slots 14-49 the ENTIRE remaining r10 block (retires the r10 debt; max
+# staleness advances to r11), slot 50 the oldest r11 row.
 EXPECTED_WINDOW = [
-    "q221_gopher_rules", "q222_bigram_lm_buckets",
-    "q223_cluster_silhouette", "q192_segment_migration",
-    "q194_truncation_loss", "q195_effective_tokens",
-    "q197_session_survival", "q198_position_value_decay",
-    "q200_corpus_stats", "q204_forecast_revenue",
-    "q205_supplier_coverage", "q207_brand_return_rate",
-    "q208_embedding_norm_qa", "q210_word_length_hist",
-    "q79_decontaminate", "q81_substring_dup", "q67_overlap_dissolve",
-    "q60_point_in_polygon", "q61_zonal_histogram", "q43_fingerprint",
-    "q54_dedup_materialize", "q15_count_distinct", "q19_hourly_window",
-    "q21_props_extract", "q18_sessionization", "q01_pricing_summary",
-    "q45_dedup_exact", "q46_dedup_tokensort", "q40_text_stats",
-    "q41_token_count", "q08_var_argmax", "q72_hierarchical_rollup",
-    "q57_normalize_text", "q58_edit_distance", "q65_blocklist_filter",
-    "q169_vocab_coverage", "q179_hapax_ratio",
-    "q196_crosssplit_perplexity", "q66_repetition",
-    "q68_chunk_documents", "q69_embedding_quantize",
-    "q70_multimodal_meta", "q74_vocab_topk", "q02_ilike_filter",
-    "q03_join_enrich", "q04_semi_join", "q05_anti_join",
-    "q06_monthly_revenue", "q07_month_spine", "q111_pq_adc_topk",
+    "q224_exact_substring_dedup", "q55_kmeans", "q218_pq_recall_audit",
+    "q219_kmeans_audit", "q47_minhash_lsh", "q48_simhash",
+    "q56_dedup_components", "q128_detector_agreement",
+    "q153_simhash_hamming_join", "q156_minhash_estimate_audit",
+    "q167_dedup_strategy_venn", "q212_curation_shards",
+    "q213_curation_funnel", "q09_histogram", "q11_topk_per_group",
+    "q12_pivot", "q13_setops", "q14_rollup", "q16_extent",
+    "q17_case_thresholds", "q20_above_avg", "q75_golden_variance",
+    "q82_incremental_dedup", "q62_dissolve_area", "q88_containment_join",
+    "q89_bigram_lift", "q90_pattern_redact", "q92_random_projection",
+    "q87_ngram_novelty", "q97_funnel", "q98_cohort_retention",
+    "q99_zscore_anomaly", "q100_time_weighted_avg",
+    "q101_gap_fill_interpolate", "q102_bottomk_sample",
+    "q103_order_count_distribution", "q104_large_volume_orders",
+    "q106_bloom_semi_join", "q107_line_dedup", "q108_tfidf_keywords",
+    "q109_triangle_count", "q115_bfs_hops", "q116_psi_drift",
+    "q117_rolling_median", "q120_asof_forward", "q148_semdedup",
+    "q201_cluster_label_purity", "q49_cosine_topk",
+    "q51_srp_lsh_buckets", "q121_token_entropy",
 ]
 
-# The rows that must LEAD the round-15 window: the r10-verified
+# The rows that must LEAD the round-16 window: the r11-verified
 # remainder in least-recently-verified order (no never-verified rows
-# remain — every query in the inventory has had a driver row or sits in
-# this round's window).
-EXPECTED_R15_LEAD = [
-    "q09_histogram", "q11_topk_per_group", "q12_pivot", "q13_setops",
-    "q14_rollup", "q16_extent", "q17_case_thresholds", "q20_above_avg",
-    "q75_golden_variance", "q82_incremental_dedup", "q62_dissolve_area",
-    "q88_containment_join",
+# remain once q224 gets its r15 row).
+EXPECTED_R16_LEAD = [
+    "q122_grouping_sets", "q123_mad_outliers",
+    "q124_incremental_agg_merge", "q125_small_quantity_revenue",
+    "q126_revenue_share", "q129_hamming_topk", "q130_weighted_median",
+    "q131_user_trend", "q132_skew_report", "q133_video_neardup",
+    "q134_ewma", "q135_benford_audit",
 ]
 
 
-def test_driver_window_is_the_reviewed_round14_plan():
+def test_driver_window_is_the_reviewed_round15_plan():
     names = list(all_queries())
     assert len(EXPECTED_WINDOW) == 50
     got = names[:50]
     assert got == EXPECTED_WINDOW, (
-        "driver window drifted from the reviewed round-14 rotation plan; "
+        "driver window drifted from the reviewed round-15 rotation plan; "
         f"first divergence at slot "
         f"{next(i for i, (a, b) in enumerate(zip(got, EXPECTED_WINDOW)) if a != b) + 1}"
     )
 
 
-def test_round15_queue_is_next():
+def test_round16_queue_is_next():
     names = list(all_queries())
-    assert names[50:50 + len(EXPECTED_R15_LEAD)] == EXPECTED_R15_LEAD, (
-        "the r15 lead (the r10-verified remainder) must sit immediately "
+    assert names[50:50 + len(EXPECTED_R16_LEAD)] == EXPECTED_R16_LEAD, (
+        "the r16 lead (the r11-verified remainder) must sit immediately "
         "after the window"
     )
 
 
-def test_r13_window_rotated_to_tail():
-    # the rows verified in round 13 are the freshest evidence and must
-    # close the registry (all 50 — no r14 force pulls any of them back:
-    # q111 was r10-stale, q222/q223 are new)
+def test_r14_window_rotated_to_tail():
+    # the rows verified in round 14 are the freshest evidence and must
+    # close the registry (all 50 — none of the r15 forces pulls any of
+    # them back: the memo family and q224 are not in the r14 window)
     names = list(all_queries())
-    r13_tail = set(names[-50:])
-    for probe in ("q216_dsir_importance", "q220_mmr_audit",
-                  "q55_kmeans", "q110_mmr_diversify", "q52_ivf_ann",
-                  "q42_lang_id", "q30_range_join", "q191_dim_redundancy"):
-        assert probe in r13_tail, f"{probe} missing from the rotated tail"
+    r14_tail = set(names[-50:])
+    for probe in ("q221_gopher_rules", "q222_bigram_lm_buckets",
+                  "q223_cluster_silhouette", "q111_pq_adc_topk",
+                  "q79_decontaminate", "q01_pricing_summary",
+                  "q45_dedup_exact", "q70_multimodal_meta"):
+        assert probe in r14_tail, f"{probe} missing from the rotated tail"
 
 
 def test_inventory_growth_is_a_rotation_decision():
@@ -97,4 +98,4 @@ def test_inventory_growth_is_a_rotation_decision():
     # (never-driver-verified rows outrank stale ones) and keep
     # (new + stale) <= 50 per round.
     n = len(all_queries())
-    assert 216 <= n <= 226, n
+    assert 216 <= n <= 228, n

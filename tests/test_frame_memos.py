@@ -1,0 +1,108 @@
+"""Round-15 session-frame memos (VERDICT r14 task 3): the shared
+signature/stage frames build ONCE per (session, corpus) and their
+consumers produce bit-identical values through the memo.
+
+Value identity is the load-bearing assertion: each memoized query is
+compared row-for-row against a cold rebuild in the same session (cache
+cleared), so the memo provably removes recompute without moving a
+value.  Compute-count hooks pin the sharing itself.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from .conftest import SF_ORACLE
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.fixture()
+def clear_memos():
+    from spatial_data_engineering_spark.operators import dedup
+
+    dedup._DOC_FRAME_CACHE.clear()
+    yield
+    dedup._DOC_FRAME_CACHE.clear()
+
+
+def test_minhash_frames_build_once_for_q47_and_q156(spark, clear_memos):
+    from spatial_data_engineering_spark.operators import dedup
+
+    n0 = dedup._DOC_FRAME_COMPUTES
+    a1 = _rows(dedup.QUERIES["q47_minhash_lsh"](spark, SF_ORACLE))
+    b1 = _rows(dedup.QUERIES["q156_minhash_estimate_audit"](spark,
+                                                            SF_ORACLE))
+    built_once = dedup._DOC_FRAME_COMPUTES - n0
+    assert built_once == 1, "q47+q156 must share ONE minhash-frame build"
+
+    # cold rebuild in the same session: values must be identical
+    dedup._DOC_FRAME_CACHE.clear()
+    a2 = _rows(dedup.QUERIES["q47_minhash_lsh"](spark, SF_ORACLE))
+    b2 = _rows(dedup.QUERIES["q156_minhash_estimate_audit"](spark,
+                                                            SF_ORACLE))
+    assert a1 == a2 and b1 == b2
+
+
+def test_simhash_sig_builds_once_for_q48_q167(spark, clear_memos):
+    from spatial_data_engineering_spark.operators import dedup
+
+    n0 = dedup._DOC_FRAME_COMPUTES
+    a1 = _rows(dedup.QUERIES["q48_simhash"](spark, SF_ORACLE))
+    b1 = _rows(dedup.QUERIES["q167_dedup_strategy_venn"](spark,
+                                                         SF_ORACLE))
+    assert dedup._DOC_FRAME_COMPUTES - n0 == 1, \
+        "q48+q167 must share ONE 16-bit SimHash signature build"
+
+    dedup._DOC_FRAME_CACHE.clear()
+    a2 = _rows(dedup.QUERIES["q48_simhash"](spark, SF_ORACLE))
+    b2 = _rows(dedup.QUERIES["q167_dedup_strategy_venn"](spark,
+                                                         SF_ORACLE))
+    assert a1 == a2 and b1 == b2
+
+
+def test_q153_sig_memo_value_identity(spark, clear_memos):
+    from spatial_data_engineering_spark.operators import dedup
+
+    a1 = _rows(dedup.QUERIES["q153_simhash_hamming_join"](spark,
+                                                          SF_ORACLE))
+    a1b = _rows(dedup.QUERIES["q153_simhash_hamming_join"](spark,
+                                                           SF_ORACLE))
+    dedup._DOC_FRAME_CACHE.clear()
+    a2 = _rows(dedup.QUERIES["q153_simhash_hamming_join"](spark,
+                                                          SF_ORACLE))
+    assert a1 == a1b == a2
+
+
+def test_curation_stages_build_once_for_q212_q213(spark, clear_memos):
+    from spatial_data_engineering_spark.operators import dedup
+    from spatial_data_engineering_spark.plans import curation
+
+    n0 = dedup._DOC_FRAME_COMPUTES
+    f1 = _rows(curation.QUERIES["q213_curation_funnel"](spark, SF_ORACLE))
+    s1 = _rows(curation.QUERIES["q212_curation_shards"](spark, SF_ORACLE))
+    n_stage_builds = sum(
+        1 for k in dedup._DOC_FRAME_CACHE if k[1] == "curation_stages")
+    assert n_stage_builds == 1, \
+        "q212+q213 must share ONE curation-stage pipeline build"
+    assert dedup._DOC_FRAME_COMPUTES > n0
+
+    dedup._DOC_FRAME_CACHE.clear()
+    f2 = _rows(curation.QUERIES["q213_curation_funnel"](spark, SF_ORACLE))
+    s2 = _rows(curation.QUERIES["q212_curation_shards"](spark, SF_ORACLE))
+    assert f1 == f2 and s1 == s2
+
+
+def test_memo_falls_back_uncached_for_virtual_sources(spark):
+    """A non-fingerprintable sf_dir (no documents.parquet on disk) must
+    build fresh — never a stale hit, never a crash."""
+    from spatial_data_engineering_spark.operators import dedup
+
+    calls = []
+    out = dedup._doc_frame_memo(spark, "/nonexistent/sfdir", "t",
+                                lambda: calls.append(1) or "frame")
+    out2 = dedup._doc_frame_memo(spark, "/nonexistent/sfdir", "t",
+                                 lambda: calls.append(1) or "frame")
+    assert out == out2 == "frame" and len(calls) == 2
