@@ -117,6 +117,12 @@ REPLAYS = {
     # _lloyd_parts chain — both triangulated from scratch
     "q222_bigram_lm_buckets": "test_numpy_crosscheck25.py",
     "q223_cluster_silhouette": "test_numpy_crosscheck25.py",
+    # r15 addition: q224's oracle shares only the scalar _SPAN_L with
+    # the Spark side (below the detector's text/func bar), but the new
+    # operator still arrives with a voluntary hashlib+interval-merge
+    # replay plus a planted-span property test — registered so the
+    # replay is a reviewed artifact, not an orphan test
+    "q224_exact_substring_dedup": "test_numpy_crosscheck26.py",
 }
 
 
