@@ -1897,11 +1897,12 @@ _ORACLE_Q224 = f"""
 """
 
 
-def substring_span_stats(d: DataFrame, L: int = _SPAN_L) -> DataFrame:
-    """Core of q224 over any (doc_id, text) frame — kept callable so the
-    anchoring guarantee (every shared substring of length >= L merges to
-    exactly one reported span) is property-testable on planted corpora
-    (tests/test_plans.py)."""
+def substring_dup_spans(d: DataFrame, L: int = _SPAN_L) -> DataFrame:
+    """(doc_id, n_chars, s, e) merged duplicated spans over any
+    (doc_id, text) frame — the shared core of q224 (span report) and
+    q225 (materialized splice); kept frame-parameterized so the
+    anchoring guarantee (every shared substring of length >= L merges
+    to exactly one span) is property-testable on planted corpora."""
     from pyspark.sql.window import Window as W
 
     g = (d.filter(F.length("text") >= L)
@@ -1925,9 +1926,31 @@ def substring_span_stats(d: DataFrame, L: int = _SPAN_L) -> DataFrame:
     isl = brk.withColumn(
         "island",
         F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)))
-    spans = (isl.groupBy("doc_id", "n_chars", "island")
-             .agg(F.min("pos").alias("s"),
-                  (F.max("pos") + (L - 1)).alias("e")))
+    return (isl.groupBy("doc_id", "n_chars", "island")
+            .agg(F.min("pos").alias("s"),
+                 (F.max("pos") + (L - 1)).alias("e"))
+            .select("doc_id", "n_chars", "s", "e"))
+
+
+def substring_dup_spans_cached(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Session-memoized span table for sf_dir's documents — q224 and
+    q225 both read it, so the gram relation and island merge run once
+    per session (the shingle_frames_cached pattern).  Doc-span-sized,
+    so the pin is tiny next to the gram relation it summarizes."""
+    return _doc_frame_memo(
+        spark, sf_dir, "substr_spans",
+        lambda: substring_dup_spans(
+            _spread_docs(load(spark, sf_dir, "documents")))
+        .localCheckpoint(eager=False))
+
+
+def substring_span_stats(d: DataFrame, L: int = _SPAN_L) -> DataFrame:
+    """q224's per-doc report over any (doc_id, text) frame."""
+    return _span_report(substring_dup_spans(d, L))
+
+
+def _span_report(spans: DataFrame) -> DataFrame:
     chars = F.col("e") - F.col("s") + 1
     return (spans.groupBy("doc_id", "n_chars")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
@@ -1941,5 +1964,84 @@ def substring_span_stats(d: DataFrame, L: int = _SPAN_L) -> DataFrame:
 @query("q224_exact_substring_dedup", _ORACLE_Q224)
 def q224_exact_substring_dedup(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
-    return substring_span_stats(
-        _spread_docs(load(spark, sf_dir, "documents")))
+    return _span_report(substring_dup_spans_cached(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# q225 — materialized substring dedup: the SPLICED corpus q224 reports
+# on.  q224 is the observability half (how much is duplicated); this is
+# the half a pipeline actually consumes — every duplicated span cut out
+# of every document, exactly the ExactSubstr rewrite (Lee et al. 2022
+# §4.1: cut the duplicated character ranges; the aggressive all-copies
+# variant, documented).  Completes q224 the way q54 (materialize)
+# completes q46 (report).
+#
+# Spark shape: the session-memoized span table (doc-span-sized) groups
+# to one sorted spans array per doc (collect_list bounded by document
+# length — never a corpus-wide collect), LEFT-joins the corpus, and one
+# JVM-side higher-order aggregate() fold splices the kept segments —
+# linear in document length, zero Python, no window.  The oracle
+# rebuilds the splice as an uncovered-position string_agg — a different
+# construction of the same string, so the two engines cross-check the
+# splice arithmetic, not a shared implementation.
+# --------------------------------------------------------------------------
+def _q225_oracle() -> str:
+    spans_body = _ORACLE_Q224.rsplit("SELECT doc_id,", 1)[0].rstrip()
+    assert spans_body.endswith(")")  # the WITH chain through spans
+    return f"""{spans_body},
+    covered AS (
+        SELECT DISTINCT doc_id, CAST(j AS INTEGER) AS i
+        FROM spans, unnest(generate_series(s, e)) AS t(j)
+    ),
+    chars AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS i,
+               substr(text, CAST(i AS INTEGER), 1) AS ch
+        FROM documents,
+             unnest(generate_series(1, length(text))) AS t(i)
+    ),
+    clean AS (
+        SELECT c.doc_id,
+               COALESCE(string_agg(CASE WHEN cv.i IS NULL THEN c.ch END,
+                                   '' ORDER BY c.i), '') AS clean_text
+        FROM chars c LEFT JOIN covered cv
+             ON cv.doc_id = c.doc_id AND cv.i = c.i
+        GROUP BY c.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(length(d.text) - length(cl.clean_text) AS BIGINT)
+               AS n_chars_removed,
+           cl.clean_text AS clean_text
+    FROM documents d JOIN clean cl ON cl.doc_id = d.doc_id
+"""
+
+
+def substring_dedup_splice(d: DataFrame, spans: DataFrame) -> DataFrame:
+    """(doc_id, n_chars_removed, clean_text): ``d`` with every span in
+    ``spans`` cut out — one aggregate() fold over the per-doc sorted
+    span array."""
+    sp = (spans.groupBy("doc_id")
+          .agg(F.array_sort(F.collect_list(
+              F.struct(F.col("s").alias("s"), F.col("e").alias("e"))))
+              .alias("sp")))
+    spliced = F.expr(
+        "aggregate(sp, named_struct('pos', 1, 'acc', ''),"
+        " (st, x) -> named_struct("
+        "   'pos', x.e + 1,"
+        "   'acc', concat(st.acc, substring(text, st.pos, x.s - st.pos))),"
+        " st -> concat(st.acc,"
+        "   substring(text, st.pos, length(text) - st.pos + 1)))")
+    clean = F.when(F.col("sp").isNull(), F.col("text")).otherwise(spliced)
+    return (d.join(sp, "doc_id", "left")
+            .select("doc_id", "text", clean.alias("clean_text"))
+            .select("doc_id",
+                    (F.length("text") - F.length("clean_text"))
+                    .cast("bigint").alias("n_chars_removed"),
+                    "clean_text"))
+
+
+@query("q225_substring_dedup_materialize", _q225_oracle())
+def q225_substring_dedup_materialize(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    return substring_dedup_splice(
+        load(spark, sf_dir, "documents"),
+        substring_dup_spans_cached(spark, sf_dir))

@@ -42,8 +42,9 @@ def _modules():
 # Round-15 window (driver verifies the FIRST 50), executing the written
 # r15 schedule committed in round 14 (VERDICT r14 tasks 1/3/5/6), amended
 # by the standing rules:
-#   - slot 1: q224 (NEW this round — span-level exact substring dedup,
-#     the Lee et al. 2022 ExactSubstr operator), arriving oracled +
+#   - slots 1-2: q224/q225 (NEW this round — span-level exact
+#     substring dedup report + its materialized splice, the Lee et al.
+#     2022 ExactSubstr operator pair), arriving oracled +
 #     thirdway-replayed (crosscheck26) + invariant-clean;
 #   - slots 2-4: q55/q218/q219 — rule-(2) forces for the ROUND-14
 #     session fit/codebook memo (kmeans_fit_cached /
@@ -55,20 +56,20 @@ def _modules():
 #     SimHash signature, q153 its memoized 64-bit signature, q212/q213
 #     the memoized curation stage frames — all value-identical by the
 #     determinism contracts, all owing a post-change driver row;
-#   - slots 14-49: ALL 36 remaining r10-verified rows — retires the
-#     whole r10 debt; max driver staleness advances to r11;
-#   - slot 50: q121, the oldest r11-verified row.
+#   - slots 15-50: ALL 36 remaining r10-verified rows — retires the
+#     whole r10 debt; max driver staleness advances to r11.
 # WRITTEN SCHEDULE (continuing):
-#   - r16: the remaining 35 r11 rows + the oldest 15 r12 rows = 50
-#     (max staleness advances to r12);
-#   - r17: the remaining 32 r12 rows + the oldest 18 r13 rows;
-#   - r18: the remaining 23 r13 rows + the oldest 27 r14 rows.
+#   - r16: the full 37-row r11 block (q121 leads) + the oldest 13 r12
+#     rows = 50 (max staleness advances to r12);
+#   - r17: the remaining 34 r12 rows + the oldest 16 r13 rows;
+#   - r18: the remaining 25 r13 rows + the oldest 25 r14 rows.
 _PRIORITY = [
     # --- ROUND-15 DRIVER WINDOW (first 50) ---
-    # slot 1: never-driver-verified (q224 NEW), slots 2-4: r14 memo
-    # forces, slots 5-13: r15 memo forces, slots 14-49: the full
-    # remaining r10 block, slot 50: the oldest r11 row
-    "q224_exact_substring_dedup", "q55_kmeans", "q218_pq_recall_audit",
+    # slots 1-2: never-driver-verified (q224/q225 NEW), slots 3-5: r14
+    # memo forces, slots 6-14: r15 memo forces, slots 15-50: the full
+    # remaining r10 block
+    "q224_exact_substring_dedup", "q225_substring_dedup_materialize",
+    "q55_kmeans", "q218_pq_recall_audit",
     "q219_kmeans_audit", "q47_minhash_lsh", "q48_simhash",
     "q56_dedup_components", "q128_detector_agreement",
     "q153_simhash_hamming_join", "q156_minhash_estimate_audit",
@@ -86,11 +87,11 @@ _PRIORITY = [
     "q109_triangle_count", "q115_bfs_hops", "q116_psi_drift",
     "q117_rolling_median", "q120_asof_forward", "q148_semdedup",
     "q201_cluster_label_purity", "q49_cosine_topk", "q51_srp_lsh_buckets",
-    "q121_token_entropy",
     # --- tail: rotates into r16+ windows, least-recently-verified
     # first ---
-    # the r11-verified remainder (r16 lead)
-    "q122_grouping_sets", "q123_mad_outliers", "q124_incremental_agg_merge",
+    # the r11-verified block (r16 lead; q121 rotated back out of the
+    # r15 window when q225 arrived — never-verified outranks stale)
+    "q121_token_entropy", "q122_grouping_sets", "q123_mad_outliers", "q124_incremental_agg_merge",
     "q125_small_quantity_revenue", "q126_revenue_share", "q129_hamming_topk",
     "q130_weighted_median", "q131_user_trend", "q132_skew_report",
     "q133_video_neardup", "q134_ewma", "q135_benford_audit",

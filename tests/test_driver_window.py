@@ -20,15 +20,16 @@ from __future__ import annotations
 from spatial_data_engineering_spark.queries_registry import all_queries
 
 # Round-15 window, executing the written r15 schedule committed in round
-# 14 (VERDICT r14 tasks 1/3/5/6): slot 1 the new q224 (never-driver-
-# verified), slots 2-4 the r14 fit/codebook-memo family (q55/q218/q219 —
-# hash-green post-memo but their driver rows predate it), slots 5-13 the
-# r15 memo forces (q47/q48/q56/q128/q153/q156/q167 now read session-
-# memoized signature frames; q212/q213 the memoized curation stages),
-# slots 14-49 the ENTIRE remaining r10 block (retires the r10 debt; max
-# staleness advances to r11), slot 50 the oldest r11 row.
+# 14 (VERDICT r14 tasks 1/3/5/6): slots 1-2 the new q224/q225 (never-
+# driver-verified ExactSubstr pair), slots 3-5 the r14 fit/codebook-memo
+# family (q55/q218/q219 — hash-green post-memo but their driver rows
+# predate it), slots 6-14 the r15 memo forces (q47/q48/q56/q128/q153/
+# q156/q167 now read session-memoized signature frames; q212/q213 the
+# memoized curation stages), slots 15-50 the ENTIRE remaining r10 block
+# (retires the r10 debt; max staleness advances to r11).
 EXPECTED_WINDOW = [
-    "q224_exact_substring_dedup", "q55_kmeans", "q218_pq_recall_audit",
+    "q224_exact_substring_dedup", "q225_substring_dedup_materialize",
+    "q55_kmeans", "q218_pq_recall_audit",
     "q219_kmeans_audit", "q47_minhash_lsh", "q48_simhash",
     "q56_dedup_components", "q128_detector_agreement",
     "q153_simhash_hamming_join", "q156_minhash_estimate_audit",
@@ -46,14 +47,15 @@ EXPECTED_WINDOW = [
     "q109_triangle_count", "q115_bfs_hops", "q116_psi_drift",
     "q117_rolling_median", "q120_asof_forward", "q148_semdedup",
     "q201_cluster_label_purity", "q49_cosine_topk",
-    "q51_srp_lsh_buckets", "q121_token_entropy",
+    "q51_srp_lsh_buckets",
 ]
 
-# The rows that must LEAD the round-16 window: the r11-verified
-# remainder in least-recently-verified order (no never-verified rows
-# remain once q224 gets its r15 row).
+# The rows that must LEAD the round-16 window: the full r11-verified
+# block in least-recently-verified order (q121 rotated back out of the
+# r15 window when q225 arrived — never-verified outranks stale; no
+# never-verified rows remain once q224/q225 get their r15 rows).
 EXPECTED_R16_LEAD = [
-    "q122_grouping_sets", "q123_mad_outliers",
+    "q121_token_entropy", "q122_grouping_sets", "q123_mad_outliers",
     "q124_incremental_agg_merge", "q125_small_quantity_revenue",
     "q126_revenue_share", "q129_hamming_topk", "q130_weighted_median",
     "q131_user_trend", "q132_skew_report", "q133_video_neardup",

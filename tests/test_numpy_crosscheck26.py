@@ -62,6 +62,36 @@ def _python_span_stats(texts: dict[int, str], L: int):
     return out
 
 
+def _python_spans(texts: dict[int, str], L: int):
+    """{doc_id: [(s, e), ...]} merged duplicated spans, 1-based
+    inclusive — the raw-span twin of _python_span_stats."""
+    grams: list[tuple[int, int, str]] = []
+    for doc_id, t in texts.items():
+        if len(t) < L:
+            continue
+        for i in range(len(t) - L + 1):
+            grams.append((doc_id, i + 1,
+                          hashlib.md5(t[i:i + L].encode()).hexdigest()))
+    counts = Counter(h for _, _, h in grams)
+    bydoc: dict[int, list[int]] = {}
+    for doc_id, pos, h in grams:
+        if counts[h] >= 2:
+            bydoc.setdefault(doc_id, []).append(pos)
+    out: dict[int, list[tuple[int, int]]] = {}
+    for doc_id, poss in bydoc.items():
+        poss.sort()
+        spans, s, e = [], poss[0], poss[0]
+        for p in poss[1:]:
+            if p - e <= L:
+                e = p
+            else:
+                spans.append((s, e + L - 1))
+                s = e = p
+        spans.append((s, e + L - 1))
+        out[doc_id] = spans
+    return out
+
+
 def test_q224_vs_python_replay(spark):
     from spatial_data_engineering_spark.operators.dedup import (
         _SPAN_L, q224_exact_substring_dedup)
@@ -79,6 +109,34 @@ def test_q224_vs_python_replay(spark):
     for doc_id in expect:
         assert got[doc_id] == expect[doc_id], (doc_id, got[doc_id],
                                                expect[doc_id])
+
+
+def test_q225_splice_vs_python_replay(spark):
+    """q225_substring_dedup_materialize: the spliced text must equal a
+    direct Python cut of the replay's own spans — string for string."""
+    from spatial_data_engineering_spark.operators.dedup import (
+        _SPAN_L, q225_substring_dedup_materialize)
+
+    docs = pd.read_parquet(SF_SMOKE + "/documents.parquet")
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    spans = _python_spans(texts, _SPAN_L)
+
+    def cut(t: str, sp: list[tuple[int, int]]) -> str:
+        out, pos = [], 1
+        for s, e in sp:
+            out.append(t[pos - 1:s - 1])
+            pos = e + 1
+        out.append(t[pos - 1:])
+        return "".join(out)
+
+    expect = {d: cut(t, spans.get(d, [])) for d, t in texts.items()}
+    got = {r["doc_id"]: (r["clean_text"], r["n_chars_removed"])
+           for r in q225_substring_dedup_materialize(
+               spark, SF_SMOKE).collect()}
+    assert set(got) == set(expect)
+    for d, t in texts.items():
+        assert got[d][0] == expect[d], d
+        assert got[d][1] == len(t) - len(expect[d]), d
 
 
 def test_q224_anchoring_guarantee_on_planted_corpus(spark):

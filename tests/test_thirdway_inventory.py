@@ -123,6 +123,10 @@ REPLAYS = {
     # replay plus a planted-span property test — registered so the
     # replay is a reviewed artifact, not an orphan test
     "q224_exact_substring_dedup": "test_numpy_crosscheck26.py",
+    # q225's oracle is assembled from q224's CTE chain (rsplit on the
+    # final SELECT) — genuinely a generated oracle, and the splice is
+    # replayed as a direct Python cut of independently recomputed spans
+    "q225_substring_dedup_materialize": "test_numpy_crosscheck26.py",
 }
 
 
