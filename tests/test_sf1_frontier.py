@@ -96,6 +96,10 @@ PARITY_SUBSET = [
     "q111_pq_adc_topk",
     # r14 additions must hold at 10x data on arrival
     "q222_bigram_lm_buckets", "q223_cluster_silhouette",
+    # r15 additions (ExactSubstr pair): the gram relation is the one
+    # corpus-chars-sized intermediate in the suite — 10x data is where
+    # a super-linearity in the count/join/island chain would show
+    "q224_exact_substring_dedup", "q225_substring_dedup_materialize",
 ]
 
 
