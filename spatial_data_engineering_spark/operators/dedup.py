@@ -627,8 +627,9 @@ _DOC_FRAME_LOCK = threading.Lock()
 _DOC_FRAME_COMPUTES = 0  # test hook: cold builds per tag
 
 
-def _doc_frame_memo(spark: SparkSession, sf_dir: str, tag: str, build):
-    """Memoize ``build()`` per (session, tag, documents fingerprint).
+def _doc_frame_memo(spark: SparkSession, sf_dir: str, tag: str, build,
+                    table: str = "documents"):
+    """Memoize ``build()`` per (session, tag, source-table fingerprint).
 
     Falls back to an uncached build when the corpus can't be
     fingerprinted (virtual/registered sources) — same rule as
@@ -641,7 +642,7 @@ def _doc_frame_memo(spark: SparkSession, sf_dir: str, tag: str, build):
     A concurrent duplicate build is harmless — both frames are
     bit-identical by the determinism contracts, first insert wins."""
     global _DOC_FRAME_COMPUTES
-    fp = _corpus_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    fp = _corpus_fingerprint(os.path.join(sf_dir, f"{table}.parquet"))
     if fp is None:
         return build()
     app = spark.sparkContext.applicationId

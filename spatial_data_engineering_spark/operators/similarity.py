@@ -1743,6 +1743,33 @@ def _semdedup_cent_cells(cent, sup, u: bool):
     return routed.unionByName(own).dropDuplicates(["sid", "cid"])
 
 
+def semdedup_assign_cached(spark: SparkSession, sf_dir: str):
+    """(assign [vec_id, cid], n_nz, u) — the SemDeDup nearest-centroid
+    assignment of sf_dir's embeddings, session-memoized (round 15; the
+    kmeans_fit_cached pattern via dedup's frame memo).  q148 (the dedup
+    itself) and q201 (the purity audit of the SAME clustering) each
+    re-derived the seeds + argmax per query for bit-identical output;
+    the memoized frame is two ints per vector, checkpoint-bounded
+    exactly like the Lloyd fit's assignments.  Consumers join their own
+    column projections back on vec_id, so schema differences between
+    them (q201 carries label) stay out of the shared frame."""
+    from .dedup import _doc_frame_memo
+
+    def build():
+        e = load(spark, sf_dir, "embeddings")
+        nz = (e.select("vec_id", "embedding",
+                       F.expr(_norm_spark("embedding")).alias("nrm"))
+              .filter(F.col("nrm") > 0))
+        n_nz = nz.count()
+        u = n_nz >= _UNROLL_MIN_ROWS
+        assign = (_semdedup_member(nz, n_nz, u)
+                  .select("vec_id", "cid").localCheckpoint(eager=False))
+        return assign, n_nz, u
+
+    return _doc_frame_memo(spark, sf_dir, "semdedup_assign", build,
+                           table="embeddings")
+
+
 def _semdedup_member(nz, n_nz: int, u: bool):
     """Nearest-centroid assignment shared by q148/q201: every ``nz`` row
     plus its ``cid``, exact broadcast argmax below the crossover and
@@ -1829,10 +1856,12 @@ def q148_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # adaptive K (see the block comment above): one cheap count sizes
     # the centroid set so cluster size — and with it the verify join's
     # Θ(Σ|c|²) — stays bounded as the corpus grows; the same count
-    # gates the unrolled dot (_UNROLL_MIN_ROWS)
-    n_nz = nz.count()
-    u = n_nz >= _UNROLL_MIN_ROWS
-    member = _semdedup_member(nz, n_nz, u)
+    # gates the unrolled dot (_UNROLL_MIN_ROWS).  The assignment comes
+    # from the session memo q201's purity audit shares — and member is
+    # consumed THREE times below (a/b verify sides + the final join),
+    # so the pinned two-int frame also stops the in-query recompute.
+    assign, n_nz, u = semdedup_assign_cached(spark, sf_dir)
+    member = nz.join(assign, "vec_id")
     a = member.select(F.col("cid").alias("cid"),
                       F.col("vec_id").alias("a_id"),
                       F.col("embedding").alias("aemb"),
@@ -2081,12 +2110,11 @@ def q201_cluster_label_purity(spark: SparkSession,
     nz = (e.select("vec_id", "label", "embedding",
                    F.expr(_norm_spark("embedding")).alias("nrm"))
           .filter(F.col("nrm") > 0))
-    # adaptive K — same scheme as q148 so purity evaluates the clusters
-    # SemDeDup actually uses at this corpus size; the count also gates
-    # the unrolled dot
-    n_nz = nz.count()
-    u = n_nz >= _UNROLL_MIN_ROWS
-    member = _semdedup_member(nz, n_nz, u).select("vec_id", "label", "cid")
+    # same adaptive-K clustering as q148 — literally: the session-
+    # memoized assignment, so purity audits the EXACT member set the
+    # dedup uses (r15 memo; label joins back from this query's own nz)
+    assign, _n_nz, _u = semdedup_assign_cached(spark, sf_dir)
+    member = nz.join(assign, "vec_id").select("vec_id", "label", "cid")
     lc = member.groupBy("cid", "label").agg(F.count(F.lit(1)).alias("n"))
     return (lc.groupBy("cid")
             .agg(F.sum("n").cast("bigint").alias("n_vectors"),

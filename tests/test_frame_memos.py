@@ -95,6 +95,24 @@ def test_curation_stages_build_once_for_q212_q213(spark, clear_memos):
     assert f1 == f2 and s1 == s2
 
 
+def test_semdedup_assign_builds_once_for_q148_q201(spark, clear_memos):
+    from spatial_data_engineering_spark.operators import dedup, similarity
+
+    a1 = _rows(similarity.QUERIES["q148_semdedup"](spark, SF_ORACLE))
+    b1 = _rows(similarity.QUERIES["q201_cluster_label_purity"](spark,
+                                                               SF_ORACLE))
+    n_assign_builds = sum(
+        1 for k in dedup._DOC_FRAME_CACHE if k[1] == "semdedup_assign")
+    assert n_assign_builds == 1, \
+        "q148+q201 must share ONE SemDeDup assignment build"
+
+    dedup._DOC_FRAME_CACHE.clear()
+    a2 = _rows(similarity.QUERIES["q148_semdedup"](spark, SF_ORACLE))
+    b2 = _rows(similarity.QUERIES["q201_cluster_label_purity"](spark,
+                                                               SF_ORACLE))
+    assert a1 == a2 and b1 == b2
+
+
 def test_memo_falls_back_uncached_for_virtual_sources(spark):
     """A non-fingerprintable sf_dir (no documents.parquet on disk) must
     build fresh — never a stale hit, never a crash."""
