@@ -47,6 +47,11 @@ def main() -> int:
     spark = (SparkSession.builder.master("local[8]")
              .appName("driver-sim")
              .config("spark.ui.enabled", "false")
+             # no \r progress bars: they overwrite the per-query
+             # PASS rows in captured artifact logs (cost three
+             # re-captures in round 15); cosmetic-only config,
+             # no effect on any compared value
+             .config("spark.ui.showConsoleProgress", "false")
              .config("spark.sql.session.timeZone", "UTC")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")

@@ -51,6 +51,11 @@ def run_config(master: str, shuffle: int, names):
              .appName(f"pind-{shuffle}")
              .config("spark.sql.shuffle.partitions", str(shuffle))
              .config("spark.ui.enabled", "false")
+             # no \r progress bars: they overwrite the per-query
+             # PASS rows in captured artifact logs (cost three
+             # re-captures in round 15); cosmetic-only config,
+             # no effect on any compared value
+             .config("spark.ui.showConsoleProgress", "false")
              .config("spark.sql.session.timeZone", "UTC")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
@@ -115,6 +120,11 @@ def run_admission_config(master: str, shuffle: int, root: str, tag: str):
              .appName(f"pind-admit-{shuffle}")
              .config("spark.sql.shuffle.partitions", str(shuffle))
              .config("spark.ui.enabled", "false")
+             # no \r progress bars: they overwrite the per-query
+             # PASS rows in captured artifact logs (cost three
+             # re-captures in round 15); cosmetic-only config,
+             # no effect on any compared value
+             .config("spark.ui.showConsoleProgress", "false")
              .config("spark.sql.session.timeZone", "UTC")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")

@@ -148,6 +148,11 @@ def main() -> int:
              .appName("sf1-parity")
              .config("spark.driver.memory", "24g")  # sf1 broadcasts OOM the 1g default
              .config("spark.ui.enabled", "false")
+             # no \r progress bars: they overwrite the per-query
+             # PASS rows in captured artifact logs (cost three
+             # re-captures in round 15); cosmetic-only config,
+             # no effect on any compared value
+             .config("spark.ui.showConsoleProgress", "false")
              .config("spark.sql.shuffle.partitions", "16")
              .config("spark.sql.session.timeZone", "UTC")
              .getOrCreate())
