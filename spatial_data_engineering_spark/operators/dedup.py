@@ -624,41 +624,66 @@ def persisted_exact_hashes(spark: SparkSession, src: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _DOC_FRAME_CACHE: dict[tuple[str, str, str], object] = {}
 _DOC_FRAME_LOCK = threading.Lock()
+# per-key build serialization (r15 advice): the old double-checked
+# insert let two concurrent cold callers both run build(); the loser's
+# eagerly-localCheckpointed frames (e.g. shingle_frames_cached's sh)
+# were discarded WITHOUT unpersist, leaking executor storage blocks
+# until the JVM's periodic ContextCleaner GC.  A per-key lock means a
+# loser never exists.  RLock, not Lock: builders may re-enter the memo
+# for a DIFFERENT tag (curation_stages -> near_dup_pairs -> q47 ->
+# minhash_frames), and the tag dependency graph is a DAG, so per-key
+# locks are acquired in DAG order and cannot cycle; the one global
+# lock (_DOC_FRAME_LOCK) is only ever held for dict ops, never across
+# a build, so the old self-deadlock class stays impossible.
+_DOC_FRAME_BUILD_LOCKS: dict[tuple[str, str, str], threading.RLock] = {}
 _DOC_FRAME_COMPUTES = 0  # test hook: cold builds per tag
 
 
 def _doc_frame_memo(spark: SparkSession, sf_dir: str, tag: str, build,
-                    table: str = "documents"):
-    """Memoize ``build()`` per (session, tag, source-table fingerprint).
+                    table: str | tuple[str, ...] = "documents"):
+    """Memoize ``build()`` per (session, tag, source-table fingerprints).
 
-    Falls back to an uncached build when the corpus can't be
-    fingerprinted (virtual/registered sources) — same rule as
-    kmeans_fit_cached.
+    ``table`` names every source table the built frames derive from
+    (r15 advice: a memo keyed on fewer tables than the build reads
+    would serve stale frames when the unkeyed table changes); all
+    fingerprints fold into the key.  Falls back to an uncached build
+    when any source can't be fingerprinted (virtual/registered
+    sources) — same rule as kmeans_fit_cached.
 
-    ``build()`` runs OUTSIDE the lock (double-checked insert): builders
-    in this family re-enter locking code themselves (curation stages ->
-    near_dup_pairs -> _PAIR_CACHE_LOCK; q56 -> q47 -> this memo), so a
-    hold-the-lock build would self-deadlock on the non-reentrant lock.
-    A concurrent duplicate build is harmless — both frames are
-    bit-identical by the determinism contracts, first insert wins."""
+    ``build()`` runs inside its KEY's lock but outside the global one:
+    builders in this family re-enter locking code themselves (curation
+    stages -> near_dup_pairs -> _PAIR_CACHE_LOCK; q56 -> q47 -> this
+    memo), so a hold-the-global-lock build would self-deadlock on the
+    non-reentrant lock, while the per-key lock serializes cold callers
+    of the SAME frames so exactly one build ever runs."""
     global _DOC_FRAME_COMPUTES
-    fp = _corpus_fingerprint(os.path.join(sf_dir, f"{table}.parquet"))
-    if fp is None:
+    tables = (table,) if isinstance(table, str) else tuple(table)
+    fps = [_corpus_fingerprint(os.path.join(sf_dir, f"{t}.parquet"))
+           for t in tables]
+    if any(fp is None for fp in fps):
         return build()
     app = spark.sparkContext.applicationId
-    key = (app, tag, fp)
+    key = (app, tag, "|".join(fps))
     with _DOC_FRAME_LOCK:
         for k in [k for k in _DOC_FRAME_CACHE if k[0] != app]:
             del _DOC_FRAME_CACHE[k]  # dead handles of stopped applications
+        for k in [k for k in _DOC_FRAME_BUILD_LOCKS if k[0] != app]:
+            del _DOC_FRAME_BUILD_LOCKS[k]
         hit = _DOC_FRAME_CACHE.get(key)
-    if hit is not None:
-        return hit
-    frame = build()
-    with _DOC_FRAME_LOCK:
-        if key not in _DOC_FRAME_CACHE:
+        if hit is not None:
+            return hit
+        build_lock = _DOC_FRAME_BUILD_LOCKS.setdefault(key,
+                                                       threading.RLock())
+    with build_lock:
+        with _DOC_FRAME_LOCK:
+            hit = _DOC_FRAME_CACHE.get(key)
+        if hit is not None:
+            return hit  # a concurrent caller built while we waited
+        frame = build()
+        with _DOC_FRAME_LOCK:
             _DOC_FRAME_CACHE[key] = frame
             _DOC_FRAME_COMPUTES += 1
-        return _DOC_FRAME_CACHE[key]
+        return frame
 
 
 def shingle_frames_cached(spark: SparkSession, sf_dir: str
@@ -1987,6 +2012,14 @@ def q224_exact_substring_dedup(spark: SparkSession,
 # splice arithmetic, not a shared implementation.
 # --------------------------------------------------------------------------
 def _q225_oracle() -> str:
+    # The final join is LEFT + COALESCE (r15 advice): a document with
+    # empty ('' or NULL) text produces zero rows in the chars CTE —
+    # generate_series(1, 0) is empty — so it never reaches clean, and an
+    # inner join would drop it while the Spark side keeps it with
+    # clean_text = text.  COALESCE(clean_text, text) restores exactly
+    # that row ('' stays '', NULL stays NULL — matching Spark's
+    # when(sp.isNull, text) branch, whose length arithmetic is also
+    # NULL-propagating).
     spans_body = _ORACLE_Q224.rsplit("SELECT doc_id,", 1)[0].rstrip()
     assert spans_body.endswith(")")  # the WITH chain through spans
     return f"""{spans_body},
@@ -2009,10 +2042,11 @@ def _q225_oracle() -> str:
         GROUP BY c.doc_id
     )
     SELECT d.doc_id,
-           CAST(length(d.text) - length(cl.clean_text) AS BIGINT)
+           CAST(length(d.text)
+                - length(COALESCE(cl.clean_text, d.text)) AS BIGINT)
                AS n_chars_removed,
-           cl.clean_text AS clean_text
-    FROM documents d JOIN clean cl ON cl.doc_id = d.doc_id
+           COALESCE(cl.clean_text, d.text) AS clean_text
+    FROM documents d LEFT JOIN clean cl ON cl.doc_id = d.doc_id
 """
 
 

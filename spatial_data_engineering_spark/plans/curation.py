@@ -142,8 +142,17 @@ def curation_stages_cached(spark: SparkSession,
     every report reads them."""
     from ..operators.dedup import _doc_frame_memo
 
+    # MEMO-KEY CONTRACT (r15 advice): every table a stage reads must be
+    # named here so its fingerprint folds into the key.  Today all five
+    # stages derive SOLELY from documents — q79's benchmark membership
+    # is a pure doc_id function, not a table read — so the key is the
+    # documents fingerprint alone.  A future stage reading another
+    # table (e.g. a real eval-suite table for decontamination) MUST add
+    # it to ``table=``, or a changed eval table would silently serve
+    # stale stage frames within a session.
     return _doc_frame_memo(spark, sf_dir, "curation_stages",
-                           lambda: curation_stages(spark, sf_dir))
+                           lambda: curation_stages(spark, sf_dir),
+                           table=("documents",))
 
 
 def curate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -124,3 +124,100 @@ def test_memo_falls_back_uncached_for_virtual_sources(spark):
     out2 = dedup._doc_frame_memo(spark, "/nonexistent/sfdir", "t",
                                  lambda: calls.append(1) or "frame")
     assert out == out2 == "frame" and len(calls) == 2
+
+
+def test_concurrent_cold_callers_build_exactly_once(spark):
+    """r15 advice: two concurrent cold callers of the SAME memo key
+    must produce exactly ONE build.  Before the per-key build lock,
+    both executed build() and the loser's eagerly-checkpointed frames
+    leaked executor storage until ContextCleaner GC; now the second
+    caller blocks on the key's lock and reads the winner's entry."""
+    import threading
+    import time
+
+    from spatial_data_engineering_spark.operators import dedup
+
+    dedup._DOC_FRAME_CACHE.clear()
+    dedup._DOC_FRAME_BUILD_LOCKS.clear()
+    n0 = dedup._DOC_FRAME_COMPUTES
+    builds, results, errs = [], [], []
+    gate = threading.Barrier(2)
+
+    def build():
+        builds.append(threading.get_ident())
+        time.sleep(0.3)  # widen the race window: a loser WOULD overlap
+        return "frame"
+
+    def call():
+        try:
+            gate.wait()
+            results.append(dedup._doc_frame_memo(
+                spark, SF_ORACLE, "race_tag", build))
+        except Exception as exc:  # pragma: no cover - diagnostic
+            errs.append(exc)
+
+    ts = [threading.Thread(target=call) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=30)
+    assert not errs, errs
+    assert results == ["frame", "frame"]
+    assert len(builds) == 1, "exactly one cold build may run per key"
+    assert dedup._DOC_FRAME_COMPUTES - n0 == 1
+    dedup._DOC_FRAME_CACHE.clear()
+    dedup._DOC_FRAME_BUILD_LOCKS.clear()
+
+
+def test_memo_reentrant_for_dependent_tags(spark):
+    """A build() that re-enters the memo for ANOTHER tag (the
+    curation_stages -> minhash_frames shape) must not deadlock on the
+    per-key locks — the tag dependency DAG orders the acquisitions."""
+    from spatial_data_engineering_spark.operators import dedup
+
+    dedup._DOC_FRAME_CACHE.clear()
+    dedup._DOC_FRAME_BUILD_LOCKS.clear()
+
+    def inner_build():
+        return "inner"
+
+    def outer_build():
+        return dedup._doc_frame_memo(spark, SF_ORACLE, "dag_inner",
+                                     inner_build) + "+outer"
+
+    out = dedup._doc_frame_memo(spark, SF_ORACLE, "dag_outer",
+                                outer_build)
+    assert out == "inner+outer"
+    dedup._DOC_FRAME_CACHE.clear()
+    dedup._DOC_FRAME_BUILD_LOCKS.clear()
+
+
+def test_memo_key_folds_every_named_table(spark, tmp_path):
+    """r15 advice (curation contract): with table=(a, b), changing
+    EITHER source invalidates the key."""
+    import shutil
+    import time as _time
+
+    from spatial_data_engineering_spark.operators import dedup
+
+    sfd = tmp_path / "sf"
+    sfd.mkdir()
+    for t in ("documents", "embeddings"):
+        shutil.copy(f"{SF_ORACLE}/{t}.parquet", sfd / f"{t}.parquet")
+    calls = []
+    args = (spark, str(sfd), "two_tab")
+
+    dedup._doc_frame_memo(*args, lambda: calls.append(1) or "v1",
+                          table=("documents", "embeddings"))
+    dedup._doc_frame_memo(*args, lambda: calls.append(1) or "v2",
+                          table=("documents", "embeddings"))
+    assert len(calls) == 1  # hit on unchanged fingerprints
+
+    # touch the SECOND table only; the key must change
+    _time.sleep(0.01)
+    (sfd / "embeddings.parquet").touch()
+    out = dedup._doc_frame_memo(*args, lambda: calls.append(1) or "v3",
+                                table=("documents", "embeddings"))
+    assert out == "v3" and len(calls) == 2
+    dedup._DOC_FRAME_CACHE.clear()
+    dedup._DOC_FRAME_BUILD_LOCKS.clear()

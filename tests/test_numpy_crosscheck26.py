@@ -171,3 +171,47 @@ def test_q224_anchoring_guarantee_on_planted_corpus(spark):
         r = got[doc_id]
         assert r["n_dup_spans"] == 1
         assert r["dup_chars"] == len(shared) == r["max_span_chars"]
+
+
+def test_q225_oracle_parity_with_empty_and_null_text(spark, tmp_path):
+    """r15 advice: a corpus containing an empty-text ('' ) or NULL-text
+    document must keep q225's Spark-vs-DuckDB hash parity.  The
+    oracle's chars CTE yields zero rows for such docs (generate_series
+    over an empty/NULL length), so they never reach the clean CTE; the
+    final join is LEFT + COALESCE so they survive with clean_text =
+    text, exactly like the Spark side's when(sp.isNull, text)."""
+    import duckdb
+    import pandas as pd
+
+    from spatial_data_engineering_spark.operators import dedup
+    from .parity import compare
+
+    shared = ("COPIED" * 20)[:120]
+
+    def filler(tag: str, n_chars: int) -> str:
+        s, i = [], 0
+        while sum(len(x) + 1 for x in s) < n_chars:
+            s.append(f"{tag}-{i:07d}")
+            i += 1
+        return " ".join(s)[:n_chars]
+
+    pdf = pd.DataFrame({
+        "doc_id": pd.Series([0, 1, 2, 3, 4], dtype="int64"),
+        "text": [filler("a", 200) + shared + filler("b", 200),
+                 filler("c", 150) + shared + filler("d", 250),
+                 "",            # empty: zero chars rows in the oracle
+                 None,          # NULL: ditto, and NULL-propagating stats
+                 "short"],      # < L, non-empty: never in spans
+    })
+    src = tmp_path / "documents.parquet"
+    pdf.to_parquet(src)
+
+    got = dedup.QUERIES["q225_substring_dedup_materialize"](
+        spark, str(tmp_path))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM read_parquet('{src}')")
+    want = con.sql(
+        dedup.ORACLES["q225_substring_dedup_materialize"]).df()
+    assert len(want) == 5  # the empty/NULL docs are present at all
+    compare(got, want, "q225-empty-null-text")
