@@ -45,7 +45,19 @@ def canonical(df):
 
 
 def run_config(master: str, shuffle: int, names):
+    import tempfile
+
     from pyspark.sql import SparkSession
+
+    # Isolate the disk-cache tier PER CONFIG (round 16): the pair /
+    # signature / ehash / span tables persist to SPARK_GRAFT_PAIR_CACHE
+    # keyed by corpus fingerprint, so without isolation config B would
+    # read back config A's materializations and the "independence" of
+    # every cached path would be a parquet round-trip, not a recompute
+    # under different parallelism.  A fresh root per config forces both
+    # sessions to build their own tables.
+    os.environ["SPARK_GRAFT_PAIR_CACHE"] = tempfile.mkdtemp(
+        prefix=f"pind-cache-{shuffle}-")
 
     spark = (SparkSession.builder.master(master)
              .appName(f"pind-{shuffle}")

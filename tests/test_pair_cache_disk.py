@@ -241,3 +241,75 @@ def test_stored_tables_refresh_never_scans_base_corpus(spark, cache_root):
     assert os.path.basename(_DOCS) not in plan, (
         "refresh plan still scans the base corpus parquet")
     assert [r.doc_id for r in admitted.collect()] == [9_200_001]
+
+
+# --------------------------------------------------------------------------
+# Persisted span table (round-16; r15 verdict task 4): q224/q225's
+# substring-dup span table follows the same write-once / read-back
+# pattern, so a new session never re-runs the corpus-chars-sized gram
+# relation.
+# --------------------------------------------------------------------------
+
+
+def _span_rows(df):
+    return sorted((r.doc_id, r.n_chars, r.s, r.e) for r in df.collect())
+
+
+def test_span_table_second_session_reads_parquet(spark, cache_root):
+    """Two sessions: pop the frame memo (what a restart does) and prove
+    the second build is a parquet read-back — zero gram-relation
+    recompute, bit-identical spans, lineage truncated at the files."""
+    from spatial_data_engineering_spark.operators.dedup import (
+        _SPAN_L, _cache_path, substring_dup_spans_cached)
+
+    dedup._DOC_FRAME_CACHE.clear()
+    c0, d0 = dedup._SPAN_CACHE_COMPUTES, dedup._SPAN_CACHE_DISK_HITS
+    first = substring_dup_spans_cached(spark, SF_ORACLE)
+    rows1 = _span_rows(first)
+    assert dedup._SPAN_CACHE_COMPUTES == c0 + 1  # cold: gram walk ran
+    disk = _cache_path(os.path.join(SF_ORACLE, "documents.parquet"),
+                       f"spans-L{_SPAN_L}")
+    assert disk is not None and os.path.isdir(disk), "spans not persisted"
+
+    dedup._DOC_FRAME_CACHE.clear()  # "new session"
+    second = substring_dup_spans_cached(spark, SF_ORACLE)
+    assert dedup._SPAN_CACHE_COMPUTES == c0 + 1  # NO second gram walk
+    assert dedup._SPAN_CACHE_DISK_HITS == d0 + 1
+    assert _span_rows(second) == rows1  # values bit-identical
+    plan = second._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" in plan  # not the posexplode/md5 gram DAG
+    leftovers = [p for p in os.listdir(cache_root) if ".tmp-" in p]
+    assert leftovers == []
+    dedup._DOC_FRAME_CACHE.clear()
+
+
+def test_span_cache_key_folds_anchor_length(cache_root):
+    """Changing _SPAN_L must map to a different cache path — a span
+    table anchored at one L can never serve another."""
+    from spatial_data_engineering_spark.operators.dedup import _cache_path
+
+    src = os.path.join(SF_ORACLE, "documents.parquet")
+    p50 = _cache_path(src, "spans-L50")
+    p64 = _cache_path(src, "spans-L64")
+    assert p50 != p64
+
+
+def test_q224_q225_read_the_persisted_spans(spark, cache_root):
+    """End-to-end: with the span parquet on disk and the memo cleared,
+    both consumers still produce their exact pre-persistence rows."""
+    from spatial_data_engineering_spark.operators.dedup import QUERIES
+
+    dedup._DOC_FRAME_CACHE.clear()
+    a1 = sorted(map(tuple, QUERIES["q224_exact_substring_dedup"](
+        spark, SF_ORACLE).collect()))
+    b1 = sorted(map(tuple, QUERIES["q225_substring_dedup_materialize"](
+        spark, SF_ORACLE).collect()))
+    dedup._DOC_FRAME_CACHE.clear()  # "new session": disk tier serves
+    d0 = dedup._SPAN_CACHE_DISK_HITS
+    a2 = sorted(map(tuple, QUERIES["q224_exact_substring_dedup"](
+        spark, SF_ORACLE).collect()))
+    b2 = sorted(map(tuple, QUERIES["q225_substring_dedup_materialize"](
+        spark, SF_ORACLE).collect()))
+    assert dedup._SPAN_CACHE_DISK_HITS == d0 + 1
+    assert a1 == a2 and b1 == b2
+    dedup._DOC_FRAME_CACHE.clear()
