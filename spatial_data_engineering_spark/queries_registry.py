@@ -39,58 +39,36 @@ def _modules():
 # most one round old.  The driver window is the sampling gate, not the
 # completeness gate.
 #
-# Round-15 window (driver verifies the FIRST 50), executing the written
-# r15 schedule committed in round 14 (VERDICT r14 tasks 1/3/5/6), amended
-# by the standing rules:
-#   - slots 1-2: q224/q225 (NEW this round — span-level exact
-#     substring dedup report + its materialized splice, the Lee et al.
-#     2022 ExactSubstr operator pair), arriving oracled +
-#     thirdway-replayed (crosscheck26) + invariant-clean;
-#   - slots 2-4: q55/q218/q219 — rule-(2) forces for the ROUND-14
-#     session fit/codebook memo (kmeans_fit_cached /
-#     pq_codebooks_cached): builder re-proved them hash-green post-memo
-#     but their newest driver rows predate it (VERDICT r14 task 6);
-#   - slots 5-13: rule-(2) forces for THIS round's memo extension
-#     (VERDICT r14 task 3): q47/q156 now read the session-memoized
-#     (sh, sig, bands) triple, q48/q128/q167 the memoized 16-bit
-#     SimHash signature, q153 its memoized 64-bit signature, q212/q213
-#     the memoized curation stage frames — all value-identical by the
-#     determinism contracts, all owing a post-change driver row;
-#   - slots 15-50: ALL 36 remaining r10-verified rows — retires the
-#     whole r10 debt; max driver staleness advances to r11.
+# Round-16 window (driver verifies the FIRST 50), executing the written
+# r16 schedule committed in round 15 ("the full r11 block leads, then
+# the oldest r12 rows"), amended by the standing rules:
+#   - slot 1: q226 (NEW this round — MinHash-tier incremental
+#     admission, the curation tier VERDICT r15 task 5 named missing),
+#     arriving oracled + planted-tier-tested + streaming-twin
+#     parity-tested; never-driver-verified outranks stale;
+#   - slots 2-3: q224/q225 — rule-(2) forces: q225's oracle changed
+#     this round (LEFT JOIN + COALESCE for empty/NULL-text docs, r15
+#     advice) and both now read the disk-persisted span table
+#     (VERDICT r15 task 4), so both owe a post-change driver row;
+#   - slots 4-39: the ENTIRE 36-row r11-verified block — retires the
+#     r11 debt; max driver staleness advances to r12;
+#   - slots 40-50: the oldest 11 r12-verified rows.
+#   Rotation notes: the per-key build-lock change in _doc_frame_memo
+#   and curation's table= contract alter NO frame definition (value
+#   identity pinned by tests/test_frame_memos.py), so the memoized
+#   family is NOT rule-(2) forced this round.
 # WRITTEN SCHEDULE (continuing):
-#   - r16: the full 37-row r11 block (q121 leads) + the oldest 13 r12
-#     rows = 50 (max staleness advances to r12);
-#   - r17: the remaining 34 r12 rows + the oldest 16 r13 rows;
-#   - r18: the remaining 25 r13 rows + the oldest 25 r14 rows.
+#   - r17: the remaining 36 r12 rows + the oldest 14 r13 rows = 50
+#     (max staleness advances to r13);
+#   - r18: the remaining 27 r13 rows + the oldest 23 r14 rows;
+#   - r19: the remaining 27 r14 rows + the oldest 23 r15 rows.
 _PRIORITY = [
-    # --- ROUND-15 DRIVER WINDOW (first 50) ---
-    # slots 1-2: never-driver-verified (q224/q225 NEW), slots 3-5: r14
-    # memo forces, slots 6-14: r15 memo forces, slots 15-50: the full
-    # remaining r10 block
+    # --- ROUND-16 DRIVER WINDOW (first 50) ---
+    # slot 1: never-driver-verified (q226 NEW), slots 2-3: the
+    # changed-this-round ExactSubstr pair, slots 4-39: the full r11
+    # block, slots 40-50: the oldest 11 r12 rows
+    "q226_incremental_near_dedup",
     "q224_exact_substring_dedup", "q225_substring_dedup_materialize",
-    "q55_kmeans", "q218_pq_recall_audit",
-    "q219_kmeans_audit", "q47_minhash_lsh", "q48_simhash",
-    "q56_dedup_components", "q128_detector_agreement",
-    "q153_simhash_hamming_join", "q156_minhash_estimate_audit",
-    "q167_dedup_strategy_venn", "q212_curation_shards",
-    "q213_curation_funnel", "q09_histogram", "q11_topk_per_group",
-    "q12_pivot", "q13_setops", "q14_rollup", "q16_extent",
-    "q17_case_thresholds", "q20_above_avg", "q75_golden_variance",
-    "q82_incremental_dedup", "q62_dissolve_area", "q88_containment_join",
-    "q89_bigram_lift", "q90_pattern_redact", "q92_random_projection",
-    "q87_ngram_novelty", "q97_funnel", "q98_cohort_retention",
-    "q99_zscore_anomaly", "q100_time_weighted_avg",
-    "q101_gap_fill_interpolate", "q102_bottomk_sample",
-    "q103_order_count_distribution", "q104_large_volume_orders",
-    "q106_bloom_semi_join", "q107_line_dedup", "q108_tfidf_keywords",
-    "q109_triangle_count", "q115_bfs_hops", "q116_psi_drift",
-    "q117_rolling_median", "q120_asof_forward", "q148_semdedup",
-    "q201_cluster_label_purity", "q49_cosine_topk", "q51_srp_lsh_buckets",
-    # --- tail: rotates into r16+ windows, least-recently-verified
-    # first ---
-    # the r11-verified block (r16 lead; q121 rotated back out of the
-    # r15 window when q225 arrived — never-verified outranks stale)
     "q121_token_entropy", "q122_grouping_sets", "q123_mad_outliers", "q124_incremental_agg_merge",
     "q125_small_quantity_revenue", "q126_revenue_share", "q129_hamming_topk",
     "q130_weighted_median", "q131_user_trend", "q132_skew_report",
@@ -103,11 +81,13 @@ _PRIORITY = [
     "q202_cramers_v", "q211_discount_quantity_corr", "q199_dup_quality_link",
     "q141_unigram_logprob", "q44_quality_score", "q145_curriculum_stages",
     "q188_aa_test", "q209_source_scorecard",
-    # the r12-verified remainder
     "q214_url_domain_dedup", "q215_rate_limited_sample",
     "q142_stopword_discovery", "q143_bpe_pair_counts", "q146_vocab_overlap",
     "q147_chi2_keywords", "q150_hhi_concentration", "q151_returned_revenue",
     "q152_dup_cluster_sizes", "q157_mix_rebalance", "q158_session_paths",
+    # --- tail: rotates into r17+ windows, least-recently-verified
+    # first ---
+    # the r12-verified remainder (r17 lead)
     "q159_bm25_topk", "q160_lang_mislabel", "q161_wilson_proportion",
     "q162_churn_rate", "q165_nation_trade_volume", "q166_market_share",
     "q168_dedup_cost_model", "q170_burst_detection",
@@ -155,6 +135,26 @@ _PRIORITY = [
     "q69_embedding_quantize", "q70_multimodal_meta", "q74_vocab_topk",
     "q02_ilike_filter", "q03_join_enrich", "q04_semi_join", "q05_anti_join",
     "q06_monthly_revenue", "q07_month_spine", "q111_pq_adc_topk",
+    # the r15-verified window (minus the q224/q225 forces above) — the
+    # freshest evidence closes the registry; rotates back in at r19
+    "q55_kmeans", "q218_pq_recall_audit",
+    "q219_kmeans_audit", "q47_minhash_lsh", "q48_simhash",
+    "q56_dedup_components", "q128_detector_agreement",
+    "q153_simhash_hamming_join", "q156_minhash_estimate_audit",
+    "q167_dedup_strategy_venn", "q212_curation_shards",
+    "q213_curation_funnel", "q09_histogram", "q11_topk_per_group",
+    "q12_pivot", "q13_setops", "q14_rollup", "q16_extent",
+    "q17_case_thresholds", "q20_above_avg", "q75_golden_variance",
+    "q82_incremental_dedup", "q62_dissolve_area", "q88_containment_join",
+    "q89_bigram_lift", "q90_pattern_redact", "q92_random_projection",
+    "q87_ngram_novelty", "q97_funnel", "q98_cohort_retention",
+    "q99_zscore_anomaly", "q100_time_weighted_avg",
+    "q101_gap_fill_interpolate", "q102_bottomk_sample",
+    "q103_order_count_distribution", "q104_large_volume_orders",
+    "q106_bloom_semi_join", "q107_line_dedup", "q108_tfidf_keywords",
+    "q109_triangle_count", "q115_bfs_hops", "q116_psi_drift",
+    "q117_rolling_median", "q120_asof_forward", "q148_semdedup",
+    "q201_cluster_label_purity", "q49_cosine_topk", "q51_srp_lsh_buckets",
 ]
 
 

@@ -387,6 +387,126 @@ def admit_stream(base: DataFrame, stream_docs: DataFrame, out_dir: str,
     q.awaitTermination()
 
 
+def stream_admit_near_dedup(stream_docs: DataFrame, corpus_docs: DataFrame,
+                            out_dir: str, checkpoint_dir: str) -> None:
+    """Streaming twin of the MinHash-tier incremental admission
+    (dedup.q226_incremental_near_dedup) — the curation tier the
+    exact/fingerprint-only ``stream_admit_documents`` lacks.  Each
+    micro-batch applies the same three tiers against the STANDING
+    corpus:
+
+      1. exact md5(text) + token-sort fingerprint anti joins vs the
+         corpus key sets (computed once per stream, never per batch);
+      2. LSH-banded near-dup verify vs the corpus signature table PLUS
+         every earlier micro-batch's tier-1 survivors;
+      3. within-micro-batch keep-first (drop the higher doc_id of a
+         verified pair).
+
+    PARITY CONTRACT (pinned in test_streaming): when the q226 batch
+    arrives as micro-batches in doc_id order, the admitted union
+    equals the batch form exactly — q226 drops a batch doc that
+    verifies against ANY lower-id tier-1 survivor (whether or not that
+    survivor is itself later dropped), and tier-1 survivors are
+    precisely what tiers 2-3 see here: earlier batches via the
+    persisted ``_t1sigs`` tables, the current batch via its own band
+    self-join.  Dedup state therefore accumulates TIER-1 SURVIVORS,
+    not admitted docs.
+
+    foreachBatch, not stream-static joins: the near-dup tier needs
+    blocking operators (signature groupBy + candidate verify join) —
+    ordinary batch work inside the micro-batch closure, impossible in
+    append-mode streaming (the admit_stream rationale).
+
+    Crash consistency mirrors admit_stream: each batch persists its
+    tier-1 survivor DOCS under ``out_dir/_t1/batch=N`` (the source of
+    truth) and their derived (sh, bands) under ``out_dir/_t1sigs``;
+    coverage is checked per batch partition, and an uncovered batch —
+    a crash between the docs write and the sigs write — has its
+    signatures rebuilt from its ``_t1`` docs instead of silently
+    shrinking the dedup base.  A replayed batch excludes its own
+    partitions, so replay is idempotent.  Underscore-prefixed dirs are
+    invisible to a plain ``spark.read.parquet(out_dir)`` of the
+    admitted dataset."""
+    from ..operators.dedup import (_fp_spark, _near_dup_admission,
+                                   shingle_bands)
+
+    corpus_kt = corpus_docs.select("doc_id", "text")
+    c_eh = (corpus_kt.select(F.md5("text").alias("eh")).distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    c_fh = (corpus_docs.select(_fp_spark().alias("fh")).distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    c_sh, c_bands = shingle_bands(corpus_kt)
+
+    def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+
+        def _batches(p: str) -> set[str]:
+            hp = jvm.org.apache.hadoop.fs.Path(p)
+            fs = hp.getFileSystem(conf)
+            if not fs.exists(hp):
+                return set()
+            return {st.getPath().getName() for st in fs.listStatus(hp)
+                    if st.getPath().getName().startswith("batch=")}
+
+        keyed = (batch_df.withColumn("__eh", F.md5("text"))
+                 .withColumn("__fh", _fp_spark()))
+        t1 = (keyed.join(c_eh.withColumnRenamed("eh", "__eh"),
+                         "__eh", "left_anti")
+              .join(c_fh.withColumnRenamed("fh", "__fh"),
+                    "__fh", "left_anti")
+              .drop("__eh", "__fh"))
+        # persist THIS batch's tier-1 survivors first (source of truth
+        # for later batches' dedup base), then admit off the written
+        # copy so the admission DAG reads truncated lineage
+        t1.write.mode("overwrite").parquet(f"{out_dir}/_t1/batch={batch_id}")
+        t1 = spark.read.parquet(f"{out_dir}/_t1/batch={batch_id}")
+        b_sh, b_bands = shingle_bands(t1.select("doc_id", "text"))
+
+        # earlier batches' tier-1 survivors: sigs where covered, docs
+        # rebuilt where a crash left a gap — never silently dropped
+        own = {f"batch={batch_id}"}
+        doc_batches = _batches(f"{out_dir}/_t1") - own
+        eff_sh, eff_bands = c_sh, c_bands
+        if doc_batches:
+            covered = doc_batches
+            for t in ("sh", "bands"):
+                covered = covered & _batches(f"{out_dir}/_t1sigs/{t}")
+            missing = sorted(doc_batches - covered)
+            if covered:
+                keep = F.col("batch").isin(
+                    [int(b.split("=", 1)[1]) for b in covered])
+                eff_sh = eff_sh.unionByName(
+                    spark.read.parquet(f"{out_dir}/_t1sigs/sh")
+                    .filter(keep).drop("batch"))
+                eff_bands = eff_bands.unionByName(
+                    spark.read.parquet(f"{out_dir}/_t1sigs/bands")
+                    .filter(keep).drop("batch"))
+            if missing:
+                gap = (spark.read.parquet(
+                    *[f"{out_dir}/_t1/{b}" for b in missing])
+                    .select("doc_id", "text"))
+                g_sh, g_bands = shingle_bands(gap)
+                eff_sh = eff_sh.unionByName(g_sh)
+                eff_bands = eff_bands.unionByName(g_bands)
+
+        admitted = _near_dup_admission(t1, b_bands, eff_bands, b_sh,
+                                       eff_sh)
+        admitted.write.mode("overwrite").parquet(
+            f"{out_dir}/batch={batch_id}")
+        b_sh.write.mode("overwrite").parquet(
+            f"{out_dir}/_t1sigs/sh/batch={batch_id}")
+        b_bands.write.mode("overwrite").parquet(
+            f"{out_dir}/_t1sigs/bands/batch={batch_id}")
+
+    q = (stream_docs.writeStream.foreachBatch(admit_batch)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
 def run_to_completion(stream_df: DataFrame, query_name: str,
                       output_mode: str = "append") -> DataFrame:
     """Drive a (bounded file-source) streaming frame to completion through
