@@ -73,6 +73,25 @@ FRONTIER = [
 # median; a recal label without such an A/B row is forbidden.
 ANCHOR_LABELS = ("r10-sf1-3run-final", "r13-sf1-heavytail-scout")
 RECAL_LABELS = ("r13-q212-anchor-recal",)
+
+# COLD-PROBE for the memoized family (round 16; r15 advice): with the
+# warm-start mode, scored runs for session-memoized queries measure
+# memo-HIT time only — the probe went nearly blind to regressions
+# inside the memoized builds (q47's signature pipeline, q148's
+# assignment, q56's pair/components chain, q212's stage pipeline).
+# Each round also runs this subset COLD: fresh JVM, no warm-up pass,
+# SPARK_GRAFT_RUNS=1, and a FRESH pair-cache root so the disk tier
+# can't serve the pair/sig/span tables — the row measures the true
+# build path.  Judged against the committed r16 cold anchor with a
+# wider absolute bar (cold builds carry JIT + co-tenant swings a
+# 1-run read can't median away); flags re-run once cold-isolated as
+# the arbiter.
+MEMOIZED = ["q47_minhash_lsh", "q148_semdedup", "q56_dedup_components",
+            "q212_curation_shards"]
+COLD_ANCHOR_LABELS = ("r16-memo-cold-anchor",)
+COLD_DRIFT = 1.3
+COLD_DRIFT_MIN_ABS = 2.0
+
 DRIFT = 1.3
 # Sub-second queries swing +-0.3-0.5 s on this box between sessions
 # (q56 read 0.96/1.14/1.26 s across one day with no DAG change — see
@@ -120,8 +139,25 @@ def _anchor() -> dict[str, float]:
     return anchor
 
 
+def _cold_anchor() -> dict[str, float]:
+    """Committed cold-build medians for MEMOIZED (earliest-wins over
+    COLD_ANCHOR_LABELS); {} if the anchor row has not been recorded yet
+    (its first recording round declares itself the anchor)."""
+    hist = os.path.join(REPO, "BENCH_history.jsonl")
+    anchor: dict[str, float] = {}
+    with open(hist) as fh:
+        rows = [json.loads(line) for line in fh]
+    for label in COLD_ANCHOR_LABELS:
+        for row in rows:
+            if row.get("label") == label:
+                for q, t in row["queries"].items():
+                    if q in MEMOIZED:
+                        anchor.setdefault(q, t)
+    return anchor
+
+
 def _run_bench(queries: list[str], runs: str, label: str,
-               force_runs: bool = False) -> dict | None:
+               force_runs: bool = False, cold: bool = False) -> dict | None:
     env = dict(os.environ)
     env.update({
         "SPARK_GRAFT_SF_DIR": os.path.join(REPO, "testdata_sf1"),
@@ -133,6 +169,14 @@ def _run_bench(queries: list[str], runs: str, label: str,
         # which is the steady state the anchors represent; a flag that
         # still fires is a real drift by construction.
         "SPARK_GRAFT_WARMUP_SUITE": "1",
+        # Between-query storage scrub (VERDICT r15 task 6): the one
+        # flag class the warm-up fix left standing was suite
+        # COMPOSITION noise — a query paying for predecessors' dead
+        # storage/GC state (q50: 12.46 s in-suite vs 2.14 s isolated).
+        # The scored passes now clear the catalog cache and force a
+        # ContextCleaner drain between queries, outside the timed
+        # region.
+        "SPARK_GRAFT_CLEARCACHE_BETWEEN": "1",
         # the ARBITER must always get its full 5-run median — a
         # pre-set SPARK_GRAFT_RUNS=1 quick-probe env var must not let
         # it "adjudicate" real drift from a single lucky run (r12
@@ -141,6 +185,15 @@ def _run_bench(queries: list[str], runs: str, label: str,
         else env.get("SPARK_GRAFT_RUNS", runs),
         "SPARK_GRAFT_BENCH_LABEL": label,
     })
+    if cold:
+        # the memoized-family cold probe: no warm-up pass (the build IS
+        # the measurement) and a throwaway pair-cache root so the disk
+        # tier can't serve the pair/sig/span tables
+        import tempfile
+
+        env.pop("SPARK_GRAFT_WARMUP_SUITE", None)
+        env["SPARK_GRAFT_PAIR_CACHE"] = tempfile.mkdtemp(
+            prefix="sf1-coldprobe-")
     env.pop("SPARK_GRAFT_SRP_PLANES", None)  # gates run fixture defaults
     proc = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                           env=env, cwd=REPO, capture_output=True, text=True)
@@ -206,6 +259,7 @@ def main() -> int:
         return 2
     confirmed = [(q, r) for q, r in drifted
                  if _arbitrate(q, anchor[q], timings[q], label)]
+    cold_rc = _cold_probe(label)
     if confirmed:
         print(f"\n>{DRIFT}x drift CONFIRMED by the isolated arbiter — "
               f"attribute in SCALE_NOTES/BENCH notes before shipping: "
@@ -216,7 +270,69 @@ def main() -> int:
               f"noise by the isolated arbiter (rows in BENCH_history)")
     else:
         print("\nfrontier: no drift > 1.3x vs anchor")
-    return 0
+    return cold_rc
+
+
+def _cold_probe(label: str) -> int:
+    """Cold-build probe for the memoized family (r15 advice): fresh
+    JVM, no warm-up, throwaway disk-cache root, 1 run — measures the
+    true signature/assignment/stage BUILD paths the warm-start mode
+    can no longer see.  Self-anchoring: the first round with no
+    committed cold anchor records its row UNDER the anchor label
+    (earliest-wins freezes it; the anti-ratchet rule then applies
+    forever).  A flag re-runs once cold-isolated as the arbiter."""
+    canchor = _cold_anchor()
+    cold_label = (COLD_ANCHOR_LABELS[0] if not canchor
+                  else f"{label}-cold-memoized")
+    payload = _run_bench(MEMOIZED, "1", cold_label, force_runs=True,
+                         cold=True)
+    if payload is None:
+        print("\ncold-memoized probe FAILED to run")
+        return 3
+    if not canchor:
+        print(f"\ncold-memoized: first recording — row committed as the "
+              f"standing cold anchor ({cold_label}): "
+              f"{payload['queries']}")
+        return 0
+    print(f"\n{'cold-memoized build':34} {'anchor':>8} {'now':>8} "
+          f"{'ratio':>6}")
+    confirmed = []
+    rc = 0
+    for q in MEMOIZED:
+        a, t = canchor.get(q), payload["queries"].get(q)
+        if t is None:
+            print(f"{q:34} {a or float('nan'):8.2f} {'FAIL':>8}")
+            rc = 2
+            continue
+        ratio = t / a if a else float("nan")
+        is_drift = bool(a) and ratio > COLD_DRIFT and \
+            (t - a) > COLD_DRIFT_MIN_ABS
+        print(f"{q:34} {a:8.2f} {t:8.2f} {ratio:6.2f}"
+              f"{' <-- DRIFT' if is_drift else ''}")
+        if is_drift:
+            confirmed.append(q)
+    real = []
+    for q in confirmed:
+        print(f"\ncold arbiter: re-running {q} cold-isolated once...")
+        p2 = _run_bench([q], "1", f"{label}-cold-arbiter-{q}",
+                        force_runs=True, cold=True)
+        if p2 is None or q not in p2.get("queries", {}):
+            print(f"cold arbiter: FAILED for {q} — treating as real")
+            real.append(q)
+            continue
+        t2, a = p2["queries"][q], canchor[q]
+        if t2 / a > COLD_DRIFT and (t2 - a) > COLD_DRIFT_MIN_ABS:
+            print(f"cold arbiter: {q} {t2:.2f}s vs anchor {a:.2f}s — "
+                  f"CONFIRMED (investigate)")
+            real.append(q)
+        else:
+            print(f"cold arbiter: {q} {t2:.2f}s vs anchor {a:.2f}s — "
+                  f"noise (auto-resolved)")
+    if real:
+        print(f"\ncold-memoized drift CONFIRMED: {real} — a regression "
+              f"INSIDE a memoized build; attribute before shipping")
+        return 1
+    return rc
 
 
 if __name__ == "__main__":
