@@ -586,3 +586,184 @@ def audio_features(df: DataFrame) -> DataFrame:
             yield audio_features_batch(pdf)
 
     return df.mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# q227 — audio near-dup (round 16; VERDICT r15 task 7): multimodal
+# parity with q133's video path, over the in-container WAV decoder.
+#
+# REAL path (audio_fingerprints / audio_near_dup): frame the decoded
+# PCM (1024-sample windows, 512 hop), 17 log-spaced FFT band energies
+# per frame, and the Haitsma-Kalker double-delta sign bits — bit m of
+# frame n is 1 iff (E[n,m]-E[n,m+1]) - (E[n-1,m]-E[n-1,m+1]) > 0 — a
+# 16-bit sub-fingerprint per frame that survives gain change and light
+# noise (tests plant exactly those transforms).  All in-container: the
+# WAV codec is functions/wav.py and the FFT is numpy's; compressed
+# audio raises toward the ffmpeg gate like every compressed format.
+#
+# ORACLED path (q227): the deterministic fake twin over the documents
+# table — frames are stride-16 char windows of the text payload and the
+# "band energy" is the window's ascii sum mod a prime.  Unlike q133's
+# length-only fake this is CONTENT-derived (shared text windows
+# collide, disjoint text does not), and it exercises the identical
+# production plumbing: frame explode, distinct sub-fingerprints,
+# q76-style df-capped inverted index, pairs by shared-fingerprint
+# count.  Both engines compute the fingerprint with the same integer
+# arithmetic, so the oracle is exact.
+#
+# Scale shape (identical to q133): fingerprints are frames-sized (no
+# shuffle until the index groupBy), every index block is bounded by the
+# df cap, and the pair join is an equi-join on fingerprint keys — no
+# quadratic stage.
+# --------------------------------------------------------------------------
+_AF_W = 32        # fake-path frame width (chars)
+_AF_STRIDE = 16   # fake-path hop
+_AF_P = 1_000_003
+_AF_DF_CAP = 20   # max assets per fingerprint block (the q76 knob)
+_AF_MIN_SHARED = 2
+
+AUDIO_FP_SCHEMA = "doc_id bigint, frame_idx int, fp int"
+_AF_FRAME = 1024  # real-path samples per frame
+_AF_HOP = 512
+_AF_BANDS = 17    # 17 band energies -> 16 Haitsma-Kalker bits
+
+
+def audio_fingerprints_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, payload WAV bytes) -> one 16-bit Haitsma-Kalker
+    sub-fingerprint row per PCM frame (REAL path, in-container)."""
+    import numpy as np
+
+    from ..functions import wav as _wav
+
+    recs = []
+    for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+        payload = bytes(payload)
+        if not _wav.is_wav(payload):
+            raise NotImplementedError(
+                "real audio decode of compressed formats requires ffmpeg "
+                "— WAV (PCM / IEEE float) decodes via functions/wav.py")
+        rate, x = _wav.decode(payload)
+        mono = x.mean(axis=1)
+        n_frames = 1 + max(0, (len(mono) - _AF_FRAME) // _AF_HOP)
+        if n_frames < 2:
+            continue  # double-delta needs two frames
+        # log-spaced band edges over 300 Hz .. min(3000, rate/2)
+        hi = min(3000.0, rate / 2.0)
+        edges = np.exp(np.linspace(np.log(300.0), np.log(hi),
+                                   _AF_BANDS + 1))
+        freqs = np.fft.rfftfreq(_AF_FRAME, d=1.0 / rate)
+        band_of = np.searchsorted(edges, freqs, side="right") - 1
+        win = np.hanning(_AF_FRAME)
+        prev = None
+        for f in range(n_frames):
+            seg = mono[f * _AF_HOP:f * _AF_HOP + _AF_FRAME]
+            mag = np.abs(np.fft.rfft(seg * win)) ** 2
+            e = np.zeros(_AF_BANDS)
+            for b in range(_AF_BANDS):
+                m = band_of == b
+                if m.any():
+                    e[b] = mag[m].sum()
+            if prev is not None:
+                d = (e[:-1] - e[1:]) - (prev[:-1] - prev[1:])
+                bits = (d > 0).astype(np.int64)
+                fp = int((bits << np.arange(_AF_BANDS - 1)).sum())
+                recs.append((int(doc_id), f, fp))
+            prev = e
+    return pd.DataFrame(recs, columns=["doc_id", "frame_idx", "fp"]) \
+        .astype({"doc_id": "int64", "frame_idx": "int32", "fp": "int32"})
+
+
+def audio_fingerprints(df: DataFrame) -> DataFrame:
+    """mapInPandas: (doc_id, payload WAV binary) -> per-frame 16-bit
+    sub-fingerprints.  Embarrassingly parallel; no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield audio_fingerprints_batch(pdf)
+
+    return df.mapInPandas(run, schema=AUDIO_FP_SCHEMA)
+
+
+def audio_near_dup(df: DataFrame,
+                   min_shared: int = _AF_MIN_SHARED,
+                   df_cap: int = _AF_DF_CAP) -> DataFrame:
+    """(doc_id, payload WAV binary) -> (a_id, b_id, n_shared_fp) REAL
+    audio near-dup pairs: assets sharing >= min_shared distinct
+    sub-fingerprints, via the df-capped inverted index (boilerplate
+    fingerprints occurring in > df_cap assets are dropped — the q76
+    block-size bound, which is also what keeps the pair join linear)."""
+    fps = (audio_fingerprints(df)
+           .select("doc_id", "fp").distinct())
+    counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
+    keep = (fps.join(counts.filter(F.col("n_docs") <= df_cap), "fp")
+            .select("doc_id", "fp"))
+    a, b = keep.alias("a"), keep.alias("b")
+    return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("a_id"),
+                     F.col("b.doc_id").alias("b_id"))
+            .agg(F.count(F.lit(1)).alias("n_shared_fp"))
+            .filter(F.col("n_shared_fp") >= min_shared))
+
+
+_Q227_FP_SQL = (f"list_sum(list_transform(generate_series(1, {_AF_W}), "
+                f"i -> ascii(substr(substr(text, p, {_AF_W}), "
+                f"CAST(i AS INTEGER), 1)))) % {_AF_P}")
+
+
+@query(
+    "q227_audio_neardup",
+    f"""
+    WITH fr AS (
+        SELECT doc_id, CAST(fi * {_AF_STRIDE} + 1 AS INTEGER) AS p, text
+        FROM documents,
+             unnest(generate_series(0,
+                 CAST(floor((length(text) - {_AF_W}) * 1.0
+                            / {_AF_STRIDE}) AS INTEGER))) AS t(fi)
+        WHERE length(text) >= {_AF_W}
+    ),
+    fp AS (
+        SELECT DISTINCT doc_id, {_Q227_FP_SQL} AS fp
+        FROM fr
+    ),
+    df AS (
+        SELECT fp, COUNT(*) AS n_docs FROM fp GROUP BY fp
+    ),
+    keep AS (
+        SELECT f.doc_id, f.fp
+        FROM fp f JOIN df ON f.fp = df.fp
+        WHERE df.n_docs <= {_AF_DF_CAP}
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_fp
+    FROM keep a JOIN keep b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {_AF_MIN_SHARED}
+    """,
+)
+def q227_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    fr = (d.filter(F.length("text") >= _AF_W)
+          .select("doc_id", "text",
+                  F.explode(F.expr(
+                      f"sequence(0, CAST(floor((length(text) - {_AF_W})"
+                      f" / CAST({_AF_STRIDE} AS DOUBLE)) AS INT))"))
+                  .alias("fi"))
+          .select("doc_id", "text",
+                  (F.col("fi") * _AF_STRIDE + 1).alias("p")))
+    fp = (fr.select(
+        "doc_id",
+        (F.expr(f"aggregate(split(substring(text, p, {_AF_W}), ''), 0L,"
+                f" (acc, c) -> acc + ascii(c))") % _AF_P).alias("fp"))
+        .distinct())
+    counts = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
+    keep = (fp.join(counts.filter(F.col("n_docs") <= _AF_DF_CAP), "fp")
+            .select("doc_id", "fp"))
+    a, b = keep.alias("a"), keep.alias("b")
+    return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("a_id"),
+                     F.col("b.doc_id").alias("b_id"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_fp"))
+            .filter(F.col("n_shared_fp") >= _AF_MIN_SHARED))

@@ -42,32 +42,32 @@ def _modules():
 # Round-16 window (driver verifies the FIRST 50), executing the written
 # r16 schedule committed in round 15 ("the full r11 block leads, then
 # the oldest r12 rows"), amended by the standing rules:
-#   - slot 1: q226 (NEW this round — MinHash-tier incremental
-#     admission, the curation tier VERDICT r15 task 5 named missing),
-#     arriving oracled + planted-tier-tested + streaming-twin
+#   - slots 1-2: q226/q227 (NEW this round — MinHash-tier incremental
+#     admission, the curation tier VERDICT r15 task 5 named missing,
+#     and audio near-dup, r15 task 7), arriving oracled + planted/
 #     parity-tested; never-driver-verified outranks stale;
-#   - slots 2-3: q224/q225 — rule-(2) forces: q225's oracle changed
+#   - slots 3-4: q224/q225 — rule-(2) forces: q225's oracle changed
 #     this round (LEFT JOIN + COALESCE for empty/NULL-text docs, r15
 #     advice) and both now read the disk-persisted span table
 #     (VERDICT r15 task 4), so both owe a post-change driver row;
-#   - slots 4-39: the ENTIRE 36-row r11-verified block — retires the
+#   - slots 5-40: the ENTIRE 36-row r11-verified block — retires the
 #     r11 debt; max driver staleness advances to r12;
-#   - slots 40-50: the oldest 11 r12-verified rows.
+#   - slots 41-50: the oldest 10 r12-verified rows.
 #   Rotation notes: the per-key build-lock change in _doc_frame_memo
 #   and curation's table= contract alter NO frame definition (value
 #   identity pinned by tests/test_frame_memos.py), so the memoized
 #   family is NOT rule-(2) forced this round.
 # WRITTEN SCHEDULE (continuing):
-#   - r17: the remaining 36 r12 rows + the oldest 14 r13 rows = 50
-#     (max staleness advances to r13);
+#   - r17: the remaining 37 r12 rows (q158 leads) + the oldest 13 r13
+#     rows = 50 (max staleness advances to r13);
 #   - r18: the remaining 27 r13 rows + the oldest 23 r14 rows;
 #   - r19: the remaining 27 r14 rows + the oldest 23 r15 rows.
 _PRIORITY = [
     # --- ROUND-16 DRIVER WINDOW (first 50) ---
-    # slot 1: never-driver-verified (q226 NEW), slots 2-3: the
-    # changed-this-round ExactSubstr pair, slots 4-39: the full r11
-    # block, slots 40-50: the oldest 11 r12 rows
-    "q226_incremental_near_dedup",
+    # slots 1-2: never-driver-verified (q226/q227 NEW), slots 3-4: the
+    # changed-this-round ExactSubstr pair, slots 5-40: the full r11
+    # block, slots 41-50: the oldest 10 r12 rows
+    "q226_incremental_near_dedup", "q227_audio_neardup",
     "q224_exact_substring_dedup", "q225_substring_dedup_materialize",
     "q121_token_entropy", "q122_grouping_sets", "q123_mad_outliers", "q124_incremental_agg_merge",
     "q125_small_quantity_revenue", "q126_revenue_share", "q129_hamming_topk",
@@ -84,11 +84,11 @@ _PRIORITY = [
     "q214_url_domain_dedup", "q215_rate_limited_sample",
     "q142_stopword_discovery", "q143_bpe_pair_counts", "q146_vocab_overlap",
     "q147_chi2_keywords", "q150_hhi_concentration", "q151_returned_revenue",
-    "q152_dup_cluster_sizes", "q157_mix_rebalance", "q158_session_paths",
+    "q152_dup_cluster_sizes", "q157_mix_rebalance",
     # --- tail: rotates into r17+ windows, least-recently-verified
     # first ---
     # the r12-verified remainder (r17 lead)
-    "q159_bm25_topk", "q160_lang_mislabel", "q161_wilson_proportion",
+    "q158_session_paths", "q159_bm25_topk", "q160_lang_mislabel", "q161_wilson_proportion",
     "q162_churn_rate", "q165_nation_trade_volume", "q166_market_share",
     "q168_dedup_cost_model", "q170_burst_detection",
     "q171_dup_degree_distribution", "q173_order_reconciliation",

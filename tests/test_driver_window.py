@@ -21,15 +21,15 @@ from spatial_data_engineering_spark.queries_registry import all_queries
 
 # Round-16 window, executing the written r16 schedule committed in
 # round 15 ("the full r11 block leads, then the oldest r12 rows"),
-# amended by the standing rules: slot 1 the new q226 (MinHash-tier
-# incremental admission — never-driver-verified outranks stale), slots
-# 2-3 the rule-(2) forces q224/q225 (q225's oracle gained the
-# empty/NULL-text LEFT JOIN fix and both now read the disk-persisted
-# span table), slots 4-39 the ENTIRE 36-row r11-verified block
-# (retires the r11 debt; max driver staleness advances to r12), slots
-# 40-50 the oldest 11 r12 rows.
+# amended by the standing rules: slots 1-2 the new q226/q227
+# (MinHash-tier incremental admission + audio near-dup —
+# never-driver-verified outranks stale), slots 3-4 the rule-(2) forces
+# q224/q225 (q225's oracle gained the empty/NULL-text LEFT JOIN fix
+# and both now read the disk-persisted span table), slots 5-40 the
+# ENTIRE 36-row r11-verified block (retires the r11 debt; max driver
+# staleness advances to r12), slots 41-50 the oldest 10 r12 rows.
 EXPECTED_WINDOW = [
-    "q226_incremental_near_dedup",
+    "q226_incremental_near_dedup", "q227_audio_neardup",
     "q224_exact_substring_dedup", "q225_substring_dedup_materialize",
     "q121_token_entropy", "q122_grouping_sets", "q123_mad_outliers",
     "q124_incremental_agg_merge", "q125_small_quantity_revenue",
@@ -49,14 +49,14 @@ EXPECTED_WINDOW = [
     "q142_stopword_discovery", "q143_bpe_pair_counts",
     "q146_vocab_overlap", "q147_chi2_keywords", "q150_hhi_concentration",
     "q151_returned_revenue", "q152_dup_cluster_sizes",
-    "q157_mix_rebalance", "q158_session_paths",
+    "q157_mix_rebalance",
 ]
 
 # The rows that must LEAD the round-17 window: the r12-verified
 # remainder in least-recently-verified order (no never-verified rows
 # remain once q226 gets its r16 row).
 EXPECTED_R17_LEAD = [
-    "q159_bm25_topk", "q160_lang_mislabel", "q161_wilson_proportion",
+    "q158_session_paths", "q159_bm25_topk", "q160_lang_mislabel", "q161_wilson_proportion",
     "q162_churn_rate", "q165_nation_trade_volume", "q166_market_share",
     "q168_dedup_cost_model", "q170_burst_detection",
     "q171_dup_degree_distribution", "q173_order_reconciliation",

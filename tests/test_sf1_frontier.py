@@ -100,10 +100,10 @@ PARITY_SUBSET = [
     # corpus-chars-sized intermediate in the suite — 10x data is where
     # a super-linearity in the count/join/island chain would show
     "q224_exact_substring_dedup", "q225_substring_dedup_materialize",
-    # r16 addition (MinHash-tier incremental admission): the band
-    # probe's broadcast asymmetry (delta bands into the standing band
-    # table) is exactly the shape that only misbehaves at scale
-    "q226_incremental_near_dedup",
+    # r16 additions: the band probe's broadcast asymmetry (delta bands
+    # into the standing band table) and the frame-fingerprint inverted
+    # index are exactly the shapes that only misbehave at scale
+    "q226_incremental_near_dedup", "q227_audio_neardup",
 ]
 
 

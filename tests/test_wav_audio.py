@@ -133,3 +133,92 @@ def test_compressed_audio_gated():
     with pytest.raises(NotImplementedError, match="ffmpeg"):
         audio_features_batch(pd.DataFrame({
             "doc_id": [1], "payload": [b"ID3\x04 mp3 frames here"]}))
+
+
+# --------------------------------------------------------------------------
+# q227 real path (round 16): Haitsma-Kalker spectral fingerprints over
+# the in-container WAV decoder, and the df-capped near-dup index.
+# --------------------------------------------------------------------------
+
+
+def _melody(seed=0, secs=2.0, sr=SR):
+    """Structured test audio: a seeded 14-note melody over a seeded
+    broadband bed.  Deliberately NOT a stationary pure-tone mix — the
+    Haitsma-Kalker double-delta needs temporal structure and nonzero
+    energy in every band; a pure tone leaves empty bands whose bits
+    are decided by numerical noise (the degenerate case the first cut
+    of this test tripped on)."""
+    rng = np.random.default_rng(seed)
+    notes = rng.choice([392., 440., 523., 587., 660., 784., 880.,
+                        1047., 1319., 1568.], 14)
+    seg = int(secs * sr / len(notes))
+    t = np.arange(seg) / sr
+    x = np.concatenate([0.4 * np.sin(2 * np.pi * f * t) for f in notes])
+    x = x + 0.08 * rng.standard_normal(len(x))
+    return np.clip(x, -1, 1)
+
+
+def test_audio_fingerprints_shape_and_determinism():
+    from spatial_data_engineering_spark.operators.multimodal import (
+        audio_fingerprints_batch)
+
+    payload = wav.encode(_melody(1), SR)
+    pdf = pd.DataFrame({"doc_id": [1], "payload": [payload]})
+    a = audio_fingerprints_batch(pdf)
+    b = audio_fingerprints_batch(pdf)
+    assert len(a) > 10
+    assert (a["fp"] >= 0).all() and (a["fp"] < 2 ** 16).all()
+    assert a.equals(b)  # bit-deterministic
+
+
+def test_audio_fingerprints_survive_gain_and_noise():
+    """The Haitsma-Kalker property the real path exists for: a level
+    change plus light noise keeps most per-frame sub-fingerprints
+    identical, while different material shares almost none."""
+    from spatial_data_engineering_spark.operators.multimodal import (
+        audio_fingerprints_batch)
+
+    base = _melody(1)
+    variant = np.clip(0.7 * base + np.random.default_rng(7).normal(
+        0, 0.005, len(base)), -1, 1)
+    other = _melody(9)
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "payload": [wav.encode(base, SR),
+                    wav.encode(variant, SR),
+                    wav.encode(other, SR)],
+    })
+    out = audio_fingerprints_batch(pdf)
+    sets = {d: set(g["fp"]) for d, g in out.groupby("doc_id")}
+    same = len(sets[1] & sets[2]) / max(1, len(sets[1] | sets[2]))
+    diff = len(sets[1] & sets[3]) / max(1, len(sets[1] | sets[3]))
+    assert same > 0.5, f"gain+noise variant diverged (jaccard {same:.2f})"
+    assert diff < same / 2, (same, diff)
+
+
+def test_audio_near_dup_operator(spark):
+    from spatial_data_engineering_spark.operators.multimodal import (
+        audio_near_dup)
+
+    base = _melody(1)
+    variant = np.clip(0.7 * base + np.random.default_rng(7).normal(
+        0, 0.005, len(base)), -1, 1)
+    other = _melody(9)
+    rows = [(1, bytearray(wav.encode(base, SR))),
+            (2, bytearray(wav.encode(variant, SR))),
+            (3, bytearray(wav.encode(other, SR)))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    pairs = {(r.a_id, r.b_id): r.n_shared_fp
+             for r in audio_near_dup(df).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_audio_near_dup_compressed_raises():
+    from spatial_data_engineering_spark.operators.multimodal import (
+        audio_fingerprints_batch)
+
+    pdf = pd.DataFrame({"doc_id": [1],
+                        "payload": [b"\xff\xfbnot-a-wav-mp3-frame"]})
+    with pytest.raises(NotImplementedError):
+        audio_fingerprints_batch(pdf)
