@@ -127,6 +127,11 @@ REPLAYS = {
     # final SELECT) — genuinely a generated oracle, and the splice is
     # replayed as a direct Python cut of independently recomputed spans
     "q225_substring_dedup_materialize": "test_numpy_crosscheck26.py",
+    # r16 arrival (interrupted round, closed in the optimization round):
+    # q226's oracle is assembled from the shared signature/band builders
+    # (_sig_aggs/_band_keys/_hex_fold) — replayed by a from-scratch
+    # hashlib three-tier admission
+    "q226_incremental_near_dedup": "test_numpy_crosscheck27.py",
 }
 
 
