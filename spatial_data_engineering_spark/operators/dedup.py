@@ -20,6 +20,7 @@ from __future__ import annotations
 import hashlib
 import os
 import shutil
+import tempfile
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
@@ -359,14 +360,22 @@ _PAIR_CACHE_COMPUTES = 0   # test hook: cold LSH materialization count
 _PAIR_CACHE_DISK_HITS = 0  # test hook: parquet read-back count
 _PAIR_CACHE_LOCK = threading.Lock()
 
-# Repo-local cache root (gitignored).  Overridable for tests and for
-# deployments where the pair table belongs next to the data lake rather
-# than the code checkout — at 100 TB this would be a warehouse table
-# path, not a local directory.
+# Cache root.  Overridable for tests and for deployments where the pair
+# table belongs next to the data lake rather than the code checkout — at
+# 100 TB this would be a warehouse table path, not a local directory.
+#
+# The DEFAULT is per-process (r16 optimization round): an unconfigured
+# run — in particular every driver bench/oracle invocation — must compute
+# its derived tables from the parquet inputs, not inherit a previous
+# process's materializations (benchmark hygiene: a disk hit in run 1
+# would time a KB-sized parquet read in place of the LSH build).  The
+# cross-SESSION persistence the disk tier exists for (a maintained
+# warehouse table, q82's standing corpus state) is production behavior
+# that a deployment opts into by pointing SPARK_GRAFT_PAIR_CACHE at a
+# durable location — exactly how the tests exercise it.
 _PAIR_CACHE_ROOT_ENV = "SPARK_GRAFT_PAIR_CACHE"
 _DEFAULT_PAIR_CACHE_ROOT = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    ".pair_cache",
+    tempfile.gettempdir(), f"spark_graft_pair_cache_{os.getpid()}",
 )
 
 
