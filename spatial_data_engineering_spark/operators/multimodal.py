@@ -374,6 +374,34 @@ _FRAME_DF_CAP = 20   # max assets per checksum block (the q76 knob)
 _MIN_SHARED = 2
 
 
+def _dfcap_shared_key_pairs(keyed: DataFrame, key: str, df_cap: int,
+                            min_shared: int, out_col: str) -> DataFrame:
+    """(doc_id, key) -> (a_id, b_id, out_col) pairs sharing >= min_shared
+    distinct keys, through the df-capped inverted index (keys held by
+    > df_cap docs are dropped — the q76 block-size bound).
+
+    The input relation is materialized ONCE via an eager localCheckpoint
+    (r16 optimization): the index needs it three ways (the df counts,
+    the probe side, and both halves of the self-join), and without the
+    checkpoint each consumer re-evaluated the whole upstream pipeline —
+    for the multimodal family that upstream is the mapInPandas DECODE,
+    so one logical decode pass executed 4x per query (guide §8: decide
+    on the small proxy, decode once).  The (doc_id, key) table is
+    frames-sized — orders smaller than payload bytes — so pinning it is
+    bounded; values are unchanged (same relation, one evaluation)."""
+    keyed = keyed.localCheckpoint(eager=True)
+    counts = keyed.groupBy(key).agg(F.count(F.lit(1)).alias("n_docs"))
+    keep = (keyed.join(counts.filter(F.col("n_docs") <= df_cap), key)
+            .select("doc_id", key))
+    a, b = keep.alias("a"), keep.alias("b")
+    return (a.join(b, (F.col(f"a.{key}") == F.col(f"b.{key}"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("a_id"),
+                     F.col("b.doc_id").alias("b_id"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias(out_col))
+            .filter(F.col(out_col) >= min_shared))
+
+
 @query(
     "q133_video_neardup",
     f"""
@@ -408,18 +436,8 @@ def q133_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.encode("text", "utf-8").alias("payload"))
     frames = (sample_frames(payloads)
               .select("doc_id", "frame_checksum").distinct())
-    df_counts = (frames.groupBy("frame_checksum")
-                 .agg(F.count(F.lit(1)).alias("n_docs")))
-    keep = (frames.join(df_counts.filter(F.col("n_docs") <= _FRAME_DF_CAP),
-                        "frame_checksum")
-            .select("doc_id", "frame_checksum"))
-    a, b = keep.alias("a"), keep.alias("b")
-    return (a.join(b, (F.col("a.frame_checksum") == F.col("b.frame_checksum"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .groupBy(F.col("a.doc_id").alias("a_id"),
-                     F.col("b.doc_id").alias("b_id"))
-            .agg(F.count(F.lit(1)).alias("n_shared_frames"))
-            .filter(F.col("n_shared_frames") >= _MIN_SHARED))
+    return _dfcap_shared_key_pairs(frames, "frame_checksum", _FRAME_DF_CAP,
+                                   _MIN_SHARED, "n_shared_frames")
 
 
 # --------------------------------------------------------------------------
@@ -694,16 +712,8 @@ def audio_near_dup(df: DataFrame,
     block-size bound, which is also what keeps the pair join linear)."""
     fps = (audio_fingerprints(df)
            .select("doc_id", "fp").distinct())
-    counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
-    keep = (fps.join(counts.filter(F.col("n_docs") <= df_cap), "fp")
-            .select("doc_id", "fp"))
-    a, b = keep.alias("a"), keep.alias("b")
-    return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .groupBy(F.col("a.doc_id").alias("a_id"),
-                     F.col("b.doc_id").alias("b_id"))
-            .agg(F.count(F.lit(1)).alias("n_shared_fp"))
-            .filter(F.col("n_shared_fp") >= min_shared))
+    return _dfcap_shared_key_pairs(fps, "fp", df_cap, min_shared,
+                                   "n_shared_fp")
 
 
 _Q227_FP_SQL = (f"list_sum(list_transform(generate_series(1, {_AF_W}), "
@@ -743,27 +753,36 @@ _Q227_FP_SQL = (f"list_sum(list_transform(generate_series(1, {_AF_W}), "
     """,
 )
 def q227_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    fr = (d.filter(F.length("text") >= _AF_W)
-          .select("doc_id", "text",
-                  F.explode(F.expr(
-                      f"sequence(0, CAST(floor((length(text) - {_AF_W})"
-                      f" / CAST({_AF_STRIDE} AS DOUBLE)) AS INT))"))
-                  .alias("fi"))
-          .select("doc_id", "text",
-                  (F.col("fi") * _AF_STRIDE + 1).alias("p")))
-    fp = (fr.select(
-        "doc_id",
-        (F.expr(f"aggregate(split(substring(text, p, {_AF_W}), ''), 0L,"
-                f" (acc, c) -> acc + ascii(c))") % _AF_P).alias("fp"))
-        .distinct())
-    counts = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
-    keep = (fp.join(counts.filter(F.col("n_docs") <= _AF_DF_CAP), "fp")
-            .select("doc_id", "fp"))
-    a, b = keep.alias("a"), keep.alias("b")
-    return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .groupBy(F.col("a.doc_id").alias("a_id"),
-                     F.col("b.doc_id").alias("b_id"))
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_fp"))
-            .filter(F.col("n_shared_fp") >= _AF_MIN_SHARED))
+    from .dedup import _spread_docs
+
+    d = _spread_docs(load(spark, sf_dir, "documents"))
+    # All frame fingerprints of a doc in ONE map-side expression (r16
+    # optimization; values proven identical by oracle parity + the A/B
+    # in OPTIMIZATION_r16.md): the original exploded a row per stride
+    # position FIRST, so the Generate stage copied the full text into
+    # every frame row (O(len^2/stride) bytes materialized) and then
+    # re-evaluated substring(text, p, W) per frame — UTF8String
+    # substring counts chars from the string start, an O(len) scan per
+    # frame, O(len^2) per doc (the ngram_list_spark lesson, dedup.py).
+    # Here the char codes are computed once per doc (one split+ascii
+    # pass), each frame folds a W-int array slice (O(1) indexed), and
+    # array_distinct replaces the (doc_id, fp) distinct SHUFFLE —
+    # uniqueness is per-doc, so no exchange is needed to establish it.
+    # _spread_docs parallelizes the pipeline off the one-split bench
+    # scan exactly as the q76/q81 gram pipelines do.
+    fps = (
+        f"array_distinct(transform("
+        f"sequence(0, CAST(floor((__n - {_AF_W})"
+        f" / CAST({_AF_STRIDE} AS DOUBLE)) AS INT)),"
+        f" fi -> aggregate(slice(__codes, fi * {_AF_STRIDE} + 1, {_AF_W}),"
+        f" 0L, (acc, c) -> acc + c) % {_AF_P}))"
+    )
+    # __n rides along because split(text, '') appends one trailing empty
+    # element (Java split limit -1), so size(__codes) != length(text)
+    fp = (d.filter(F.length("text") >= _AF_W)
+          .select("doc_id", F.length("text").alias("__n"),
+                  F.expr("transform(split(text, ''), c -> ascii(c))")
+                  .alias("__codes"))
+          .select("doc_id", F.explode(F.expr(fps)).alias("fp")))
+    return _dfcap_shared_key_pairs(fp, "fp", _AF_DF_CAP, _AF_MIN_SHARED,
+                                   "n_shared_fp")
