@@ -573,7 +573,13 @@ def pagerank(edges: DataFrame, n_iter: int = _PR_ITERS) -> DataFrame:
     nparts = max(1, min(sc.defaultParallelism, n_edges // 100_000 + 1))
     small = n_edges < _PR_BROADCAST_EDGES
     hint = F.broadcast if small else (lambda df: df)
-    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # LOOP-INVARIANT join hoist (r16 optimization): sym x deg does not
+    # change across iterations, so attach deg to every edge ONCE and
+    # persist the combined table — the old loop re-joined deg every
+    # round, paying an extra broadcast build + join per iteration (5
+    # here; values identical, deg is functionally determined by src).
+    symdeg = sym.join(deg, "src").persist()
     ranks = (deg.select(F.col("src").alias("node"),
                         F.lit(1.0).alias("rank"))
              .coalesce(nparts))
@@ -585,8 +591,7 @@ def pagerank(edges: DataFrame, n_iter: int = _PR_ITERS) -> DataFrame:
     # every round cost ~1.2s/iteration of pure job overhead here.
     for _ in range(n_iter):
         contribs = (
-            sym.join(hint(ranks), sym.src == ranks.node)
-            .join(hint(deg), "src")
+            symdeg.join(hint(ranks), symdeg.src == ranks.node)
             .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
         )
         ranks = (
@@ -604,7 +609,7 @@ def pagerank(edges: DataFrame, n_iter: int = _PR_ITERS) -> DataFrame:
     # (the q18 unpersist-after-use pattern elsewhere in the repo).
     ranks = ranks.localCheckpoint(eager=True)
     sym.unpersist()
-    deg.unpersist()
+    symdeg.unpersist()
     return ranks
 
 
