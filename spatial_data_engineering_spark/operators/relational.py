@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..catalog import load
+from ..catalog import load, load_spread
 from .common import (davg, dcv, dsum, dvar_samp, sql_davg, sql_dcv_expr,
                      sql_spark_pct,
                      sql_dsum, sql_dsum_expr, sql_dvar_expr)
@@ -1116,7 +1116,9 @@ def q25_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q26_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+    # load_spread: exact medians are a full-width partial-state agg over
+    # the one-split bench scan (r16 A/B: 0.62-0.70x; no-op at scale)
+    li = load_spread(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.median("l_quantity").alias("med_qty"),
         F.median("l_extendedprice").alias("med_price"),
@@ -1431,7 +1433,9 @@ def grouped_percentiles(df: DataFrame, group_cols: list[str], value_col: str,
     """,
 )
 def q33_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+    # load_spread: exact percentile partial state is heavy (r16 A/B
+    # 0.73-0.84x; no-op at scale)
+    li = load_spread(spark, sf_dir, "lineitem")
     return grouped_percentiles(
         li, ["l_returnflag"], "l_extendedprice",
         [0.25, 0.50, 0.75, 0.95], ["p25", "p50", "p75", "p95"], exact=True)
@@ -1623,9 +1627,11 @@ def q38_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q39_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # load_spread on the two fact sides: the 6-table chain's probe work
+    # was serialized behind one-split scans (r16 A/B 0.72-0.89x)
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem")
+    o = load_spread(spark, sf_dir, "orders")
+    li = load_spread(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
@@ -1828,7 +1834,9 @@ def q72_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q122_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+    # load_spread: the Expand operator multiplies every row once per
+    # grouping set before the partial agg (r16 A/B 0.59-0.72x)
+    li = load_spread(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("q122_lineitem")
     return li.sparkSession.sql(f"""
         SELECT l_returnflag, l_linestatus,
@@ -1989,7 +1997,10 @@ def winsorized_stats(li: DataFrame, exact: bool = True,
     """,
 )
 def q149_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return winsorized_stats(load(spark, sf_dir, "lineitem"), exact=True)
+    # load_spread: exact p05/p95 percentile state + the clamp rescan are
+    # compute-bound on the one-split scan (r16 A/B 0.59-0.63x)
+    return winsorized_stats(load_spread(spark, sf_dir, "lineitem"),
+                            exact=True)
 
 
 # --------------------------------------------------------------------------
@@ -2399,8 +2410,9 @@ def q166_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q173_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem")
+    # load_spread on both fact sides (r16 A/B 0.50-0.74x)
+    o = load_spread(spark, sf_dir, "orders")
+    li = load_spread(spark, sf_dir, "lineitem")
     net = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
            * (1 + F.col("l_tax"))).cast("decimal(30,6)")
     ln = (li.groupBy("l_orderkey")
@@ -2922,7 +2934,9 @@ def q207_brand_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q211_discount_quantity_corr(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+    # load_spread: six decimal partial sums over every row, one split
+    # (r16 A/B 0.45-0.52x)
+    li = load_spread(spark, sf_dir, "lineitem")
     dec = lambda c: F.sum(c.cast("decimal(30,6)")).cast("double")  # noqa: E731
     x, y = F.col("l_discount"), F.col("l_quantity")
     m = li.agg(F.count(F.lit(1)).alias("n"),
