@@ -110,7 +110,8 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # uniform, collision-free; guide §2.5 requires the synthetic partitioning
 # key be derived deterministically so task retries reproduce the same
 # row-to-partition assignment).
-SPREAD_KEYS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+SPREAD_KEYS = {"lineitem": "l_orderkey", "orders": "o_orderkey",
+               "embeddings": "vec_id"}
 
 
 def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

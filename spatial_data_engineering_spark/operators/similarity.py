@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..catalog import load
+from ..catalog import load, load_spread
 from .common import (davg, dvar_samp, fround6, np_fround6, sql_davg,
                      sql_dvar_expr, sql_fround6,
                      sql_spark_pct)
@@ -208,7 +208,9 @@ def q50_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # load_spread: block replication + the applyInPandas tile feed
+    # otherwise serialize behind the one-split scan (r16 A/B: 0.68x)
+    e = load_spread(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n = e.count()  # one cheap distributed count to size the block grid
     n_blocks = max(1, math.ceil(n / _Q50_BLOCK_ROWS))
 
@@ -619,7 +621,9 @@ _ORACLE_Q51 = f"""
 
 @query("q51_srp_lsh_buckets", _ORACLE_Q51)
 def q51_srp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    # load_spread: the 8 unrolled projection dots per row otherwise run
+    # inside the one-split scan task (r16 A/B: 0.55x; no-op at scale)
+    e = load_spread(spark, sf_dir, "embeddings")
     u = e.count() >= _UNROLL_MIN_ROWS  # gate the unrolled plane/pair dots
     sig = e.select(
         "vec_id", "embedding",
