@@ -510,14 +510,31 @@ def _oracle_q56() -> str:
     """
 
 
+def components_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, component) over the near-dup graph, session-memoized (r16
+    optimization; the semdedup_assign_cached pattern).  q56 (clusters),
+    q94 (canonical pick) and q152 (via q56) each re-ran the O(diameter)
+    label-propagation loop per query over the SAME memoized pair set —
+    three closures per bench pass for one deterministic relation.  The
+    component table is duplication-bounded (nodes = clustered docs) and
+    connected_components already returns it checkpointed, so the memo
+    pins a materialized frame, exactly the near_dup_pairs lifecycle."""
+    from .dedup import _doc_frame_memo, near_dup_pairs
+
+    def build():
+        edges = near_dup_pairs(spark, sf_dir).selectExpr(
+            "a_id AS a", "b_id AS b")
+        return (connected_components(edges),)
+
+    return _doc_frame_memo(spark, sf_dir, "neardup_components", build,
+                           table="documents")[0]
+
+
 @query("q56_dedup_components", _oracle_q56())
 def q56_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup clusters over the MinHash near-dup pairs (q47):
     component id, cluster size, keeper doc."""
-    from .dedup import near_dup_pairs
-
-    edges = near_dup_pairs(spark, sf_dir).selectExpr("a_id AS a", "b_id AS b")
-    comp = connected_components(edges)
+    comp = components_cached(spark, sf_dir)
     return (comp.groupBy("component")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.min("node").alias("keeper_doc_id")))
@@ -712,10 +729,7 @@ def _oracle_q94() -> str:
 @query("q94_dedup_canonical", _oracle_q94())
 def q94_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical (richest) member per near-dup cluster."""
-    from .dedup import near_dup_pairs
-
-    edges = near_dup_pairs(spark, sf_dir).selectExpr("a_id AS a", "b_id AS b")
-    comp = connected_components(edges)
+    comp = components_cached(spark, sf_dir)
     d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
     members = comp.join(d, comp.node == d.doc_id)
     # single-shuffle argmax: max struct(n_chars, -doc_id) = longest doc,
