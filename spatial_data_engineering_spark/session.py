@@ -87,6 +87,17 @@ def build_session(app_name: str = "spatial_data_engineering_spark",
         # 1-minute periodic GC bounds the leak; the same setting is the
         # standard fix for long-lived drivers on real clusters.
         .config("spark.cleaner.periodicGC.interval", "1min")
+        # PySpark 4's DataFrame-debugging context wraps EVERY DataFrame/
+        # Column API call with call-site capture: getActiveSession + a JVM
+        # conf.get + PySparkCurrentOrigin.set/clear (3-4 extra py4j round
+        # trips per call) + a Python stack walk — pure driver-side error-
+        # message garnish, zero effect on plans or results.  A 226-query
+        # suite makes ~900 such calls per query construction; measured at
+        # sf0.1: warm full-inventory construction pass 47.1s -> 30.3s with
+        # the wrapper off (cProfile: the time was py4j socket round trips
+        # under pyspark/errors/utils.py _with_origin).  Static conf, so it
+        # must be set at build time.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
