@@ -935,9 +935,19 @@ def q115_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     nparts = max(1, min(sc.defaultParallelism, n_edges // 100_000 + 1))
     seeds = (sym.select(F.col("src").alias("node")).distinct()
              .orderBy("node").limit(_BFS_SEEDS))
-    dist = (seeds.withColumn("hops", F.lit(0).cast("bigint"))
-            .coalesce(nparts).localCheckpoint(eager=True))
-    frontier = dist
+    first = (seeds.withColumn("hops", F.lit(0).cast("bigint"))
+             .coalesce(nparts).localCheckpoint(eager=True))
+    # dist is kept as a UNION OF PER-HOP CHECKPOINTED PIECES rather than
+    # re-checkpointed each hop (r16): every piece is already materialized
+    # (the per-hop eager checkpoint truncates lineage and feeds the
+    # next hop's anti-join), so re-materializing their union bought
+    # nothing and cost one extra job + storage write per hop.  The
+    # anti-join and the final consumer scan <= _BFS_HOPS+1 small
+    # checkpointed frames — no recompute anywhere.  Values identical
+    # (r16 A/B; same rows, one fewer job per hop).
+    pieces = [first]
+    dist = first
+    frontier = first
     for hop in range(1, _BFS_HOPS + 1):
         neigh = (frontier.join(sym, frontier.node == sym.src)
                  .select(F.col("dst").alias("node"))
@@ -947,8 +957,10 @@ def q115_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
                .coalesce(nparts).localCheckpoint(eager=True))
         if new.limit(1).count() == 0:
             break
-        dist = dist.unionByName(new).coalesce(nparts) \
-            .localCheckpoint(eager=True)
+        pieces.append(new)
+        dist = pieces[0]
+        for p in pieces[1:]:
+            dist = dist.unionByName(p)
         frontier = new
     sym.unpersist()
     return dist
