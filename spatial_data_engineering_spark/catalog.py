@@ -143,6 +143,39 @@ def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df.repartition(sc.defaultParallelism, key)
 
 
+def table_rows_cached(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Session-memoized row count of a base table (r17 opt, guide §1
+    "don't pay to discover a constant").
+
+    A parquet count-star is footer-metadata-only, but it is still a
+    Spark JOB (~40-60 ms of driver fixed cost locally), and the
+    scale-safe global-window helpers probe input cardinality on every
+    call — several queries were paying that job once per construction
+    per run.  The count of an immutable base table within one session
+    is a constant: memoize it next to the analyzed-relation cache,
+    invalidated by the same (size, mtime) fingerprint.  Callers pass it
+    to ``_probe_small``-style path choices, which both compute exact
+    results on either path — a stale value could only ever mis-pick a
+    strategy, and the fingerprint prevents even that."""
+    fp = _fingerprint(f"{sf_dir}/{name}.parquet")
+    if fp is None:
+        return load(spark, sf_dir, name).count()
+    cache = getattr(spark, _CACHE_ATTR, None)
+    if cache is None:
+        cache = {}
+        try:
+            setattr(spark, _CACHE_ATTR, cache)
+        except AttributeError:
+            return load(spark, sf_dir, name).count()
+    key = (sf_dir, name, "rows")
+    hit = cache.get(key)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
+    n = load(spark, sf_dir, name).count()
+    cache[key] = (fp, n)
+    return n
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register each table as a temp view so SQL-form operators can run.
 

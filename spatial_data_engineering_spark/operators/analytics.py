@@ -1087,13 +1087,21 @@ def q170_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q174_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .relational import global_row_number
 
+    from ..catalog import table_rows_cached
+
     e = load(spark, sf_dir, "events")
     uv = e.groupBy("user_id").agg(
         F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
         .alias("v"))
     # scale-safe global rank over the user-sized aggregate (two-pass
-    # range partition above 1M users, plain window below)
-    ranked = global_row_number(uv, [("v", True), ("user_id", True)], "i")
+    # range partition above 1M users, plain window below).  r17 opt:
+    # users <= events rows, so the memoized footer count is a free
+    # upper bound for the strategy probe — the old limit-count probe
+    # executed the whole user groupBy once per call just to pick a
+    # path (both paths compute identical ranks).
+    ranked = global_row_number(uv, [("v", True), ("user_id", True)], "i",
+                               n_rows=table_rows_cached(spark, sf_dir,
+                                                        "events"))
     d9 = lambda c: (F.sum(F.round(c, 9).cast("decimal(30,9)"))  # noqa: E731
                     .cast("double"))
     n = F.count(F.lit(1))

@@ -946,6 +946,15 @@ def _ssj_candidates(d: DataFrame):
     sh = d.select(
         "doc_id", F.expr(_SHINGLES_SPARK.format(col="text")).alias("tl")
     )
+    return sh, _ssj_candidates_from_sh(sh)
+
+
+def _ssj_candidates_from_sh(sh: DataFrame) -> DataFrame:
+    """Candidate pairs from an existing (doc_id, tl) shingle frame —
+    split out (r17 opt) so the registry path can feed the session-
+    memoized checkpointed shingle table instead of re-running the gram
+    walk; the frame-parameterized ``_ssj_candidates`` stays for the
+    planted-corpus property tests."""
     tok = sh.select("doc_id", F.explode("tl").alias("t"))
     # df filter as a window-free agg + join: HAVING over the index keeps
     # the partial-aggregated path (no per-row window over the token list)
@@ -959,7 +968,7 @@ def _ssj_candidates(d: DataFrame):
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    return sh, cand
+    return cand
 
 
 # Candidate-pair twin of _PAIR_CACHE: q76 and q88 share the SAME df-capped
@@ -982,15 +991,19 @@ def ssj_candidate_pairs(spark: SparkSession, sf_dir: str):
     global _SSJ_CACHE_COMPUTES
     app = spark.sparkContext.applicationId
     key = (app, sf_dir)
-    sh, _ = _ssj_candidates(_spread_docs(load(spark, sf_dir, "documents")))
+    # r17 opt: both the verify-join sides and the cold candidate build
+    # read the session-memoized CHECKPOINTED shingle table instead of
+    # re-running the gram walk per query execution (the q76 ReuseExchange
+    # note predates the memo: rebuilding was only cheap relative to
+    # checkpointing the exploded token STREAM; the memo pins the compact
+    # doc-level array frame, which every dedup consumer now shares).
+    sh, _sig, _bands = shingle_frames_cached(spark, sf_dir)
     with _PAIR_CACHE_LOCK:
         for k in [k for k in _SSJ_CACHE if k[0] != app]:
             del _SSJ_CACHE[k]
         cand = _SSJ_CACHE.get(key)
         if cand is None:
-            _, cand = _ssj_candidates(
-                _spread_docs(load(spark, sf_dir, "documents")))
-            cand = cand.localCheckpoint(eager=True)
+            cand = _ssj_candidates_from_sh(sh).localCheckpoint(eager=True)
             _SSJ_CACHE_COMPUTES += 1
             _SSJ_CACHE[key] = cand
     return sh, cand
@@ -1733,10 +1746,16 @@ _ORACLE_Q168 = f"""
 
 @query("q168_dedup_cost_model", _ORACLE_Q168)
 def q168_dedup_cost_model(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _spread_docs(load(spark, sf_dir, "documents"))
-    df = (d.select("doc_id", F.explode(F.expr(
-              _SHINGLES_SPARK.format(col="text"))).alias("sh"))
-          .groupBy("sh").agg(F.countDistinct("doc_id").alias("df")))
+    # r17 opt (guide §8 reuse the heavy proxy): read the session-memoized
+    # checkpointed shingle frame instead of re-running the corpus's
+    # heaviest transform (the char-8-gram walk) for this one histogram.
+    # tl is array_distinct per doc, so every exploded (doc_id, sh) pair
+    # is unique and COUNT(*) == COUNT(DISTINCT doc_id) — the plain count
+    # keeps map-side partial aggregation where the distinct-agg rewrite
+    # EXPANDs rows (values identical, oracle keeps COUNT(DISTINCT)).
+    sh, _sig, _bands = shingle_frames_cached(spark, sf_dir)
+    df = (sh.select("doc_id", F.explode("tl").alias("sh"))
+          .groupBy("sh").agg(F.count(F.lit(1)).alias("df")))
     caps = F.explode(F.array(*[F.lit(c) for c in _Q168_CAPS])).alias("cap")
     m = F.least(F.col("df"), F.col("cap"))
     return (df.select("df", caps)

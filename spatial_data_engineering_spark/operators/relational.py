@@ -2497,9 +2497,16 @@ def q180_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (pairs.join(ma, "pa").join(mb, "pb")
               .crossJoin(F.broadcast(n_orders))
               .select("pa", "pb", "n_ab", lift.alias("lift")))
+    # r17 opt (guide §2.4): top-15 as orderBy().limit() —
+    # TakeOrderedAndProject keeps a 15-row heap per partition instead of
+    # the global-window row_number's single-partition full sort of the
+    # supported pair table.  The row_number that the output schema needs
+    # then runs over exactly 15 rows.  Same total order (lift desc, pa,
+    # pb — a key, so ties are impossible past it) => identical rows/rk.
+    top = scored.orderBy(F.desc("lift"), F.asc("pa"), F.asc("pb")).limit(15)
     rk = F.row_number().over(
         W.orderBy(F.desc("lift"), F.asc("pa"), F.asc("pb")))
-    return (scored.withColumn("rk", rk).filter(F.col("rk") <= 15)
+    return (top.withColumn("rk", rk)
             .select("pa", "pb", F.col("n_ab").cast("bigint").alias("n_ab"),
                     "lift", F.col("rk").cast("int").alias("rk")))
 
@@ -2668,14 +2675,25 @@ def q183_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q192_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import table_rows_cached
+
     o = load(spark, sf_dir, "orders")
+    # r17 opt: the per-year customer aggregate has at most one row per
+    # order, so the memoized footer count of orders is a free UPPER
+    # BOUND for the ntile strategy probe — the old limit-count probe
+    # executed the year's whole groupBy once per year_q call just to
+    # pick a path (bound <= threshold => actual <= threshold; a
+    # too-big bound only flips to the big path, which computes the
+    # same exact tiles).
+    n_bound = table_rows_cached(spark, sf_dir, "orders")
 
     def year_q(y):
         yv = (o.filter((F.col("o_orderdate") >= f"{y}-01-01")
                        & (F.col("o_orderdate") < f"{y + 1}-01-01"))
               .groupBy("o_custkey").agg(dsum("o_totalprice", "v")))
         # scale-safe ntile over the customer-year aggregate
-        return (global_ntile(yv, 4, [("v", False), ("o_custkey", True)], "q")
+        return (global_ntile(yv, 4, [("v", False), ("o_custkey", True)],
+                             "q", n_rows=n_bound)
                 .select("o_custkey", "q"))
 
     q1 = year_q(1996).withColumnsRenamed({"o_custkey": "k1", "q": "qa"})
