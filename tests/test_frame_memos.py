@@ -221,3 +221,23 @@ def test_memo_key_folds_every_named_table(spark, tmp_path):
     assert out == "v3" and len(calls) == 2
     dedup._DOC_FRAME_CACHE.clear()
     dedup._DOC_FRAME_BUILD_LOCKS.clear()
+
+
+def test_cov_moments_build_once_for_q93_and_q191(spark, clear_memos):
+    """r17 opt: q93 (covariance) and q191 (redundancy audit over the
+    SAME covariance) must share ONE BLAS corpus pass per session, and a
+    cold rebuild must produce bit-identical values."""
+    from spatial_data_engineering_spark.operators import dedup, similarity
+
+    n0 = dedup._DOC_FRAME_COMPUTES
+    a1 = _rows(similarity.QUERIES["q93_embedding_covariance"](spark,
+                                                              SF_ORACLE))
+    b1 = _rows(similarity.QUERIES["q191_dim_redundancy"](spark, SF_ORACLE))
+    assert dedup._DOC_FRAME_COMPUTES - n0 == 1, \
+        "q93+q191 must share ONE covariance-moment build"
+
+    dedup._DOC_FRAME_CACHE.clear()
+    a2 = _rows(similarity.QUERIES["q93_embedding_covariance"](spark,
+                                                              SF_ORACLE))
+    b2 = _rows(similarity.QUERIES["q191_dim_redundancy"](spark, SF_ORACLE))
+    assert a1 == a2 and b1 == b2
