@@ -2217,10 +2217,14 @@ def q164_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three scale-safe global ntiles over the customer-sized aggregate
     # (each auto-switches to the two-pass range-partitioned bucketing
     # above 1M rows — never a single-task sort of the customer base).
-    # One bounded probe serves all three: ntile preserves row count, so
-    # the chained calls reuse the first cardinality instead of
-    # re-evaluating the aggregate per tile column.
-    probe = rfm.limit(_ROW_ID_WINDOW_THRESHOLD + 1).count()
+    # One bound serves all three: ntile preserves row count.  r17 opt:
+    # customers-with-orders <= orders rows, so the memoized footer
+    # count replaces the limit-count probe that executed the whole
+    # customer aggregate once per call just to pick a path (both paths
+    # compute identical tiles; a too-big bound only flips to the
+    # two-pass form).
+    from ..catalog import table_rows_cached
+    probe = table_rows_cached(spark, sf_dir, "orders")
     scored = rfm
     for col, spec in [("r", [("recency_days", True), ("o_custkey", True)]),
                       ("f", [("frequency", False), ("o_custkey", True)]),

@@ -2750,9 +2750,16 @@ def q169_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .relational import global_rank_cumsum
 
     d = load(spark, sf_dir, "documents")
+    # r17 opt: tf feeds THREE evaluations (the rank kernel's strategy
+    # probe, the ranked pass, and the totals agg) — pin the vocab-sized
+    # table lazily so the explode+groupBy runs once per call (A/B 0.67
+    # -> 0.61 s median; at 100 TB this is the written vocab table).  A
+    # bound-fed big path was also tried and LOST (1.30 s — the two-pass
+    # kernel costs more than probe+window at vocab size).
     tf = (d.select(F.explode(F.split("text", " ")).alias("t"))
           .filter(F.col("t") != "")
-          .groupBy("t").agg(F.count(F.lit(1)).alias("n")))
+          .groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+          .localCheckpoint(eager=False))
     ranked = (global_rank_cumsum(tf, "n", [("n", False), ("t", True)],
                                  rn_col="rk", cum_col="cum")
               .select("n", "rk", "cum"))
@@ -3308,7 +3315,10 @@ def q193_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
            .filter(F.col("tok") != ""))
     # the occurrence index is over EVERY token position — the q10
     # two-pass kernel is mandatory here, not an optimization: a plain
-    # window would sort the whole corpus token stream in one task
+    # window would sort the whole corpus token stream in one task.
+    # (r17: an n_chars-sum upper bound for the probe was A/B'd and
+    # REJECTED — chars >> tokens, so the bound forced the two-pass path
+    # where the probe correctly picks the window: 0.84 -> 1.41 s.)
     idx = global_row_number(pos, [("doc_id", True), ("i", True)], "rn")
     firsts = (idx.select("tok", "rn")
               .groupBy("tok").agg(F.min("rn").alias("first_rn")))
