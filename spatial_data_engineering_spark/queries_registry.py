@@ -39,55 +39,34 @@ def _modules():
 # most one round old.  The driver window is the sampling gate, not the
 # completeness gate.
 #
-# Round-16 window (driver verifies the FIRST 50), executing the written
-# r16 schedule committed in round 15 ("the full r11 block leads, then
-# the oldest r12 rows"), amended by the standing rules:
-#   - slots 1-2: q226/q227 (NEW this round — MinHash-tier incremental
-#     admission, the curation tier VERDICT r15 task 5 named missing,
-#     and audio near-dup, r15 task 7), arriving oracled + planted/
-#     parity-tested; never-driver-verified outranks stale;
-#   - slots 3-4: q224/q225 — rule-(2) forces: q225's oracle changed
-#     this round (LEFT JOIN + COALESCE for empty/NULL-text docs, r15
-#     advice) and both now read the disk-persisted span table
-#     (VERDICT r15 task 4), so both owe a post-change driver row;
-#   - slots 5-40: the ENTIRE 36-row r11-verified block — retires the
-#     r11 debt; max driver staleness advances to r12;
-#   - slots 41-50: the oldest 10 r12-verified rows.
-#   Rotation notes: the per-key build-lock change in _doc_frame_memo
-#   and curation's table= contract alter NO frame definition (value
-#   identity pinned by tests/test_frame_memos.py), so the memoized
-#   family is NOT rule-(2) forced this round.
+# Round-17 window (driver verifies the FIRST 50), executing the written
+# r17 schedule committed in round 15: the remaining 37 r12-verified rows
+# (q158 leads) + the oldest 13 r13-verified rows = 50; max driver
+# staleness advances to r13.
+#   Rotation notes: this optimization round's changes are all
+#   value-identical restructurings (shared-memo consumption, strategy-
+#   probe bounds, a TakeOrderedAndProject top-K, the py4j resolution
+#   cache) — no operator definition or oracle changed, so nothing is
+#   rule-(2) forced (the r16 precedent for optimization rounds); every
+#   touched query is instead re-proven by the committed sf1-parity and
+#   partition-independence artifacts on the final tree.  Several
+#   touched queries (q168, q164, q174, q189, q163, q220, ...) happen to
+#   sit in this window anyway, so they also get post-change driver rows.
 # WRITTEN SCHEDULE (continuing):
-#   - r17: the remaining 37 r12 rows (q158 leads) + the oldest 13 r13
-#     rows = 50 (max staleness advances to r13);
-#   - r18: the remaining 27 r13 rows + the oldest 23 r14 rows;
-#   - r19: the remaining 27 r14 rows + the oldest 23 r15 rows.
+#   - r18: the remaining 27 r13 rows (q216 block's tail, q76 leads) +
+#     the oldest 23 r14 rows;
+#   - r19: the remaining 27 r14 rows + the oldest 23 r15 rows;
+#   - r20: the remaining r15 rows + the oldest r16 rows.
 _PRIORITY = [
-    # --- ROUND-16 DRIVER WINDOW (first 50) ---
-    # slots 1-2: never-driver-verified (q226/q227 NEW), slots 3-4: the
-    # changed-this-round ExactSubstr pair, slots 5-40: the full r11
-    # block, slots 41-50: the oldest 10 r12 rows
-    "q226_incremental_near_dedup", "q227_audio_neardup",
-    "q224_exact_substring_dedup", "q225_substring_dedup_materialize",
-    "q121_token_entropy", "q122_grouping_sets", "q123_mad_outliers", "q124_incremental_agg_merge",
-    "q125_small_quantity_revenue", "q126_revenue_share", "q129_hamming_topk",
-    "q130_weighted_median", "q131_user_trend", "q132_skew_report",
-    "q133_video_neardup", "q134_ewma", "q135_benford_audit",
-    "q136_transition_matrix", "q140_class_separation", "q94_dedup_canonical",
-    "q95_stratified_split", "q96_doc_bigram_lift", "q93_embedding_covariance",
-    "q86_pagerank_centrality", "q105_lone_returner", "q112_scd2_intervals",
-    "q29_asof_join", "q154_knn_label_accuracy", "q155_pmi_collocations",
-    "q172_zipf_fit", "q185_bigram_cond_entropy", "q186_negative_sampling",
-    "q202_cramers_v", "q211_discount_quantity_corr", "q199_dup_quality_link",
-    "q141_unigram_logprob", "q44_quality_score", "q145_curriculum_stages",
-    "q188_aa_test", "q209_source_scorecard",
-    "q214_url_domain_dedup", "q215_rate_limited_sample",
-    "q142_stopword_discovery", "q143_bpe_pair_counts", "q146_vocab_overlap",
-    "q147_chi2_keywords", "q150_hhi_concentration", "q151_returned_revenue",
-    "q152_dup_cluster_sizes", "q157_mix_rebalance",
-    # --- tail: rotates into r17+ windows, least-recently-verified
-    # first ---
-    # the r12-verified remainder (r17 lead)
+    # --- ROUND-17 DRIVER WINDOW (first 50) ---
+    # Executing the written r17 schedule committed in round 15 ("the
+    # remaining 37 r12 rows, q158 leads, + the oldest 13 r13 rows") —
+    # max driver staleness advances to r13.  No never-driver-verified
+    # rows exist and no oracle changed this round (the r17 optimization
+    # changes are value-identical restructurings, covered by sf1 parity
+    # + partition-independence artifacts per the r16 precedent), so the
+    # window is exactly the schedule.
+    # slots 1-37: the full r12-verified remainder
     "q158_session_paths", "q159_bm25_topk", "q160_lang_mislabel", "q161_wilson_proportion",
     "q162_churn_rate", "q165_nation_trade_volume", "q166_market_share",
     "q168_dedup_cost_model", "q170_burst_detection",
@@ -101,11 +80,14 @@ _PRIORITY = [
     "q149_winsorized_stats", "q80_quality_filter", "q163_score_auc",
     "q176_score_normalization", "q33_percentiles", "q181_order_interarrival",
     "q203_quantization_error", "q206_ship_latency",
-    # the r13-verified remainder
+    # slots 38-50: the oldest 13 r13-verified rows
     "q216_dsir_importance", "q217_domain_quota_sample", "q220_mmr_audit",
     "q30_range_join", "q31_sliding_window", "q32_session_window",
     "q35_rank_functions", "q36_full_outer", "q37_array_agg", "q38_profile",
     "q39_local_supplier_revenue", "q63_date_functions", "q64_bag_set_ops",
+    # --- tail: rotates into r18+ windows, least-recently-verified
+    # first ---
+    # the r13-verified remainder (r18 lead, 27 rows)
     "q76_ngram_jaccard_join", "q77_pack_sequences", "q83_embedding_stats",
     "q84_sample_exact_k", "q85_twophase_topk", "q10_row_number",
     "q71_frame_sample", "q50_embedding_neardup", "q53_embedding_centroids",
@@ -155,6 +137,29 @@ _PRIORITY = [
     "q109_triangle_count", "q115_bfs_hops", "q116_psi_drift",
     "q117_rolling_median", "q120_asof_forward", "q148_semdedup",
     "q201_cluster_label_purity", "q49_cosine_topk", "q51_srp_lsh_buckets",
+    # the r16-verified window — the freshest evidence closes the
+    # registry; rotates back in at r20
+    "q226_incremental_near_dedup", "q227_audio_neardup",
+    "q224_exact_substring_dedup", "q225_substring_dedup_materialize",
+    "q121_token_entropy", "q122_grouping_sets", "q123_mad_outliers",
+    "q124_incremental_agg_merge", "q125_small_quantity_revenue",
+    "q126_revenue_share", "q129_hamming_topk", "q130_weighted_median",
+    "q131_user_trend", "q132_skew_report", "q133_video_neardup",
+    "q134_ewma", "q135_benford_audit", "q136_transition_matrix",
+    "q140_class_separation", "q94_dedup_canonical",
+    "q95_stratified_split", "q96_doc_bigram_lift",
+    "q93_embedding_covariance", "q86_pagerank_centrality",
+    "q105_lone_returner", "q112_scd2_intervals", "q29_asof_join",
+    "q154_knn_label_accuracy", "q155_pmi_collocations", "q172_zipf_fit",
+    "q185_bigram_cond_entropy", "q186_negative_sampling",
+    "q202_cramers_v", "q211_discount_quantity_corr",
+    "q199_dup_quality_link", "q141_unigram_logprob", "q44_quality_score",
+    "q145_curriculum_stages", "q188_aa_test", "q209_source_scorecard",
+    "q214_url_domain_dedup", "q215_rate_limited_sample",
+    "q142_stopword_discovery", "q143_bpe_pair_counts",
+    "q146_vocab_overlap", "q147_chi2_keywords", "q150_hhi_concentration",
+    "q151_returned_revenue", "q152_dup_cluster_sizes",
+    "q157_mix_rebalance",
 ]
 
 

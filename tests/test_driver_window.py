@@ -19,84 +19,78 @@ from __future__ import annotations
 
 from spatial_data_engineering_spark.queries_registry import all_queries
 
-# Round-16 window, executing the written r16 schedule committed in
-# round 15 ("the full r11 block leads, then the oldest r12 rows"),
-# amended by the standing rules: slots 1-2 the new q226/q227
-# (MinHash-tier incremental admission + audio near-dup —
-# never-driver-verified outranks stale), slots 3-4 the rule-(2) forces
-# q224/q225 (q225's oracle gained the empty/NULL-text LEFT JOIN fix
-# and both now read the disk-persisted span table), slots 5-40 the
-# ENTIRE 36-row r11-verified block (retires the r11 debt; max driver
-# staleness advances to r12), slots 41-50 the oldest 10 r12 rows.
+# Round-17 window, executing the written r17 schedule committed in
+# round 15: the full 37-row r12-verified remainder (q158 leads) + the
+# oldest 13 r13-verified rows.  Max driver staleness advances to r13.
+# This optimization round changed no operator definition or oracle
+# (value-identical restructurings only, re-proven by the sf1-parity and
+# partition-independence artifacts), so nothing is rule-(2) forced and
+# the window is exactly the schedule.
 EXPECTED_WINDOW = [
-    "q226_incremental_near_dedup", "q227_audio_neardup",
-    "q224_exact_substring_dedup", "q225_substring_dedup_materialize",
-    "q121_token_entropy", "q122_grouping_sets", "q123_mad_outliers",
-    "q124_incremental_agg_merge", "q125_small_quantity_revenue",
-    "q126_revenue_share", "q129_hamming_topk", "q130_weighted_median",
-    "q131_user_trend", "q132_skew_report", "q133_video_neardup",
-    "q134_ewma", "q135_benford_audit", "q136_transition_matrix",
-    "q140_class_separation", "q94_dedup_canonical",
-    "q95_stratified_split", "q96_doc_bigram_lift",
-    "q93_embedding_covariance", "q86_pagerank_centrality",
-    "q105_lone_returner", "q112_scd2_intervals", "q29_asof_join",
-    "q154_knn_label_accuracy", "q155_pmi_collocations", "q172_zipf_fit",
-    "q185_bigram_cond_entropy", "q186_negative_sampling",
-    "q202_cramers_v", "q211_discount_quantity_corr",
-    "q199_dup_quality_link", "q141_unigram_logprob", "q44_quality_score",
-    "q145_curriculum_stages", "q188_aa_test", "q209_source_scorecard",
-    "q214_url_domain_dedup", "q215_rate_limited_sample",
-    "q142_stopword_discovery", "q143_bpe_pair_counts",
-    "q146_vocab_overlap", "q147_chi2_keywords", "q150_hhi_concentration",
-    "q151_returned_revenue", "q152_dup_cluster_sizes",
-    "q157_mix_rebalance",
-]
-
-# The rows that must LEAD the round-17 window: the r12-verified
-# remainder in least-recently-verified order (no never-verified rows
-# remain once q226 gets its r16 row).
-EXPECTED_R17_LEAD = [
-    "q158_session_paths", "q159_bm25_topk", "q160_lang_mislabel", "q161_wilson_proportion",
-    "q162_churn_rate", "q165_nation_trade_volume", "q166_market_share",
+    "q158_session_paths", "q159_bm25_topk", "q160_lang_mislabel",
+    "q161_wilson_proportion", "q162_churn_rate",
+    "q165_nation_trade_volume", "q166_market_share",
     "q168_dedup_cost_model", "q170_burst_detection",
     "q171_dup_degree_distribution", "q173_order_reconciliation",
     "q175_error_rate_timeline", "q177_weekday_seasonality",
-    "q178_new_vs_returning",
+    "q178_new_vs_returning", "q164_rfm_segments", "q174_value_gini",
+    "q189_runs_test", "q193_heaps_law", "q22_cube", "q23_unpivot",
+    "q24_in_subquery", "q25_window_analytics", "q26_median",
+    "q27_first_limit", "q28_approx_distinct", "q34_approx_quantiles",
+    "q137_time_to_convert", "q138_session_stats",
+    "q127_score_calibration", "q149_winsorized_stats",
+    "q80_quality_filter", "q163_score_auc", "q176_score_normalization",
+    "q33_percentiles", "q181_order_interarrival",
+    "q203_quantization_error", "q206_ship_latency",
+    "q216_dsir_importance", "q217_domain_quota_sample", "q220_mmr_audit",
+    "q30_range_join", "q31_sliding_window", "q32_session_window",
+    "q35_rank_functions", "q36_full_outer", "q37_array_agg",
+    "q38_profile", "q39_local_supplier_revenue", "q63_date_functions",
+    "q64_bag_set_ops",
+]
+
+# The rows that must LEAD the round-18 window: the r13-verified
+# remainder in least-recently-verified order.
+EXPECTED_R18_LEAD = [
+    "q76_ngram_jaccard_join", "q77_pack_sequences", "q83_embedding_stats",
+    "q84_sample_exact_k", "q85_twophase_topk", "q10_row_number",
+    "q71_frame_sample", "q50_embedding_neardup", "q53_embedding_centroids",
+    "q73_hash_split", "q78_balance_corpus", "q91_temperature_sample",
+    "q113_cms_heavy_hitters", "q114_kmv_distinct",
 ]
 
 
-def test_driver_window_is_the_reviewed_round16_plan():
+def test_driver_window_is_the_reviewed_round17_plan():
     names = list(all_queries())
     assert len(EXPECTED_WINDOW) == 50
     got = names[:50]
     assert got == EXPECTED_WINDOW, (
-        "driver window drifted from the reviewed round-16 rotation plan; "
+        "driver window drifted from the reviewed round-17 rotation plan; "
         f"first divergence at slot "
         f"{next(i for i, (a, b) in enumerate(zip(got, EXPECTED_WINDOW)) if a != b) + 1}"
     )
 
 
-def test_round17_queue_is_next():
+def test_round18_queue_is_next():
     names = list(all_queries())
-    assert names[50:50 + len(EXPECTED_R17_LEAD)] == EXPECTED_R17_LEAD, (
-        "the r17 lead (the r12-verified remainder) must sit immediately "
+    assert names[50:50 + len(EXPECTED_R18_LEAD)] == EXPECTED_R18_LEAD, (
+        "the r18 lead (the r13-verified remainder) must sit immediately "
         "after the window"
     )
 
 
-def test_r15_window_rotated_to_tail():
-    # the rows verified in round 15 are the freshest evidence and must
-    # close the registry — all of them except the q224/q225 rule-(2)
-    # forces, which this round's window re-verifies post-change
+def test_r16_window_rotated_to_tail():
+    # the rows verified in round 16 are the freshest evidence and must
+    # close the registry
     names = list(all_queries())
-    r15_tail = set(names[-48:])
-    for probe in ("q55_kmeans", "q218_pq_recall_audit", "q47_minhash_lsh",
-                  "q56_dedup_components", "q212_curation_shards",
-                  "q148_semdedup", "q201_cluster_label_purity",
-                  "q49_cosine_topk", "q51_srp_lsh_buckets"):
-        assert probe in r15_tail, f"{probe} missing from the rotated tail"
-    assert "q224_exact_substring_dedup" not in r15_tail
-    assert "q225_substring_dedup_materialize" not in r15_tail
+    r16_tail = set(names[-50:])
+    for probe in ("q226_incremental_near_dedup", "q227_audio_neardup",
+                  "q224_exact_substring_dedup",
+                  "q225_substring_dedup_materialize", "q121_token_entropy",
+                  "q86_pagerank_centrality", "q209_source_scorecard",
+                  "q152_dup_cluster_sizes", "q157_mix_rebalance"):
+        assert probe in r16_tail, f"{probe} missing from the rotated tail"
+    assert "q158_session_paths" not in r16_tail
 
 
 def test_inventory_growth_is_a_rotation_decision():
