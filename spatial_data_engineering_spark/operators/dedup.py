@@ -991,19 +991,24 @@ def ssj_candidate_pairs(spark: SparkSession, sf_dir: str):
     global _SSJ_CACHE_COMPUTES
     app = spark.sparkContext.applicationId
     key = (app, sf_dir)
-    # r17 opt: both the verify-join sides and the cold candidate build
-    # read the session-memoized CHECKPOINTED shingle table instead of
-    # re-running the gram walk per query execution (the q76 ReuseExchange
-    # note predates the memo: rebuilding was only cheap relative to
-    # checkpointing the exploded token STREAM; the memo pins the compact
-    # doc-level array frame, which every dedup consumer now shares).
-    sh, _sig, _bands = shingle_frames_cached(spark, sf_dir)
+    # The verify-join sides deliberately REBUILD the shingle frame from
+    # the scan instead of reading the session-memoized checkpoint: a
+    # localCheckpoint-backed LogicalRDD has no statistics (it estimates
+    # at spark.sql.defaultSizeInBytes), so feeding it to the verify
+    # joins flipped the planner to shuffling the array payloads —
+    # measured in-suite r17: q76 0.76 -> 9.98 s, q88 0.95 -> 4.90 s,
+    # REVERTED same round.  The scan-derived frame keeps honest size
+    # estimates and its duplication rides ReuseExchange (the standing
+    # q76 note above).
+    sh, _ = _ssj_candidates(_spread_docs(load(spark, sf_dir, "documents")))
     with _PAIR_CACHE_LOCK:
         for k in [k for k in _SSJ_CACHE if k[0] != app]:
             del _SSJ_CACHE[k]
         cand = _SSJ_CACHE.get(key)
         if cand is None:
-            cand = _ssj_candidates_from_sh(sh).localCheckpoint(eager=True)
+            _, cand = _ssj_candidates(
+                _spread_docs(load(spark, sf_dir, "documents")))
+            cand = cand.localCheckpoint(eager=True)
             _SSJ_CACHE_COMPUTES += 1
             _SSJ_CACHE[key] = cand
     return sh, cand
