@@ -456,10 +456,19 @@ _SCORED_SQL = f"""
 """
 
 
-def _scored_quality(d: DataFrame) -> DataFrame:
-    """(doc_id, lang, quality) — the Spark twin of ``_SCORED_SQL``."""
+def _scored_quality(d: DataFrame, keep: tuple = ()) -> DataFrame:
+    """(doc_id, lang, quality[, *keep]) — the Spark twin of ``_SCORED_SQL``.
+
+    ``keep`` names extra input columns carried through the projection.
+    The scorer is a pure 1:1 map of the document frame, so a consumer
+    that needs quality NEXT TO another document column can take it here
+    instead of re-joining the corpus to itself on doc_id — the join on
+    the unique key is value-identical to the projection, but at scale it
+    is a corpus-wide shuffle/broadcast this keeps out of the plan
+    (r17; guide §3 — removed from q127/q163/q176/q188/q209).
+    """
     feats = d.select(
-        "doc_id", "lang",
+        "doc_id", "lang", *keep,
         F.length("text").alias("n"),
         F.expr(f"size({_TOKENS})").alias("nt"),
         F.expr(f"size(array_distinct({_TOKENS}))").alias("ndt"),
@@ -472,7 +481,7 @@ def _scored_quality(d: DataFrame) -> DataFrame:
          + 0.25 * F.least(F.col("nstop") * 4.0 / F.col("nt"), F.lit(1.0))
          + 0.50 * (F.col("ndt") * 1.0 / F.col("nt"))) * 1000000.0 + 0.5
     ) / 1000000.0
-    return feats.select("doc_id", "lang", quality.alias("quality"))
+    return feats.select("doc_id", "lang", quality.alias("quality"), *keep)
 
 
 @query(
@@ -1770,9 +1779,11 @@ def q127_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .relational import global_ntile
 
     d = load(spark, sf_dir, "documents")
-    scored = _scored_quality(d)
+    # keep=: the scorer carries n_chars through its 1:1 projection, so
+    # the old corpus self-join on doc_id is gone (r17, guide §3)
+    scored = _scored_quality(d, keep=("n_chars",))
     med = d.agg(F.expr("percentile(n_chars, 0.5)").alias("m"))
-    labeled = (scored.join(d.select("doc_id", "n_chars"), "doc_id")
+    labeled = (scored
                .crossJoin(F.broadcast(med))
                .select("doc_id", "quality",
                        F.when(F.col("n_chars") > F.col("m"), 1)
@@ -2675,9 +2686,11 @@ def q163_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .relational import global_row_number
 
     d = load(spark, sf_dir, "documents")
-    scored = _scored_quality(d)
+    # keep=: n_chars rides the scorer's 1:1 projection — no corpus
+    # self-join (r17, guide §3)
+    scored = _scored_quality(d, keep=("n_chars",))
     med = d.agg(F.percentile("n_chars", F.lit(0.5)).alias("m"))
-    labeled = (scored.join(d.select("doc_id", "n_chars"), "doc_id")
+    labeled = (scored
                .crossJoin(F.broadcast(med))
                .select("doc_id", "quality",
                        F.when(F.col("n_chars") > F.col("m"), 1)
@@ -2882,8 +2895,9 @@ def q176_score_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .relational import grouped_percentiles
 
     d = load(spark, sf_dir, "documents")
-    scored = _scored_quality(d)
-    src = scored.join(d.select("doc_id", "source"), "doc_id")
+    # keep=: source rides the scorer's 1:1 projection — no corpus
+    # self-join (r17, guide §3)
+    src = _scored_quality(d, keep=("source",))
     q = grouped_percentiles(src, ["source"], "quality",
                             [0.5, 0.9], ["raw_p50", "raw_p90"], exact=True)
     stats = (src.groupBy("source")
@@ -3157,8 +3171,9 @@ def q188_aa_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     scored = _scored_quality(d)
     arm = (F.expr(_md5_bucket("spark", "doc_id")) % 2).cast("bigint")
-    armed = (scored.join(d.select("doc_id"), "doc_id")
-             .select(arm.alias("arm"), "quality"))
+    # the old join(d.select("doc_id")) was an identity join on the
+    # unique key — scored already carries doc_id (r17, guide §3)
+    armed = scored.select(arm.alias("arm"), "quality")
     m = armed.groupBy("arm").agg(
         F.count(F.lit(1)).alias("n"),
         davg("quality", "mu"),
@@ -3758,11 +3773,15 @@ def q209_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.count(F.when(F.col("n") == 1, 1)).alias("n_hapax"),
                      (F.sum(cdec * nll_term).cast("double")
                       / F.sum("c")).alias("avg_nll")))
-    scored = _scored_quality(d)
+    # keep=: source and text ride the scorer's 1:1 projection, so the
+    # row-stats branch is one map-side pass over the (spread) scan —
+    # the old d ⋈ scored corpus self-join on doc_id is gone (r17,
+    # guide §3; at 100 TB that join shuffled/broadcast the corpus)
+    scored = _scored_quality(d, keep=("source", "text"))
     diversity = F.round(
         F.expr(f"size(array_distinct({_Q182_GRAMS_SPARK}))").cast("double")
         / F.expr(f"size({_Q182_GRAMS_SPARK})"), 9).cast("decimal(30,9)")
-    rowstats = (d.join(scored, "doc_id")
+    rowstats = (scored
                 .groupBy("source")
                 .agg(F.count(F.lit(1)).alias("n_docs"),
                      davg("quality", "avg_quality"),
