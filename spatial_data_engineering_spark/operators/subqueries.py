@@ -173,11 +173,20 @@ def q105_lone_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("has_r").alias("n_return_suppliers"))
     qualifying = per_order.filter(
         (F.col("n_suppliers") >= 2) & (F.col("n_return_suppliers") == 1))
+    # the returning suppliers of a qualifying order are exactly its
+    # has_r = 1 rows in per_supp, and per_supp is unique per
+    # (l_orderkey, l_suppkey) — so COUNT(*) of joined rows per supplier
+    # IS COUNT(DISTINCT l_orderkey).  Reusing per_supp replaces the old
+    # third stage (re-scan lineitem, re-shuffle the R rows on
+    # l_orderkey, then a two-phase distinct-agg) with a join of two
+    # already-deduplicated order-keyed tables and a plain count (r17,
+    # guide §2.3: shuffle the deduped pairs, not the raw rows; the
+    # distinct-agg EXPAND is gone with the duplicates).
     return (
-        li.filter(F.col("l_returnflag") == "R")
+        per_supp.filter(F.col("has_r") == 1)
         .join(qualifying, "l_orderkey")
         .groupBy("l_suppkey")
-        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
     )
 
 
